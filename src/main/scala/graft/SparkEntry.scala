@@ -1,13 +1,59 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in [[queries]] is one operator from SURVEY.md §2 (reference
+  * surface re-expressed Spark-first) or a north-star extension
+  * (dedup / similarity / text analysis / multimodal). Where the result is
+  * ANSI-SQL-expressible there is a matching [[oracleSql]] entry the driver
+  * runs in DuckDB over the same parquet tables.
+  *
+  * Float discipline for hash-exact oracle parity: money sums are computed
+  * over `DECIMAL`-cast inputs (exact arithmetic on both engines) and cast
+  * back to double at the end; every query has a deterministic total ORDER BY.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    queries("q_agg_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  // Money columns carry 2 decimals (FIXTURES.md); DECIMAL(18,2) is exact.
+  private def dec(c: String): org.apache.spark.sql.Column =
+    col(c).cast(DecimalType(18, 2))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // O1-O8 aggregate surface: TPC-H Q1-style pricing summary.
+    "q_agg_pricing_summary" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") < lit("2000-01-01").cast(TimestampNTZType))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"),
+          sum(dec("l_extendedprice")).cast(DoubleType).as("sum_base_price"),
+          sum(dec("l_extendedprice") * (lit(BigDecimal(1)).cast(DecimalType(18, 2)) - dec("l_discount")))
+            .cast(DoubleType).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    })
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q_agg_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '2000-01-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+  )
 }

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated corpus (TESTDATA.md / FIXTURES.md).
+  *
+  * One parquet file per table under an sf directory. The reference
+  * (ispras/pu4spark) has no I/O layer of its own — ingestion is the
+  * caller's job (reference README.md:74-77) — so this is the rebuild's
+  * single, Parquet-native ingestion seam. Scans are plain
+  * `spark.read.parquet`, so Catalyst predicate pushdown / column
+  * pruning / partition pruning all apply to anything built on top.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Columns written as parquet TIMESTAMP(NANOS) by the generator. Spark 4
+    * rejects NANOS outright (PARQUET_TYPE_ILLEGAL) unless
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, which surfaces them as
+    * LongType nanos-since-epoch; we convert to proper TimestampType here so
+    * the rest of the engine sees real timestamps.
+    */
+  private val nanoTsColumns = Set("ts", "o_orderdate", "l_shipdate")
+
+  def load(spark: SparkSession, sfDir: String, table: String): DataFrame = {
+    val raw = spark.read.parquet(s"$sfDir/$table.parquet")
+    raw.schema.fields.foldLeft(raw) { (df, f) =>
+      if (nanoTsColumns.contains(f.name) &&
+          f.dataType == org.apache.spark.sql.types.LongType)
+        df.withColumn(f.name, org.apache.spark.sql.functions
+          .timestamp_micros(org.apache.spark.sql.functions.col(f.name) / 1000L cast
+            org.apache.spark.sql.types.LongType))
+      else df
+    }
+  }
+
+  def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Local session for tests / ad-hoc runs. Verify/Bench build their own
+    * (driver contract); this one matches their config knobs.
+    */
+  def localSession(cores: Int = 4, appName: String = "graft"): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
