@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's correctness gate.
+
+Usage: python3 scripts/oracle_check.py [sfDir] [outDir]
+
+Runs graft.Verify output (outDir, default /tmp/verify_out) against the
+DuckDB oracle SQL it dumped, per-query: schema (column names sorted),
+row count, and value hash (columns sorted by name, rows compared in
+emitted order). Queries without oracle SQL get a rows>0 check.
+
+Driver-side tooling only — never a library dependency.
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    con = duckdb.connect()
+    sqls = json.load(open(f"{out_dir}/oracle_sql.json"))
+    ok, bad = 0, 0
+    names = sorted(os.listdir(out_dir))
+    for name in names:
+        path = f"{out_dir}/{name}"
+        if not os.path.isdir(path):
+            continue
+        got = con.sql(f"SELECT * FROM '{path}/*.parquet'").df()
+        if name not in sqls:
+            status = "ROWS_ONLY_OK" if len(got) > 0 else "ROWS_ONLY_EMPTY"
+            print(f"{status:16s} {name} rows={len(got)}")
+            ok += status == "ROWS_ONLY_OK"
+            bad += status != "ROWS_ONLY_OK"
+            continue
+        sql = sqls[name]
+        for t in TABLES:
+            sql = sql.replace(f"FROM {t}", f"FROM '{sf_dir}/{t}.parquet'")
+            sql = sql.replace(f"JOIN {t}", f"JOIN '{sf_dir}/{t}.parquet'")
+            sql = sql.replace(f", {t} ", f", '{sf_dir}/{t}.parquet' ")
+        try:
+            oracle = con.sql(sql).df()
+        except Exception as e:
+            print(f"ORACLE_SQL_ERR   {name}: {e}")
+            bad += 1
+            continue
+        g = got[sorted(got.columns)].reset_index(drop=True)
+        o = oracle[sorted(oracle.columns)].reset_index(drop=True)
+        if sorted(got.columns) != sorted(oracle.columns):
+            print(f"SCHEMA_MISMATCH  {name}: spark={sorted(got.columns)} oracle={sorted(oracle.columns)}")
+            bad += 1
+        elif len(g) != len(o):
+            print(f"ROWS_MISMATCH    {name}: spark={len(g)} oracle={len(o)}")
+            bad += 1
+        elif not g.equals(o):
+            # allow dtype-widening equality (e.g. int32 vs int64)
+            try:
+                eq = all((g[c].astype("object") == o[c].astype("object")).all() for c in g.columns)
+            except Exception:
+                eq = False
+            if eq:
+                print(f"OK_DTYPE_LOOSE   {name} rows={len(g)}")
+                ok += 1
+            else:
+                diffcols = [c for c in g.columns if not (g[c].astype("object") == o[c].astype("object")).all()]
+                print(f"VALUE_MISMATCH   {name}: cols={diffcols}")
+                for c in diffcols[:2]:
+                    mask = ~(g[c].astype("object") == o[c].astype("object"))
+                    print("  spark:", g[mask][c].head(3).tolist(), " oracle:", o[mask][c].head(3).tolist())
+                bad += 1
+        else:
+            print(f"OK               {name} rows={len(g)}")
+            ok += 1
+    print(f"\n{ok} ok, {bad} bad")
+    sys.exit(1 if bad else 0)
+
+if __name__ == "__main__":
+    main()

@@ -1,8 +1,10 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+
+import graft.pu._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -10,24 +12,128 @@ import org.apache.spark.sql.types._
   * surface re-expressed Spark-first) or a north-star extension
   * (dedup / similarity / text analysis / multimodal). Where the result is
   * ANSI-SQL-expressible there is a matching [[oracleSql]] entry the driver
-  * runs in DuckDB over the same parquet tables.
+  * runs in DuckDB over the same parquet tables; ML-backed queries have no
+  * oracle (rows-only check) — their *relational skeleton* is oracle-checked
+  * separately via deterministic stub scores (SURVEY.md §5.2 item 2).
   *
   * Float discipline for hash-exact oracle parity: money sums are computed
   * over `DECIMAL`-cast inputs (exact arithmetic on both engines) and cast
-  * back to double at the end; every query has a deterministic total ORDER BY.
+  * back to double at the end; every oracle query has a deterministic total
+  * ORDER BY; no raw timestamp columns in outputs (parquet flavor mismatch).
   */
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q_agg_pricing_summary")(spark, "/root/testdata/sf0.001")
+    queries("pu_traditional_lr")(spark, "/root/testdata/sf0.001")
 
   // Money columns carry 2 decimals (FIXTURES.md); DECIMAL(18,2) is exact.
-  private def dec(c: String): org.apache.spark.sql.Column =
-    col(c).cast(DecimalType(18, 2))
+  private def dec(c: String): Column = col(c).cast(DecimalType(18, 2))
+
+  /** Deterministic stub classifier score for oracle-checking the PU
+    * relational skeleton without ML nondeterminism: (vec_id mod 97) / 96.0.
+    */
+  private val stubScore: Column = (col("vec_id") % 97).cast(DoubleType) / lit(96.0)
+  private val stubScoreSql = "(vec_id % 97) / 96.0"
+
+  /** PU-labeled embeddings (see [[graft.pu.PU.puEmbeddings]]); SQL twin of
+    * the labeling is inlined in the oracle strings below.
+    */
+  private def puEmb(s: SparkSession, dir: String): DataFrame = PU.puEmbeddings(s, dir)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // O1-O8 aggregate surface: TPC-H Q1-style pricing summary.
+
+    // ============================================================
+    // Core reference surface: PU learning (SURVEY §2.1 O12-O17).
+    // ML-backed -> rows-only driver check; skeleton oracled below.
+    // ============================================================
+    "pu_zerostep_lr" -> ((s, dir) => {
+      val learner = new TraditionalPULearner(0.5, 0, LogisticRegressionConfig().build())
+      // maxIters=0 => pure zeroStep semantics via weight's loop not entering
+      learner.weight(puEmb(s, dir).select("vec_id", "puLabel", "features"),
+          "puLabel", "features", "score")
+        .select(col("vec_id"), col("score")).orderBy("vec_id")
+    }),
+    "pu_traditional_lr" -> ((s, dir) => {
+      val learner = TraditionalPULearnerConfig(0.5, 3, LogisticRegressionConfig()).build()
+      learner.weight(puEmb(s, dir).select("vec_id", "puLabel", "features"),
+          "puLabel", "features", "score")
+        .select(col("vec_id"), col("score")).orderBy("vec_id")
+    }),
+    "pu_gradreduction_lr" -> ((s, dir) => {
+      val learner = GradualReductionPULearnerConfig(0.5, LogisticRegressionConfig()).build()
+      learner.weight(puEmb(s, dir).select("vec_id", "puLabel", "features"),
+          "puLabel", "features", "score")
+        .select(col("vec_id"), col("score")).orderBy("vec_id")
+    }),
+    "pu_traditional_rf" -> ((s, dir) => {
+      val learner = TraditionalPULearnerConfig(0.5, 1, RandomForestConfig(numTrees = 32)).build()
+      learner.weight(puEmb(s, dir).select("vec_id", "puLabel", "features"),
+          "puLabel", "features", "score")
+        .select(col("vec_id"), col("score")).orderBy("vec_id")
+    }),
+
+    // ============================================================
+    // PU relational skeleton with deterministic stub scores —
+    // oracle-checkable twins of the ML queries (SURVEY §5.2 item 2).
+    // ============================================================
+
+    // O7 + O2: {1->1, else->-1} recode (replaceZerosByUndefLabel)
+    "pu_replace_zeros" -> ((s, dir) => {
+      PUExpressions.replaceZerosByUndefLabel(
+          puEmb(s, dir).select(col("vec_id"), col("puLabel")),
+          "puLabel", "prev_label", PUExpressions.undefLabel)
+        .orderBy("vec_id")
+    }),
+
+    // O10/O11: binarize threshold (both labelToConsider variants)
+    "pu_skeleton_binarize" -> ((s, dir) => {
+      val base = puEmb(s, dir).select(col("vec_id"), col("puLabel"))
+        .withColumn("score", stubScore)
+      val prev = when(col("puLabel") === 1, 1).otherwise(-1)
+      base
+        .withColumn("cur_undef",
+          PUExpressions.binarize(col("score"), prev, 0.5, PUExpressions.undefLabel))
+        .withColumn("cur_relneg",
+          PUExpressions.binarize(col("score"), lit(0), 0.5, PUExpressions.relNegLabel))
+        .select("vec_id", "score", "cur_undef", "cur_relneg")
+        .orderBy("vec_id")
+    }),
+
+    // O5 fused: one-pass iteration metrics (the 4-count fusion)
+    "pu_skeleton_metrics" -> ((s, dir) => {
+      val base = puEmb(s, dir).select(col("vec_id"), col("puLabel"))
+        .withColumn("prev", when(col("puLabel") === 1, 1).otherwise(-1))
+        .withColumn("cur", PUExpressions.binarize(stubScore, col("prev"), 0.5))
+      val m = PUExpressions.iterMetrics(base, "prev", "cur")
+      val spark = s
+      import spark.implicits._
+      Seq((m.newRelNeg, m.totalPos, m.totalRelNeg, m.totalUndef))
+        .toDF("new_relneg", "total_pos", "total_relneg", "total_undef")
+    }),
+
+    // O8: label indexing cast (metadata attach is Spark-side only)
+    "pu_index_label" -> ((s, dir) => {
+      PUExpressions.indexLabelColumn(
+          puEmb(s, dir).select(col("vec_id"), col("puLabel")),
+          "puLabel", "label_indexed", Seq("0", "1"))
+        .select(col("vec_id"), col("label_indexed"))
+        .orderBy("vec_id")
+    }),
+
+    // O9: P(class1) extraction as native element_at (vs reference UDF);
+    // demonstrated on the raw embedding array (same expression shape).
+    "prob_extract" -> ((s, dir) => {
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          element_at(col("embedding"), 2).cast(DoubleType).as("p_one"))
+        .orderBy("vec_id")
+    }),
+
+    // ============================================================
+    // Relational surface the reference delegates to Spark
+    // (SURVEY §2.1 O1-O8 / §2.3 window vestige).
+    // ============================================================
     "q_agg_pricing_summary" -> ((s, dir) => {
       Tables.lineitem(s, dir)
         .filter(col("l_shipdate") < lit("2000-01-01").cast(TimestampNTZType))
@@ -44,16 +150,56 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
-    "q_agg_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-        |  COUNT(*) AS count_order
-        |FROM lineitem
-        |WHERE l_shipdate < TIMESTAMP '2000-01-01'
-        |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
-  )
+  def oracleSql: Map[String, String] = {
+    // SQL twin of PU.puEmbeddings' deterministic labeling
+    val puLabelSql = "CASE WHEN label = 5 AND vec_id % 2 = 0 THEN 1 ELSE 0 END"
+    Map(
+      "pu_replace_zeros" ->
+        s"""SELECT vec_id,
+           |  CASE WHEN ($puLabelSql) = 1 THEN 1 ELSE -1 END AS prev_label
+           |FROM embeddings ORDER BY vec_id""".stripMargin,
+      "pu_skeleton_binarize" ->
+        s"""WITH base AS (
+           |  SELECT vec_id, $puLabelSql AS pu_label, $stubScoreSql AS score
+           |  FROM embeddings)
+           |SELECT vec_id, score,
+           |  CASE WHEN (CASE WHEN pu_label = 1 THEN 1 ELSE -1 END) = -1
+           |       THEN (CASE WHEN score < 0.5 THEN 0 ELSE -1 END)
+           |       ELSE (CASE WHEN pu_label = 1 THEN 1 ELSE -1 END) END AS cur_undef,
+           |  CASE WHEN score < 0.5 THEN 0 ELSE -1 END AS cur_relneg
+           |FROM base ORDER BY vec_id""".stripMargin,
+      "pu_skeleton_metrics" ->
+        s"""WITH base AS (
+           |  SELECT vec_id, $puLabelSql AS pu_label, $stubScoreSql AS score
+           |  FROM embeddings),
+           |lab AS (
+           |  SELECT CASE WHEN pu_label = 1 THEN 1 ELSE -1 END AS prev,
+           |         CASE WHEN (CASE WHEN pu_label = 1 THEN 1 ELSE -1 END) = -1
+           |              THEN (CASE WHEN score < 0.5 THEN 0 ELSE -1 END)
+           |              ELSE (CASE WHEN pu_label = 1 THEN 1 ELSE -1 END) END AS cur
+           |  FROM base)
+           |SELECT
+           |  CAST(SUM(CASE WHEN prev = -1 AND cur = 0 THEN 1 ELSE 0 END) AS BIGINT) AS new_relneg,
+           |  CAST(SUM(CASE WHEN cur = 1 THEN 1 ELSE 0 END) AS BIGINT) AS total_pos,
+           |  CAST(SUM(CASE WHEN cur = 0 THEN 1 ELSE 0 END) AS BIGINT) AS total_relneg,
+           |  CAST(SUM(CASE WHEN cur = -1 THEN 1 ELSE 0 END) AS BIGINT) AS total_undef
+           |FROM lab""".stripMargin,
+      "pu_index_label" ->
+        s"""SELECT vec_id, CAST($puLabelSql AS DOUBLE) AS label_indexed
+           |FROM embeddings ORDER BY vec_id""".stripMargin,
+      "prob_extract" ->
+        """SELECT vec_id, CAST(embedding[2] AS DOUBLE) AS p_one
+          |FROM embeddings ORDER BY vec_id""".stripMargin,
+      "q_agg_pricing_summary" ->
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+          |  COUNT(*) AS count_order
+          |FROM lineitem
+          |WHERE l_shipdate < TIMESTAMP '2000-01-01'
+          |GROUP BY l_returnflag, l_linestatus
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin
+    )
+  }
 }
