@@ -41,7 +41,10 @@ object SparkEntry {
     */
   private def puEmb(s: SparkSession, dir: String): DataFrame = PU.puEmbeddings(s, dir)
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreQueries ++ graft.functions.TextQueries.queries
+
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ============================================================
     // Core reference surface: PU learning (SURVEY §2.1 O12-O17).
@@ -150,7 +153,10 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = {
+  def oracleSql: Map[String, String] =
+    coreOracles ++ graft.functions.TextQueries.oracles
+
+  private def coreOracles: Map[String, String] = {
     // SQL twin of PU.puEmbeddings' deterministic labeling
     val puLabelSql = "CASE WHEN label = 5 AND vec_id % 2 = 0 THEN 1 ELSE 0 END"
     Map(

@@ -1,0 +1,160 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Text-analysis primitives for large-scale training-data pipelines, as
+  * *native Catalyst expressions* (no UDFs — every function here inlines into
+  * whole-stage codegen and runs inside the scan's pipeline, the only shape
+  * that survives a 100 TB corpus scan).
+  *
+  * The reference (ispras/pu4spark) targets text classification — Liu et al.
+  * 2002 is a text-PU paper, and its README assembles text features caller-side
+  * (reference README.md:74-89) — but ships no text functions of its own; this
+  * module supplies the missing text layer the PU pipeline consumes.
+  *
+  * Portability contract: every function has an exact DuckDB-SQL twin (the
+  * driver's oracle), so all arithmetic is integer-mod or IEEE-double with an
+  * identical evaluation order on both engines. Hashes are polynomial rolling
+  * hashes mod 1e9+7 over Unicode code points — deterministic, overflow-free
+  * in 64-bit, and expressible in any engine with list lambdas.
+  */
+object TextFunctions {
+
+  /** Modulus for all rolling hashes: large prime, keeps `acc*31 + cp` well
+    * under 2^63 (1e9+7 * 31 + 1.1e6 << Long.Max). */
+  val HashMod = 1000000007L
+  val HashBase = 31L
+
+  /** Whitespace tokenization. `split(trim(s), "\\s+")` — on an empty/blank
+    * string Spark yields `[""]`, so token-consumers guard with [[tokenCount]].
+    */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Token count (whitespace runs); 0 for blank/empty text. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
+
+  /** A BPE-ish sub-word proxy count: tokens split further on letter/digit
+    * boundaries and long tokens counted per 4-char chunk — a deterministic
+    * stand-in for a real BPE vocab (not shippable in-container), with the
+    * right cost shape (regex + arithmetic per token, no dictionary lookup).
+    * ceil(len/4) per token, summed.
+    */
+  def subwordCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L)).otherwise(
+      aggregate(tokens(text), lit(0L),
+        (acc, t) => acc + ceil(length(t).cast(DoubleType) / lit(4.0)).cast(LongType)))
+
+  /** Polynomial rolling hash over the string's code points:
+    * `acc := (acc*31 + codepoint) mod 1e9+7`, acc0 = 0. The document
+    * fingerprint primitive; also the token/shingle hash for MinHash/SimHash.
+    */
+  def polyHash(s: Column): Column =
+    aggregate(split(s, ""), lit(0L),
+      (acc, c) => (acc * lit(HashBase) + ascii(c)) % lit(HashMod))
+
+  /** Document fingerprint = rolling hash of the full text. Exact-dedup key:
+    * two docs with equal fingerprints are (modulo 1e-9 collisions) equal.
+    */
+  def fingerprint(text: Column): Column = polyHash(text)
+
+  /** Per-token hashes (for MinHash / SimHash signature building). */
+  def tokenHashes(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<bigint>"))
+      .otherwise(transform(tokens(text), t => polyHash(t)))
+
+  /** Word n-gram shingles as strings ("a b c" for n=3). Empty when the doc
+    * has fewer than n tokens. NOTE: Spark's `sequence(1, x)` is DESCENDING
+    * for x<1, hence the explicit guard.
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(tokenCount(text) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - lit(n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** Hashes of the *distinct* word n-gram shingles — the MinHash input set.
+    * Distinct because Jaccard/minhash are set semantics. Sorted so that both
+    * engines produce identical array order (array equality in the oracle).
+    */
+  def shingleHashes(text: Column, n: Int): Column =
+    array_sort(array_distinct(transform(wordShingles(text, n), s => polyHash(s))))
+
+  // --------------------------------------------------------------------
+  // Quality scoring (length / punctuation / stopword ratios)
+  // --------------------------------------------------------------------
+
+  /** Tiny English stopword set — enough signal for ratio features; a real
+    * pipeline would broadcast a fuller set (still a literal array: no join).
+    */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "to", "and", "in", "is", "on", "for")
+
+  def stopwordCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0)).otherwise(
+      size(filter(tokens(text), t => t.isInCollection(Stopwords))))
+
+  /** Fraction of characters that are not alphanumeric/whitespace. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast(DoubleType)
+        / length(text).cast(DoubleType))
+
+  /** Mean token length in characters (0 for blank docs). */
+  def meanTokenLen(text: Column): Column = {
+    val n = tokenCount(text)
+    when(n === 0, lit(0.0)).otherwise(
+      aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t))
+        .cast(DoubleType) / n.cast(DoubleType))
+  }
+
+  /** Composite quality score in [0,1] — the standard pretraining-filter
+    * shape (C4/Gopher-style heuristics): reward mid-length docs and typical
+    * token lengths, punish punctuation soup and stopword-free keyword spam.
+    * All doubles, identical expression order in the DuckDB twin.
+    */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text).cast(DoubleType)
+    val lenScore = least(n / lit(50.0), lit(1.0)) // docs under 50 tokens penalized
+    val mtl = meanTokenLen(text)
+    val tokLenScore = when(mtl >= 3.0 && mtl <= 10.0, lit(1.0)).otherwise(lit(0.5))
+    val punctScore = lit(1.0) - least(punctRatio(text) * lit(4.0), lit(1.0))
+    val stopScore =
+      when(n === 0, lit(0.0)).otherwise(
+        least(stopwordCount(text).cast(DoubleType) / n * lit(10.0), lit(1.0)))
+    (lenScore * lit(0.4) + tokLenScore * lit(0.2) + punctScore * lit(0.2)
+      + stopScore * lit(0.2))
+  }
+
+  // --------------------------------------------------------------------
+  // Language identification (marker-token heuristic)
+  // --------------------------------------------------------------------
+
+  /** Marker-token lists per language — an n-gram/stopword-hit heuristic
+    * (the classic fastText-free langid shape: count language-specific
+    * high-frequency tokens, argmax with a deterministic tie order).
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los"),
+    "zh" -> Seq("de", "le", "shi", "wo", "zai", "you"))
+
+  def langMarkerScore(text: Column, markers: Seq[String]): Column =
+    when(length(trim(text)) === 0, lit(0)).otherwise(
+      size(filter(tokens(text), t => t.isInCollection(markers))))
+
+  /** Predicted language: argmax marker score, ties broken by list order
+    * ("en" wins ties, then "es"), "und" when no marker hits at all.
+    */
+  def langId(text: Column): Column = {
+    val scores = LangMarkers.map { case (lang, ms) => lang -> langMarkerScore(text, ms) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scores.reverse.foldLeft(lit("und")) { case (acc, (lang, s)) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    pick
+  }
+}

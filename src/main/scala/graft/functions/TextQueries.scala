@@ -1,0 +1,119 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.Tables
+
+/** Driver-facing text-analysis queries over `documents.parquet`, each with an
+  * exact DuckDB oracle twin. Counts are cast to BIGINT on both engines so the
+  * driver's hash compare sees identical types.
+  *
+  * Scale notes: every query is scan → per-row expressions → sort; no shuffle
+  * except the final presentation ORDER BY (dropped in production — it exists
+  * for deterministic oracle hashing). Filters/projections push into the
+  * parquet scan; all expressions are codegen'd built-ins.
+  */
+object TextQueries {
+  import TextFunctions._
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_token_stats" -> ((s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        tokenCount(col("text")).cast(LongType).as("n_tokens"),
+        subwordCount(col("text")).as("n_subwords"),
+        meanTokenLen(col("text")).as("mean_token_len"),
+        stopwordCount(col("text")).cast(LongType).as("n_stopwords"))
+        .orderBy("doc_id")
+    }),
+    "text_quality" -> ((s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        punctRatio(col("text")).as("punct_ratio"),
+        qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+    "text_langid" -> ((s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        langId(col("text")).as("lang_pred"),
+        col("lang").as("lang_true"))
+        .orderBy("doc_id")
+    }),
+    "text_fingerprint" -> ((s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    })
+  )
+
+  // ------------------------------------------------------------------
+  // DuckDB twins. Shared SQL fragments mirror TextFunctions exactly
+  // (same op order => identical integer/IEEE results => hash match).
+  // ------------------------------------------------------------------
+
+  /** polyHash of a string expression (rolling hash mod 1e9+7, base 31). */
+  def sqlPolyHash(x: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(1, length($x)+1), i -> CAST(unicode($x[i]) AS BIGINT))), " +
+      s"(a, c) -> (a*31 + c) % 1000000007)"
+
+  val sqlToks = "string_split_regex(trim(text), '\\s+')"
+  val sqlNTok = s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($sqlToks) END"
+
+  private def sqlMarkerScore(markers: Seq[String]): String = {
+    val in = markers.map(m => s"'$m'").mkString(", ")
+    s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(list_filter($sqlToks, t -> t IN ($in))) END"
+  }
+
+  def oracles: Map[String, String] = {
+    val stopIn = Stopwords.map(sw => s"'$sw'").mkString(", ")
+    val nStop = s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(list_filter($sqlToks, t -> t IN ($stopIn))) END"
+    val sumTokLen =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform($sqlToks, t -> CAST(length(t) AS BIGINT))), (a, x) -> a + x)"
+    val meanTokLen =
+      s"CASE WHEN ($sqlNTok) = 0 THEN 0.0 ELSE CAST($sumTokLen AS DOUBLE) / CAST($sqlNTok AS DOUBLE) END"
+    val punctRatio =
+      s"CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END"
+    val subwords =
+      s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform($sqlToks, t -> CAST(ceil(CAST(length(t) AS DOUBLE)/4.0) AS BIGINT))), (a, x) -> a + x) END"
+    // quality components, mirroring TextFunctions.qualityScore term order
+    val nD = s"CAST($sqlNTok AS DOUBLE)"
+    val lenScore = s"least($nD / 50.0, 1.0)"
+    val tokLenScore = s"CASE WHEN ($meanTokLen) >= 3.0 AND ($meanTokLen) <= 10.0 THEN 1.0 ELSE 0.5 END"
+    val punctScore = s"1.0 - least(($punctRatio) * 4.0, 1.0)"
+    val stopScore = s"CASE WHEN ($sqlNTok) = 0 THEN 0.0 ELSE least(CAST($nStop AS DOUBLE) / $nD * 10.0, 1.0) END"
+    val quality = s"($lenScore) * 0.4 + ($tokLenScore) * 0.2 + ($punctScore) * 0.2 + ($stopScore) * 0.2"
+
+    val langScores = LangMarkers.map { case (lang, ms) => lang -> sqlMarkerScore(ms) }
+    val best = s"greatest(${langScores.map(x => s"(${x._2})").mkString(", ")})"
+    val langCase = langScores
+      .map { case (lang, s) => s"WHEN ($s) = ($best) AND ($best) > 0 THEN '$lang'" }
+      .mkString("CASE ", " ", " ELSE 'und' END")
+
+    Map(
+      "text_token_stats" ->
+        s"""SELECT doc_id,
+           |  CAST($sqlNTok AS BIGINT) AS n_tokens,
+           |  CAST($subwords AS BIGINT) AS n_subwords,
+           |  $meanTokLen AS mean_token_len,
+           |  CAST($nStop AS BIGINT) AS n_stopwords
+           |FROM documents ORDER BY doc_id""".stripMargin,
+      "text_quality" ->
+        s"""SELECT doc_id,
+           |  $punctRatio AS punct_ratio,
+           |  $quality AS quality
+           |FROM documents ORDER BY doc_id""".stripMargin,
+      "text_langid" ->
+        s"""SELECT doc_id, $langCase AS lang_pred, lang AS lang_true
+           |FROM documents ORDER BY doc_id""".stripMargin,
+      "text_fingerprint" ->
+        s"""SELECT doc_id, ${sqlPolyHash("text")} AS fp
+           |FROM documents ORDER BY doc_id""".stripMargin
+    )
+  }
+}
