@@ -42,7 +42,8 @@ object SparkEntry {
   private def puEmb(s: SparkSession, dir: String): DataFrame = PU.puEmbeddings(s, dir)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    coreQueries ++ graft.functions.TextQueries.queries
+    coreQueries ++ graft.functions.TextQueries.queries ++
+      graft.operators.DedupQueries.queries
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -154,7 +155,8 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    coreOracles ++ graft.functions.TextQueries.oracles
+    coreOracles ++ graft.functions.TextQueries.oracles ++
+      graft.operators.DedupQueries.oracles
 
   private def coreOracles: Map[String, String] = {
     // SQL twin of PU.puEmbeddings' deterministic labeling

@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.functions.TextFunctions
+
+/** Deduplication primitives for training-data pipelines: exact (hash
+  * group-by), MinHash+LSH banding, SimHash, n-gram Jaccard, and
+  * embedding-cosine near-dup. All column logic is native Catalyst
+  * expressions (codegen-friendly, no UDFs).
+  *
+  * The reference (ispras/pu4spark) contains no dedup operators (SURVEY.md
+  * §2.3) — this module is north-star surface, designed Spark-first:
+  *
+  * Scale shape (the part that matters at 100 TB):
+  *  - per-doc signatures are embarrassingly parallel map work inside the
+  *    scan — no shuffle;
+  *  - near-dup candidate generation NEVER cross-joins the corpus: LSH bands
+  *    (MinHash) / bit-bands (SimHash) / metadata blocks (cosine) shuffle on
+  *    the band key, so each join bucket holds only colliding docs
+  *    (expected O(dups + corpus/buckets) pairs per bucket);
+  *  - skewed buckets (a viral boilerplate string) are handled by AQE skew
+  *    join at runtime (`spark.sql.adaptive.enabled=true` in all sessions);
+  *  - exact verification (Jaccard / hamming / cosine) runs only on
+  *    candidates, post-banding.
+  */
+object Dedup {
+  import TextFunctions.{HashMod => P}
+
+  // ------------------------------------------------------------------
+  // MinHash + LSH
+  // ------------------------------------------------------------------
+
+  /** Signature length and banding: k=16 hashes, 8 bands × 2 rows.
+    * Candidate probability 1-(1-j^2)^8 ≈ 0.90 at Jaccard 0.5 and ≈ 1.0 at
+    * 0.9 — tuned for "catch ≥0.5-similar, near-certain on real dups".
+    */
+  val MinHashK = 16
+  val Bands = 8
+  val RowsPerBand: Int = MinHashK / Bands
+
+  /** j-th universal-hash parameters, derived from j with an LCG step so the
+    * identical constants inline into the DuckDB oracle. */
+  private def hashA(j: Column): Column = (lit(1103515245L) * (j + lit(1)) + lit(12345L)) % lit(P)
+  private def hashB(j: Column): Column = (lit(1103515245L) * (j + lit(7)) + lit(54321L)) % lit(P)
+
+  /** MinHash signature (array<bigint>, length k) of a shingle-hash set
+    * column ([[TextFunctions.shingleHashes]]). Empty set → sentinel P at
+    * every position (matches the oracle's coalesce).
+    */
+  def minhashSignature(shingleHashes: Column, k: Int = MinHashK): Column =
+    transform(sequence(lit(0), lit(k - 1)), j =>
+      coalesce(
+        array_min(transform(shingleHashes, h => (hashA(j) * h + hashB(j)) % lit(P))),
+        lit(P)))
+
+  /** One bigint per LSH band: polynomial combine of the band's signature
+    * rows. Equal band hash => candidate pair. */
+  def bandHashes(sig: Column, bands: Int = Bands, rows: Int = RowsPerBand): Column =
+    transform(sequence(lit(0), lit(bands - 1)), i =>
+      aggregate(slice(sig, i * lit(rows) + lit(1), lit(rows)), lit(0L),
+        (acc, x) => (acc * lit(31L) + x) % lit(P)))
+
+  /** Rolling combine of a full signature into one bigint (compact output /
+    * compare key). */
+  def combineHashes(sig: Column): Column =
+    aggregate(sig, lit(0L), (acc, x) => (acc * lit(31L) + x) % lit(P))
+
+  /** Candidate near-dup pairs from banded signatures.
+    *
+    * Input: (idCol, bandsCol array<bigint>). Explodes to one row per band
+    * and self-joins on (band index, band hash) — the shuffle key is the
+    * band hash, so the join never materializes non-colliding pairs.
+    */
+  def lshCandidatePairs(df: DataFrame, idCol: String, bandsCol: String): DataFrame = {
+    val exploded = df.select(col(idCol), posexplode(col(bandsCol)).as(Seq("band", "bh")))
+    val a = exploded.as("a")
+    val b = exploded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard similarity of two (distinct-element) array columns;
+    * |A∩B| / (|A|+|B|-|A∩B|), 0.0 when both empty. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast(DoubleType)
+    val union = size(a).cast(DoubleType) + size(b).cast(DoubleType) - inter
+    when(union === 0.0, lit(0.0)).otherwise(inter / union)
+  }
+
+  // ------------------------------------------------------------------
+  // SimHash
+  // ------------------------------------------------------------------
+
+  /** SimHash bit width. Token hashes are < 1e9+7 < 2^30, so 30 informative
+    * bits; the value fits a BIGINT and survives exact double arithmetic in
+    * the oracle (all intermediates < 2^53). */
+  val SimHashBits = 30
+
+  /** Frequency-weighted SimHash over a token-hash array: bit j of the
+    * result is set iff sum over tokens of (bit j of hash ? +1 : -1) > 0.
+    */
+  def simhash(tokenHashes: Column): Column =
+    aggregate(sequence(lit(0), lit(SimHashBits - 1)), lit(0L), (acc, j) => {
+      val bitSum = aggregate(tokenHashes, lit(0L), (acc2, h) =>
+        acc2 + when(floor(h.cast(DoubleType) / pow(lit(2.0), j)).cast(LongType) % 2 === 1,
+          lit(1L)).otherwise(lit(-1L)))
+      acc + when(bitSum > 0, pow(lit(2.0), j).cast(LongType)).otherwise(lit(0L))
+    })
+
+  /** Split a simhash into `bands` values of `bitsPerBand` bits each (for
+    * banded candidate joins — near-identical docs collide on ≥1 band). */
+  def simhashBands(sh: Column, bands: Int = 3, bitsPerBand: Int = 10): Column =
+    transform(sequence(lit(0), lit(bands - 1)), i =>
+      floor(sh.cast(DoubleType) / pow(lit(2.0), i * lit(bitsPerBand))).cast(LongType)
+        % lit(1L << bitsPerBand))
+
+  /** Hamming distance between two simhash values. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // ------------------------------------------------------------------
+  // Embedding cosine
+  // ------------------------------------------------------------------
+
+  /** Array<float> → array<double>, element-exact (the only cast both
+    * engines perform identically). */
+  def toDoubleArray(emb: Column): Column = transform(emb, x => x.cast(DoubleType))
+
+  /** Sequential-order dot product of two double arrays (acc := acc + a_i*b_i,
+    * i ascending) — matches the oracle's list_reduce order, so results are
+    * IEEE-bit-exact across engines. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm with the same sequential sum order. */
+  def l2norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  /** Cosine similarity given precomputed norms (compute norms once per row,
+    * not once per pair). */
+  def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dot(a, b) / (normA * normB)
+
+  // ------------------------------------------------------------------
+  // Exact dedup
+  // ------------------------------------------------------------------
+
+  /** Exact dedup by content fingerprint: one row per distinct fingerprint
+    * with the canonical (minimum) id and the duplicate count. At scale this
+    * is a single hash aggregation with map-side partial combine — the
+    * canonical 100 TB exact-dedup plan (no sort, no window).
+    */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
+}

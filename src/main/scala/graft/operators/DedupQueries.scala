@@ -1,0 +1,232 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.Tables
+import graft.functions.TextFunctions
+
+/** Driver-facing dedup queries with exact DuckDB oracle twins.
+  *
+  * The Spark plans are the scalable shape (banded joins, no corpus
+  * cross-join); the oracle SQL may use O(n²) pair enumeration — the gate
+  * compares RESULTS, and at sf0.01 (500 docs) the oracle side is trivial.
+  */
+object DedupQueries {
+  import Dedup._
+  import TextFunctions.shingleHashes
+
+  /** documents + per-doc trigram shingle-hash set. */
+  private def docShingles(s: SparkSession, dir: String, n: Int = 3): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), shingleHashes(col("text"), n).as("shh"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "dedup_exact" -> ((s, dir) => {
+      exactDedup(Tables.documents(s, dir), "doc_id", "text").orderBy("canonical_id")
+    }),
+
+    "dedup_minhash_sig" -> ((s, dir) => {
+      docShingles(s, dir).select(
+        col("doc_id"),
+        size(col("shh")).cast(LongType).as("n_shingles"),
+        combineHashes(minhashSignature(col("shh"))).as("sig_hash"))
+        .orderBy("doc_id")
+    }),
+
+    "dedup_minhash_pairs" -> ((s, dir) => {
+      val d = docShingles(s, dir)
+        .withColumn("bands", bandHashes(minhashSignature(col("shh"))))
+      val cands = lshCandidatePairs(d.select("doc_id", "bands"), "doc_id", "bands")
+      cands
+        .join(d.select(col("doc_id").as("id_a"), col("shh").as("shh_a")), "id_a")
+        .join(d.select(col("doc_id").as("id_b"), col("shh").as("shh_b")), "id_b")
+        .withColumn("jaccard", jaccard(col("shh_a"), col("shh_b")))
+        .filter(col("jaccard") >= 0.5)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    }),
+
+    // SimHash over the distinct trigram shingle set (token-level simhash
+    // saturates on small-vocab corpora — all docs share most tokens, so
+    // nearly everything lands within hamming 3; shingles discriminate).
+    "dedup_simhash" -> ((s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        simhash(shingleHashes(col("text"), 3)).as("sh"))
+        .orderBy("doc_id")
+    }),
+
+    "dedup_simhash_pairs" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(
+        col("doc_id"),
+        simhash(shingleHashes(col("text"), 3)).as("sh"))
+        .withColumn("bands", simhashBands(col("sh")))
+      val cands = lshCandidatePairs(d.select("doc_id", "bands"), "doc_id", "bands")
+      cands
+        .join(d.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(d.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .withColumn("hamming", hamming(col("sh_a"), col("sh_b")).cast(LongType))
+        .filter(col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Metadata-blocked n-gram (bigram) Jaccard: the "block by a cheap key,
+    // verify only within blocks" pattern. Blocking trades recall for a
+    // shuffle-on-block-key plan; the MinHash query above is the
+    // recall-complete path.
+    "dedup_jaccard_blocked" -> ((s, dir) => {
+      val d = docShingles(s, dir, n = 2)
+      val a = d.select(col("doc_id").as("id_a"), col("source"), col("shh").as("shh_a"))
+      val b = d.select(col("doc_id").as("id_b"), col("source"), col("shh").as("shh_b"))
+      a.join(b, Seq("source"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("jaccard", jaccard(col("shh_a"), col("shh_b")))
+        .filter(col("jaccard") >= 0.25)
+        .select("source", "id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Embedding-cosine near-dup, blocked by the label column (at 100 TB the
+    // block key would be a coarse cluster/LSH bucket; see Similarity for the
+    // ANN path). Norms computed once per row, not once per pair.
+    "dedup_cosine_pairs" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).select(
+        col("vec_id"), col("label"), toDoubleArray(col("embedding")).as("v"))
+        .withColumn("nrm", l2norm(col("v")))
+      val a = e.select(col("vec_id").as("id_a"), col("label"),
+        col("v").as("va"), col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("id_b"), col("label"),
+        col("v").as("vb"), col("nrm").as("nb"))
+      a.join(b, Seq("label"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("cos", cosine(col("va"), col("vb"), col("na"), col("nb")))
+        .filter(col("cos") >= 0.4)
+        .select("label", "id_a", "id_b", "cos")
+        .orderBy("id_a", "id_b")
+    })
+  )
+
+  // ------------------------------------------------------------------
+  // DuckDB twins
+  // ------------------------------------------------------------------
+
+  /** polyHash over a string expression var (same as TextQueries.sqlPolyHash
+    * but with a caller-chosen char-index var name to avoid lambda-var
+    * shadowing in nested contexts). */
+  private def ph(x: String, v: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(1, length($x)+1), $v -> CAST(unicode($x[$v]) AS BIGINT))), " +
+      s"(a, c) -> (a*31 + c) % 1000000007)"
+
+  private val toks = "string_split_regex(trim(text), '\\s+')"
+  private val ntok = s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($toks) END"
+
+  /** Distinct sorted n-gram shingle hashes of `text`. */
+  private def shhSql(n: Int): String = {
+    val shingles =
+      s"CASE WHEN ($ntok) < $n THEN CAST([] AS VARCHAR[]) " +
+        s"ELSE list_transform(range(1, ($ntok) - ${n - 1} + 1), i -> array_to_string(($toks)[i:i+${n - 1}], ' ')) END"
+    s"list_sort(list_distinct(list_transform($shingles, sng -> ${ph("sng", "ci")})))"
+  }
+
+  /** MinHash signature (list<bigint> length 16) from a shingle-hash list
+    * expression. */
+  private def sigSql(shh: String): String =
+    s"list_transform(range(0, $MinHashK), j -> coalesce(" +
+      s"list_min(list_transform($shh, h -> " +
+      s"(((1103515245*(j+1)+12345) % 1000000007)*h + (1103515245*(j+7)+54321) % 1000000007) % 1000000007)), " +
+      s"1000000007))"
+
+  private def combineSql(sig: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), $sig), (a, x) -> (a*31 + x) % 1000000007)"
+
+  /** SimHash (30-bit) over the trigram shingle-hash set. */
+  private val thSql = shhSql(3)
+  private val simhashSql = {
+    val bitSum =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(th, h -> " +
+        s"CASE WHEN CAST(floor(CAST(h AS DOUBLE)/power(2, j)) AS BIGINT) % 2 = 1 " +
+        s"THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)), (a, x) -> a + x)"
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, $SimHashBits), j -> " +
+      s"CASE WHEN ($bitSum) > 0 THEN CAST(power(2, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END)), " +
+      s"(a, x) -> a + x)"
+  }
+
+  private def jaccardSql(a: String, b: String): String = {
+    val li = s"CAST(len(list_intersect($a, $b)) AS DOUBLE)"
+    s"CASE WHEN CAST(len($a) AS DOUBLE) + CAST(len($b) AS DOUBLE) - $li = 0.0 THEN 0.0 " +
+      s"ELSE $li / (CAST(len($a) AS DOUBLE) + CAST(len($b) AS DOUBLE) - $li) END"
+  }
+
+  /** Sequential dot product / norm mirroring Dedup.dot / Dedup.l2norm. */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(range(1, len($a)+1), di -> $a[di] * $b[di])), (acc, x) -> acc + x)"
+  private def normSql(a: String): String =
+    s"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform($a, x -> x * x)), (acc, x) -> acc + x))"
+
+  def oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      s"""WITH f AS (SELECT doc_id, ${ph("text", "ci")} AS fp FROM documents)
+         |SELECT fp, min(doc_id) AS canonical_id, count(*) AS n_copies
+         |FROM f GROUP BY fp ORDER BY canonical_id""".stripMargin,
+
+    "dedup_minhash_sig" ->
+      s"""WITH d AS (SELECT doc_id, ${shhSql(3)} AS shh FROM documents)
+         |SELECT doc_id, CAST(len(shh) AS BIGINT) AS n_shingles,
+         |  ${combineSql(sigSql("shh"))} AS sig_hash
+         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "dedup_minhash_pairs" ->
+      s"""WITH d AS (SELECT doc_id, ${shhSql(3)} AS shh FROM documents),
+         |s AS (SELECT doc_id, shh, ${sigSql("shh")} AS sig FROM d),
+         |sb AS (SELECT doc_id, shh, list_transform(range(0, $Bands), bi ->
+         |  ${combineSql(s"sig[bi*$RowsPerBand+1:bi*$RowsPerBand+$RowsPerBand]")}) AS bands FROM s)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  ${jaccardSql("a.shh", "b.shh")} AS jaccard
+         |FROM sb a JOIN sb b ON a.doc_id < b.doc_id
+         |  AND len(list_filter(range(1, $Bands + 1), bi -> a.bands[bi] = b.bands[bi])) > 0
+         |WHERE ${jaccardSql("a.shh", "b.shh")} >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH t AS (SELECT doc_id, $thSql AS th FROM documents)
+         |SELECT doc_id, $simhashSql AS sh FROM t ORDER BY doc_id""".stripMargin,
+
+    "dedup_simhash_pairs" ->
+      s"""WITH t AS (SELECT doc_id, $thSql AS th FROM documents),
+         |s AS (SELECT doc_id, $simhashSql AS sh FROM t),
+         |sb AS (SELECT doc_id, sh, list_transform(range(0, 3), bi ->
+         |  CAST(floor(CAST(sh AS DOUBLE)/power(2, bi*10)) AS BIGINT) % 1024) AS bands FROM s)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+         |FROM sb a JOIN sb b ON a.doc_id < b.doc_id
+         |  AND len(list_filter(range(1, 4), bi -> a.bands[bi] = b.bands[bi])) > 0
+         |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_jaccard_blocked" ->
+      s"""WITH d AS (SELECT doc_id, source, ${shhSql(2)} AS shh FROM documents)
+         |SELECT a.source AS source, a.doc_id AS id_a, b.doc_id AS id_b,
+         |  ${jaccardSql("a.shh", "b.shh")} AS jaccard
+         |FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+         |WHERE ${jaccardSql("a.shh", "b.shh")} >= 0.25
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_cosine_pairs" ->
+      s"""WITH e AS (SELECT vec_id, label,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, label, v, ${normSql("v")} AS nrm FROM e)
+         |SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
+         |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin
+  )
+}
