@@ -43,7 +43,8 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     coreQueries ++ graft.functions.TextQueries.queries ++
-      graft.operators.DedupQueries.queries
+      graft.operators.DedupQueries.queries ++
+      graft.operators.SimilarityQueries.queries
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -156,7 +157,8 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     coreOracles ++ graft.functions.TextQueries.oracles ++
-      graft.operators.DedupQueries.oracles
+      graft.operators.DedupQueries.oracles ++
+      graft.operators.SimilarityQueries.oracles
 
   private def coreOracles: Map[String, String] = {
     // SQL twin of PU.puEmbeddings' deterministic labeling

@@ -163,10 +163,10 @@ object DedupQueries {
   }
 
   /** Sequential dot product / norm mirroring Dedup.dot / Dedup.l2norm. */
-  private def dotSql(a: String, b: String): String =
+  private[operators] def dotSql(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
       s"list_transform(range(1, len($a)+1), di -> $a[di] * $b[di])), (acc, x) -> acc + x)"
-  private def normSql(a: String): String =
+  private[operators] def normSql(a: String): String =
     s"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
       s"list_transform($a, x -> x * x)), (acc, x) -> acc + x))"
 

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate/exact nearest-neighbor search over an embedding column
+  * (`array<float>`). Three tiers, trading recall for scan cost:
+  *
+  *  1. [[bruteForceTopK]] — exact: broadcast the (small) query set against
+  *     the corpus, cosine per pair, per-query top-k window. The baseline
+  *     and the oracle-checkable ground truth. Cost: O(|Q|·|corpus|·dim),
+  *     embarrassingly parallel, zero shuffle on the corpus side (queries
+  *     are broadcast; the window partitions by query id).
+  *  2. [[ivfTopK]] — IVF (inverted-file) ANN: coarse-quantize the corpus to
+  *     centroids, probe only the nProbe nearest lists per query. Cost drops
+  *     by ~nProbe/nCentroids. Deterministic (centroid choice + argmax
+  *     tie-breaks are fixed), so this tier is ALSO oracle-checkable — rare
+  *     for an ANN index. At 100 TB: centroids broadcast, assignment is
+  *     map-side, lists are bucketed by centroid id so a probe is a
+  *     partition-pruned read, not a scan.
+  *  3. [[lshTopK]] — Spark ML BucketedRandomProjectionLSH: the built-in
+  *     scale path (hash-partitioned candidate join). Seeded but its
+  *     internals aren't oracle-replicable → rows-only driver check.
+  *
+  * The reference contains no similarity operators (SURVEY.md §2.3); this is
+  * north-star surface.
+  */
+object Similarity {
+  import Dedup.{cosine, l2norm, toDoubleArray}
+
+  /** vec_id, v (array<double>), nrm — the working shape for cosine tiers. */
+  def prepare(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+
+  /** Exact top-k: for each query vector, the k corpus vectors with highest
+    * cosine (self excluded); ties broken by vec_id. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("v").as("qv"),
+      col("nrm").as("qnrm"))
+    val pairs = corpus.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("v"), col("qnrm"), col("nrm")))
+    pairs
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("vec_id"), col("cos"))
+  }
+
+  /** Deterministic coarse centroids: the first `nCentroids` corpus vectors
+    * by id. A production pipeline would k-means sample-train these; the
+    * IVF *machinery* (assign → bucket → probe) is identical and is what
+    * this operator exercises. */
+  def centroids(corpus: DataFrame, nCentroids: Int): DataFrame =
+    corpus.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cen_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+
+  /** Assign every corpus vector to its nearest centroid by cosine (argmax,
+    * ties to lowest cen_id). Centroids are broadcast; assignment is
+    * map-side + a per-vector window over nCentroids rows. */
+  def ivfAssign(corpus: DataFrame, cents: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(cents))
+      .withColumn("ccos", cosine(col("v"), col("cv"), col("nrm"), col("cnrm")))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cen_id"))))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("cen_id"), col("v"), col("nrm"))
+
+  /** IVF top-k: probe the `nProbe` nearest centroid lists per query, exact
+    * cosine within the probed lists only. */
+  def ivfTopK(corpus: DataFrame, queryPred: Column, nCentroids: Int,
+              nProbe: Int, k: Int): DataFrame = {
+    val cents = centroids(corpus, nCentroids)
+    val assigned = ivfAssign(corpus, cents)
+
+    val q = corpus.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("pcos", cosine(col("qv"), col("cv"), col("qnrm"), col("cnrm")))
+      .withColumn("prn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("pcos").desc, col("cen_id"))))
+      .filter(col("prn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("qnrm"), col("cen_id"))
+
+    probes.join(assigned, "cen_id") // list lookup: shuffle on cen_id only
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("v"), col("qnrm"), col("nrm")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("vec_id"), col("cos"))
+  }
+
+  /** Spark ML LSH scale path: seeded BucketedRandomProjectionLSH
+    * approxSimilarityJoin then per-query top-k by actual cosine. */
+  def lshTopK(embeddings: DataFrame, queryPred: Column, k: Int,
+              numHashTables: Int = 4, bucketLength: Double = 4.0): DataFrame = {
+    val prepared = prepare(embeddings)
+      .withColumn("features", array_to_vector(col("v").cast("array<double>")))
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(numHashTables).setBucketLength(bucketLength).setSeed(42L)
+    val model = lsh.fit(prepared)
+    val q = prepared.filter(queryPred)
+    val joined = model.approxSimilarityJoin(q, prepared, Double.MaxValue, "dist")
+      .select(
+        col("datasetA.vec_id").as("query_id"),
+        col("datasetA.v").as("qv"), col("datasetA.nrm").as("qnrm"),
+        col("datasetB.vec_id").as("vec_id"),
+        col("datasetB.v").as("v"), col("datasetB.nrm").as("nrm"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("v"), col("qnrm"), col("nrm")))
+    joined
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("vec_id"), col("cos"))
+  }
+}

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Driver-facing similarity-search queries over `embeddings.parquet`.
+  * Brute-force AND the IVF tier have exact DuckDB oracles (both are
+  * deterministic down to tie-breaks); the Spark-ML LSH tier is rows-only.
+  */
+object SimilarityQueries {
+  import DedupQueries.{dotSql, normSql}
+
+  /** Demo parameters: 8 query vectors, top-10, 16 IVF lists probe 4. */
+  val NQueries = 8
+  val K = 10
+  val NCentroids = 16
+  val NProbe = 4
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_topk_brute" -> ((s, dir) => {
+      val corpus = Similarity.prepare(Tables.embeddings(s, dir))
+      Similarity.bruteForceTopK(corpus, corpus.filter(col("vec_id") < NQueries), K)
+        .orderBy("query_id", "rank")
+    }),
+    "sim_topk_ivf" -> ((s, dir) => {
+      val corpus = Similarity.prepare(Tables.embeddings(s, dir))
+      Similarity.ivfTopK(corpus, col("vec_id") < NQueries, NCentroids, NProbe, K)
+        .orderBy("query_id", "rank")
+    }),
+    "sim_topk_lsh" -> ((s, dir) => {
+      Similarity.lshTopK(Tables.embeddings(s, dir), col("vec_id") < NQueries, K)
+        .orderBy("query_id", "rank")
+    })
+  )
+
+  def oracles: Map[String, String] = {
+    val e =
+      s"""SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings""".stripMargin
+    val n = s"SELECT vec_id, v, ${normSql("v")} AS nrm FROM e"
+    Map(
+      "sim_topk_brute" ->
+        s"""WITH e AS ($e), nn AS ($n),
+           |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM nn WHERE vec_id < $NQueries),
+           |pairs AS (
+           |  SELECT q.query_id, c.vec_id,
+           |    ${dotSql("q.qv", "c.v")} / (q.qnrm * c.nrm) AS cos
+           |  FROM q, nn c WHERE c.vec_id <> q.query_id),
+           |ranked AS (
+           |  SELECT query_id, vec_id, cos,
+           |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+           |  FROM pairs)
+           |SELECT query_id, rank, vec_id, cos FROM ranked
+           |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
+      "sim_topk_ivf" ->
+        s"""WITH e AS ($e), nn AS ($n),
+           |cents AS (SELECT vec_id AS cen_id, v AS cv, nrm AS cnrm FROM nn WHERE vec_id < $NCentroids),
+           |assigned AS (
+           |  SELECT vec_id, cen_id, v, nrm FROM (
+           |    SELECT nn.vec_id, cents.cen_id, nn.v, nn.nrm,
+           |      row_number() OVER (PARTITION BY nn.vec_id
+           |        ORDER BY ${dotSql("nn.v", "cents.cv")} / (nn.nrm * cents.cnrm) DESC, cents.cen_id) AS crn
+           |    FROM nn, cents) WHERE crn = 1),
+           |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM nn WHERE vec_id < $NQueries),
+           |probes AS (
+           |  SELECT query_id, qv, qnrm, cen_id FROM (
+           |    SELECT q.query_id, q.qv, q.qnrm, cents.cen_id,
+           |      row_number() OVER (PARTITION BY q.query_id
+           |        ORDER BY ${dotSql("q.qv", "cents.cv")} / (q.qnrm * cents.cnrm) DESC, cents.cen_id) AS prn
+           |    FROM q, cents) WHERE prn <= $NProbe),
+           |cand AS (
+           |  SELECT p.query_id, a.vec_id,
+           |    ${dotSql("p.qv", "a.v")} / (p.qnrm * a.nrm) AS cos
+           |  FROM probes p JOIN assigned a ON p.cen_id = a.cen_id
+           |  WHERE a.vec_id <> p.query_id),
+           |ranked AS (
+           |  SELECT query_id, vec_id, cos,
+           |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+           |  FROM cand)
+           |SELECT query_id, rank, vec_id, cos FROM ranked
+           |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+      // sim_topk_lsh: Spark-ML internal hashing — rows-only driver check.
+    )
+  }
+}
