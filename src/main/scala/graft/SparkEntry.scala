@@ -44,7 +44,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     coreQueries ++ graft.functions.TextQueries.queries ++
       graft.operators.DedupQueries.queries ++
-      graft.operators.SimilarityQueries.queries
+      graft.operators.SimilarityQueries.queries ++
+      graft.operators.RelationalQueries.queries
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -158,7 +159,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     coreOracles ++ graft.functions.TextQueries.oracles ++
       graft.operators.DedupQueries.oracles ++
-      graft.operators.SimilarityQueries.oracles
+      graft.operators.SimilarityQueries.oracles ++
+      graft.operators.RelationalQueries.oracles
 
   private def coreOracles: Map[String, String] = {
     // SQL twin of PU.puEmbeddings' deterministic labeling

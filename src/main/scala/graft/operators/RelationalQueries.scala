@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+import graft.Tables
+
+/** Relational surface queries: joins, windows, set ops, JSON extraction,
+  * top-k. The reference delegates ALL relational work to Spark (SURVEY.md
+  * §2.3 verifies it contains no joins/aggs/windows of its own), so this
+  * module is the rebuild's demonstration that the full relational surface
+  * its callers rely on is present and scale-shaped:
+  *
+  *  - dimension tables (region/nation) are broadcast — no shuffle of the
+  *    fact side for those joins; fact-fact joins (orders⋈lineitem) shuffle
+  *    on the join key and AQE handles skew/coalescing;
+  *  - money aggregates run over DECIMAL(18,2) — exact, order-independent
+  *    arithmetic, so parallel partial aggregation cannot produce
+  *    nondeterministic float sums (and the oracle hash-matches);
+  *  - double aggregates restricted to order-independent ops (min/max/count);
+  *  - top-k = sort+limit (TakeOrderedAndProject — no global sort), or a
+  *    per-partition window when grouped.
+  */
+object RelationalQueries {
+
+  private def dec(c: String) = col(c).cast(DecimalType(18, 2))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // 5-way join: revenue by nation; dims broadcast, facts shuffle on keys.
+    "q_join_revenue_by_nation" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val ord = Tables.orders(s, dir)
+      val cust = Tables.customer(s, dir)
+      val nat = Tables.nation(s, dir)
+      val reg = Tables.region(s, dir)
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          sum(dec("l_extendedprice") * (lit(BigDecimal(1)).cast(DecimalType(18, 2)) - dec("l_discount")))
+            .cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // Grouped top-k: 3 largest orders per customer (window, partitioned —
+    // parallel across customers, never a global sort).
+    "q_window_top_orders" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("o_custkey"))
+            .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+        .filter(col("rank") <= 3)
+        .select(col("o_custkey"), col("rank").cast(LongType).as("rank"),
+          col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("rank"))
+    }),
+
+    // Set ops: nations with customers but no suppliers (EXCEPT), and with
+    // both (INTERSECT).
+    "q_setop_nations" -> ((s, dir) => {
+      val custN = Tables.customer(s, dir).select(col("c_nationkey").as("nk")).distinct()
+      val suppN = Tables.supplier(s, dir).select(col("s_nationkey").as("nk")).distinct()
+      custN.intersect(suppN).withColumn("relation", lit("both"))
+        .unionAll(custN.except(suppN).withColumn("relation", lit("cust_only")))
+        .orderBy(col("relation"), col("nk"))
+    }),
+
+    // JSON property extraction + order-independent double aggs.
+    "q_events_json" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Tumbling 1-hour event counts — the batch twin of the streaming
+    // windowed aggregation (graft.streaming); window start as epoch seconds
+    // (raw timestamps never cross the parquet boundary — flavor mismatch).
+    "q_events_hourly" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp(col("w.start")).as("hour_start"), col("event_type"), col("n"))
+        .orderBy(col("hour_start"), col("event_type"))
+    }),
+
+    // Global top-k: sort+limit compiles to TakeOrderedAndProject (per-
+    // partition heap + driver merge of k, not a cluster sort).
+    "q_topk_parts" -> ((s, dir) => {
+      Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+        .orderBy(col("p_retailprice").desc, col("p_partkey"))
+        .limit(10)
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_join_revenue_by_nation" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+    "q_window_top_orders" ->
+      """SELECT o_custkey,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank,
+        |  o_orderkey, o_totalprice
+        |FROM orders
+        |QUALIFY rank <= 3
+        |ORDER BY o_custkey, rank""".stripMargin,
+    "q_setop_nations" ->
+      """WITH custn AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+        |suppn AS (SELECT DISTINCT s_nationkey AS nk FROM supplier)
+        |SELECT nk, 'both' AS relation FROM (SELECT nk FROM custn INTERSECT SELECT nk FROM suppn)
+        |UNION ALL
+        |SELECT nk, 'cust_only' AS relation FROM (SELECT nk FROM custn EXCEPT SELECT nk FROM suppn)
+        |ORDER BY relation, nk""".stripMargin,
+    "q_events_json" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  MIN(value) AS min_value, MAX(value) AS max_value
+        |FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_events_hourly" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+        |  event_type, COUNT(*) AS n
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+    "q_topk_parts" ->
+      """SELECT p_partkey, p_name, p_retailprice FROM part
+        |ORDER BY p_retailprice DESC, p_partkey LIMIT 10""".stripMargin
+  )
+}
