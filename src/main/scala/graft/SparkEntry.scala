@@ -45,7 +45,8 @@ object SparkEntry {
     coreQueries ++ graft.functions.TextQueries.queries ++
       graft.operators.DedupQueries.queries ++
       graft.operators.SimilarityQueries.queries ++
-      graft.operators.RelationalQueries.queries
+      graft.operators.RelationalQueries.queries ++
+      graft.operators.MultimodalQueries.queries
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -160,7 +161,8 @@ object SparkEntry {
     coreOracles ++ graft.functions.TextQueries.oracles ++
       graft.operators.DedupQueries.oracles ++
       graft.operators.SimilarityQueries.oracles ++
-      graft.operators.RelationalQueries.oracles
+      graft.operators.RelationalQueries.oracles ++
+      graft.operators.MultimodalQueries.oracles
 
   private def coreOracles: Map[String, String] = {
     // SQL twin of PU.puEmbeddings' deterministic labeling

@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+
+import graft.functions.TextFunctions
+
+/** Multimodal-column plumbing: opaque `binary` payloads + typed metadata,
+  * decoded/feature-extracted in per-partition batches.
+  *
+  * Design (the part that is REAL and tested):
+  *  - media rows are `(id, meta struct, data binary)` — the schema shape a
+  *    100 TB image/audio corpus uses (payload stays opaque to Catalyst;
+  *    metadata columns prune/filter/partition normally, so a
+  *    `WHERE meta.mime = 'video/fake'` never deserializes payload bytes of
+  *    other rows);
+  *  - processing is `Dataset[MediaRow].mapPartitions` — one JVM batch per
+  *    partition (the Scala-native analogue of Python's mapInPandas batch
+  *    UDFs), returning typed rows through Encoders, so downstream is
+  *    ordinary columnar Spark again;
+  *  - partitioning: payloads never shuffle — decode is map-side; only the
+  *    small feature outputs flow onward.
+  *
+  * The DECODE ITSELF IS A STUB (this container has no image/audio codecs):
+  * a deterministic byte-level computation stands in for "decode then
+  * featurize". The stub is chosen so that, for ASCII payloads built from
+  * `documents.text`, the oracle can recompute it from code points — the
+  * binary path gets a hash-exact correctness gate, unusual for media code.
+  */
+object Multimodal {
+
+  /** Typed media row: payload + the metadata a real pipeline carries. */
+  case class MediaRow(id: Long, mime: String, width: Int, height: Int,
+                      data: Array[Byte])
+
+  /** Decoded "features": per-payload byte stats + a 16-bin histogram
+    * (the stub stand-in for decode→resize→embed). */
+  case class MediaFeatures(id: Long, n_bytes: Long, checksum: Long,
+                           hist_hash: Long)
+
+  case class Frame(id: Long, frame_idx: Long, frame_checksum: Long)
+
+  /** Fake media table over documents: payload = UTF-8 bytes of `text`,
+    * mime rotated by source, dimensions derived from n_chars. The payload
+    * column is genuine BinaryType — everything downstream treats it as an
+    * opaque blob. */
+  def mediaTable(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id").as("id"),
+      struct(
+        concat(lit("fake/"), col("source")).as("mime"),
+        (col("n_chars") % 640).cast(IntegerType).as("width"),
+        (col("n_chars") % 480).cast(IntegerType).as("height")).as("meta"),
+      encode(col("text"), "UTF-8").as("data"))
+
+  private val P = TextFunctions.HashMod
+
+  /** The stub "decode": byte count, rolling checksum (same recurrence as
+    * [[TextFunctions.polyHash]] — for ASCII payloads the two agree), and a
+    * rolling combine of the 16-bin high-nibble byte histogram. A real
+    * pipeline would replace the body with codec calls; the surrounding
+    * plumbing (batching, encoders, schema) would not change. */
+  def decodeBatch(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
+    rows.map { r =>
+      var checksum = 0L
+      val hist = new Array[Long](16)
+      var i = 0
+      while (i < r.data.length) {
+        val b = r.data(i) & 0xff
+        checksum = (checksum * TextFunctions.HashBase + b) % P
+        hist(b >> 4) += 1
+        i += 1
+      }
+      var histHash = 0L
+      var j = 0
+      while (j < 16) {
+        histHash = (histHash * TextFunctions.HashBase + hist(j)) % P
+        j += 1
+      }
+      MediaFeatures(r.id, r.data.length.toLong, checksum, histHash)
+    }
+
+  /** decode/feature-extract over the media table: typed mapPartitions. */
+  def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.select(col("id"), col("meta.mime").as("mime"),
+        col("meta.width").as("width"), col("meta.height").as("height"), col("data"))
+      .as[MediaRow]
+      .mapPartitions(decodeBatch)
+  }
+
+  /** Stub frame sampler: every 64-byte block of a "video" payload is one
+    * frame; emits (id, frame_idx, frame checksum). flatMap shape — row
+    * counts change, schema stays typed. */
+  def sampleFrames(spark: SparkSession, media: DataFrame, mimePrefix: String,
+                   frameBytes: Int = 64): Dataset[Frame] = {
+    import spark.implicits._
+    media.filter(col("meta.mime").startsWith(mimePrefix))
+      .select(col("id"), col("meta.mime").as("mime"),
+        col("meta.width").as("width"), col("meta.height").as("height"), col("data"))
+      .as[MediaRow]
+      .flatMap { r =>
+        r.data.grouped(frameBytes).zipWithIndex.map { case (block, idx) =>
+          var cs = 0L
+          var i = 0
+          while (i < block.length) {
+            cs = (cs * TextFunctions.HashBase + (block(i) & 0xff)) % P
+            i += 1
+          }
+          Frame(r.id, idx.toLong, cs)
+        }
+      }
+  }
+
+  /** Metadata-only "resize": pure column arithmetic — no payload touch, no
+    * shuffle; Catalyst prunes `data` out of the scan entirely. */
+  def resizeMeta(media: DataFrame, maxDim: Int): DataFrame = {
+    val w = col("meta.width").cast(LongType)
+    val h = col("meta.height").cast(LongType)
+    val m = greatest(w, h, lit(1L))
+    val scale = when(m > maxDim, lit(maxDim).cast("double") / m.cast("double"))
+      .otherwise(lit(1.0))
+    media.withColumn("resized",
+      struct(col("meta.mime").cast(StringType).as("mime"),
+        floor(w.cast("double") * scale).cast(IntegerType).as("width"),
+        floor(h.cast("double") * scale).cast(IntegerType).as("height")))
+  }
+}

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Driver-facing multimodal queries. Payloads are UTF-8 bytes of
+  * `documents.text` (pure ASCII — verified), so the DuckDB oracle can
+  * recompute the byte-level stub results from code points: the
+  * binary-column path (BinaryType payload → typed mapPartitions decode →
+  * Encoder output) is held to the same hash-exact gate as the SQL surface.
+  */
+object MultimodalQueries {
+
+  private def media(s: SparkSession, dir: String): DataFrame =
+    Multimodal.mediaTable(Tables.documents(s, dir))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_decode_features" -> ((s, dir) => {
+      Multimodal.decodeFeatures(s, media(s, dir)).toDF().orderBy("id")
+    }),
+    "mm_frames" -> ((s, dir) => {
+      Multimodal.sampleFrames(s, media(s, dir), "fake/src0").toDF()
+        .orderBy("id", "frame_idx")
+    }),
+    "mm_resized" -> ((s, dir) => {
+      Multimodal.resizeMeta(media(s, dir), maxDim = 256)
+        .select(col("id"), col("resized.mime").as("mime"),
+          col("resized.width").as("width"), col("resized.height").as("height"))
+        .orderBy("id")
+    })
+  )
+
+  // byte-level twins over ASCII text: code point == byte
+  private val codes =
+    "list_transform(range(1, length(text)+1), ci -> CAST(unicode(text[ci]) AS BIGINT))"
+  private def roll(l: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), $l), (a, x) -> (a*31 + x) % 1000000007)"
+
+  def oracles: Map[String, String] = Map(
+    "mm_decode_features" ->
+      s"""WITH c AS (SELECT doc_id AS id, $codes AS cp FROM documents)
+         |SELECT id, CAST(len(cp) AS BIGINT) AS n_bytes,
+         |  ${roll("cp")} AS checksum,
+         |  ${roll("list_transform(range(0, 16), b -> CAST(len(list_filter(cp, x -> x // 16 = b)) AS BIGINT))")} AS hist_hash
+         |FROM c ORDER BY id""".stripMargin,
+    "mm_frames" ->
+      s"""WITH f AS (
+         |  SELECT doc_id AS id, text,
+         |    unnest(range(0, CAST(ceil(strlen(text)/64.0) AS BIGINT))) AS frame_idx
+         |  FROM documents WHERE source = 'src0'),
+         |fc AS (SELECT id, frame_idx, substr(text, CAST(frame_idx*64+1 AS INT), 64) AS blk FROM f)
+         |SELECT id, frame_idx,
+         |  ${roll("list_transform(range(1, length(blk)+1), ci -> CAST(unicode(blk[ci]) AS BIGINT))")} AS frame_checksum
+         |FROM fc ORDER BY id, frame_idx""".stripMargin,
+    "mm_resized" ->
+      """WITH m AS (SELECT doc_id AS id, 'fake/' || source AS mime,
+        |  CAST(n_chars % 640 AS BIGINT) AS w, CAST(n_chars % 480 AS BIGINT) AS h
+        |  FROM documents),
+        |s AS (SELECT id, mime, w, h, greatest(w, h, 1) AS mx FROM m),
+        |sc AS (SELECT id, mime, w, h,
+        |  CASE WHEN mx > 256 THEN 256.0 / CAST(mx AS DOUBLE) ELSE 1.0 END AS scale FROM s)
+        |SELECT id, mime,
+        |  CAST(floor(CAST(w AS DOUBLE) * scale) AS INT) AS width,
+        |  CAST(floor(CAST(h AS DOUBLE) * scale) AS INT) AS height
+        |FROM sc ORDER BY id""".stripMargin
+  )
+}
