@@ -46,7 +46,8 @@ object SparkEntry {
       graft.operators.DedupQueries.queries ++
       graft.operators.SimilarityQueries.queries ++
       graft.operators.RelationalQueries.queries ++
-      graft.operators.MultimodalQueries.queries
+      graft.operators.MultimodalQueries.queries ++
+      graft.streaming.StreamingQueries.queries
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -162,7 +163,8 @@ object SparkEntry {
       graft.operators.DedupQueries.oracles ++
       graft.operators.SimilarityQueries.oracles ++
       graft.operators.RelationalQueries.oracles ++
-      graft.operators.MultimodalQueries.oracles
+      graft.operators.MultimodalQueries.oracles ++
+      graft.streaming.StreamingQueries.oracles
 
   private def coreOracles: Map[String, String] = {
     // SQL twin of PU.puEmbeddings' deterministic labeling

@@ -29,9 +29,11 @@ object Tables {
     raw.schema.fields.foldLeft(raw) { (df, f) =>
       if (nanoTsColumns.contains(f.name) &&
           f.dataType == org.apache.spark.sql.types.LongType)
+        // `div` = integer division. `/` would be DOUBLE division: epoch
+        // nanos (~1.7e18) exceed double's 2^53 mantissa, silently
+        // corrupting timestamps by hundreds of microseconds.
         df.withColumn(f.name, org.apache.spark.sql.functions
-          .timestamp_micros(org.apache.spark.sql.functions.col(f.name) / 1000L cast
-            org.apache.spark.sql.types.LongType))
+          .timestamp_micros(org.apache.spark.sql.functions.expr(s"${f.name} div 1000")))
       else df
     }
   }

@@ -1,0 +1,116 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming surface over the `events` table. The reference is
+  * batch-only (SURVEY.md §2.3: no streaming of any kind); this module adds
+  * the streaming shape a production event pipeline needs, with each
+  * streaming computation paired with a batch twin so correctness is
+  * oracle-checkable (the driver's DuckDB gate runs the batch twin; specs
+  * assert stream == batch on the same input).
+  *
+  * Scale notes: windowed aggregation state is bounded by the watermark (2h
+  * late tolerance → ~2-3 open windows per event_type); sessionization state
+  * is one open session per active user key, dropped on event-time timeout —
+  * both shapes run indefinitely without unbounded state growth.
+  */
+object EventStreams {
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+  /** Open-session state for flatMapGroupsWithState. */
+  case class OpenSession(startUs: Long, endUs: Long, n: Long)
+
+  val SessionGapMicros: Long = 30L * 60 * 1000000L
+
+  /** Full-precision epoch micros (Timestamp.getTime alone truncates to
+    * milliseconds; the sub-ms part lives in getNanos). */
+  def tsMicros(ts: java.sql.Timestamp): Long =
+    ts.toInstant.getEpochSecond * 1000000L + ts.toInstant.getNano / 1000L
+
+  /** Tumbling 1-hour counts by event type. Same transform for batch and
+    * streaming; streaming adds a 2-hour watermark (append-able state). */
+  def hourlyCounts(events: DataFrame, streaming: Boolean = false): DataFrame = {
+    val src = if (streaming) events.withWatermark("ts", "2 hours") else events
+    src.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("w.start")).as("hour_start"), col("event_type"), col("n"))
+  }
+
+  /** Batch sessionization: 30-minute-gap sessions via lag + running sum —
+    * two windows over (user_id; ts, event_id), shuffle once on user_id.
+    * The DuckDB-oracle-checkable twin of [[sessionizeStream]]. */
+  def sessionizeBatch(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > SessionGapMicros, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("is_new")).over(w))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** Streaming sessionization: one [[OpenSession]] of state per user,
+    * closed sessions emitted as soon as a gap is observed, trailing open
+    * sessions emitted on event-time timeout (watermark + gap). */
+  def sessionizeStream(events: Dataset[Event]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, newEvents: Iterator[Event], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, s.startUs, s.endUs, s.n))
+          } else {
+            val sorted = newEvents
+              .map(e => (tsMicros(e.ts), e.event_id)).toVector.sortBy(identity)
+            var open = state.getOption
+            val closed = Vector.newBuilder[Session]
+            sorted.foreach { case (us, _) =>
+              open match {
+                case Some(s) if us - s.endUs <= SessionGapMicros =>
+                  open = Some(OpenSession(s.startUs, math.max(s.endUs, us), s.n + 1))
+                case Some(s) =>
+                  closed += Session(userId, s.startUs, s.endUs, s.n)
+                  open = Some(OpenSession(us, us, 1))
+                case None =>
+                  open = Some(OpenSession(us, us, 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // close the session once the watermark passes end + gap
+              state.setTimeoutTimestamp(s.endUs / 1000L + SessionGapMicros / 1000L)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** File-source streaming read of an events parquet file with the same
+    * nanos→timestamp normalization the batch loader applies. The file
+    * stream source requires a directory base path, so we stream the parent
+    * directory with a glob filter on the file name. */
+  def readEventStream(spark: SparkSession, path: String): DataFrame = {
+    val schema = spark.read.parquet(path).schema
+    val dir = path.substring(0, path.lastIndexOf('/'))
+    val fileName = path.substring(path.lastIndexOf('/') + 1)
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", fileName).parquet(dir)
+    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000"))) // integer div: see Tables.load
+    else raw
+  }
+}

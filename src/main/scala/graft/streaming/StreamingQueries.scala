@@ -1,0 +1,40 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.Tables
+
+/** Driver-facing batch twins of the streaming computations. The streaming
+  * execution itself (file-source read, watermark, flatMapGroupsWithState)
+  * is asserted equal to these twins in StreamingSpec; the twins carry the
+  * DuckDB oracle. `q_events_hourly` (RelationalQueries) is the hourly
+  * window's twin; `q_sessions` is the sessionizer's.
+  */
+object StreamingQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sessions" -> ((s, dir) => {
+      EventStreams.sessionizeBatch(Tables.events(s, dir))
+        .select(col("user_id"), col("session_seq").cast(LongType).as("session_seq"),
+          col("start_us"), col("end_us"), col("n_events"))
+        .orderBy("user_id", "session_seq")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_sessions" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+         |l AS (SELECT user_id, event_id, us,
+         |  lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us FROM e),
+         |n AS (SELECT user_id, event_id, us,
+         |  CASE WHEN prev_us IS NULL OR us - prev_us > ${EventStreams.SessionGapMicros} THEN 1 ELSE 0 END AS is_new FROM l),
+         |s AS (SELECT user_id, us,
+         |  SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id) AS seq FROM n)
+         |SELECT user_id, CAST(seq AS BIGINT) AS session_seq,
+         |  MIN(us) AS start_us, MAX(us) AS end_us, COUNT(*) AS n_events
+         |FROM s GROUP BY user_id, seq
+         |ORDER BY user_id, session_seq""".stripMargin
+  )
+}

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkSuite, Tables}
+import EventStreams.{Event, Session}
+
+class StreamingSpec extends AnyFunSuite with SparkSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("streaming hourly counts == batch twin on the events table") {
+    val stream = EventStreams.readEventStream(spark, s"$sfDir/events.parquet")
+    val q = EventStreams.hourlyCounts(stream, streaming = true)
+      .writeStream.format("memory").queryName("hourly_stream")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val got = spark.table("hourly_stream")
+      .orderBy("hour_start", "event_type").collect().toSeq
+    val want = EventStreams.hourlyCounts(Tables.events(spark, sfDir))
+      .orderBy("hour_start", "event_type").collect().toSeq
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
+  test("flatMapGroupsWithState sessionization == batch window twin") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val events = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().toSeq
+
+    val source = MemoryStream[Event]
+    val q = EventStreams.sessionizeStream(source.toDS())
+      .writeStream.format("memory").queryName("sessions_stream")
+      .outputMode("append").start()
+    source.addData(events)
+    q.processAllAvailable()
+    // advance the watermark far past every session end so open sessions
+    // time out and emit
+    val maxTs = events.map(_.ts.getTime).max
+    source.addData(Event(Long.MaxValue, new java.sql.Timestamp(maxTs + 86400000L),
+      -1L, "flush", 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("sessions_stream").as[Session].collect()
+      .filter(_.user_id != -1L).sortBy(s => (s.user_id, s.start_us)).toSeq
+    val want = EventStreams.sessionizeBatch(Tables.events(spark, sfDir))
+      .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (u, s, e, n) => Session(u, s, e, n) }
+      .sortBy(s => (s.user_id, s.start_us)).toSeq
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+}
