@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSuite, Tables}
+import graft.functions.TextFunctions
+
+class DedupSpec extends SparkSuite {
+
+  test("exactDedup collapses true duplicates to the min id") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z")).toDF("doc_id", "text")
+    val got = Dedup.exactDedup(df, "doc_id", "text")
+      .orderBy("canonical_id")
+      .select("canonical_id", "n_copies").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhash signature of identical shingle sets is identical; jaccard=1") {
+    import spark.implicits._
+    val df = Seq((1L, "p q r s t"), (2L, "p q r s t")).toDF("doc_id", "text")
+      .withColumn("shh", TextFunctions.shingleHashes(col("text"), 3))
+      .withColumn("sig", Dedup.minhashSignature(col("shh")))
+    val sigs = df.select("sig").as[Seq[Long]].collect()
+    assert(sigs(0) == sigs(1) && sigs(0).length == Dedup.MinHashK)
+    val j = df.agg(Dedup.jaccard(first(col("shh")), last(col("shh")))).head.getDouble(0)
+    assert(j == 1.0)
+  }
+
+  test("LSH banding finds exactly the planted >=0.5-jaccard pairs at sf0.001") {
+    // ground truth by brute force on the small sf
+    val d = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), TextFunctions.shingleHashes(col("text"), 3).as("shh"))
+    val brute = d.as("a").crossJoin(d.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .withColumn("j", Dedup.jaccard(col("a.shh"), col("b.shh")))
+      .filter(col("j") >= 0.5)
+      .select(col("a.doc_id"), col("b.doc_id")).collect().toSet
+    val banded = DedupQueries.queries("dedup_minhash_pairs")(spark, sf0001)
+      .select(col("id_a"), col("id_b")).collect().toSet
+    assert(banded == brute)
+    assert(brute.nonEmpty)
+  }
+
+  test("simhash hamming is 0 for identical docs and large for disjoint docs") {
+    import spark.implicits._
+    val df = Seq((1L, "p q r s t u"), (2L, "p q r s t u"), (3L, "j k l m n o"))
+      .toDF("doc_id", "text")
+      .withColumn("sh", Dedup.simhash(TextFunctions.shingleHashes(col("text"), 3)))
+    val a = df.as("a"); val b = df.as("b")
+    val hd = a.crossJoin(b).filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        Dedup.hamming(col("a.sh"), col("b.sh")).as("h"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(hd((1L, 2L)) == 0)
+    assert(hd((1L, 3L)) > 3)
+  }
+
+  test("cosine is 1 for parallel vectors, 0 for orthogonal") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0f, 0.0f), Seq(2.0f, 0.0f), Seq(0.0f, 3.0f)))
+      .toDF("a", "b", "c")
+    val r = df.select(
+      Dedup.cosine(Dedup.toDoubleArray(col("a")), Dedup.toDoubleArray(col("b")),
+        Dedup.l2norm(Dedup.toDoubleArray(col("a"))), Dedup.l2norm(Dedup.toDoubleArray(col("b")))),
+      Dedup.cosine(Dedup.toDoubleArray(col("a")), Dedup.toDoubleArray(col("c")),
+        Dedup.l2norm(Dedup.toDoubleArray(col("a"))), Dedup.l2norm(Dedup.toDoubleArray(col("c")))))
+      .head
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+  }
+}

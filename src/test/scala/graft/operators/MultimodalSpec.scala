@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSuite, Tables}
+import graft.functions.TextFunctions
+
+class MultimodalSpec extends SparkSuite {
+
+  private lazy val media = Multimodal.mediaTable(Tables.documents(spark, sf0001))
+
+  test("decode checksum over ASCII payload equals polyHash of the text") {
+    val feats = Multimodal.decodeFeatures(spark, media).toDF()
+    val expect = Tables.documents(spark, sf0001)
+      .select(col("doc_id").as("id"),
+        TextFunctions.polyHash(col("text")).as("expect_cs"),
+        length(col("text")).cast("long").as("expect_len"))
+    val joined = feats.join(expect, "id")
+    assert(joined.filter(col("checksum") =!= col("expect_cs")).count() == 0)
+    assert(joined.filter(col("n_bytes") =!= col("expect_len")).count() == 0)
+    assert(joined.count() > 0)
+  }
+
+  test("frame sampling emits ceil(bytes/64) frames per video row") {
+    val frames = Multimodal.sampleFrames(spark, media, "fake/src0").toDF()
+      .groupBy("id").agg(count(lit(1)).as("n_frames"), max("frame_idx").as("max_idx"))
+    val expect = media.filter(col("meta.mime") === "fake/src0")
+      .select(col("id"), ceil(length(col("data")) / lit(64.0)).as("expect_frames"))
+    val joined = frames.join(expect, "id")
+    assert(joined.filter(col("n_frames") =!= col("expect_frames")).count() == 0)
+    assert(joined.filter(col("max_idx") =!= col("n_frames") - 1).count() == 0)
+    assert(joined.count() > 0)
+  }
+
+  test("resizeMeta caps the max dimension and preserves aspect direction") {
+    val r = Multimodal.resizeMeta(media, 256)
+      .select(col("resized.width").as("w"), col("resized.height").as("h"),
+        col("meta.width").as("ow"), col("meta.height").as("oh"))
+    assert(r.filter(col("w") > 256 || col("h") > 256).count() == 0)
+    // unscaled rows keep dims
+    assert(r.filter(col("ow") <= 256 && col("oh") <= 256 &&
+      (col("w") =!= col("ow") || col("h") =!= col("oh"))).count() == 0)
+  }
+
+  test("payload column is pruned for metadata-only queries") {
+    val plan = Multimodal.resizeMeta(media, 256)
+      .select("id", "resized").queryExecution.optimizedPlan.toString
+    assert(!plan.contains("encode("), s"payload not pruned:\n$plan")
+  }
+}

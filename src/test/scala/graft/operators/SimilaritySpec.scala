@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSuite, Tables}
+
+class SimilaritySpec extends SparkSuite {
+
+  private lazy val corpus = Similarity.prepare(Tables.embeddings(spark, sf0001))
+
+  test("brute-force top-k: k rows per query, cosine non-increasing, no self") {
+    val t = Similarity.bruteForceTopK(corpus, corpus.filter(col("vec_id") < 4), 5)
+      .collect().groupBy(_.getLong(0))
+    assert(t.keySet == Set(0L, 1L, 2L, 3L))
+    t.values.foreach { rows =>
+      assert(rows.length == 5)
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getDouble(3)).sliding(2).forall(p => p.head >= p.last))
+      sorted.foreach(r => assert(r.getLong(2) != r.getLong(0)))
+    }
+  }
+
+  test("IVF top-1 recall vs brute force is high at nProbe=4/16") {
+    val brute = Similarity.bruteForceTopK(corpus, corpus.filter(col("vec_id") < 16), 1)
+      .select("query_id", "vec_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ivf = Similarity.ivfTopK(corpus, col("vec_id") < 16, 16, 4, 1)
+      .select("query_id", "vec_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = brute.count { case (q, v) => ivf.get(q).contains(v) }
+    // random 64-dim embeddings: nProbe/nCentroids=25% of lists searched;
+    // empirical top-1 recall well above that — assert a safe floor
+    assert(hits >= brute.size / 2, s"recall $hits/${brute.size}")
+  }
+
+  test("LSH tier returns k rows per query") {
+    val t = Similarity.lshTopK(Tables.embeddings(spark, sf0001), col("vec_id") < 4, 5)
+      .collect().groupBy(_.getLong(0))
+    assert(t.values.forall(_.length == 5))
+  }
+}
