@@ -74,6 +74,13 @@ object SparkEntry {
           "puLabel", "features", "score")
         .select(col("vec_id"), col("score")).orderBy("vec_id")
     }),
+    // Liu-2002 text use case: TF-IDF features from documents, PU-weighted.
+    "pu_text_lr" -> ((s, dir) => {
+      val learner = TraditionalPULearnerConfig(0.5, 1, LogisticRegressionConfig()).build()
+      learner.weight(PU.puDocuments(s, dir).select("doc_id", "puLabel", "features"),
+          "puLabel", "features", "score")
+        .select(col("doc_id"), col("score")).orderBy("doc_id")
+    }),
     "pu_traditional_rf" -> ((s, dir) => {
       val learner = TraditionalPULearnerConfig(0.5, 1, RandomForestConfig(numTrees = 32)).build()
       learner.weight(puEmb(s, dir).select("vec_id", "puLabel", "features"),

@@ -25,6 +25,36 @@ object PU {
         col("label") === posClass && col("vec_id") % 2 === 1)
       .withColumn("features", array_to_vector(col("embedding")))
 
+  /** PU-labeled documents — the reference's original use case (Liu et al.
+    * 2002 is a *text* PU paper; the reference README assembles text features
+    * caller-side, README.md:74-89). Pipeline: Tokenizer → HashingTF → IDF →
+    * features. Positive class: docs containing `posToken` (default "dup",
+    * the planted near-duplicate marker, ~5% of the corpus — a realistic PU
+    * rate); even doc_ids of that class are observed positives, odd ones are
+    * masked to unlabeled and flagged `holdoutPos` for separation checks.
+    *
+    * Scale: tokenize/hash/IDF are map-side; IDF.fit is one aggregation over
+    * the corpus. numFeatures=1024 keeps vectors sparse and fits far larger
+    * vocabularies by hashing.
+    */
+  def puDocuments(spark: SparkSession, sfDir: String,
+                  posToken: String = "dup"): DataFrame = {
+    import org.apache.spark.ml.feature.{HashingTF, IDF, Tokenizer}
+    val docs = Tables.documents(spark, sfDir)
+    val toks = new Tokenizer().setInputCol("text").setOutputCol("toks")
+      .transform(docs)
+    val tf = new HashingTF().setInputCol("toks").setOutputCol("tf")
+      .setNumFeatures(1024).transform(toks)
+    val feat = new IDF().setInputCol("tf").setOutputCol("features")
+      .fit(tf).transform(tf)
+    feat
+      .withColumn("isPos", array_contains(col("toks"), posToken))
+      .withColumn("puLabel",
+        when(col("isPos") && col("doc_id") % 2 === 0, 1).otherwise(0))
+      .withColumn("holdoutPos", col("isPos") && col("doc_id") % 2 === 1)
+      .drop("toks", "tf")
+  }
+
   /** Rank-by-score output mode — the reference's build.gradle:118-119 pulls
     * in spark-hive "for ranking by windows", a vestige of planned
     * functionality that never shipped (SURVEY.md §2.3); provided here via a
