@@ -51,17 +51,21 @@ object Dedup {
     * every position (matches the oracle's coalesce).
     */
   def minhashSignature(shingleHashes: Column, k: Int = MinHashK): Column =
-    transform(sequence(lit(0), lit(k - 1)), j =>
-      coalesce(
-        array_min(transform(shingleHashes, h => (hashA(j) * h + hashB(j)) % lit(P))),
-        lit(P)))
+    TextFunctions.bound(shingleHashes) { shh =>
+      transform(sequence(lit(0), lit(k - 1)), j =>
+        coalesce(
+          array_min(transform(shh, h => (hashA(j) * h + hashB(j)) % lit(P))),
+          lit(P)))
+    }
 
   /** One bigint per LSH band: polynomial combine of the band's signature
     * rows. Equal band hash => candidate pair. */
   def bandHashes(sig: Column, bands: Int = Bands, rows: Int = RowsPerBand): Column =
-    transform(sequence(lit(0), lit(bands - 1)), i =>
-      aggregate(slice(sig, i * lit(rows) + lit(1), lit(rows)), lit(0L),
-        (acc, x) => (acc * lit(31L) + x) % lit(P)))
+    TextFunctions.bound(sig) { s =>
+      transform(sequence(lit(0), lit(bands - 1)), i =>
+        aggregate(slice(s, i * lit(rows) + lit(1), lit(rows)), lit(0L),
+          (acc, x) => (acc * lit(31L) + x) % lit(P)))
+    }
 
   /** Rolling combine of a full signature into one bigint (compact output /
     * compare key). */
@@ -106,12 +110,14 @@ object Dedup {
     * result is set iff sum over tokens of (bit j of hash ? +1 : -1) > 0.
     */
   def simhash(tokenHashes: Column): Column =
-    aggregate(sequence(lit(0), lit(SimHashBits - 1)), lit(0L), (acc, j) => {
-      val bitSum = aggregate(tokenHashes, lit(0L), (acc2, h) =>
-        acc2 + when(floor(h.cast(DoubleType) / pow(lit(2.0), j)).cast(LongType) % 2 === 1,
-          lit(1L)).otherwise(lit(-1L)))
-      acc + when(bitSum > 0, pow(lit(2.0), j).cast(LongType)).otherwise(lit(0L))
-    })
+    TextFunctions.bound(tokenHashes) { th =>
+      aggregate(sequence(lit(0), lit(SimHashBits - 1)), lit(0L), (acc, j) => {
+        val bitSum = aggregate(th, lit(0L), (acc2, h) =>
+          acc2 + when(floor(h.cast(DoubleType) / pow(lit(2.0), j)).cast(LongType) % 2 === 1,
+            lit(1L)).otherwise(lit(-1L)))
+        acc + when(bitSum > 0, pow(lit(2.0), j).cast(LongType)).otherwise(lit(0L))
+      })
+    }
 
   /** Split a simhash into `bands` values of `bitsPerBand` bits each (for
     * banded candidate joins — near-identical docs collide on ≥1 band). */

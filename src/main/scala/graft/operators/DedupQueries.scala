@@ -17,9 +17,17 @@ object DedupQueries {
   import Dedup._
   import TextFunctions.shingleHashes
 
+  /** documents spread across shuffle partitions: the per-row signature
+    * pipelines are interpreted higher-order expressions (CPU-heavy), and the
+    * bench inputs are single-row-group files (one scan task). At 100 TB the
+    * scan itself has thousands of splits and this repartition is dwarfed by
+    * the compute it parallelizes. */
+  private def docsSpread(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).repartition(col("doc_id"))
+
   /** documents + per-doc trigram shingle-hash set. */
   private def docShingles(s: SparkSession, dir: String, n: Int = 3): DataFrame =
-    Tables.documents(s, dir)
+    docsSpread(s, dir)
       .select(col("doc_id"), col("source"), shingleHashes(col("text"), n).as("shh"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -37,8 +45,11 @@ object DedupQueries {
     }),
 
     "dedup_minhash_pairs" -> ((s, dir) => {
+      // persist: the signature table feeds the explode AND both join
+      // branches — without it the per-doc signature pipeline runs 3×
       val d = docShingles(s, dir)
         .withColumn("bands", bandHashes(minhashSignature(col("shh"))))
+        .persist()
       val cands = lshCandidatePairs(d.select("doc_id", "bands"), "doc_id", "bands")
       cands
         .join(d.select(col("doc_id").as("id_a"), col("shh").as("shh_a")), "id_a")
@@ -53,17 +64,18 @@ object DedupQueries {
     // saturates on small-vocab corpora — all docs share most tokens, so
     // nearly everything lands within hamming 3; shingles discriminate).
     "dedup_simhash" -> ((s, dir) => {
-      Tables.documents(s, dir).select(
+      docsSpread(s, dir).select(
         col("doc_id"),
         simhash(shingleHashes(col("text"), 3)).as("sh"))
         .orderBy("doc_id")
     }),
 
     "dedup_simhash_pairs" -> ((s, dir) => {
-      val d = Tables.documents(s, dir).select(
+      val d = docsSpread(s, dir).select(
         col("doc_id"),
         simhash(shingleHashes(col("text"), 3)).as("sh"))
         .withColumn("bands", simhashBands(col("sh")))
+        .persist() // reused by explode + both join branches
       val cands = lshCandidatePairs(d.select("doc_id", "bands"), "doc_id", "bands")
       cands
         .join(d.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
@@ -84,6 +96,10 @@ object DedupQueries {
       val b = d.select(col("doc_id").as("id_b"), col("source"), col("shh").as("shh_b"))
       a.join(b, Seq("source"))
         .filter(col("id_a") < col("id_b"))
+        // necessary condition: J(A,B) <= min(|A|,|B|)/max(|A|,|B|) — prunes
+        // most pairs before the expensive intersect, result-identical
+        .filter(least(size(col("shh_a")), size(col("shh_b"))).cast("double")
+          >= greatest(size(col("shh_a")), size(col("shh_b"))).cast("double") * 0.25)
         .withColumn("jaccard", jaccard(col("shh_a"), col("shh_b")))
         .filter(col("jaccard") >= 0.25)
         .select("source", "id_a", "id_b", "jaccard")
@@ -94,7 +110,7 @@ object DedupQueries {
     // block key would be a coarse cluster/LSH bucket; see Similarity for the
     // ANN path). Norms computed once per row, not once per pair.
     "dedup_cosine_pairs" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir).select(
+      val e = Tables.embeddings(s, dir).repartition(col("vec_id")).select(
         col("vec_id"), col("label"), toDoubleArray(col("embedding")).as("v"))
         .withColumn("nrm", l2norm(col("v")))
       val a = e.select(col("vec_id").as("id_a"), col("label"),
@@ -125,13 +141,24 @@ object DedupQueries {
   private val toks = "string_split_regex(trim(text), '\\s+')"
   private val ntok = s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($toks) END"
 
-  /** Distinct sorted n-gram shingle hashes of `text`. */
+  /** Per-token polyHash list of `text`. */
+  private val tokenHashesSql =
+    s"CASE WHEN length(trim(text)) = 0 THEN CAST([] AS BIGINT[]) " +
+      s"ELSE list_transform($toks, t -> ${ph("t", "ci")}) END"
+
+  /** Distinct sorted n-gram shingle hashes of `text` — base-31 combine of
+    * the n consecutive token hashes (mirrors TextFunctions.shingleHashes). */
   private def shhSql(n: Int): String = {
-    val shingles =
-      s"CASE WHEN ($ntok) < $n THEN CAST([] AS VARCHAR[]) " +
-        s"ELSE list_transform(range(1, ($ntok) - ${n - 1} + 1), i -> array_to_string(($toks)[i:i+${n - 1}], ' ')) END"
-    s"list_sort(list_distinct(list_transform($shingles, sng -> ${ph("sng", "ci")})))"
+    val combined =
+      s"CASE WHEN len(th) < $n THEN CAST([] AS BIGINT[]) " +
+        s"ELSE list_transform(range(1, len(th) - ${n - 1} + 1), i -> " +
+        s"list_reduce(list_prepend(CAST(0 AS BIGINT), th[i:i+${n - 1}]), " +
+        s"(a, h) -> (a*31 + h) % 1000000007)) END"
+    s"list_sort(list_distinct($combined))"
   }
+
+  /** CTE producing (doc_id, source, th) — evaluate token hashes once. */
+  private val thCte = s"SELECT doc_id, source, $tokenHashesSql AS th FROM documents"
 
   /** MinHash signature (list<bigint> length 16) from a shingle-hash list
     * expression. */
@@ -144,8 +171,7 @@ object DedupQueries {
   private def combineSql(sig: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), $sig), (a, x) -> (a*31 + x) % 1000000007)"
 
-  /** SimHash (30-bit) over the trigram shingle-hash set. */
-  private val thSql = shhSql(3)
+  /** SimHash (30-bit) over a list column named `th`. */
   private val simhashSql = {
     val bitSum =
       s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(th, h -> " +
@@ -177,13 +203,15 @@ object DedupQueries {
          |FROM f GROUP BY fp ORDER BY canonical_id""".stripMargin,
 
     "dedup_minhash_sig" ->
-      s"""WITH d AS (SELECT doc_id, ${shhSql(3)} AS shh FROM documents)
+      s"""WITH t AS ($thCte),
+         |d AS (SELECT doc_id, ${shhSql(3)} AS shh FROM t)
          |SELECT doc_id, CAST(len(shh) AS BIGINT) AS n_shingles,
          |  ${combineSql(sigSql("shh"))} AS sig_hash
          |FROM d ORDER BY doc_id""".stripMargin,
 
     "dedup_minhash_pairs" ->
-      s"""WITH d AS (SELECT doc_id, ${shhSql(3)} AS shh FROM documents),
+      s"""WITH t AS ($thCte),
+         |d AS (SELECT doc_id, ${shhSql(3)} AS shh FROM t),
          |s AS (SELECT doc_id, shh, ${sigSql("shh")} AS sig FROM d),
          |sb AS (SELECT doc_id, shh, list_transform(range(0, $Bands), bi ->
          |  ${combineSql(s"sig[bi*$RowsPerBand+1:bi*$RowsPerBand+$RowsPerBand]")}) AS bands FROM s)
@@ -195,11 +223,13 @@ object DedupQueries {
          |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_simhash" ->
-      s"""WITH t AS (SELECT doc_id, $thSql AS th FROM documents)
+      s"""WITH t0 AS ($thCte),
+         |t AS (SELECT doc_id, ${shhSql(3)} AS th FROM t0)
          |SELECT doc_id, $simhashSql AS sh FROM t ORDER BY doc_id""".stripMargin,
 
     "dedup_simhash_pairs" ->
-      s"""WITH t AS (SELECT doc_id, $thSql AS th FROM documents),
+      s"""WITH t0 AS ($thCte),
+         |t AS (SELECT doc_id, ${shhSql(3)} AS th FROM t0),
          |s AS (SELECT doc_id, $simhashSql AS sh FROM t),
          |sb AS (SELECT doc_id, sh, list_transform(range(0, 3), bi ->
          |  CAST(floor(CAST(sh AS DOUBLE)/power(2, bi*10)) AS BIGINT) % 1024) AS bands FROM s)
@@ -211,7 +241,8 @@ object DedupQueries {
          |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_jaccard_blocked" ->
-      s"""WITH d AS (SELECT doc_id, source, ${shhSql(2)} AS shh FROM documents)
+      s"""WITH t AS ($thCte),
+         |d AS (SELECT doc_id, source, ${shhSql(2)} AS shh FROM t)
          |SELECT a.source AS source, a.doc_id AS id_a, b.doc_id AS id_b,
          |  ${jaccardSql("a.shh", "b.shh")} AS jaccard
          |FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id

@@ -31,9 +31,12 @@ import org.apache.spark.sql.functions._
 object Similarity {
   import Dedup.{cosine, l2norm, toDoubleArray}
 
-  /** vec_id, v (array<double>), nrm — the working shape for cosine tiers. */
+  /** vec_id, v (array<double>), nrm — the working shape for cosine tiers.
+    * Repartition spreads the interpreted per-pair dot products across
+    * cores (bench files are single-row-group → one scan task). */
   def prepare(embeddings: DataFrame): DataFrame =
-    embeddings.select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+    embeddings.repartition(col("vec_id"))
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
       .withColumn("nrm", l2norm(col("v")))
 
   /** Exact top-k: for each query vector, the k corpus vectors with highest
