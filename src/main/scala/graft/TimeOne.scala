@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev utility: time individual SparkEntry queries at sf0.1 (2 runs each —
+  * cold shows planning/codegen overhead, warm shows steady-state cost).
+  * Usage: sbt "runMain graft.TimeOne <query> [query...]" */
+object TimeOne {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    for (q <- args; _ <- 1 to 2) {
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(q)(spark, sf).count()
+      println(f"$q rows=$n t=${(System.nanoTime() - t0) / 1e9}%.2f")
+    }
+    spark.stop()
+  }
+}

@@ -153,6 +153,40 @@ object Dedup {
     dot(a, b) / (normA * normB)
 
   // ------------------------------------------------------------------
+  // Blocked self-join (grid decomposition)
+  // ------------------------------------------------------------------
+
+  /** All intra-block pairs (id_a < id_b) via the triangle/grid
+    * decomposition. A naive self-join on the block key has parallelism ≤
+    * #distinct blocks (a handful of coarse blocks → a handful of tasks no
+    * matter the cluster size, plus unsplittable skew when one block is
+    * huge). Instead each row is bucketed by id into g groups and replicated
+    * to the g grid cells its bucket participates in; the join key becomes
+    * (block, cell) — g(g+1)/2 cells per block — restoring parallelism and
+    * bounding per-task pair count by (|block|/g)². Result set is IDENTICAL
+    * to the naive join: each pair meets in exactly one surviving cell.
+    *
+    * Output: every non-block column of `df` suffixed `_a` / `_b`.
+    */
+  def gridBlockedPairs(df: DataFrame, blockCol: String, idCol: String,
+                       g: Int = 8): DataFrame = {
+    val withB = df.withColumn("_bucket", pmod(col(idCol), lit(g)).cast("int"))
+      .withColumn("_cell", explode(transform(sequence(lit(0), lit(g - 1)), x =>
+        struct(least(col("_bucket"), x).as("x"), greatest(col("_bucket"), x).as("y")))))
+    def side(suffix: String): DataFrame = {
+      val dataCols = withB.columns.filterNot(c => c == blockCol || c == "_cell")
+      withB.select(
+        (Seq(col(blockCol), col("_cell")) ++ dataCols.map(c => col(c).as(c + suffix))): _*)
+    }
+    side("_a").join(side("_b"), Seq(blockCol, "_cell"))
+      .filter(col(s"${idCol}_a") < col(s"${idCol}_b"))
+      // a same-bucket pair appears in g cells; keep only its canonical cell
+      .filter(col("_cell.x") === least(col("_bucket_a"), col("_bucket_b")) &&
+        col("_cell.y") === greatest(col("_bucket_a"), col("_bucket_b")))
+      .drop("_bucket_a", "_bucket_b", "_cell")
+  }
+
+  // ------------------------------------------------------------------
   // Exact dedup
   // ------------------------------------------------------------------
 

@@ -91,18 +91,16 @@ object DedupQueries {
     // shuffle-on-block-key plan; the MinHash query above is the
     // recall-complete path.
     "dedup_jaccard_blocked" -> ((s, dir) => {
-      val d = docShingles(s, dir, n = 2)
-      val a = d.select(col("doc_id").as("id_a"), col("source"), col("shh").as("shh_a"))
-      val b = d.select(col("doc_id").as("id_b"), col("source"), col("shh").as("shh_b"))
-      a.join(b, Seq("source"))
-        .filter(col("id_a") < col("id_b"))
+      val d = docShingles(s, dir, n = 2).persist()
+      gridBlockedPairs(d, "source", "doc_id")
         // necessary condition: J(A,B) <= min(|A|,|B|)/max(|A|,|B|) — prunes
         // most pairs before the expensive intersect, result-identical
         .filter(least(size(col("shh_a")), size(col("shh_b"))).cast("double")
           >= greatest(size(col("shh_a")), size(col("shh_b"))).cast("double") * 0.25)
         .withColumn("jaccard", jaccard(col("shh_a"), col("shh_b")))
         .filter(col("jaccard") >= 0.25)
-        .select("source", "id_a", "id_b", "jaccard")
+        .select(col("source"), col("doc_id_a").as("id_a"),
+          col("doc_id_b").as("id_b"), col("jaccard"))
         .orderBy("id_a", "id_b")
     }),
 
@@ -113,15 +111,12 @@ object DedupQueries {
       val e = Tables.embeddings(s, dir).repartition(col("vec_id")).select(
         col("vec_id"), col("label"), toDoubleArray(col("embedding")).as("v"))
         .withColumn("nrm", l2norm(col("v")))
-      val a = e.select(col("vec_id").as("id_a"), col("label"),
-        col("v").as("va"), col("nrm").as("na"))
-      val b = e.select(col("vec_id").as("id_b"), col("label"),
-        col("v").as("vb"), col("nrm").as("nb"))
-      a.join(b, Seq("label"))
-        .filter(col("id_a") < col("id_b"))
-        .withColumn("cos", cosine(col("va"), col("vb"), col("na"), col("nb")))
+        .persist()
+      gridBlockedPairs(e, "label", "vec_id")
+        .withColumn("cos", cosine(col("v_a"), col("v_b"), col("nrm_a"), col("nrm_b")))
         .filter(col("cos") >= 0.4)
-        .select("label", "id_a", "id_b", "cos")
+        .select(col("label"), col("vec_id_a").as("id_a"),
+          col("vec_id_b").as("id_b"), col("cos"))
         .orderBy("id_a", "id_b")
     })
   )
