@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge between raw Catalyst [[Expression]]s and the public [[Column]]
+  * API. Spark 4's `classic.ExpressionUtils` is `private[sql]` (the Connect
+  * refactor hid the classic constructor), so third-party native expressions
+  * use this in-package shim — the conventional technique for Spark
+  * extension libraries that ship codegen expressions without going through
+  * SparkSessionExtensions function registration.
+  */
+object GraftColumnBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -47,23 +47,24 @@ object TextFunctions {
       aggregate(tokens(text), lit(0L),
         (acc, t) => acc + ceil(length(t).cast(DoubleType) / lit(4.0)).cast(LongType)))
 
-  /** Polynomial rolling hash over the string's code points:
-    * `acc := (acc*31 + codepoint) mod 1e9+7`, acc0 = 0. The document
-    * fingerprint primitive; also the token/shingle hash for MinHash/SimHash.
+  /** Polynomial rolling hash over the string's characters:
+    * `acc := (acc*31 + char) mod 1e9+7`, acc0 = 0. The document fingerprint
+    * primitive; also the token/shingle hash for MinHash/SimHash. Backed by
+    * a codegen'd native expression ([[NativeExpressions.PolyHash]]) —
+    * bit-identical to the HOF formulation
+    * `aggregate(split(s,""), 0L, (a,c) -> (a*31+ascii(c)) % P)`.
     */
-  def polyHash(s: Column): Column =
-    aggregate(split(s, ""), lit(0L),
-      (acc, c) => (acc * lit(HashBase) + ascii(c)) % lit(HashMod))
+  def polyHash(s: Column): Column = NativeExpressions.polyHash(s)
 
   /** Document fingerprint = rolling hash of the full text. Exact-dedup key:
     * two docs with equal fingerprints are (modulo 1e-9 collisions) equal.
     */
   def fingerprint(text: Column): Column = polyHash(text)
 
-  /** Per-token hashes (for MinHash / SimHash signature building). */
-  def tokenHashes(text: Column): Column =
-    when(length(trim(text)) === 0, array().cast("array<bigint>"))
-      .otherwise(transform(tokens(text), t => polyHash(t)))
+  /** Per-token hashes (for MinHash / SimHash signature building) —
+    * codegen'd single pass ([[NativeExpressions.TokenHashes]]), identical
+    * to `transform(tokens(text), polyHash)` with the blank-string guard. */
+  def tokenHashes(text: Column): Column = NativeExpressions.tokenHashes(text)
 
   /** Word n-gram shingles as strings ("a b c" for n=3). Empty when the doc
     * has fewer than n tokens. NOTE: Spark's `sequence(1, x)` is DESCENDING

@@ -139,13 +139,12 @@ object Dedup {
 
   /** Sequential-order dot product of two double arrays (acc := acc + a_i*b_i,
     * i ascending) — matches the oracle's list_reduce order, so results are
-    * IEEE-bit-exact across engines. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    * IEEE-bit-exact across engines. Codegen'd native expression
+    * ([[graft.functions.NativeExpressions.DotProduct]]). */
+  def dot(a: Column, b: Column): Column = graft.functions.NativeExpressions.dot(a, b)
 
   /** L2 norm with the same sequential sum order. */
-  def l2norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity given precomputed norms (compute norms once per row,
     * not once per pair). */
