@@ -186,6 +186,56 @@ object Dedup {
   }
 
   // ------------------------------------------------------------------
+  // Near-dup clusters (connected components)
+  // ------------------------------------------------------------------
+
+  /** Canonical cluster assignment over near-dup pair edges: each node maps
+    * to the minimum id reachable through the pair graph (connected
+    * components by iterative min-label propagation).
+    *
+    * Per round: labels join edges (shuffle on id), min-aggregate, compare.
+    * Rounds needed = graph diameter (near-dup clusters are shallow — dup
+    * groups are cliques or short chains, so 2-4 rounds in practice).
+    * Lineage is truncated per round (localCheckpoint); the loop exits on a
+    * fixpoint metric, not a fixed count. This is the standard large-graph
+    * CC shape when a full GraphX/Pregel dependency isn't warranted.
+    *
+    * Input: pairs with columns (id_a, id_b). Output: (id, canonical_id) for
+    * every id appearing in some pair.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("canonical_id"))
+      .select(col("src").as("id"), col("canonical_id"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      iter += 1
+      // propagate: my new label = min(my label, labels of my neighbors)
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("canonical_id")).as("neighbor_min"))
+      val next = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("canonical_id"), coalesce(col("neighbor_min"), col("canonical_id")))
+            .as("canonical_id"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("canonical_id", "prev"), "id")
+        .filter(col("canonical_id") =!= col("prev")).limit(1).count()
+      labels = next
+      converged = changed == 0
+    }
+    edges.unpersist(blocking = false)
+    labels
+  }
+
+  // ------------------------------------------------------------------
   // Exact dedup
   // ------------------------------------------------------------------
 

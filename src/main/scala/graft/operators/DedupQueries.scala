@@ -86,6 +86,22 @@ object DedupQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Canonical cluster ids over the >=0.5-Jaccard near-dup graph:
+    // LSH candidates -> verified pairs -> connected components. The keep/
+    // drop decision of a 100 TB dedup pass (keep canonical_id, drop rest).
+    "dedup_clusters" -> ((s, dir) => {
+      val d = docShingles(s, dir)
+        .withColumn("bands", bandHashes(minhashSignature(col("shh"))))
+        .persist()
+      val cands = lshCandidatePairs(d.select("doc_id", "bands"), "doc_id", "bands")
+      val pairs = cands
+        .join(d.select(col("doc_id").as("id_a"), col("shh").as("shh_a")), "id_a")
+        .join(d.select(col("doc_id").as("id_b"), col("shh").as("shh_b")), "id_b")
+        .filter(jaccard(col("shh_a"), col("shh_b")) >= 0.5)
+        .select("id_a", "id_b")
+      connectedComponents(pairs).orderBy("id")
+    }),
+
     // Metadata-blocked n-gram (bigram) Jaccard: the "block by a cheap key,
     // verify only within blocks" pattern. Blocking trades recall for a
     // shuffle-on-block-key plan; the MinHash query above is the
@@ -216,6 +232,25 @@ object DedupQueries {
          |  AND len(list_filter(range(1, $Bands + 1), bi -> a.bands[bi] = b.bands[bi])) > 0
          |WHERE ${jaccardSql("a.shh", "b.shh")} >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE t AS ($thCte),
+         |d AS (SELECT doc_id, ${shhSql(3)} AS shh FROM t),
+         |s AS (SELECT doc_id, shh, ${sigSql("shh")} AS sig FROM d),
+         |sb AS (SELECT doc_id, shh, list_transform(range(0, $Bands), bi ->
+         |  ${combineSql(s"sig[bi*$RowsPerBand+1:bi*$RowsPerBand+$RowsPerBand]")}) AS bands FROM s),
+         |p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sb a JOIN sb b ON a.doc_id < b.doc_id
+         |    AND len(list_filter(range(1, $Bands + 1), bi -> a.bands[bi] = b.bands[bi])) > 0
+         |  WHERE ${jaccardSql("a.shh", "b.shh")} >= 0.5),
+         |edges AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+         |reach(s, d) AS (
+         |  SELECT s, d FROM edges
+         |  UNION
+         |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+         |SELECT s AS id, least(s, min(d)) AS canonical_id
+         |FROM reach GROUP BY s ORDER BY id""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH t0 AS ($thCte),

@@ -55,6 +55,17 @@ class DedupSpec extends SparkSuite {
     assert(hd((1L, 3L)) > 3)
   }
 
+  test("connectedComponents: chains collapse to min id, isolated pairs keep theirs") {
+    import spark.implicits._
+    // chain 5-4-3-2-1 (needs multiple propagation rounds) + separate pair (10,11)
+    val pairs = Seq((4L, 5L), (3L, 4L), (2L, 3L), (1L, 2L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
   test("cosine is 1 for parallel vectors, 0 for orthogonal") {
     import spark.implicits._
     val df = Seq((Seq(1.0f, 0.0f), Seq(2.0f, 0.0f), Seq(0.0f, 3.0f)))
