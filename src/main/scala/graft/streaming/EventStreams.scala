@@ -99,6 +99,13 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup: drop repeated event_ids, keeping state only
+    * within the watermark horizon (bounded state — the streaming analogue
+    * of the batch hash-groupBy exact dedup in [[graft.operators.Dedup]]). */
+  def dedupStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
+
   /** File-source streaming read of an events parquet file with the same
     * nanos→timestamp normalization the batch loader applies. The file
     * stream source requires a directory base path, so we stream the parent

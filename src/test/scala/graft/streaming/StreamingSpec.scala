@@ -27,6 +27,26 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(want.nonEmpty)
   }
 
+  test("streaming dedup drops duplicate event_ids within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().toSeq.take(200)
+
+    val source = MemoryStream[Event]
+    val q = EventStreams.dedupStream(source.toDS().toDF())
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    source.addData(events ++ events) // every event duplicated
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("dedup_stream").select("event_id").as[Long].collect()
+    assert(got.length == events.length)
+    assert(got.toSet == events.map(_.event_id).toSet)
+  }
+
   test("flatMapGroupsWithState sessionization == batch window twin") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
