@@ -86,6 +86,28 @@ object DedupQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Custom sketch AGGREGATE (UDAF): one mergeable MinHash signature per
+    // source over all its docs' shingles — map-side partial agg, only
+    // (groups × 16 longs) cross the shuffle.
+    "dedup_minhash_by_source" -> ((s, dir) => {
+      docShingles(s, dir)
+        .groupBy(col("source"))
+        .agg(MinHashSketchAgg.column(col("shh")).as("sig"))
+        .select(col("source"), combineHashes(col("sig")).as("sig_hash"))
+        .orderBy("source")
+    }),
+
+    // Vocabulary heavy-hitters: explode -> count -> global top-k (the
+    // "build the tokenizer vocab" pipeline op; two-stage agg, then
+    // TakeOrdered for k — never a full sort).
+    "text_top_tokens" -> ((s, dir) => {
+      docsSpread(s, dir)
+        .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok"))
+        .limit(20)
+    }),
+
     // Canonical cluster ids over the >=0.5-Jaccard near-dup graph:
     // LSH candidates -> verified pairs -> connected components. The keep/
     // drop decision of a 100 TB dedup pass (keep canonical_id, drop rest).
@@ -232,6 +254,24 @@ object DedupQueries {
          |  AND len(list_filter(range(1, $Bands + 1), bi -> a.bands[bi] = b.bands[bi])) > 0
          |WHERE ${jaccardSql("a.shh", "b.shh")} >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_minhash_by_source" ->
+      s"""WITH t AS ($thCte),
+         |d AS (SELECT doc_id, source, ${shhSql(3)} AS shh FROM t),
+         |flat AS (SELECT source, unnest(shh) AS h FROM d),
+         |perm AS (SELECT source, j,
+         |    min((((1103515245*(j+1)+12345) % 1000000007)*h
+         |         + (1103515245*(j+7)+54321) % 1000000007) % 1000000007) AS m
+         |  FROM flat, (SELECT unnest(range(0, ${Dedup.MinHashK})) AS j)
+         |  GROUP BY source, j),
+         |sig AS (SELECT source, list(m ORDER BY j) AS sigl FROM perm GROUP BY source)
+         |SELECT source, ${combineSql("sigl")} AS sig_hash
+         |FROM sig ORDER BY source""".stripMargin,
+
+    "text_top_tokens" ->
+      """SELECT tok, COUNT(*) AS n
+        |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents)
+        |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin,
 
     "dedup_clusters" ->
       s"""WITH RECURSIVE t AS ($thCte),

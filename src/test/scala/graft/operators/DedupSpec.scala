@@ -55,6 +55,21 @@ class DedupSpec extends SparkSuite {
     assert(hd((1L, 3L)) > 3)
   }
 
+  test("MinHashSketchAgg: group sketch == elementwise min of per-doc signatures") {
+    import spark.implicits._
+    val d = Tables.documents(spark, sf0001)
+      .select(col("source"), TextFunctions.shingleHashes(col("text"), 3).as("shh"))
+    val agged = d.groupBy("source").agg(MinHashSketchAgg.column(col("shh")).as("sig"))
+      .as[(String, Seq[Long])].collect().toMap
+    val perDoc = d.withColumn("sig", Dedup.minhashSignature(col("shh")))
+      .select("source", "sig").as[(String, Seq[Long])].collect()
+      .groupBy(_._1).view
+      .mapValues(_.map(_._2).reduce((a, b) => a.zip(b).map(t => math.min(t._1, t._2))))
+      .toMap
+    assert(agged == perDoc)
+    assert(agged.nonEmpty)
+  }
+
   test("connectedComponents: chains collapse to min id, isolated pairs keep theirs") {
     import spark.implicits._
     // chain 5-4-3-2-1 (needs multiple propagation rounds) + separate pair (10,11)
