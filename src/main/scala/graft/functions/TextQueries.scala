@@ -69,26 +69,28 @@ object TextQueries {
     s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(list_filter($sqlToks, t -> t IN ($in))) END"
   }
 
-  def oracles: Map[String, String] = {
-    val stopIn = Stopwords.map(sw => s"'$sw'").mkString(", ")
-    val nStop = s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(list_filter($sqlToks, t -> t IN ($stopIn))) END"
-    val sumTokLen =
-      s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform($sqlToks, t -> CAST(length(t) AS BIGINT))), (a, x) -> a + x)"
-    val meanTokLen =
-      s"CASE WHEN ($sqlNTok) = 0 THEN 0.0 ELSE CAST($sumTokLen AS DOUBLE) / CAST($sqlNTok AS DOUBLE) END"
-    val punctRatio =
-      s"CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END"
-    val subwords =
-      s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-        s"list_transform($sqlToks, t -> CAST(ceil(CAST(length(t) AS DOUBLE)/4.0) AS BIGINT))), (a, x) -> a + x) END"
-    // quality components, mirroring TextFunctions.qualityScore term order
-    val nD = s"CAST($sqlNTok AS DOUBLE)"
-    val lenScore = s"least($nD / 50.0, 1.0)"
-    val tokLenScore = s"CASE WHEN ($meanTokLen) >= 3.0 AND ($meanTokLen) <= 10.0 THEN 1.0 ELSE 0.5 END"
-    val punctScore = s"1.0 - least(($punctRatio) * 4.0, 1.0)"
-    val stopScore = s"CASE WHEN ($sqlNTok) = 0 THEN 0.0 ELSE least(CAST($nStop AS DOUBLE) / $nD * 10.0, 1.0) END"
-    val quality = s"($lenScore) * 0.4 + ($tokLenScore) * 0.2 + ($punctScore) * 0.2 + ($stopScore) * 0.2"
+  private val stopIn = Stopwords.map(sw => s"'$sw'").mkString(", ")
+  private val nStop = s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(list_filter($sqlToks, t -> t IN ($stopIn))) END"
+  private val sumTokLen =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform($sqlToks, t -> CAST(length(t) AS BIGINT))), (a, x) -> a + x)"
+  private val meanTokLen =
+    s"CASE WHEN ($sqlNTok) = 0 THEN 0.0 ELSE CAST($sumTokLen AS DOUBLE) / CAST($sqlNTok AS DOUBLE) END"
+  private val sqlPunctRatio =
+    s"CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END"
+  private val subwords =
+    s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform($sqlToks, t -> CAST(ceil(CAST(length(t) AS DOUBLE)/4.0) AS BIGINT))), (a, x) -> a + x) END"
+  // quality components, mirroring TextFunctions.qualityScore term order
+  private val nD = s"CAST($sqlNTok AS DOUBLE)"
+  private val lenScore = s"least($nD / 50.0, 1.0)"
+  private val tokLenScore = s"CASE WHEN ($meanTokLen) >= 3.0 AND ($meanTokLen) <= 10.0 THEN 1.0 ELSE 0.5 END"
+  private val punctScore = s"1.0 - least(($sqlPunctRatio) * 4.0, 1.0)"
+  private val stopScore = s"CASE WHEN ($sqlNTok) = 0 THEN 0.0 ELSE least(CAST($nStop AS DOUBLE) / $nD * 10.0, 1.0) END"
+  /** Full quality-score SQL (shared with the corpus-prep pipeline oracle). */
+  private[graft] val quality =
+    s"($lenScore) * 0.4 + ($tokLenScore) * 0.2 + ($punctScore) * 0.2 + ($stopScore) * 0.2"
 
+  def oracles: Map[String, String] = {
     val langScores = LangMarkers.map { case (lang, ms) => lang -> sqlMarkerScore(ms) }
     val best = s"greatest(${langScores.map(x => s"(${x._2})").mkString(", ")})"
     val langCase = langScores
@@ -105,7 +107,7 @@ object TextQueries {
            |FROM documents ORDER BY doc_id""".stripMargin,
       "text_quality" ->
         s"""SELECT doc_id,
-           |  $punctRatio AS punct_ratio,
+           |  $sqlPunctRatio AS punct_ratio,
            |  $quality AS quality
            |FROM documents ORDER BY doc_id""".stripMargin,
       "text_langid" ->

@@ -86,6 +86,33 @@ object DedupQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // End-to-end corpus preparation — the composite pass a pretraining
+    // pipeline runs: quality-filter, drop near-duplicates (keep each
+    // cluster's canonical doc), emit per-doc stats. One scan + the
+    // banded near-dup machinery; the dedup decision is a broadcast-able
+    // anti-join (the cluster victim list is tiny relative to the corpus).
+    "pipeline_corpus_prep" -> ((s, dir) => {
+      import graft.functions.TextFunctions
+      val d = docShingles(s, dir)
+        .withColumn("bands", bandHashes(minhashSignature(col("shh"))))
+        .persist()
+      val cands = lshCandidatePairs(d.select("doc_id", "bands"), "doc_id", "bands")
+      val pairs = cands
+        .join(d.select(col("doc_id").as("id_a"), col("shh").as("shh_a")), "id_a")
+        .join(d.select(col("doc_id").as("id_b"), col("shh").as("shh_b")), "id_b")
+        .filter(jaccard(col("shh_a"), col("shh_b")) >= 0.5)
+        .select("id_a", "id_b")
+      val victims = connectedComponents(pairs)
+        .filter(col("id") =!= col("canonical_id")).select(col("id").as("doc_id"))
+      docsSpread(s, dir)
+        .filter(TextFunctions.qualityScore(col("text")) >= 0.5)
+        .join(broadcast(victims), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast(LongType).as("n_tokens"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+
     // Custom sketch AGGREGATE (UDAF): one mergeable MinHash signature per
     // source over all its docs' shingles — map-side partial agg, only
     // (groups × 16 longs) cross the shuffle.
@@ -254,6 +281,32 @@ object DedupQueries {
          |  AND len(list_filter(range(1, $Bands + 1), bi -> a.bands[bi] = b.bands[bi])) > 0
          |WHERE ${jaccardSql("a.shh", "b.shh")} >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "pipeline_corpus_prep" -> {
+      val q = graft.functions.TextQueries.quality
+      val ntokSql = graft.functions.TextQueries.sqlNTok
+      s"""WITH RECURSIVE t AS ($thCte),
+         |d AS (SELECT doc_id, ${shhSql(3)} AS shh FROM t),
+         |s AS (SELECT doc_id, shh, ${sigSql("shh")} AS sig FROM d),
+         |sb AS (SELECT doc_id, shh, list_transform(range(0, $Bands), bi ->
+         |  ${combineSql(s"sig[bi*$RowsPerBand+1:bi*$RowsPerBand+$RowsPerBand]")}) AS bands FROM s),
+         |p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sb a JOIN sb b ON a.doc_id < b.doc_id
+         |    AND len(list_filter(range(1, $Bands + 1), bi -> a.bands[bi] = b.bands[bi])) > 0
+         |  WHERE ${jaccardSql("a.shh", "b.shh")} >= 0.5),
+         |edges AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+         |reach(s, d) AS (
+         |  SELECT s, d FROM edges
+         |  UNION
+         |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+         |victims AS (
+         |  SELECT s AS doc_id FROM reach GROUP BY s HAVING least(s, min(d)) <> s)
+         |SELECT doc_id, CAST($ntokSql AS BIGINT) AS n_tokens, $q AS quality
+         |FROM documents
+         |WHERE ($q) >= 0.5 AND doc_id NOT IN (SELECT doc_id FROM victims)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "dedup_minhash_by_source" ->
       s"""WITH t AS ($thCte),
