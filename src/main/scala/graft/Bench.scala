@@ -34,6 +34,7 @@ object Bench {
       val runs = (1 to 2).map { _ =>
         try time(fn(spark, sfDir).count())
         catch { case _: Throwable => -1.0 }
+        finally spark.catalog.clearCache() // free per-query persists
       }
       coldTotal += math.max(runs.head, 0.0)
       name -> (if (runs.exists(_ < 0)) -1.0 else runs.min)

@@ -107,20 +107,33 @@ object NativeExpressions {
     */
   case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true // also null on ragged lengths
     override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
       copy(left = l, right = r)
 
-    override protected def nullSafeEval(a: Any, b: Any): Any =
-      DotProduct.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val (aa, bb) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+      // length mismatch => null, matching the HOF twin (zip_with pads with
+      // null and the sum propagates it) — a ragged row must surface as
+      // null, not as a plausible-looking truncated dot product
+      if (aa.numElements() != bb.numElements()) null
+      else DotProduct.dot(aa, bb)
+    }
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      defineCodeGen(ctx, ev, (a, b) =>
-        s"graft.functions.NativeExpressions.DotProduct$$.MODULE$$.dot($a, $b)")
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"""
+           |if ($a.numElements() != $b.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  ${ev.value} = graft.functions.NativeExpressions.DotProduct$$.MODULE$$.dot($a, $b);
+           |}
+         """.stripMargin)
   }
 
   object DotProduct {
     def dot(a: ArrayData, b: ArrayData): Double = {
-      val n = math.min(a.numElements(), b.numElements())
+      val n = a.numElements()
       var acc = 0.0
       var i = 0
       while (i < n) {

@@ -105,11 +105,13 @@ object DedupQueries {
       val victims = connectedComponents(pairs)
         .filter(col("id") =!= col("canonical_id")).select(col("id").as("doc_id"))
       docsSpread(s, dir)
-        .filter(TextFunctions.qualityScore(col("text")) >= 0.5)
+        // compute the (large, interpreted) quality tree once and reuse
+        .withColumn("quality", TextFunctions.qualityScore(col("text")))
+        .filter(col("quality") >= 0.5)
         .join(broadcast(victims), Seq("doc_id"), "left_anti")
         .select(col("doc_id"),
           TextFunctions.tokenCount(col("text")).cast(LongType).as("n_tokens"),
-          TextFunctions.qualityScore(col("text")).as("quality"))
+          col("quality"))
         .orderBy("doc_id")
     }),
 
@@ -118,6 +120,10 @@ object DedupQueries {
     // (groups × 16 longs) cross the shuffle.
     "dedup_minhash_by_source" -> ((s, dir) => {
       docShingles(s, dir)
+        // drop shingle-less docs so a source with ONLY short docs is absent
+        // on both engines (the oracle's unnest produces no rows for it;
+        // without this filter Spark would emit its sentinel signature)
+        .filter(size(col("shh")) > 0)
         .groupBy(col("source"))
         .agg(MinHashSketchAgg.column(col("shh")).as("sig"))
         .select(col("source"), combineHashes(col("sig")).as("sig_hash"))

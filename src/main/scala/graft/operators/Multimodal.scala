@@ -92,11 +92,12 @@ object Multimodal {
 
   /** Stub frame sampler: every 64-byte block of a "video" payload is one
     * frame; emits (id, frame_idx, frame checksum). flatMap shape — row
-    * counts change, schema stays typed. */
-  def sampleFrames(spark: SparkSession, media: DataFrame, mimePrefix: String,
+    * counts change, schema stays typed. Exact mime match ("fake/src1" as a
+    * prefix would also catch src10..src19 — not prefix-free). */
+  def sampleFrames(spark: SparkSession, media: DataFrame, mime: String,
                    frameBytes: Int = 64): Dataset[Frame] = {
     import spark.implicits._
-    media.filter(col("meta.mime").startsWith(mimePrefix))
+    media.filter(col("meta.mime") === mime)
       .select(col("id"), col("meta.mime").as("mime"),
         col("meta.width").as("width"), col("meta.height").as("height"), col("data"))
       .as[MediaRow]

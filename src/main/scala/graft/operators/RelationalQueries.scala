@@ -85,10 +85,7 @@ object RelationalQueries {
     // windowed aggregation (graft.streaming); window start as epoch seconds
     // (raw timestamps never cross the parquet boundary — flavor mismatch).
     "q_events_hourly" -> ((s, dir) => {
-      Tables.events(s, dir)
-        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n"))
-        .select(unix_timestamp(col("w.start")).as("hour_start"), col("event_type"), col("n"))
+      graft.streaming.EventStreams.hourlyCounts(Tables.events(s, dir))
         .orderBy(col("hour_start"), col("event_type"))
     }),
 

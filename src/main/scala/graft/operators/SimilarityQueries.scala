@@ -19,13 +19,15 @@ object SimilarityQueries {
   val NProbe = 4
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // persist: the prepared corpus (cast + interpreted norm per row) feeds
+    // multiple branches (corpus/query sides; centroids/assign/probe)
     "sim_topk_brute" -> ((s, dir) => {
-      val corpus = Similarity.prepare(Tables.embeddings(s, dir))
+      val corpus = Similarity.prepare(Tables.embeddings(s, dir)).persist()
       Similarity.bruteForceTopK(corpus, corpus.filter(col("vec_id") < NQueries), K)
         .orderBy("query_id", "rank")
     }),
     "sim_topk_ivf" -> ((s, dir) => {
-      val corpus = Similarity.prepare(Tables.embeddings(s, dir))
+      val corpus = Similarity.prepare(Tables.embeddings(s, dir)).persist()
       Similarity.ivfTopK(corpus, col("vec_id") < NQueries, NCentroids, NProbe, K)
         .orderBy("query_id", "rank")
     }),

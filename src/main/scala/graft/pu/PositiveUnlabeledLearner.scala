@@ -24,8 +24,11 @@ trait PositiveUnlabeledLearner {
 
   /** Applies PU learning, appending a column with P(positive) per row.
     *
-    * @param df dataframe containing the label and features columns; all
-    *           other columns pass through untouched
+    * @param df dataframe containing the label and features columns. Other
+    *           columns pass through; the input label column is CONSUMED
+    *           (replaced by internal ternary iteration labels `prevLabel`/
+    *           `curLabel`, which remain on the output — reference behavior,
+    *           TraditionalPULearner.scala:40,72-73)
     * @param labelColumnName column with 1 = positive, 0 = unlabeled
     * @param featuresColumnName column with the assembled
     *                           `ml.linalg.Vector` (e.g. VectorAssembler or

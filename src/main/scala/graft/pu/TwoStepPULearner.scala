@@ -82,6 +82,7 @@ abstract class TwoStepPULearner[
     */
   protected final class IterationState(checkpointEvery: Int = 3) {
     private var prev: Option[DataFrame] = None
+    private var prevPrev: Option[DataFrame] = None
     private var iter = 0
 
     def advance(df: DataFrame): DataFrame = {
@@ -91,7 +92,12 @@ abstract class TwoStepPULearner[
           df.localCheckpoint(eager = true) // also truncates lineage
         else
           df.persist(StorageLevel.MEMORY_AND_DISK)
-      prev.foreach(_.unpersist(blocking = false))
+      // persist() is lazy: unpersisting `prev` NOW would evict it before
+      // `cur` is ever materialized, forcing a full lineage recompute. Keep
+      // two generations — by the next advance(), actions (iterMetrics/fit)
+      // have materialized `cur`, so its grandparent is safely evictable.
+      prevPrev.foreach(_.unpersist(blocking = false))
+      prevPrev = prev
       prev = Some(cur)
       cur
     }

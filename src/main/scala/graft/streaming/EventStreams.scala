@@ -80,8 +80,12 @@ object EventStreams {
             val closed = Vector.newBuilder[Session]
             sorted.foreach { case (us, _) =>
               open match {
+                // in-gap events may arrive out of order across micro-batches:
+                // extend BOTH ends (a later batch can deliver an earlier
+                // event that still belongs to this session)
                 case Some(s) if us - s.endUs <= SessionGapMicros =>
-                  open = Some(OpenSession(s.startUs, math.max(s.endUs, us), s.n + 1))
+                  open = Some(OpenSession(math.min(s.startUs, us),
+                    math.max(s.endUs, us), s.n + 1))
                 case Some(s) =>
                   closed += Session(userId, s.startUs, s.endUs, s.n)
                   open = Some(OpenSession(us, us, 1))
