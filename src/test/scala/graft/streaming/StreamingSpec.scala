@@ -27,6 +27,31 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(want.nonEmpty)
   }
 
+  test("sessionization merges an out-of-order in-gap event from a later batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(id: Long, minute: Long) =
+      Event(id, new java.sql.Timestamp(1704067200000L + minute * 60000L), 7L, "x", 0.0)
+
+    val source = MemoryStream[Event]
+    val q = EventStreams.sessionizeStream(source.toDS())
+      .writeStream.format("memory").queryName("ooo_sessions")
+      .outputMode("append").start()
+    source.addData(ev(1, 10)) // batch 1: t=10min
+    q.processAllAvailable()
+    source.addData(ev(2, 5)) // batch 2: EARLIER but within the 30-min gap
+    q.processAllAvailable()
+    source.addData(ev(99, 10000)) // flush watermark
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("ooo_sessions").as[Session].collect()
+      .filter(_.user_id == 7L).toSeq
+    // one session covering BOTH events, starting at the earlier one
+    assert(got == Seq(Session(7L,
+      EventStreams.tsMicros(ev(2, 5).ts), EventStreams.tsMicros(ev(1, 10).ts), 2)))
+  }
+
   test("streaming dedup drops duplicate event_ids within the watermark") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
