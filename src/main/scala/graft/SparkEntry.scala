@@ -81,6 +81,12 @@ object SparkEntry {
           "puLabel", "features", "score")
         .select(col("doc_id"), col("score")).orderBy("doc_id")
     }),
+    "pu_gradreduction_rf" -> ((s, dir) => {
+      val learner = GradualReductionPULearnerConfig(0.5, RandomForestConfig(numTrees = 32)).build()
+      learner.weight(puEmb(s, dir).select("vec_id", "puLabel", "features"),
+          "puLabel", "features", "score")
+        .select(col("vec_id"), col("score")).orderBy("vec_id")
+    }),
     "pu_traditional_rf" -> ((s, dir) => {
       val learner = TraditionalPULearnerConfig(0.5, 1, RandomForestConfig(numTrees = 32)).build()
       learner.weight(puEmb(s, dir).select("vec_id", "puLabel", "features"),
