@@ -60,6 +60,11 @@ object Tables {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Fail LOUDLY if any generated code stops compiling (e.g. a kernel
+      // reference Janino can't resolve) instead of silently downgrading the
+      // whole stage to interpreted execution. Round-1 shipped exactly that
+      // silent downgrade; this keeps it from coming back.
+      .config("spark.sql.codegen.fallback", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

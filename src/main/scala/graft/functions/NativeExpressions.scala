@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Custom Catalyst expressions with whole-stage codegen for the per-row
@@ -19,13 +19,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * the DuckDB oracle gate stays green) as the HOF formulations they
   * replace, but compile to tight scalar loops inside whole-stage codegen.
   *
+  * The scalar loops live in the TOP-LEVEL [[NativeKernels]] object: the
+  * generated Java calls its static forwarders
+  * (`graft.functions.NativeKernels.polyHash(...)`), which Janino resolves
+  * directly. Referencing a *nested* Scala object by its dotted source name
+  * does not compile under Janino (binary names use `$` separators), and
+  * Spark's default `spark.sql.codegen.fallback=true` would mask that as a
+  * silent whole-stage-interpreted downgrade — the test session pins
+  * fallback=false so any regression here fails loudly.
+  *
   * Preference order per the build brief: compose built-ins where semantics
   * allow (everything else in this package), custom codegen `Expression`
   * where the built-in formulation can't reach native speed (here).
   */
 object NativeExpressions {
 
-  private val P = 1000000007L
+  private val Kernels = "graft.functions.NativeKernels"
 
   /** Rolling hash `acc := (acc*31 + charCodeUnit) mod 1e9+7` over a string.
     * Identical to `aggregate(split(s,''), 0L, (a,c) -> (a*31+ascii(c))%P)`
@@ -38,30 +47,18 @@ object NativeExpressions {
       copy(child = newChild)
 
     override protected def nullSafeEval(input: Any): Any =
-      PolyHash.hash(input.asInstanceOf[UTF8String])
+      NativeKernels.polyHash(input.asInstanceOf[UTF8String])
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      defineCodeGen(ctx, ev, c =>
-        s"graft.functions.NativeExpressions.PolyHash$$.MODULE$$.hash($c)")
-  }
-
-  object PolyHash {
-    def hash(u: UTF8String): Long = {
-      val s = u.toString
-      var acc = 0L
-      var i = 0
-      while (i < s.length) {
-        acc = (acc * 31L + s.charAt(i)) % P
-        i += 1
-      }
-      acc
-    }
+      defineCodeGen(ctx, ev, c => s"$Kernels.polyHash($c)")
   }
 
   /** Whitespace-run tokenization + per-token [[PolyHash]], one pass, no
     * regex. Identical to
     * `when(length(trim(s))=0, array()).otherwise(transform(split(trim(s),'\\s+'), polyHash))`
-    * — `\s` in Java regex is exactly [ \t\n\f\r], mirrored here.
+    * — Java-regex `\s` is exactly [ \t\n\u000B\f\r], mirrored in
+    * [[NativeKernels.tokenHashes]]. (DuckDB's RE2 `\s` excludes \u000B;
+    * oracle parity assumes a vertical-tab-free corpus — see kernel note.)
     */
   case class TokenHashes(child: Expression) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -69,35 +66,10 @@ object NativeExpressions {
       copy(child = newChild)
 
     override protected def nullSafeEval(input: Any): Any =
-      TokenHashes.compute(input.asInstanceOf[UTF8String])
+      NativeKernels.tokenHashes(input.asInstanceOf[UTF8String])
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      defineCodeGen(ctx, ev, c =>
-        s"graft.functions.NativeExpressions.TokenHashes$$.MODULE$$.compute($c)")
-  }
-
-  object TokenHashes {
-    private def isWs(c: Char): Boolean =
-      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
-
-    def compute(u: UTF8String): ArrayData = {
-      val s = u.toString
-      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
-      var i = 0
-      val n = s.length
-      while (i < n) {
-        while (i < n && isWs(s.charAt(i))) i += 1
-        if (i < n) {
-          var acc = 0L
-          while (i < n && !isWs(s.charAt(i))) {
-            acc = (acc * 31L + s.charAt(i)) % P
-            i += 1
-          }
-          out += acc
-        }
-      }
-      ArrayData.toArrayData(out.toArray)
-    }
+      defineCodeGen(ctx, ev, c => s"$Kernels.tokenHashes($c)")
   }
 
   /** Sequential-order dot product of two double arrays — identical IEEE
@@ -117,7 +89,7 @@ object NativeExpressions {
       // null and the sum propagates it) — a ragged row must surface as
       // null, not as a plausible-looking truncated dot product
       if (aa.numElements() != bb.numElements()) null
-      else DotProduct.dot(aa, bb)
+      else NativeKernels.dot(aa, bb)
     }
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -126,22 +98,32 @@ object NativeExpressions {
            |if ($a.numElements() != $b.numElements()) {
            |  ${ev.isNull} = true;
            |} else {
-           |  ${ev.value} = graft.functions.NativeExpressions.DotProduct$$.MODULE$$.dot($a, $b);
+           |  ${ev.value} = $Kernels.dot($a, $b);
            |}
          """.stripMargin)
   }
 
-  object DotProduct {
-    def dot(a: ArrayData, b: ArrayData): Double = {
-      val n = a.numElements()
-      var acc = 0.0
-      var i = 0
-      while (i < n) {
-        acc += a.getDouble(i) * b.getDouble(i)
-        i += 1
-      }
-      acc
-    }
+  /** `size(array_intersect(a, b))` over two strictly-ascending long arrays
+    * (the sorted-distinct shingle sets produced by
+    * `array_sort(array_distinct(...))`). Linear two-pointer merge in place
+    * of the interpreted hash-set build that `array_intersect` performs per
+    * row — the Jaccard verification hot path after LSH/grid banding.
+    * Precondition (sorted, distinct) is the caller's: results on unsorted
+    * input are undefined, matching the plan-level contract documented at
+    * the call site.
+    */
+  case class SortedIntersectSize(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = IntegerType
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectSize =
+      copy(left = l, right = r)
+
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      NativeKernels.sortedIntersectSize(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$Kernels.sortedIntersectSize($a, $b)")
   }
 
   // Column-level entry points
@@ -151,5 +133,8 @@ object NativeExpressions {
     GraftColumnBridge.column(TokenHashes(GraftColumnBridge.expression(c)))
   def dot(a: Column, b: Column): Column =
     GraftColumnBridge.column(DotProduct(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  def sortedIntersectSize(a: Column, b: Column): Column =
+    GraftColumnBridge.column(SortedIntersectSize(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 }

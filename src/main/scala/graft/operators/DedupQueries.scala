@@ -360,12 +360,12 @@ object DedupQueries {
       s"""WITH t0 AS ($thCte),
          |t AS (SELECT doc_id, ${shhSql(3)} AS th FROM t0),
          |s AS (SELECT doc_id, $simhashSql AS sh FROM t),
-         |sb AS (SELECT doc_id, sh, list_transform(range(0, 3), bi ->
-         |  CAST(floor(CAST(sh AS DOUBLE)/power(2, bi*10)) AS BIGINT) % 1024) AS bands FROM s)
+         |sb AS (SELECT doc_id, sh, list_transform(range(0, 4), bi ->
+         |  CAST(floor(CAST(sh AS DOUBLE)/power(2, bi*8)) AS BIGINT) % 256) AS bands FROM s)
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
          |FROM sb a JOIN sb b ON a.doc_id < b.doc_id
-         |  AND len(list_filter(range(1, 4), bi -> a.bands[bi] = b.bands[bi])) > 0
+         |  AND len(list_filter(range(1, 5), bi -> a.bands[bi] = b.bands[bi])) > 0
          |WHERE bit_count(xor(a.sh, b.sh)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
 

@@ -36,6 +36,40 @@ class NativeExpressionsSpec extends SparkSuite {
     assert(diff == 0)
   }
 
+  test("SortedIntersectSize == size(array_intersect) on sorted-distinct shingles") {
+    import spark.implicits._
+    val shingles = Tables.documents(spark, sf0001)
+      .select(TextFunctions.shingleHashes(col("text"), 3).as("s"))
+      .filter(size(col("s")) > 0)
+    val pairs = shingles.limit(60).crossJoin(shingles.limit(60).select(col("s").as("t")))
+    val diff = pairs.select(
+      NativeExpressions.sortedIntersectSize(col("s"), col("t")).as("native"),
+      size(array_intersect(col("s"), col("t"))).as("builtin"))
+      .filter(col("native") =!= col("builtin")).count()
+    assert(diff == 0)
+    // edge cases: empty vs non-empty, disjoint, identical, subset
+    val edges = Seq(
+      (Seq.empty[Long], Seq(1L, 2L), 0),
+      (Seq(1L, 3L, 5L), Seq(2L, 4L, 6L), 0),
+      (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L), 3),
+      (Seq(2L, 3L), Seq(1L, 2L, 3L, 9L), 2)).toDF("a", "b", "want")
+    assert(edges.filter(
+      NativeExpressions.sortedIntersectSize(col("a"), col("b")) =!= col("want"))
+      .count() == 0)
+  }
+
+  test("native expressions stay inside whole-stage codegen") {
+    // fallback=false in the session makes a Janino failure throw, but also
+    // assert the positive: the projection is inside a WholeStageCodegen span.
+    val df = Tables.documents(spark, sf0001).select(
+      NativeExpressions.polyHash(col("text")),
+      NativeExpressions.tokenHashes(col("text")))
+    val spans = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(spans.nonEmpty, s"no codegen span in:\n${df.queryExecution.executedPlan}")
+  }
+
   test("DotProduct == aggregate(zip_with) formulation on embeddings") {
     val e = Tables.embeddings(spark, sf0001)
       .select(transform(col("embedding"), x => x.cast(DoubleType)).as("v"))

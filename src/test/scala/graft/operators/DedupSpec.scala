@@ -81,6 +81,41 @@ class DedupSpec extends SparkSuite {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("connectedComponents: 64-node chain converges in O(log diameter) rounds") {
+    import spark.implicits._
+    // worst case for plain propagation: a single chain 1-2-...-64 (diameter
+    // 63 → 63 propagation rounds). Pointer doubling must do it in ≤ 8.
+    val pairs = (1L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, rounds) = Dedup.connectedComponentsWithStats(pairs)
+    val got = labels.as[(Long, Long)].collect().toMap
+    assert(got == (1L to 64L).map(_ -> 1L).toMap)
+    assert(rounds <= 8, s"took $rounds rounds — pointer doubling not engaging")
+  }
+
+  test("connectedComponents throws loudly instead of returning unconverged labels") {
+    import spark.implicits._
+    val pairs = (1L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponentsWithStats(pairs, maxIters = 2)
+    }
+  }
+
+  test("simhash 4-band split guarantees candidacy at hamming <= 3 (pigeonhole)") {
+    import spark.implicits._
+    // every possible 3-bit flip of a 30-bit simhash must share >=1 band
+    val base = 0x2AAAAAAAL & ((1L << 30) - 1) // alternating bits
+    val flips = for {
+      i <- 0 until 30; j <- i until 30; k <- j until 30
+    } yield base ^ (1L << i) ^ (1L << j) ^ (1L << k)
+    val df = flips.distinct.toDF("flipped").withColumn("base", lit(base))
+      .withColumn("ba", Dedup.simhashBands(col("base")))
+      .withColumn("bb", Dedup.simhashBands(col("flipped")))
+    val missed = df.filter(size(arrays_zip(col("ba"), col("bb"))
+      .cast("array<struct<x:bigint,y:bigint>>")) =!= 4 ||
+      !exists(zip_with(col("ba"), col("bb"), (x, y) => x === y), b => b)).count()
+    assert(missed == 0)
+  }
+
   test("cosine is 1 for parallel vectors, 0 for orthogonal") {
     import spark.implicits._
     val df = Seq((Seq(1.0f, 0.0f), Seq(2.0f, 0.0f), Seq(0.0f, 3.0f)))
