@@ -21,6 +21,12 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
     con = duckdb.connect()
+    # Register each parquet file as a view named exactly like the table, so
+    # the oracle SQL runs UNMODIFIED. The previous 'FROM <t>' string
+    # substitution would silently corrupt SQL if a CTE or alias ever shared
+    # a table-name prefix (e.g. a CTE named 'events2').
+    for t in TABLES:
+        con.sql(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     sqls = json.load(open(f"{out_dir}/oracle_sql.json"))
     ok, bad = 0, 0
     names = sorted(os.listdir(out_dir))
@@ -36,10 +42,6 @@ def main():
             bad += status != "ROWS_ONLY_OK"
             continue
         sql = sqls[name]
-        for t in TABLES:
-            sql = sql.replace(f"FROM {t}", f"FROM '{sf_dir}/{t}.parquet'")
-            sql = sql.replace(f"JOIN {t}", f"JOIN '{sf_dir}/{t}.parquet'")
-            sql = sql.replace(f", {t} ", f", '{sf_dir}/{t}.parquet' ")
         try:
             oracle = con.sql(sql).df()
         except Exception as e:

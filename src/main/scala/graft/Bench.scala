@@ -1,8 +1,18 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
 
 /** Benchmark main (driver contract): times every SparkEntry query at
-  * SPARK_GRAFT_SF_DIR, prints ONE JSON line.
+  * SPARK_GRAFT_SF_DIR, prints ONE JSON line (and mirrors it to
+  * bench_out.json so the driver's parse can't be broken by sbt/log
+  * interleaving on stdout).
+  *
+  * Each query is materialized through a `noop`-format write, NOT
+  * `.count()`: under `count(1)` Catalyst prunes every unused column and
+  * drops the sort, so a projection-only query "costs" only its scan —
+  * round 1 reported scan-count times for all map-only queries. The noop
+  * sink evaluates every output column of every row and discards them,
+  * which is the honest per-operator cost.
   *
   * Each query runs twice and reports the faster run: the first execution
   * of a plan is dominated by one-off driver work (analysis, codegen
@@ -32,7 +42,8 @@ object Bench {
     var coldTotal = 0.0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val runs = (1 to 2).map { _ =>
-        try time(fn(spark, sfDir).count())
+        try time(fn(spark, sfDir)
+          .write.format("noop").mode("overwrite").save())
         catch { case _: Throwable => -1.0 }
         finally spark.catalog.clearCache() // free per-query persists
       }
@@ -42,7 +53,10 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map { case (_, v) => math.max(v, 0.0) }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total_sec":$coldTotal,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total_sec":$coldTotal,"sf":"$sfDir"}"""
+    Files.writeString(Paths.get("bench_out.json"), json + "\n")
+    println(json)
     spark.stop()
   }
 }

@@ -17,8 +17,11 @@ object TimeOne {
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     for (q <- args; _ <- 1 to 2) {
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(q)(spark, sf).count()
-      println(f"$q rows=$n t=${(System.nanoTime() - t0) / 1e9}%.2f")
+      // noop sink, not count(): count(1) lets Catalyst prune all columns
+      // and skip the actual operator work (see Bench)
+      SparkEntry.queries(q)(spark, sf).write.format("noop").mode("overwrite").save()
+      println(f"$q t=${(System.nanoTime() - t0) / 1e9}%.2f")
+      spark.catalog.clearCache() // match Bench: no cross-run cache reuse
     }
     spark.stop()
   }

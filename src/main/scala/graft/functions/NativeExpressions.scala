@@ -126,6 +126,82 @@ object NativeExpressions {
       defineCodeGen(ctx, ev, (a, b) => s"$Kernels.sortedIntersectSize($a, $b)")
   }
 
+  /** Fused shingle front-end: sorted-distinct word n-gram hashes of a text
+    * column in one codegen'd pass (see [[NativeKernels.shingleHashes]]).
+    * Replaces the interpreted tokenHashes→windows→distinct→sort HOF chain
+    * that dominated every signature query's profile.
+    */
+  case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+    require(n >= 1, s"shingle width must be >= 1, got $n")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+      copy(child = newChild)
+
+    override protected def nullSafeEval(input: Any): Any =
+      NativeKernels.shingleHashes(input.asInstanceOf[UTF8String], n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Kernels.shingleHashes($c, $n)")
+  }
+
+  /** MinHash signature over a shingle-hash set (see
+    * [[NativeKernels.minhashSignature]]). */
+  case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
+    require(k >= 1, s"signature length must be >= 1, got $k")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+      copy(child = newChild)
+
+    override protected def nullSafeEval(input: Any): Any =
+      NativeKernels.minhashSignature(input.asInstanceOf[ArrayData], k)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Kernels.minhashSignature($c, $k)")
+  }
+
+  /** 30-bit frequency-weighted SimHash (see [[NativeKernels.simhash]]). */
+  case class SimHash(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override protected def withNewChildInternal(newChild: Expression): SimHash =
+      copy(child = newChild)
+
+    override protected def nullSafeEval(input: Any): Any =
+      NativeKernels.simhash(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Kernels.simhash($c)")
+  }
+
+  /** Per-band base-31 combine of a MinHash signature (see
+    * [[NativeKernels.bandHashes]]). */
+  case class BandHashes(child: Expression, bands: Int, rows: Int)
+      extends UnaryExpression {
+    require(bands >= 1 && rows >= 1, s"bad banding ($bands x $rows)")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def withNewChildInternal(newChild: Expression): BandHashes =
+      copy(child = newChild)
+
+    override protected def nullSafeEval(input: Any): Any =
+      NativeKernels.bandHashes(input.asInstanceOf[ArrayData], bands, rows)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Kernels.bandHashes($c, $bands, $rows)")
+  }
+
+  /** Base-31 combine of a long array into one value (see
+    * [[NativeKernels.polyCombine]]). */
+  case class PolyCombine(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override protected def withNewChildInternal(newChild: Expression): PolyCombine =
+      copy(child = newChild)
+
+    override protected def nullSafeEval(input: Any): Any =
+      NativeKernels.polyCombine(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Kernels.polyCombine($c)")
+  }
+
   // Column-level entry points
   def polyHash(c: Column): Column =
     GraftColumnBridge.column(PolyHash(GraftColumnBridge.expression(c)))
@@ -137,4 +213,14 @@ object NativeExpressions {
   def sortedIntersectSize(a: Column, b: Column): Column =
     GraftColumnBridge.column(SortedIntersectSize(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  def shingleHashes(text: Column, n: Int): Column =
+    GraftColumnBridge.column(ShingleHashes(GraftColumnBridge.expression(text), n))
+  def minhashSignature(shh: Column, k: Int): Column =
+    GraftColumnBridge.column(MinHashSignature(GraftColumnBridge.expression(shh), k))
+  def simhash(th: Column): Column =
+    GraftColumnBridge.column(SimHash(GraftColumnBridge.expression(th)))
+  def bandHashes(sig: Column, bands: Int, rows: Int): Column =
+    GraftColumnBridge.column(BandHashes(GraftColumnBridge.expression(sig), bands, rows))
+  def polyCombine(arr: Column): Column =
+    GraftColumnBridge.column(PolyCombine(GraftColumnBridge.expression(arr)))
 }

@@ -37,9 +37,7 @@ object NativeKernels {
   private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
-  /** Whitespace-run tokenization + per-token [[polyHash]], one pass. */
-  def tokenHashes(u: UTF8String): ArrayData = {
-    val s = u.toString
+  private def tokenHashesArray(s: String): Array[Long] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Long]
     var i = 0
     val n = s.length
@@ -54,7 +52,128 @@ object NativeKernels {
         out += acc
       }
     }
-    ArrayData.toArrayData(out.toArray)
+    out.toArray
+  }
+
+  /** Whitespace-run tokenization + per-token [[polyHash]], one pass. */
+  def tokenHashes(u: UTF8String): ArrayData =
+    ArrayData.toArrayData(tokenHashesArray(u.toString))
+
+  /** Sorted-distinct hashes of the word n-gram shingles of `text` — the
+    * full per-document signature front-end (tokenize → per-token hash →
+    * n-window base-31 combine → distinct → ascending sort) fused into one
+    * pass. Bit-identical to the HOF chain
+    * `array_sort(array_distinct(transform(windows, base31-combine)))` over
+    * [[tokenHashes]].
+    */
+  def shingleHashes(u: UTF8String, n: Int): ArrayData = {
+    val th = tokenHashesArray(u.toString)
+    if (th.length < n) return ArrayData.toArrayData(Array.empty[Long])
+    val m = th.length - n + 1
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var acc = 0L
+      var j = 0
+      while (j < n) {
+        acc = (acc * 31L + th(i + j)) % P
+        j += 1
+      }
+      out(i) = acc
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    // in-place dedup of the sorted run
+    var w = 0
+    i = 0
+    while (i < m) {
+      if (w == 0 || out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
+      i += 1
+    }
+    ArrayData.toArrayData(if (w == m) out else java.util.Arrays.copyOf(out, w))
+  }
+
+  /** MinHash signature (k longs) of a shingle-hash set: position j is the
+    * minimum of `(a_j*h + b_j) mod P` over the set, or the sentinel P for
+    * an empty set. The j-th universal-hash params derive from j with the
+    * same LCG step as the column/oracle formulation. All intermediates fit
+    * a long: a_j, h < P ≈ 2^30, so a_j*h < 2^60.
+    */
+  def minhashSignature(shh: ArrayData, k: Int): ArrayData = {
+    val n = shh.numElements()
+    val out = new Array[Long](k)
+    var j = 0
+    while (j < k) {
+      val a = (1103515245L * (j + 1) + 12345L) % P
+      val b = (1103515245L * (j + 7) + 54321L) % P
+      var m = P
+      var i = 0
+      while (i < n) {
+        val v = (a * shh.getLong(i) + b) % P
+        if (v < m) m = v
+        i += 1
+      }
+      out(j) = m
+      j += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  /** Frequency-weighted 30-bit SimHash over token/shingle hashes: bit j set
+    * iff sum over hashes of (bit j ? +1 : -1) > 0. `(h>>j)&1` equals the
+    * HOF/oracle's `floor(h/2^j) % 2` for the non-negative sub-2^30 inputs
+    * produced by the hash pipeline.
+    */
+  def simhash(th: ArrayData): Long = {
+    val bits = 30
+    val counts = new Array[Int](bits)
+    val n = th.numElements()
+    var i = 0
+    while (i < n) {
+      val h = th.getLong(i)
+      var j = 0
+      while (j < bits) {
+        if (((h >> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var acc = 0L
+    var j = 0
+    while (j < bits) {
+      if (counts(j) > 0) acc |= (1L << j)
+      j += 1
+    }
+    acc
+  }
+
+  /** One base-31 combine per LSH band over a MinHash signature. */
+  def bandHashes(sig: ArrayData, bands: Int, rows: Int): ArrayData = {
+    val out = new Array[Long](bands)
+    var i = 0
+    while (i < bands) {
+      var acc = 0L
+      var j = 0
+      while (j < rows) {
+        acc = (acc * 31L + sig.getLong(i * rows + j)) % P
+        j += 1
+      }
+      out(i) = acc
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  /** Base-31 combine of a whole long array into one value. */
+  def polyCombine(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc = (acc * 31L + arr.getLong(i)) % P
+      i += 1
+    }
+    acc
   }
 
   /** Ascending-index single-accumulator dot product (IEEE order matches the

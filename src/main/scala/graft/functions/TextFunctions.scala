@@ -94,17 +94,15 @@ object TextFunctions {
     * engines produce identical array order (array equality in the oracle).
     *
     * A shingle's hash is the base-31 combine of its tokens' [[polyHash]]es
-    * (NOT the hash of the joined string): tokens are hashed once per row
-    * and each shingle is then 3 multiply-adds — no per-shingle string work.
+    * (NOT the hash of the joined string). Backed by the fused codegen'd
+    * kernel ([[NativeExpressions.ShingleHashes]]) — bit-identical to the
+    * HOF formulation
+    * `array_sort(array_distinct(transform(windows over tokenHashes, base31)))`
+    * (pinned by NativeExpressionsSpec), which interprets per element and
+    * dominated every signature query's profile.
     */
   def shingleHashes(text: Column, n: Int): Column =
-    bound(tokenHashes(text)) { th =>
-      array_sort(array_distinct(
-        when(size(th) < n, array().cast("array<bigint>"))
-          .otherwise(transform(sequence(lit(1), size(th) - lit(n - 1)), i =>
-            aggregate(slice(th, i, lit(n)), lit(0L),
-              (acc, h) => (acc * lit(HashBase) + h) % lit(HashMod))))))
-    }
+    NativeExpressions.shingleHashes(text, n)
 
   // --------------------------------------------------------------------
   // Quality scoring (length / punctuation / stopword ratios)

@@ -41,36 +41,27 @@ object Dedup {
   val Bands = 8
   val RowsPerBand: Int = MinHashK / Bands
 
-  /** j-th universal-hash parameters, derived from j with an LCG step so the
-    * identical constants inline into the DuckDB oracle. */
-  private def hashA(j: Column): Column = (lit(1103515245L) * (j + lit(1)) + lit(12345L)) % lit(P)
-  private def hashB(j: Column): Column = (lit(1103515245L) * (j + lit(7)) + lit(54321L)) % lit(P)
-
   /** MinHash signature (array<bigint>, length k) of a shingle-hash set
     * column ([[TextFunctions.shingleHashes]]). Empty set → sentinel P at
-    * every position (matches the oracle's coalesce).
+    * every position (matches the oracle's coalesce). The j-th universal
+    * hash is `(a_j*h + b_j) mod P` with params derived from j by an LCG
+    * step — identical constants inline into the DuckDB oracle. Codegen'd
+    * kernel ([[graft.functions.NativeExpressions.MinHashSignature]]);
+    * bit-equality with the HOF formulation is pinned by
+    * NativeExpressionsSpec.
     */
   def minhashSignature(shingleHashes: Column, k: Int = MinHashK): Column =
-    TextFunctions.bound(shingleHashes) { shh =>
-      transform(sequence(lit(0), lit(k - 1)), j =>
-        coalesce(
-          array_min(transform(shh, h => (hashA(j) * h + hashB(j)) % lit(P))),
-          lit(P)))
-    }
+    graft.functions.NativeExpressions.minhashSignature(shingleHashes, k)
 
   /** One bigint per LSH band: polynomial combine of the band's signature
     * rows. Equal band hash => candidate pair. */
   def bandHashes(sig: Column, bands: Int = Bands, rows: Int = RowsPerBand): Column =
-    TextFunctions.bound(sig) { s =>
-      transform(sequence(lit(0), lit(bands - 1)), i =>
-        aggregate(slice(s, i * lit(rows) + lit(1), lit(rows)), lit(0L),
-          (acc, x) => (acc * lit(31L) + x) % lit(P)))
-    }
+    graft.functions.NativeExpressions.bandHashes(sig, bands, rows)
 
   /** Rolling combine of a full signature into one bigint (compact output /
     * compare key). */
   def combineHashes(sig: Column): Column =
-    aggregate(sig, lit(0L), (acc, x) => (acc * lit(31L) + x) % lit(P))
+    graft.functions.NativeExpressions.polyCombine(sig)
 
   /** Candidate near-dup pairs from banded signatures.
     *
@@ -115,16 +106,12 @@ object Dedup {
 
   /** Frequency-weighted SimHash over a token-hash array: bit j of the
     * result is set iff sum over tokens of (bit j of hash ? +1 : -1) > 0.
+    * Codegen'd kernel ([[graft.functions.NativeExpressions.SimHash]]) —
+    * the HOF formulation re-walked the token array once PER BIT,
+    * interpreted; bit-equality pinned by NativeExpressionsSpec.
     */
   def simhash(tokenHashes: Column): Column =
-    TextFunctions.bound(tokenHashes) { th =>
-      aggregate(sequence(lit(0), lit(SimHashBits - 1)), lit(0L), (acc, j) => {
-        val bitSum = aggregate(th, lit(0L), (acc2, h) =>
-          acc2 + when(floor(h.cast(DoubleType) / pow(lit(2.0), j)).cast(LongType) % 2 === 1,
-            lit(1L)).otherwise(lit(-1L)))
-        acc + when(bitSum > 0, pow(lit(2.0), j).cast(LongType)).otherwise(lit(0L))
-      })
-    }
+    graft.functions.NativeExpressions.simhash(tokenHashes)
 
   /** Split a simhash into `bands` values of `bitsPerBand` bits each (for
     * banded candidate joins — near-identical docs collide on ≥1 band).
@@ -280,7 +267,7 @@ object Dedup {
       val next = preCheckpoint.localCheckpoint(true)
       val changed = preCheckpoint.queryExecution.observedMetrics.get(metricName)
         .flatMap(r => Option(r.getAs[Long]("changed"))).getOrElse(0L)
-      unpersistCheckpointed(labels)
+      graft.CheckpointUtil.release(labels)
       labels = next
       converged = changed == 0L
     }

@@ -33,7 +33,9 @@ object DedupQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "dedup_exact" -> ((s, dir) => {
-      exactDedup(Tables.documents(s, dir), "doc_id", "text").orderBy("canonical_id")
+      // docsSpread: the fingerprint hash runs across all cores instead of
+      // inside the (single-row-group) scan task
+      exactDedup(docsSpread(s, dir), "doc_id", "text").orderBy("canonical_id")
     }),
 
     "dedup_minhash_sig" -> ((s, dir) => {

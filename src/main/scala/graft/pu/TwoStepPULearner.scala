@@ -96,7 +96,9 @@ abstract class TwoStepPULearner[
       // `cur` is ever materialized, forcing a full lineage recompute. Keep
       // two generations — by the next advance(), actions (iterMetrics/fit)
       // have materialized `cur`, so its grandparent is safely evictable.
-      prevPrev.foreach(_.unpersist(blocking = false))
+      // release() also frees localCheckpoint blocks, which plain
+      // unpersist/clearCache never reach.
+      prevPrev.foreach(graft.CheckpointUtil.release)
       prevPrev = prev
       prev = Some(cur)
       cur

@@ -74,31 +74,37 @@ object EventStreams {
             state.remove()
             Iterator.single(Session(userId, s.startUs, s.endUs, s.n))
           } else {
-            val sorted = newEvents
-              .map(e => (tsMicros(e.ts), e.event_id)).toVector.sortBy(identity)
-            var open = state.getOption
-            val closed = Vector.newBuilder[Session]
-            sorted.foreach { case (us, _) =>
-              open match {
-                // in-gap events may arrive out of order across micro-batches:
-                // extend BOTH ends (a later batch can deliver an earlier
-                // event that still belongs to this session)
-                case Some(s) if us - s.endUs <= SessionGapMicros =>
-                  open = Some(OpenSession(math.min(s.startUs, us),
-                    math.max(s.endUs, us), s.n + 1))
-                case Some(s) =>
-                  closed += Session(userId, s.startUs, s.endUs, s.n)
-                  open = Some(OpenSession(us, us, 1))
-                case None =>
-                  open = Some(OpenSession(us, us, 1))
-              }
+            // Out-of-order events may arrive across micro-batches (anything
+            // the watermark hasn't sealed). Treat the open session and each
+            // new event as intervals, sort, and gap-merge: an event earlier
+            // than (session start - gap) correctly forms its OWN session
+            // instead of being glued onto the open one (the old guard only
+            // compared against session END, accepting arbitrarily-early
+            // events), and consecutive early events group with each other.
+            val intervals = (state.getOption.toVector.map(s => (s.startUs, s.endUs, s.n)) ++
+              newEvents.map(e => { val us = tsMicros(e.ts); (us, us, 1L) }))
+              .sortBy(iv => (iv._1, iv._2))
+            val merged = intervals.foldLeft(Vector.empty[(Long, Long, Long)]) {
+              (acc, iv) =>
+                acc.lastOption match {
+                  case Some((s0, e0, n0)) if iv._1 - e0 <= SessionGapMicros =>
+                    acc.init :+ ((s0, math.max(e0, iv._2), n0 + iv._3))
+                  case _ => acc :+ iv
+                }
             }
-            open.foreach { s =>
-              state.update(s)
+            // every interval but the last is followed by a >gap hole: closed.
+            // Stream==batch equivalence still requires watermarkDelay <= gap
+            // (an emitted session must be beyond extension by in-watermark
+            // events); both are 30 minutes here.
+            val closed = merged.init.map { case (s0, e0, n0) =>
+              Session(userId, s0, e0, n0)
+            }
+            merged.lastOption.foreach { case (s0, e0, n0) =>
+              state.update(OpenSession(s0, e0, n0))
               // close the session once the watermark passes end + gap
-              state.setTimeoutTimestamp(s.endUs / 1000L + SessionGapMicros / 1000L)
+              state.setTimeoutTimestamp(e0 / 1000L + SessionGapMicros / 1000L)
             }
-            closed.result().iterator
+            closed.iterator
           }
       }
   }

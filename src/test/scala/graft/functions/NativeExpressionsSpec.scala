@@ -70,6 +70,62 @@ class NativeExpressionsSpec extends SparkSuite {
     assert(spans.nonEmpty, s"no codegen span in:\n${df.queryExecution.executedPlan}")
   }
 
+  test("ShingleHashes/MinHashSignature/SimHash/BandHashes/PolyCombine == HOF formulations") {
+    import spark.implicits._
+    val P = 1000000007L
+    val n = 3
+    // the HOF chains the kernels replaced, reconstructed verbatim
+    def bound(arr: org.apache.spark.sql.Column)(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      element_at(transform(array(arr), a => f(a)), 1)
+    val hofShingles = bound(NativeExpressions.tokenHashes(col("text"))) { th =>
+      array_sort(array_distinct(
+        when(size(th) < n, array().cast("array<bigint>"))
+          .otherwise(transform(sequence(lit(1), size(th) - lit(n - 1)), i =>
+            aggregate(slice(th, i, lit(n)), lit(0L),
+              (acc, h) => (acc * lit(31L) + h) % lit(P))))))
+    }
+    def hashA(j: org.apache.spark.sql.Column) = (lit(1103515245L) * (j + lit(1)) + lit(12345L)) % lit(P)
+    def hashB(j: org.apache.spark.sql.Column) = (lit(1103515245L) * (j + lit(7)) + lit(54321L)) % lit(P)
+    val k = 16
+    def hofSig(shh: org.apache.spark.sql.Column) =
+      transform(sequence(lit(0), lit(k - 1)), j =>
+        coalesce(array_min(transform(shh, h => (hashA(j) * h + hashB(j)) % lit(P))), lit(P)))
+    def hofSimhash(th: org.apache.spark.sql.Column) =
+      aggregate(sequence(lit(0), lit(29)), lit(0L), (acc, j) => {
+        val bitSum = aggregate(th, lit(0L), (a2, h) =>
+          a2 + when(floor(h.cast("double") / pow(lit(2.0), j)).cast("long") % 2 === 1,
+            lit(1L)).otherwise(lit(-1L)))
+        acc + when(bitSum > 0, pow(lit(2.0), j).cast("long")).otherwise(lit(0L))
+      })
+    def hofBands(s: org.apache.spark.sql.Column, bands: Int, rows: Int) =
+      transform(sequence(lit(0), lit(bands - 1)), i =>
+        aggregate(slice(s, i * lit(rows) + lit(1), lit(rows)), lit(0L),
+          (acc, x) => (acc * lit(31L) + x) % lit(P)))
+    def hofCombine(s: org.apache.spark.sql.Column) =
+      aggregate(s, lit(0L), (acc, x) => (acc * lit(31L) + x) % lit(P))
+
+    val corpus = Tables.documents(spark, sf0001).select(col("text"))
+      .unionAll(Seq("", "   ", "one", "a b", "a b c", "a b c d e a b c").toDF("text"))
+      .withColumn("nat_shh", NativeExpressions.shingleHashes(col("text"), n))
+      .withColumn("hof_shh", hofShingles)
+    val diff = corpus
+      .withColumn("nat_sig", NativeExpressions.minhashSignature(col("nat_shh"), k))
+      .withColumn("hof_sig", bound(col("hof_shh"))(hofSig))
+      .withColumn("nat_sh", NativeExpressions.simhash(col("nat_shh")))
+      .withColumn("hof_sh", bound(col("hof_shh"))(hofSimhash))
+      .withColumn("nat_b", NativeExpressions.bandHashes(col("nat_sig"), 8, 2))
+      .withColumn("hof_b", bound(col("hof_sig"))(s => hofBands(s, 8, 2)))
+      .withColumn("nat_c", NativeExpressions.polyCombine(col("nat_sig")))
+      .withColumn("hof_c", bound(col("hof_sig"))(hofCombine))
+      .filter(not(col("nat_shh") === col("hof_shh")) ||
+        not(col("nat_sig") === col("hof_sig")) ||
+        col("nat_sh") =!= col("hof_sh") ||
+        not(col("nat_b") === col("hof_b")) ||
+        col("nat_c") =!= col("hof_c"))
+      .count()
+    assert(diff == 0)
+  }
+
   test("DotProduct == aggregate(zip_with) formulation on embeddings") {
     val e = Tables.embeddings(spark, sf0001)
       .select(transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
