@@ -41,6 +41,23 @@ object SparkEntry {
     */
   private def puEmb(s: SparkSession, dir: String): DataFrame = PU.puEmbeddings(s, dir)
 
+  /** PU rows whose feature vector is exactly the deterministic stub score —
+    * the seam that makes the full loops oracle-checkable: the shifting stub
+    * model scores clamp01(features(0) + k*delta), so with features(0) =
+    * stubScore the whole iteration is a closed-form function of
+    * (vec_id, refit count).
+    */
+  private def puStubFeatures(s: SparkSession, dir: String): DataFrame =
+    puEmb(s, dir).select(col("vec_id"), col("puLabel"),
+      org.apache.spark.ml.functions.array_to_vector(array(stubScore)).as("features"))
+
+  /** Shifting stub wired to the learners' internal column names, same as
+    * the real classifier configs (ProbabilisticClassifierConfig). */
+  private def stubClassifier(delta: Double): ShiftingStubClassifier =
+    new ShiftingStubClassifier(delta)
+      .setLabelCol(ProbabilisticClassifierConfig.labelName)
+      .setFeaturesCol(ProbabilisticClassifierConfig.featuresName)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     coreQueries ++ graft.functions.TextQueries.queries ++
       graft.operators.DedupQueries.queries ++
@@ -92,6 +109,56 @@ object SparkEntry {
       learner.weight(puEmb(s, dir).select("vec_id", "puLabel", "features"),
           "puLabel", "features", "score")
         .select(col("vec_id"), col("score")).orderBy("vec_id")
+    }),
+
+    // ============================================================
+    // FULL PU loops under the shifting stub classifier — the complete
+    // O16/O17 iterated recurrence (thresholds, rotation, early exit,
+    // 3-term convergence) with hash-exact DuckDB twins (the twins
+    // unroll the loop iteration by iteration, gates included).
+    // ============================================================
+    "pu_traditional_stub" -> ((s, dir) => {
+      // delta<0: each refit lowers scores, converting a fresh band per
+      // iteration — all 3 iterations of the Traditional loop execute
+      val learner = new TraditionalPULearner(0.5, 3, stubClassifier(-0.125))
+      val out = learner.weight(puStubFeatures(s, dir), "puLabel", "features", "score")
+      // early exit returns before the rotate, so the final ternary label
+      // is curLabel there and prevLabel after a full run
+      val labelCol = if (out.columns.contains("curLabel")) "curLabel" else "prevLabel"
+      out.select(col("vec_id"), col("score"),
+          col(labelCol).cast(IntegerType).as("pu_final"))
+        .orderBy("vec_id")
+    }),
+    "pu_gradreduction_stub" -> ((s, dir) => {
+      // delta>0: each refit raises scores, promoting reliable negatives
+      // back to undefined — the gradual-reduction path + convergence
+      // (exits body 2 via the curGain < prevGain term at sf0.01)
+      val learner = new GradualReductionPULearner(0.5, stubClassifier(0.125))
+      val out = learner.weight(puStubFeatures(s, dir), "puLabel", "features", "score")
+      out.select(col("vec_id"), col("score"),
+          col("curLabel").cast(IntegerType).as("pu_final"))
+        .orderBy("vec_id")
+    }),
+    "pu_traditional_stub_exit" -> ((s, dir) => {
+      // delta=0: refits never move scores, so iteration 2 converts nothing
+      // and the loop takes the EARLY-EXIT return (before rotation — the
+      // output still carries curLabel), the path pu_traditional_stub's
+      // full run never reaches
+      val learner = new TraditionalPULearner(0.5, 3, stubClassifier(0.0))
+      val out = learner.weight(puStubFeatures(s, dir), "puLabel", "features", "score")
+      out.select(col("vec_id"), col("score"),
+          col("curLabel").cast(IntegerType).as("pu_final"))
+        .orderBy("vec_id")
+    }),
+    "pu_gradreduction_stub_fast" -> ((s, dir) => {
+      // delta=0.5: the first refit promotes every reliable negative back to
+      // undefined, so body 1's convergence test fails on the
+      // totalPos < totalRelNeg term — the remaining untested exit path
+      val learner = new GradualReductionPULearner(0.5, stubClassifier(0.5))
+      val out = learner.weight(puStubFeatures(s, dir), "puLabel", "features", "score")
+      out.select(col("vec_id"), col("score"),
+          col("curLabel").cast(IntegerType).as("pu_final"))
+        .orderBy("vec_id")
     }),
 
     // ============================================================
@@ -179,10 +246,113 @@ object SparkEntry {
       graft.operators.MultimodalQueries.oracles ++
       graft.streaming.StreamingQueries.oracles
 
+  // SQL twin of PU.puEmbeddings' deterministic labeling
+  private val puLabelSql = "CASE WHEN label = 5 AND vec_id % 2 = 0 THEN 1 ELSE 0 END"
+
+  /** Shifted stub score after k refits, mirroring ShiftingStubModel's
+    * clamp01(f0 + k*delta) operation order bit-for-bit. */
+  private def stubShiftSql(k: Int, delta: Double): String =
+    s"LEAST(1.0, GREATEST(0.0, f0 + ($k * $delta)))"
+
+  /** DuckDB twin of the FULL Traditional PU loop (O16) under the shifting
+    * stub: the loop unrolls into a LINEAR chain of nested subqueries — two
+    * levels per iteration m: one computes the binarize rotation l_m, the
+    * next the newRelNeg metric n_m as a `COUNT(...) OVER ()` window column —
+    * with each iteration gated on the previous one's early-exit test exactly
+    * like the driver loop. Once some n_m = 0 the labels freeze (the gate
+    * propagates), so the unroll is exact for every exit path. Score output
+    * is the score as of the LAST refit actually performed (early exit
+    * returns before the refit, full runs refit after every iteration).
+    *
+    * Linear nesting (each level referenced exactly once) is load-bearing:
+    * a CTE formulation where level m references level m-1 several times
+    * (gate + FROM + count) re-inlines the chain exponentially in DuckDB.
+    */
+  private def traditionalStubSql(theta: Double, delta: Double, maxIters: Int): String = {
+    def s(k: Int) = stubShiftSql(k, delta)
+    var q = s"""SELECT vec_id, CASE WHEN ($puLabelSql) = 1 THEN 1 ELSE -1 END AS l0,
+               |       (vec_id % 97) / 96.0 AS f0
+               |FROM embeddings""".stripMargin
+    for (m <- 1 to maxIters) {
+      val gate = if (m == 1) "" else s"WHEN n${m - 1} = 0 THEN l${m - 1} "
+      q = s"""SELECT *,
+             |  CASE ${gate}WHEN l${m - 1} = -1 THEN (CASE WHEN ${s(m - 1)} < $theta THEN 0 ELSE -1 END)
+             |       ELSE l${m - 1} END AS l$m
+             |FROM ($q)""".stripMargin
+      q = s"""SELECT *,
+             |  COUNT(CASE WHEN l${m - 1} = -1 AND l$m = 0 THEN 1 END) OVER () AS n$m
+             |FROM ($q)""".stripMargin
+    }
+    val scoreCase = (1 to maxIters)
+      .map(m => s"WHEN n$m = 0 THEN ${s(m - 1)}")
+      .mkString(" ")
+    s"""SELECT vec_id,
+       |  CASE $scoreCase ELSE ${s(maxIters)} END AS score,
+       |  CAST(l$maxIters AS INTEGER) AS pu_final
+       |FROM ($q) ORDER BY vec_id""".stripMargin
+  }
+
+  /** DuckDB twin of the FULL PU-LEA / GradualReduction loop (O17) under the
+    * shifting stub. Entry thresholding, then one unrolled do-while body per
+    * j — inner re-thresholding of reliable negatives at the refit-j score,
+    * gated on the previous body's three-term convergence test
+    * `curGain > 0 && curGain < prevGain && totalPos < totalRelNeg`.
+    * All counts are `COUNT(...) OVER ()` window columns carried along a
+    * LINEAR chain of nested subqueries (three levels per body: labels,
+    * relneg count, convergence flag) — each level referenced exactly once,
+    * because a multi-reference CTE formulation re-inlines exponentially in
+    * DuckDB. The driver's `prevGain = Long.MaxValue` seed makes the
+    * `curGain < prevGain` term vacuous at body 1, so c1 drops it. Labels
+    * freeze once a gate fails (frozen labels give curGain = 0, so later
+    * gates stay false) — the unroll is exact for every exit path. `unroll`
+    * must exceed the structural bound ceil(theta/delta)+1 on executed
+    * bodies.
+    */
+  private def gradReductionStubSql(theta: Double, delta: Double, unroll: Int): String = {
+    def s(k: Int) = stubShiftSql(k, delta)
+    var q = s"""SELECT vec_id, CASE WHEN ($puLabelSql) = 1 THEN 1 ELSE -1 END AS l0,
+               |       (vec_id % 97) / 96.0 AS f0
+               |FROM embeddings""".stripMargin
+    // entry thresholding of undefined rows at the zeroStep score
+    q = s"""SELECT *,
+           |  CASE WHEN l0 = -1 THEN (CASE WHEN ${s(0)} < $theta THEN 0 ELSE -1 END)
+           |       ELSE l0 END AS l1
+           |FROM ($q)""".stripMargin
+    q = s"""SELECT *,
+           |  COUNT(CASE WHEN l1 = 1 THEN 1 END) OVER () AS p,
+           |  COUNT(CASE WHEN l1 = 0 THEN 1 END) OVER () AS r1
+           |FROM ($q)""".stripMargin
+    for (j <- 1 to unroll) {
+      val gate = if (j == 1) "" else s"WHEN NOT c${j - 1} THEN l$j "
+      // body j: inner binarize of reliable negatives at the refit-j score
+      q = s"""SELECT *,
+             |  CASE ${gate}WHEN l$j = 0 THEN (CASE WHEN ${s(j)} < $theta THEN 0 ELSE -1 END)
+             |       ELSE l$j END AS l${j + 1}
+             |FROM ($q)""".stripMargin
+      q = s"""SELECT *,
+             |  COUNT(CASE WHEN l${j + 1} = 0 THEN 1 END) OVER () AS r${j + 1}
+             |FROM ($q)""".stripMargin
+      val curGain = s"(r$j - r${j + 1})"
+      val ltPrev = if (j == 1) "" else s" AND $curGain < (r${j - 1} - r$j)"
+      q = s"""SELECT *,
+             |  ($curGain > 0$ltPrev AND p < r${j + 1}) AS c$j
+             |FROM ($q)""".stripMargin
+    }
+    val scoreCase = (1 to unroll - 1)
+      .map(j => s"WHEN NOT c$j THEN ${s(j)}")
+      .mkString(" ")
+    s"""SELECT vec_id,
+       |  CASE $scoreCase ELSE ${s(unroll)} END AS score,
+       |  CAST(l${unroll + 1} AS INTEGER) AS pu_final
+       |FROM ($q) ORDER BY vec_id""".stripMargin
+  }
+
   private def coreOracles: Map[String, String] = {
-    // SQL twin of PU.puEmbeddings' deterministic labeling
-    val puLabelSql = "CASE WHEN label = 5 AND vec_id % 2 = 0 THEN 1 ELSE 0 END"
     Map(
+      "pu_traditional_stub" -> traditionalStubSql(0.5, -0.125, 3),
+      "pu_traditional_stub_exit" -> traditionalStubSql(0.5, 0.0, 3),
+      "pu_gradreduction_stub" -> gradReductionStubSql(0.5, 0.125, 6),
+      "pu_gradreduction_stub_fast" -> gradReductionStubSql(0.5, 0.5, 2),
       "pu_replace_zeros" ->
         s"""SELECT vec_id,
            |  CASE WHEN ($puLabelSql) = 1 THEN 1 ELSE -1 END AS prev_label
