@@ -73,11 +73,45 @@ object Similarity {
       .filter(col("crn") === 1)
       .select(col("vec_id"), col("cen_id"), col("v"), col("nrm"))
 
+  /** Trained coarse centroids via Spark ML k-means (k-means|| init, fixed
+    * seed): the production alternative to [[centroids]]. Vectors are
+    * L2-normalized before training (spherical k-means), so Euclidean argmin
+    * on the trained centers agrees with the cosine argmax [[ivfAssign]]
+    * uses. Balanced lists mean probe cost is ~|corpus|·nProbe/nCentroids
+    * even on clustered corpora, where first-N centroids can degenerate.
+    * Seeded-deterministic per Spark version but not oracle-replicable
+    * (like [[lshTopK]]) → rows-only driver check + recall spec. */
+  def kmeansCentroids(corpus: DataFrame, nCentroids: Int, maxIter: Int = 5,
+                      seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
+    val unit = corpus.select(
+      array_to_vector(transform(col("v"), x => x / col("nrm")).cast("array<double>"))
+        .as("features"))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nCentroids).setMaxIter(maxIter).setSeed(seed)
+      .setFeaturesCol("features")
+      .fit(unit)
+    val rows = model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i.toLong, c.toArray) }
+    import spark.implicits._
+    rows.toDF("cen_id", "cv").withColumn("cnrm", Dedup.l2norm(col("cv")))
+  }
+
   /** IVF top-k: probe the `nProbe` nearest centroid lists per query, exact
     * cosine within the probed lists only. */
   def ivfTopK(corpus: DataFrame, queryPred: Column, nCentroids: Int,
-              nProbe: Int, k: Int): DataFrame = {
-    val cents = centroids(corpus, nCentroids)
+              nProbe: Int, k: Int): DataFrame =
+    ivfTopKWith(centroids(corpus, nCentroids), corpus, queryPred, nProbe, k)
+
+  /** IVF top-k over k-means-trained lists — same probe machinery, trained
+    * coarse quantizer. */
+  def ivfTopKKMeans(corpus: DataFrame, queryPred: Column, nCentroids: Int,
+                    nProbe: Int, k: Int): DataFrame =
+    ivfTopKWith(kmeansCentroids(corpus, nCentroids), corpus, queryPred, nProbe, k)
+
+  /** Probe machinery shared by the deterministic and k-means tiers. */
+  def ivfTopKWith(cents: DataFrame, corpus: DataFrame, queryPred: Column,
+                  nProbe: Int, k: Int): DataFrame = {
     val assigned = ivfAssign(corpus, cents)
 
     val q = corpus.filter(queryPred)

@@ -34,6 +34,14 @@ object SimilarityQueries {
     "sim_topk_lsh" -> ((s, dir) => {
       Similarity.lshTopK(Tables.embeddings(s, dir), col("vec_id") < NQueries, K)
         .orderBy("query_id", "rank")
+    }),
+    // trained coarse quantizer: k-means|| internals aren't oracle-replicable
+    // (like sim_topk_lsh) — rows-only driver check; recall vs brute force is
+    // spec-pinned in SimilaritySpec
+    "sim_topk_ivf_kmeans" -> ((s, dir) => {
+      val corpus = Similarity.prepare(Tables.embeddings(s, dir)).persist()
+      Similarity.ivfTopKKMeans(corpus, col("vec_id") < NQueries, NCentroids, NProbe, K)
+        .orderBy("query_id", "rank")
     })
   )
 

@@ -1,0 +1,77 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Write-side layout decisions and non-parquet ingestion seams.
+  *
+  * The reference (ispras/pu4spark) has no I/O layer — ingestion is the
+  * caller's job (reference README.md:74-77) — so [[graft.Tables]] is the
+  * read seam and this module is the WRITE seam: how a 100 TB corpus should
+  * be laid out so that every downstream graft query scans the minimum.
+  *
+  * Three layout levers, in the order they pay off at scale:
+  *
+  *  1. '''Partition columns''' ([[writePartitioned]]): directory-level
+  *     pruning. A predicate on the partition column never opens non-matching
+  *     files — the scan's `PartitionFilters` handles it at listing time.
+  *     Right for low-cardinality columns queries slice by (date, source,
+  *     language). Wrong for high-cardinality keys (millions of tiny dirs
+  *     kill the file listing and the driver's memory).
+  *  2. '''Bucketing''' ([[writeBucketed]]): co-located joins and
+  *     aggregations. Both sides bucketed+sorted on the join key make a
+  *     sort-merge join exchange-free — the dominant repeated cost of a
+  *     fact-fact join becomes a one-time write-side decision
+  *     (plan-asserted in BucketedJoinSpec/LayoutsSpec).
+  *  3. '''Sort within files''' (`sortCols`): row-group min/max statistics
+  *     turn point/range predicates on the sort column into row-group skips
+  *     (parquet predicate pushdown shows as `PushedFilters`).
+  */
+object Layouts {
+
+  /** Parquet partitioned by `partitionCols` (directory pruning). */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: String*): Unit =
+    df.write.partitionBy(partitionCols: _*).mode("overwrite").parquet(path)
+
+  def readPartitioned(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Bucketed + sorted managed table: the co-located join layout. Spark's
+    * file-source bucketing requires `saveAsTable` (bucket metadata lives in
+    * the catalog, not the files).
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, nBuckets: Int,
+                    sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.bucketBy(nBuckets, key)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .mode("overwrite").saveAsTable(table)
+  }
+
+  /** CSV with an EXPLICIT schema. Schema inference is a full extra pass over
+    * the data and types drift between runs — never acceptable at scale.
+    * `mode=FAILFAST` surfaces malformed rows instead of silently nulling
+    * them (`PERMISSIVE` default loses data without a trace).
+    */
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+              header: Boolean = true): DataFrame =
+    spark.read.schema(schema)
+      .option("header", header.toString)
+      .option("mode", "FAILFAST")
+      .csv(path)
+
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
+    df.write.option("header", header.toString).mode("overwrite").csv(path)
+
+  /** JSON-lines with an explicit schema — same inference/permissive caveats
+    * as CSV. The schema doubles as column pruning: fields not in it are
+    * never parsed (Jackson skips them), so a wide-payload corpus reads at
+    * the cost of the projected fields only.
+    */
+  def readJsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema)
+      .option("mode", "FAILFAST")
+      .json(path)
+
+  def writeJsonLines(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+}

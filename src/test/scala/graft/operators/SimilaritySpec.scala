@@ -30,6 +30,29 @@ class SimilaritySpec extends SparkSuite {
     assert(hits >= brute.size / 2, s"recall $hits/${brute.size}")
   }
 
+  test("k-means IVF: k rows per query, top-1 recall at nProbe=4/16") {
+    val brute = Similarity.bruteForceTopK(corpus, corpus.filter(col("vec_id") < 16), 1)
+      .select("query_id", "vec_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val km = Similarity.ivfTopKKMeans(corpus, col("vec_id") < 16, 16, 4, 5)
+      .select("query_id", "rank", "vec_id").collect()
+    assert(km.groupBy(_.getLong(0)).values.forall(_.length == 5))
+    val top1 = km.filter(_.getLong(1) == 1L).map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val hits = brute.count { case (q, v) => top1.get(q).contains(v) }
+    // trained lists should do at least as well as the first-N floor
+    assert(hits >= brute.size / 2, s"recall $hits/${brute.size}")
+  }
+
+  test("k-means centroids are unit-norm and deterministic under the seed") {
+    val a = Similarity.kmeansCentroids(corpus, 8).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val b = Similarity.kmeansCentroids(corpus, 8).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(a.keySet == (0L until 8L).toSet)
+    assert(a == b) // same seed, same centers
+    // centers are means of unit vectors: norm in (0, 1]
+    assert(a.values.forall(n => n > 0.0 && n <= 1.0 + 1e-9))
+  }
+
   test("LSH tier returns k rows per query") {
     val t = Similarity.lshTopK(Tables.embeddings(spark, sf0001), col("vec_id") < 4, 5)
       .collect().groupBy(_.getLong(0))

@@ -1,0 +1,72 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{SparkSuite, Tables}
+
+/** Layout decisions verified on the PHYSICAL PLAN, not just results: a
+  * partition predicate must prune at listing time, a data predicate must
+  * reach the parquet reader as a pushed filter, and schema-explicit
+  * CSV/JSONL round-trips must preserve values and types exactly.
+  */
+class LayoutsSpec extends SparkSuite {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("partitioned write prunes directories on a partition predicate") {
+    val dir = tmp("graft_part")
+    val docs = Tables.documents(spark, sf0001)
+    Layouts.writePartitioned(docs, dir, "source")
+    val sources = docs.select("source").distinct().collect().map(_.getString(0))
+    assert(sources.length > 1) // pruning is only meaningful with >1 dir
+
+    val one = Layouts.readPartitioned(spark, dir).filter(col("source") === sources.head)
+    val scan = one.queryExecution.executedPlan.collectLeaves().head.toString
+    // the predicate lands in PartitionFilters (listing-time pruning),
+    // NOT in PushedFilters / a post-scan Filter
+    assert(scan.contains("PartitionFilters: [") &&
+      scan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("source"), scan)
+    assert(one.count() ==
+      docs.filter(col("source") === sources.head).count())
+  }
+
+  test("data predicate reaches the parquet scan as a pushed filter") {
+    val li = Tables.lineitem(spark, sf0001).filter(col("l_quantity") > 40)
+      .select("l_orderkey", "l_quantity")
+    val scan = li.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters: [") &&
+      scan.replaceAll("(?s).*PushedFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("GreaterThan(l_quantity"), scan)
+    // and column pruning: the read schema carries ONLY the projected columns
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity"), scan)
+  }
+
+  test("CSV round-trip with explicit schema preserves values and types") {
+    val dir = tmp("graft_csv")
+    val nation = Tables.nation(spark, sf0001)
+    Layouts.writeCsv(nation, dir)
+    val schema = nation.schema
+    val back = Layouts.readCsv(spark, dir, schema)
+    assert(back.schema == schema)
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      nation.orderBy("n_nationkey").collect().toSeq)
+  }
+
+  test("JSONL round-trip; absent fields are never parsed (projected schema)") {
+    val dir = tmp("graft_jsonl")
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "source", "text")
+    Layouts.writeJsonLines(docs, dir)
+    // projected read: schema without `text` — the wide column is skipped
+    val slim = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType)))
+    val back = Layouts.readJsonLines(spark, dir, slim)
+    assert(back.schema == slim)
+    assert(back.count() == docs.count())
+    assert(back.agg(countDistinct("source")).head.getLong(0) ==
+      docs.agg(countDistinct("source")).head.getLong(0))
+  }
+}
