@@ -89,6 +89,21 @@ object RelationalQueries {
         .orderBy(col("hour_start"), col("event_type"))
     }),
 
+    // Grouped top-k via the bounded mergeable aggregate — same result as
+    // q_window_top_orders, different physical shape: state O(k) per group,
+    // map-side partial agg ships ≤k rows per (partition, group) into the
+    // shuffle, immune to group skew (a window partition can't be split; an
+    // agg's partials can). The skew-safe choice at 100 TB.
+    "q_topk_grouped_agg" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(TopKAgg.column(3, col("o_totalprice"), col("o_orderkey")).as("top"))
+        .select(col("o_custkey"), posexplode(col("top")))
+        .select(col("o_custkey"), (col("pos") + 1).cast(LongType).as("rank"),
+          col("col._2").as("o_orderkey"), col("col._1").as("o_totalprice"))
+        .orderBy(col("o_custkey"), col("rank"))
+    }),
+
     // Global top-k: sort+limit compiles to TakeOrderedAndProject (per-
     // partition heap + driver merge of k, not a cluster sort).
     "q_topk_parts" -> ((s, dir) => {
@@ -136,6 +151,14 @@ object RelationalQueries {
         |  event_type, COUNT(*) AS n
         |FROM events
         |GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+    // identical result contract to the window formulation — one oracle text
+    "q_topk_grouped_agg" ->
+      """SELECT o_custkey,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank,
+        |  o_orderkey, o_totalprice
+        |FROM orders
+        |QUALIFY rank <= 3
+        |ORDER BY o_custkey, rank""".stripMargin,
     "q_topk_parts" ->
       """SELECT p_partkey, p_name, p_retailprice FROM part
         |ORDER BY p_retailprice DESC, p_partkey LIMIT 10""".stripMargin

@@ -109,6 +109,53 @@ object EventStreams {
       }
   }
 
+  /** Attribution lookback window: a purchase is attributed to the same
+    * user's clicks in the preceding hour. */
+  val AttributionWindowMicros: Long = 3600000000L
+
+  /** Batch attribution: (purchase, click) pairs per user with the click in
+    * `(purchase_ts - 1h, purchase_ts]`. Physically an equi-join on user_id
+    * (one shuffle each side) with the range as a post-join predicate —
+    * never a cross product. The DuckDB-oracle-checkable twin of
+    * [[attributionStream]]. */
+  def attributionBatch(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        unix_micros(col("ts")).as("p_us"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user_id"),
+        unix_micros(col("ts")).as("c_us"))
+    purchases.join(clicks,
+        col("user_id") === col("c_user_id") &&
+          col("c_us") <= col("p_us") &&
+          col("c_us") > col("p_us") - AttributionWindowMicros)
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        col("p_us"), col("c_us"))
+  }
+
+  /** Stream-stream self-join: purchases against clicks of the same source
+    * stream. Both sides carry a 1-hour watermark and the join condition
+    * bounds `c_ts` to a closed interval around `p_ts`, so Spark derives a
+    * state-eviction horizon for BOTH sides — state is each side's last
+    * ~2 hours, not the whole history. The time condition must stay on the
+    * timestamp columns (that's what the state-cleanup analysis reads);
+    * micros are derived only in the output projection. */
+  def attributionStream(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    purchases.join(clicks,
+        col("user_id") === col("c_user_id") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") > col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        unix_micros(col("p_ts")).as("p_us"), unix_micros(col("c_ts")).as("c_us"))
+  }
+
   /** Streaming exact dedup: drop repeated event_ids, keeping state only
     * within the watermark horizon (bounded state — the streaming analogue
     * of the batch hash-groupBy exact dedup in [[graft.operators.Dedup]]). */

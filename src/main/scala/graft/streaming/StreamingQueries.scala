@@ -20,6 +20,10 @@ object StreamingQueries {
         .select(col("user_id"), col("session_seq").cast(LongType).as("session_seq"),
           col("start_us"), col("end_us"), col("n_events"))
         .orderBy("user_id", "session_seq")
+    }),
+    "q_attribution" -> ((s, dir) => {
+      EventStreams.attributionBatch(Tables.events(s, dir))
+        .orderBy("purchase_id", "click_id")
     })
   )
 
@@ -35,6 +39,16 @@ object StreamingQueries {
          |SELECT user_id, CAST(seq AS BIGINT) AS session_seq,
          |  MIN(us) AS start_us, MAX(us) AS end_us, COUNT(*) AS n_events
          |FROM s GROUP BY user_id, seq
-         |ORDER BY user_id, session_seq""".stripMargin
+         |ORDER BY user_id, session_seq""".stripMargin,
+    "q_attribution" ->
+      s"""WITH p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_us
+         |           FROM events WHERE event_type = 'purchase'),
+         |c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS c_us
+         |      FROM events WHERE event_type = 'click')
+         |SELECT p.purchase_id, c.click_id, p.user_id, p.p_us, c.c_us
+         |FROM p JOIN c ON p.user_id = c.user_id
+         | AND c.c_us <= p.p_us
+         | AND c.c_us > p.p_us - ${EventStreams.AttributionWindowMicros}
+         |ORDER BY purchase_id, click_id""".stripMargin
   )
 }

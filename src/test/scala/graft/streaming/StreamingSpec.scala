@@ -72,6 +72,21 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(got.toSet == events.map(_.event_id).toSet)
   }
 
+  test("stream-stream attribution self-join == batch twin") {
+    val stream = EventStreams.readEventStream(spark, s"$sfDir/events.parquet")
+    val q = EventStreams.attributionStream(stream)
+      .writeStream.format("memory").queryName("attr_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val got = spark.table("attr_stream")
+      .orderBy("purchase_id", "click_id").collect().toSeq
+    val want = EventStreams.attributionBatch(Tables.events(spark, sfDir))
+      .orderBy("purchase_id", "click_id").collect().toSeq
+    assert(want.nonEmpty)
+    assert(got == want)
+  }
+
   test("flatMapGroupsWithState sessionization == batch window twin") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
