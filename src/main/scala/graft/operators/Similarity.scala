@@ -132,6 +132,59 @@ object Similarity {
       .select(col("query_id"), col("rank").cast("long").as("rank"), col("vec_id"), col("cos"))
   }
 
+  /** Per-vector symmetric int8 scalar quantization: `qv[i] =
+    * round(v[i] * 127/max|v|)` as `array<tinyint>`, with the scale kept for
+    * dequantized scoring. At 100 TB this is the memory/IO lever: the coarse
+    * scan reads an 8× narrower column (byte vs double per element), and the
+    * integer dot is exact arithmetic — fully deterministic, so unlike most
+    * ANN shortcuts this tier is oracle-checkable end to end. */
+  def quantize(corpus: DataFrame): DataFrame =
+    corpus
+      .withColumn("qm", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("qscale",
+        when(col("qm") === 0.0, lit(0.0)).otherwise(lit(127.0) / col("qm")))
+      .withColumn("qv",
+        transform(col("v"), x => round(x * col("qscale")).cast("tinyint")))
+      .drop("qm")
+
+  /** Quantized top-k: coarse-rank by the int8·int8 dot (dequantized by the
+    * two scales and norms), keep `candidates` per query, then rescore those
+    * exactly from the full-precision vectors and take top-k.
+    *
+    * Plan shape: the coarse pass cross-joins the (broadcast, quantized)
+    * queries against ONLY the slim quantized columns; full-precision
+    * vectors are joined back for the ≤ |Q|·candidates survivors — the wide
+    * column is never scanned for losers.
+    */
+  def quantizedTopK(corpus: DataFrame, queryPred: Column, candidates: Int,
+                    k: Int): DataFrame = {
+    val qz = quantize(corpus)
+    val slim = qz.select(col("vec_id"), col("qv"), col("qscale"), col("nrm"))
+    val q = qz.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
+        col("qscale").as("qqscale"), col("nrm").as("qnrm"), col("v").as("query_v"))
+
+    val coarse = slim.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("idot",
+        aggregate(zip_with(col("qv"), col("qqv"),
+          (a, b) => a.cast("long") * b.cast("long")), lit(0L), (acc, x) => acc + x))
+      .withColumn("coarse",
+        (col("idot").cast("double") / (col("qscale") * col("qqscale"))) /
+          (col("nrm") * col("qnrm")))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("coarse").desc, col("vec_id"))))
+      .filter(col("crn") <= candidates)
+      .select(col("query_id"), col("query_v"), col("qnrm"), col("vec_id"))
+
+    coarse.join(corpus.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
+      .withColumn("cos", cosine(col("query_v"), col("v"), col("qnrm"), col("nrm")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("vec_id"), col("cos"))
+  }
+
   /** Spark ML LSH scale path: seeded BucketedRandomProjectionLSH
     * approxSimilarityJoin then per-query top-k by actual cosine. */
   def lshTopK(embeddings: DataFrame, queryPred: Column, k: Int,

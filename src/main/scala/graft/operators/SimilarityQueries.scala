@@ -12,11 +12,13 @@ import graft.Tables
 object SimilarityQueries {
   import DedupQueries.{dotSql, normSql}
 
-  /** Demo parameters: 8 query vectors, top-10, 16 IVF lists probe 4. */
+  /** Demo parameters: 8 query vectors, top-10, 16 IVF lists probe 4,
+    * 32 rescore candidates for the quantized tier. */
   val NQueries = 8
   val K = 10
   val NCentroids = 16
   val NProbe = 4
+  val NCandidates = 32
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // persist: the prepared corpus (cast + interpreted norm per row) feeds
@@ -41,6 +43,11 @@ object SimilarityQueries {
     "sim_topk_ivf_kmeans" -> ((s, dir) => {
       val corpus = Similarity.prepare(Tables.embeddings(s, dir)).persist()
       Similarity.ivfTopKKMeans(corpus, col("vec_id") < NQueries, NCentroids, NProbe, K)
+        .orderBy("query_id", "rank")
+    }),
+    "sim_topk_quantized" -> ((s, dir) => {
+      val corpus = Similarity.prepare(Tables.embeddings(s, dir)).persist()
+      Similarity.quantizedTopK(corpus, col("vec_id") < NQueries, NCandidates, K)
         .orderBy("query_id", "rank")
     })
   )
@@ -90,7 +97,39 @@ object SimilarityQueries {
            |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
            |  FROM cand)
            |SELECT query_id, rank, vec_id, cos FROM ranked
+           |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
+      // int8 quantization is deterministic arithmetic — exact twin, same
+      // operation order as Similarity.quantize/quantizedTopK
+      "sim_topk_quantized" -> {
+        val idot = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          "list_transform(range(1, len(c.qv)+1), " +
+          "di -> CAST(c.qv[di] AS BIGINT) * CAST(q.qqv[di] AS BIGINT))), (acc, x) -> acc + x)"
+        s"""WITH e AS ($e), nn AS ($n),
+           |qm AS (SELECT vec_id, v, nrm, list_max(list_transform(v, x -> abs(x))) AS qm FROM nn),
+           |qs AS (SELECT vec_id, v, nrm,
+           |  CASE WHEN qm = 0 THEN 0.0 ELSE 127.0 / qm END AS qscale FROM qm),
+           |qq AS (SELECT vec_id, v, nrm, qscale,
+           |  list_transform(v, x -> CAST(round(x * qscale) AS TINYINT)) AS qv FROM qs),
+           |q AS (SELECT vec_id AS query_id, qv AS qqv, qscale AS qqscale,
+           |  nrm AS qnrm, v AS query_v FROM qq WHERE vec_id < $NQueries),
+           |coarse AS (
+           |  SELECT q.query_id, q.query_v, q.qnrm, c.vec_id,
+           |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+           |      (CAST($idot AS DOUBLE) / (c.qscale * q.qqscale)) / (c.nrm * q.qnrm) DESC,
+           |      c.vec_id) AS crn
+           |  FROM qq c, q WHERE c.vec_id <> q.query_id),
+           |cand AS (SELECT query_id, query_v, qnrm, vec_id FROM coarse WHERE crn <= $NCandidates),
+           |res AS (
+           |  SELECT cand.query_id, cand.vec_id,
+           |    ${dotSql("cand.query_v", "nn.v")} / (cand.qnrm * nn.nrm) AS cos
+           |  FROM cand JOIN nn ON cand.vec_id = nn.vec_id),
+           |ranked AS (
+           |  SELECT query_id, vec_id, cos,
+           |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+           |  FROM res)
+           |SELECT query_id, rank, vec_id, cos FROM ranked
            |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+      }
       // sim_topk_lsh: Spark-ML internal hashing — rows-only driver check.
     )
   }

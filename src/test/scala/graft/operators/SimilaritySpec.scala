@@ -53,6 +53,23 @@ class SimilaritySpec extends SparkSuite {
     assert(a.values.forall(n => n > 0.0 && n <= 1.0 + 1e-9))
   }
 
+  test("quantized tier: int8 bounds hold; top-1 survives coarse+rescore") {
+    val qz = Similarity.quantize(corpus)
+    val bounds = qz.select(
+      max(array_max(transform(col("qv"), x => abs(x.cast("int"))))).as("mx"),
+      min(array_max(transform(col("qv"), x => abs(x.cast("int"))))).as("mn")).head
+    assert(bounds.getInt(0) <= 127)
+    assert(bounds.getInt(1) == 127) // scale saturates the widest element
+    val brute = Similarity.bruteForceTopK(corpus, corpus.filter(col("vec_id") < 8), 1)
+      .select("query_id", "vec_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val quant = Similarity.quantizedTopK(corpus, col("vec_id") < 8, 32, 1)
+      .select("query_id", "vec_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // int8 error is tiny relative to cosine gaps; with 32 rescored
+    // candidates the exact top-1 should essentially always survive
+    val hits = brute.count { case (q, v) => quant.get(q).contains(v) }
+    assert(hits >= brute.size - 1, s"recall $hits/${brute.size}")
+  }
+
   test("LSH tier returns k rows per query") {
     val t = Similarity.lshTopK(Tables.embeddings(spark, sf0001), col("vec_id") < 4, 5)
       .collect().groupBy(_.getLong(0))

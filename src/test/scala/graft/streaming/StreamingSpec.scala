@@ -72,6 +72,45 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(got.toSet == events.map(_.event_id).toSet)
   }
 
+  test("MinHash sketch aggregate in a streaming update-mode agg == batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.functions.TextFunctions.shingleHashes
+    import graft.operators.MinHashSketchAgg
+
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text"))
+      .limit(60).collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+
+    val source = MemoryStream[(Long, String, String)]
+    val sketched = source.toDF().toDF("doc_id", "source", "text")
+      .select(col("source"), shingleHashes(col("text"), 3).as("shh"))
+      .groupBy(col("source"))
+      .agg(MinHashSketchAgg.column(col("shh")).as("sig"))
+    val q = sketched.writeStream.format("memory").queryName("sketch_stream")
+      .outputMode("update").start()
+    // feed in three uneven batches: the sketch state must MERGE across
+    // batches (zero/reduce/merge law), not just within one
+    docs.grouped(25).foreach { batch => source.addData(batch.toSeq); q.processAllAvailable() }
+    q.stop()
+
+    // sketch state is monotone (elementwise min), so the final state per
+    // key == elementwise min over every update row the sink saw — robust
+    // to the memory sink's row ordering
+    val got = spark.table("sketch_stream")
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toSeq
+      .groupBy(_._1).view.mapValues(
+        _.map(_._2).reduce((a, b) => a.zip(b).map { case (x, y) => math.min(x, y) }))
+      .toMap
+    val want = docs.toSeq.toDF("doc_id", "source", "text")
+      .select(col("source"), shingleHashes(col("text"), 3).as("shh"))
+      .groupBy(col("source"))
+      .agg(MinHashSketchAgg.column(col("shh")).as("sig"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(want.nonEmpty)
+    assert(got == want)
+  }
+
   test("stream-stream attribution self-join == batch twin") {
     val stream = EventStreams.readEventStream(spark, s"$sfDir/events.parquet")
     val q = EventStreams.attributionStream(stream)
