@@ -188,6 +188,26 @@ object NativeExpressions {
       defineCodeGen(ctx, ev, c => s"$Kernels.bandHashes($c, $bands, $rows)")
   }
 
+  /** All scalar text statistics of a document in one character pass
+    * (see [[NativeKernels.textStats]]): `[len, nTokens, sumTokenLen,
+    * nStopwords, nPunct, nSubwords]` as `array<long>`. The component
+    * accessors in [[TextFunctions]] are `getItem` projections of this node;
+    * whole-stage codegen's common-subexpression elimination evaluates the
+    * kernel once per row however many components a projection reads —
+    * replacing the 4-5 regex tokenizations the separate HOF formulations
+    * performed. */
+  case class TextStats(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def withNewChildInternal(newChild: Expression): TextStats =
+      copy(child = newChild)
+
+    override protected def nullSafeEval(input: Any): Any =
+      NativeKernels.textStats(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Kernels.textStats($c)")
+  }
+
   /** Base-31 combine of a long array into one value (see
     * [[NativeKernels.polyCombine]]). */
   case class PolyCombine(child: Expression) extends UnaryExpression {
@@ -223,4 +243,6 @@ object NativeExpressions {
     GraftColumnBridge.column(BandHashes(GraftColumnBridge.expression(sig), bands, rows))
   def polyCombine(arr: Column): Column =
     GraftColumnBridge.column(PolyCombine(GraftColumnBridge.expression(arr)))
+  def textStats(text: Column): Column =
+    GraftColumnBridge.column(TextStats(GraftColumnBridge.expression(text)))
 }

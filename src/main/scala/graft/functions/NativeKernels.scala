@@ -190,6 +190,57 @@ object NativeKernels {
     acc
   }
 
+  /** Stopwords for [[textStats]] — must stay identical to
+    * `TextFunctions.Stopwords` (spec-pinned). */
+  private val StopwordSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    Seq("the", "a", "an", "of", "to", "and", "in", "is", "on", "for")
+      .foreach(s.add)
+    s
+  }
+  private val MaxStopLen = 3
+
+  /** Every per-document scalar text statistic in ONE character pass:
+    * `[len, nTokens, sumTokenLen, nStopwords, nPunct, nSubwords]`.
+    *
+    * Bit-identical to the five separate HOF/regex formulations it fuses
+    * (each re-tokenized the document): tokens are maximal non-`\s` runs
+    * (isWs mirrors Java `\s`), punct counts chars outside `[A-Za-z0-9\s]`
+    * (whitespace can't be punct, so counting inside token runs only is
+    * exact), subwords are `ceil(tokenLen/4)` per token (integer form —
+    * exact for any length a string can have), stopword matches are exact
+    * case-sensitive string compares. `len` is UTF-16 units, equal to
+    * `length()`'s code-point count for the BMP/ASCII oracle corpus.
+    */
+  def textStats(u: UTF8String): ArrayData = {
+    val s = u.toString
+    val n = s.length
+    var nPunct = 0L
+    var nTok = 0L
+    var sumTokLen = 0L
+    var nStop = 0L
+    var nSub = 0L
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(s.charAt(i))) i += 1
+      if (i < n) {
+        val start = i
+        while (i < n && !isWs(s.charAt(i))) {
+          val c = s.charAt(i)
+          if (!((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+                (c >= '0' && c <= '9'))) nPunct += 1
+          i += 1
+        }
+        val tl = i - start
+        nTok += 1
+        sumTokLen += tl
+        nSub += (tl + 3) / 4
+        if (tl <= MaxStopLen && StopwordSet.contains(s.substring(start, i))) nStop += 1
+      }
+    }
+    ArrayData.toArrayData(Array(n.toLong, nTok, sumTokLen, nStop, nPunct, nSub))
+  }
+
   /** Size of the intersection of two strictly-ascending long arrays
     * (sorted-distinct token-hash sets from `array_sort(array_distinct(…))`).
     * Linear merge — replaces the interpreted

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
 /** Text-analysis primitives for large-scale training-data pipelines, as
   * *native Catalyst expressions* (no UDFs — every function here inlines into
@@ -32,8 +32,20 @@ object TextFunctions {
     */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
+  /** The fused one-pass stats vector `[len, nTokens, sumTokenLen, nStop,
+    * nPunct, nSubwords]` ([[NativeExpressions.TextStats]]). The scalar
+    * accessors below are `getItem` projections of this node — identical
+    * TextStats subtrees in one projection are common-subexpression-
+    * eliminated by whole-stage codegen, so a query reading five stats still
+    * walks each document once (the previous HOF formulations re-tokenized
+    * per stat). */
+  def textStats(text: Column): Column = NativeExpressions.textStats(text)
+
   /** Token count (whitespace runs); 0 for blank/empty text. */
   def tokenCount(text: Column): Column =
+    textStats(text).getItem(1).cast(IntegerType)
+
+  private[functions] def tokenCountHof(text: Column): Column =
     when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
 
   /** A BPE-ish sub-word proxy count: tokens split further on letter/digit
@@ -42,7 +54,9 @@ object TextFunctions {
     * right cost shape (regex + arithmetic per token, no dictionary lookup).
     * ceil(len/4) per token, summed.
     */
-  def subwordCount(text: Column): Column =
+  def subwordCount(text: Column): Column = textStats(text).getItem(5)
+
+  private[functions] def subwordCountHof(text: Column): Column =
     when(length(trim(text)) === 0, lit(0L)).otherwise(
       aggregate(tokens(text), lit(0L),
         (acc, t) => acc + ceil(length(t).cast(DoubleType) / lit(4.0)).cast(LongType)))
@@ -115,18 +129,31 @@ object TextFunctions {
     Seq("the", "a", "an", "of", "to", "and", "in", "is", "on", "for")
 
   def stopwordCount(text: Column): Column =
+    textStats(text).getItem(3).cast(IntegerType)
+
+  private[functions] def stopwordCountHof(text: Column): Column =
     when(length(trim(text)) === 0, lit(0)).otherwise(
       size(filter(tokens(text), t => t.isInCollection(Stopwords))))
 
   /** Fraction of characters that are not alphanumeric/whitespace. */
   def punctRatio(text: Column): Column =
     when(length(text) === 0, lit(0.0)).otherwise(
+      textStats(text).getItem(4).cast(DoubleType) / length(text).cast(DoubleType))
+
+  private[functions] def punctRatioHof(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
       length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast(DoubleType)
         / length(text).cast(DoubleType))
 
   /** Mean token length in characters (0 for blank docs). */
   def meanTokenLen(text: Column): Column = {
-    val n = tokenCount(text)
+    val n = textStats(text).getItem(1)
+    when(n === 0, lit(0.0)).otherwise(
+      textStats(text).getItem(2).cast(DoubleType) / n.cast(DoubleType))
+  }
+
+  private[functions] def meanTokenLenHof(text: Column): Column = {
+    val n = tokenCountHof(text)
     when(n === 0, lit(0.0)).otherwise(
       aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t))
         .cast(DoubleType) / n.cast(DoubleType))

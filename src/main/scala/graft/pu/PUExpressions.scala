@@ -82,6 +82,13 @@ object PUExpressions {
   case class IterMetrics(newRelNeg: Long, totalPos: Long, totalRelNeg: Long,
                          totalUndef: Long)
 
+  /** One fused agg pass replacing the reference's 1–4 separate `count()`s
+    * per iteration. This is also the action that MATERIALIZES the freshly
+    * persisted iteration (persist is lazy), so per iteration there is
+    * exactly one metrics pass + the fit's passes — `Dataset.observe` could
+    * not fuse further: loop control needs these numbers BEFORE deciding
+    * whether the next fit happens at all, so they can't ride along on a
+    * later action. */
   def iterMetrics(df: DataFrame, prevLabel: String, curLabel: String): IterMetrics = {
     val row = df.agg(
       sum(when(col(prevLabel) === undefLabel && col(curLabel) === relNegLabel, 1L)

@@ -36,6 +36,25 @@ class NativeExpressionsSpec extends SparkSuite {
     assert(diff == 0)
   }
 
+  test("TextStats components == the five HOF/regex formulations on corpus + edges") {
+    import spark.implicits._
+    import TextFunctions._
+    val corpus = Tables.documents(spark, sf0001).select(col("text"))
+      .unionAll(Seq("", "   ", "the", "a!!b the, of?? x", " a  b\tc\r\nd ",
+        "punct,only.!?", "the the the").toDF("text"))
+    val diff = corpus.select(
+      tokenCount(col("text")).as("n1"), tokenCountHof(col("text")).as("h1"),
+      subwordCount(col("text")).as("n2"), subwordCountHof(col("text")).as("h2"),
+      stopwordCount(col("text")).as("n3"), stopwordCountHof(col("text")).as("h3"),
+      punctRatio(col("text")).as("n4"), punctRatioHof(col("text")).as("h4"),
+      meanTokenLen(col("text")).as("n5"), meanTokenLenHof(col("text")).as("h5"))
+      .filter(col("n1") =!= col("h1") || col("n2") =!= col("h2") ||
+        col("n3") =!= col("h3") || col("n4") =!= col("h4") ||
+        col("n5") =!= col("h5"))
+      .count()
+    assert(diff == 0)
+  }
+
   test("SortedIntersectSize == size(array_intersect) on sorted-distinct shingles") {
     import spark.implicits._
     val shingles = Tables.documents(spark, sf0001)
