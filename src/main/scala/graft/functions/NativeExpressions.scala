@@ -208,6 +208,21 @@ object NativeExpressions {
       defineCodeGen(ctx, ev, c => s"$Kernels.textStats($c)")
   }
 
+  /** Per-language marker-token hit counts in one tokenization pass (see
+    * [[NativeKernels.langMarkerCounts]]); the language-ID argmax stays in
+    * Column space over this vector. */
+  case class LangMarkerCounts(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def withNewChildInternal(newChild: Expression): LangMarkerCounts =
+      copy(child = newChild)
+
+    override protected def nullSafeEval(input: Any): Any =
+      NativeKernels.langMarkerCounts(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Kernels.langMarkerCounts($c)")
+  }
+
   /** Base-31 combine of a long array into one value (see
     * [[NativeKernels.polyCombine]]). */
   case class PolyCombine(child: Expression) extends UnaryExpression {
@@ -245,4 +260,6 @@ object NativeExpressions {
     GraftColumnBridge.column(PolyCombine(GraftColumnBridge.expression(arr)))
   def textStats(text: Column): Column =
     GraftColumnBridge.column(TextStats(GraftColumnBridge.expression(text)))
+  def langMarkerCounts(text: Column): Column =
+    GraftColumnBridge.column(LangMarkerCounts(GraftColumnBridge.expression(text)))
 }

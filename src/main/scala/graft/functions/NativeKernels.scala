@@ -241,6 +241,45 @@ object NativeKernels {
     ArrayData.toArrayData(Array(n.toLong, nTok, sumTokLen, nStop, nPunct, nSub))
   }
 
+  /** Marker-token sets per language for [[langMarkerCounts]] — must stay
+    * identical to `TextFunctions.LangMarkers` (spec-pinned). */
+  private val MarkerSets: Array[java.util.HashSet[String]] = Array(
+    Seq("the", "a", "of", "and", "to", "is"),
+    Seq("el", "la", "de", "que", "y", "los"),
+    Seq("de", "le", "shi", "wo", "zai", "you")
+  ).map { words =>
+    val s = new java.util.HashSet[String]()
+    words.foreach(s.add)
+    s
+  }
+  private val MaxMarkerLen = 3
+
+  /** Per-language marker-token hit counts in one tokenization pass — one
+    * count per `MarkerSets` entry, in order (a token in several languages'
+    * sets increments each, matching the per-language HOF filters). */
+  def langMarkerCounts(u: UTF8String): ArrayData = {
+    val s = u.toString
+    val n = s.length
+    val counts = new Array[Long](MarkerSets.length)
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(s.charAt(i))) i += 1
+      if (i < n) {
+        val start = i
+        while (i < n && !isWs(s.charAt(i))) i += 1
+        if (i - start <= MaxMarkerLen) {
+          val tok = s.substring(start, i)
+          var l = 0
+          while (l < MarkerSets.length) {
+            if (MarkerSets(l).contains(tok)) counts(l) += 1
+            l += 1
+          }
+        }
+      }
+    }
+    ArrayData.toArrayData(counts)
+  }
+
   /** Size of the intersection of two strictly-ascending long arrays
     * (sorted-distinct token-hash sets from `array_sort(array_distinct(…))`).
     * Linear merge — replaces the interpreted

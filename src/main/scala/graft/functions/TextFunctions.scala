@@ -196,13 +196,27 @@ object TextFunctions {
 
   /** Predicted language: argmax marker score, ties broken by list order
     * ("en" wins ties, then "es"), "und" when no marker hits at all.
+    * The per-language counts come from ONE native tokenization pass
+    * ([[NativeExpressions.LangMarkerCounts]], CSE'd like [[textStats]]);
+    * the argmax/tie logic stays in Column space, bit-identical to the
+    * per-language HOF filters ([[langIdHof]], spec-pinned).
     */
   def langId(text: Column): Column = {
-    val scores = LangMarkers.map { case (lang, ms) => lang -> langMarkerScore(text, ms) }
+    val cts = NativeExpressions.langMarkerCounts(text)
+    val scores = LangMarkers.zipWithIndex.map { case ((lang, _), i) =>
+      lang -> cts.getItem(i)
+    }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    val pick = scores.reverse.foldLeft(lit("und")) { case (acc, (lang, s)) =>
+    scores.reverse.foldLeft(lit("und")) { case (acc, (lang, s)) =>
       when(s === best && best > 0, lit(lang)).otherwise(acc)
     }
-    pick
+  }
+
+  private[functions] def langIdHof(text: Column): Column = {
+    val scores = LangMarkers.map { case (lang, ms) => lang -> langMarkerScore(text, ms) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.reverse.foldLeft(lit("und")) { case (acc, (lang, s)) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
   }
 }

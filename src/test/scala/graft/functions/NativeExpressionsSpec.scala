@@ -55,6 +55,18 @@ class NativeExpressionsSpec extends SparkSuite {
     assert(diff == 0)
   }
 
+  test("langId over LangMarkerCounts == per-language HOF filters on corpus + edges") {
+    import spark.implicits._
+    import TextFunctions._
+    val corpus = Tables.documents(spark, sf0001).select(col("text"))
+      .unionAll(Seq("", "   ", "de", "the el de", "el la de que y los",
+        "no markers here at all", "de le shi wo zai you").toDF("text"))
+    val diff = corpus.select(
+      langId(col("text")).as("native"), langIdHof(col("text")).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(diff == 0)
+  }
+
   test("SortedIntersectSize == size(array_intersect) on sorted-distinct shingles") {
     import spark.implicits._
     val shingles = Tables.documents(spark, sf0001)
