@@ -80,6 +80,29 @@ object Dedup {
       .distinct()
   }
 
+  /** Incremental candidate pairs: a NEW batch of documents against an
+    * EXISTING banded corpus (plus within-batch pairs). The daily-ingest
+    * shape at 100 TB: the corpus band table is written once (in practice
+    * bucketed by band hash, so the probe is a co-located join) and each
+    * ingest batch joins its own bands against it — never a corpus×corpus
+    * self-join, and the corpus side is not re-banded per batch.
+    *
+    * Output: (id_a, id_b) with id_a < id_b, covering new×corpus and
+    * new×new; corpus×corpus pairs are (by construction) already resolved.
+    */
+  def incrementalCandidatePairs(newBands: DataFrame, corpusBands: DataFrame,
+                                idCol: String, bandsCol: String): DataFrame = {
+    val nw = newBands.select(col(idCol), posexplode(col(bandsCol)).as(Seq("band", "bh")))
+    val old = corpusBands.select(col(idCol), posexplode(col(bandsCol)).as(Seq("band", "bh")))
+    val crossGen = nw.as("a").join(old.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col(s"a.$idCol") =!= col(s"b.$idCol"))
+      .select(least(col(s"a.$idCol"), col(s"b.$idCol")).as("id_a"),
+        greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("id_b"))
+    val withinNew = lshCandidatePairs(newBands, idCol, bandsCol)
+    crossGen.unionAll(withinNew).distinct()
+  }
+
   /** Exact Jaccard similarity of two SORTED-DISTINCT array columns
     * ([[TextFunctions.shingleHashes]] guarantees both); |A∩B| /
     * (|A|+|B|-|A∩B|), 0.0 when both empty. Intersection size is the

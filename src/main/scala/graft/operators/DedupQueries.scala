@@ -62,6 +62,26 @@ object DedupQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    "dedup_incremental" -> ((s, dir) => {
+      // the daily-ingest shape: the docs with doc_id % 5 == 4 play the NEW
+      // batch, the rest the existing corpus; candidates = new×corpus ∪
+      // new×new — the corpus is never self-joined or re-banded
+      val d = docShingles(s, dir)
+        .withColumn("bands", bandHashes(minhashSignature(col("shh"))))
+        .persist()
+      val isNew = col("doc_id") % 5 === 4
+      val cands = incrementalCandidatePairs(
+        d.filter(isNew).select("doc_id", "bands"),
+        d.filter(!isNew).select("doc_id", "bands"), "doc_id", "bands")
+      cands
+        .join(d.select(col("doc_id").as("id_a"), col("shh").as("shh_a")), "id_a")
+        .join(d.select(col("doc_id").as("id_b"), col("shh").as("shh_b")), "id_b")
+        .withColumn("jaccard", jaccard(col("shh_a"), col("shh_b")))
+        .filter(col("jaccard") >= 0.5)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    }),
+
     // SimHash over the distinct trigram shingle set (token-level simhash
     // saturates on small-vocab corpora — all docs share most tokens, so
     // nearly everything lands within hamming 3; shingles discriminate).
@@ -286,6 +306,20 @@ object DedupQueries {
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |  ${jaccardSql("a.shh", "b.shh")} AS jaccard
          |FROM sb a JOIN sb b ON a.doc_id < b.doc_id
+         |  AND len(list_filter(range(1, $Bands + 1), bi -> a.bands[bi] = b.bands[bi])) > 0
+         |WHERE ${jaccardSql("a.shh", "b.shh")} >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_incremental" ->
+      s"""WITH t AS ($thCte),
+         |d AS (SELECT doc_id, ${shhSql(3)} AS shh FROM t),
+         |s AS (SELECT doc_id, shh, ${sigSql("shh")} AS sig FROM d),
+         |sb AS (SELECT doc_id, shh, list_transform(range(0, $Bands), bi ->
+         |  ${combineSql(s"sig[bi*$RowsPerBand+1:bi*$RowsPerBand+$RowsPerBand]")}) AS bands FROM s)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  ${jaccardSql("a.shh", "b.shh")} AS jaccard
+         |FROM sb a JOIN sb b ON a.doc_id < b.doc_id
+         |  AND (a.doc_id % 5 = 4 OR b.doc_id % 5 = 4)
          |  AND len(list_filter(range(1, $Bands + 1), bi -> a.bands[bi] = b.bands[bi])) > 0
          |WHERE ${jaccardSql("a.shh", "b.shh")} >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,

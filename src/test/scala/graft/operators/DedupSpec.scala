@@ -6,6 +6,23 @@ import graft.functions.TextFunctions
 
 class DedupSpec extends SparkSuite {
 
+  test("incremental candidates ∪ corpus-only candidates == full self-join") {
+    import org.apache.spark.sql.functions._
+    import graft.{functions => gf}
+    val d = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), gf.TextFunctions.shingleHashes(col("text"), 3).as("shh"))
+      .withColumn("bands", Dedup.bandHashes(Dedup.minhashSignature(col("shh"))))
+      .select("doc_id", "bands").persist()
+    val isNew = col("doc_id") % 5 === 4
+    val full = Dedup.lshCandidatePairs(d, "doc_id", "bands")
+    val split = Dedup.incrementalCandidatePairs(
+        d.filter(isNew), d.filter(!isNew), "doc_id", "bands")
+      .unionAll(Dedup.lshCandidatePairs(d.filter(!isNew), "doc_id", "bands"))
+      .distinct()
+    assert(full.count() > 0)
+    assert(full.exceptAll(split).isEmpty && split.exceptAll(full).isEmpty)
+  }
+
   test("exactDedup collapses true duplicates to the min id") {
     import spark.implicits._
     val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z")).toDF("doc_id", "text")
