@@ -44,12 +44,19 @@ class TopKAgg(k: Int)
   }
 
   override def merge(x: Vector[(Double, Long)], y: Vector[(Double, Long)]): Vector[(Double, Long)] = {
-    // bounded merge of two sorted ≤k vectors
+    // bounded merge of two sorted ≤k vectors; an element present in BOTH
+    // (same score AND id) is taken once — ids are unique per group, so
+    // equal pairs are the same logical element, and the idempotent union
+    // makes re-merging overlapping states (e.g. recovered streaming state)
+    // a no-op rather than a duplication
     val out = Vector.newBuilder[(Double, Long)]
     var (i, j, n) = (0, 0, 0)
     while (n < k && (i < x.length || j < y.length)) {
-      val takeX = j >= y.length || (i < x.length && lt(x(i), y(j)))
-      if (takeX) { out += x(i); i += 1 } else { out += y(j); j += 1 }
+      if (i < x.length && j < y.length && x(i) == y(j)) { out += x(i); i += 1; j += 1 }
+      else {
+        val takeX = j >= y.length || (i < x.length && lt(x(i), y(j)))
+        if (takeX) { out += x(i); i += 1 } else { out += y(j); j += 1 }
+      }
       n += 1
     }
     out.result()

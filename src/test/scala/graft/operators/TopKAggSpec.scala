@@ -26,6 +26,9 @@ class TopKAggSpec extends SparkSuite {
     // merging with an empty buffer is the identity
     assert(agg.merge(merged, agg.zero) == merged)
     assert(agg.merge(agg.zero, merged) == merged)
+    // idempotent union: re-merging overlapping states never duplicates
+    assert(agg.merge(merged, merged) == merged)
+    assert(agg.merge(merged, merged.take(2)) == merged)
   }
 
   test("aggregate equals the window row_number formulation on orders") {

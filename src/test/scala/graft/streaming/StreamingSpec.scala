@@ -111,6 +111,42 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(got == want)
   }
 
+  test("bounded top-k aggregate in a streaming update-mode agg == batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.TopKAgg
+
+    val events = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value"), col("event_id"))
+      .limit(300).collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+
+    val source = MemoryStream[(String, Double, Long)]
+    val q = source.toDF().toDF("event_type", "value", "event_id")
+      .groupBy(col("event_type"))
+      .agg(TopKAgg.column(3, col("value"), col("event_id")).as("top"))
+      .writeStream.format("memory").queryName("topk_stream")
+      .outputMode("update").start()
+    events.grouped(120).foreach { b => source.addData(b.toSeq); q.processAllAvailable() }
+    q.stop()
+
+    // top-k state is monotone under merge (older partials are dominated),
+    // so folding every update row per key with the aggregate's own merge
+    // reconstructs the final state regardless of sink row order
+    val agg = new TopKAgg(3)
+    def toVec(s: Seq[org.apache.spark.sql.Row]) =
+      s.map(r => (r.getDouble(0), r.getLong(1))).toVector
+    val got = spark.table("topk_stream")
+      .collect().map(r => r.getString(0) -> toVec(r.getSeq[org.apache.spark.sql.Row](1)))
+      .toSeq.groupBy(_._1).view.mapValues(_.map(_._2).reduce(agg.merge)).toMap
+    val want = events.toSeq.toDF("event_type", "value", "event_id")
+      .groupBy(col("event_type"))
+      .agg(TopKAgg.column(3, col("value"), col("event_id")).as("top"))
+      .collect().map(r => r.getString(0) -> toVec(r.getSeq[org.apache.spark.sql.Row](1)))
+      .toMap
+    assert(want.nonEmpty && want.values.forall(_.length == 3))
+    assert(got == want)
+  }
+
   test("stream-stream attribution self-join == batch twin") {
     val stream = EventStreams.readEventStream(spark, s"$sfDir/events.parquet")
     val q = EventStreams.attributionStream(stream)
