@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Near-duplicate detection on a DOCUMENT STREAM: the whole signature
+  * pipeline (shingle hashes → MinHash → LSH bands — all codegen'd native
+  * kernels, stateless per row) runs inside Structured Streaming, and the
+  * banded self-join becomes a watermarked stream-stream join.
+  *
+  * State model: each side keeps only rows whose event time is within
+  * `horizon` of the watermark, so a pair is reported iff the two documents
+  * arrive within `horizon` of each other — the streaming analogue of
+  * incremental dedup where "the corpus" is a sliding window. (A full
+  * corpus-history join needs the batch path:
+  * [[graft.operators.Dedup.incrementalCandidatePairs]] against a banded
+  * store.) The join condition carries BOTH the band equality (the real
+  * key — the shuffle/state key, never a cross product) and the time bound
+  * (what lets Spark evict state).
+  *
+  * Output: candidate pairs (id_a < id_b) with exact Jaccard ≥ `minJaccard`
+  * verified from the shingle sets carried through the join — emitted as
+  * soon as both sides have arrived.
+  */
+object StreamingDedup {
+
+  /** `docs`: streaming DataFrame with (id, ts, text). */
+  def nearDupPairs(docs: DataFrame, idCol: String, tsCol: String, textCol: String,
+                   horizon: String = "1 hour", minJaccard: Double = 0.5,
+                   shingleWidth: Int = 3): DataFrame = {
+    val banded = docs
+      .select(col(idCol), col(tsCol),
+        graft.functions.TextFunctions.shingleHashes(col(textCol), shingleWidth).as("shh"))
+      .withColumn("bands", Dedup.bandHashes(Dedup.minhashSignature(col("shh"))))
+      .select(col(idCol), col(tsCol), col("shh"),
+        posexplode(col("bands")).as(Seq("band", "bh")))
+
+    val a = banded.withWatermark(tsCol, horizon)
+      .select(col(idCol).as("id_a"), col(tsCol).as("ts_a"),
+        col("shh").as("shh_a"), col("band").as("band_a"), col("bh").as("bh_a"))
+    val b = banded.withWatermark(tsCol, horizon)
+      .select(col(idCol).as("id_b"), col(tsCol).as("ts_b"),
+        col("shh").as("shh_b"), col("band").as("band_b"), col("bh").as("bh_b"))
+
+    a.join(b,
+        col("band_a") === col("band_b") && col("bh_a") === col("bh_b") &&
+          col("id_a") < col("id_b") &&
+          col("ts_b") >= col("ts_a") - expr(s"INTERVAL $horizon") &&
+          col("ts_b") <= col("ts_a") + expr(s"INTERVAL $horizon"))
+      .withColumn("jaccard", Dedup.jaccard(col("shh_a"), col("shh_b")))
+      .filter(col("jaccard") >= minJaccard)
+      // a pair colliding in several bands appears once per band; streaming
+      // cannot re-aggregate the append stream without another shuffle, so
+      // dedup per (pair, band) is the consumer's dropDuplicates — batch
+      // comparisons in specs do it on collect
+      .select(col("id_a"), col("id_b"), col("band_a").as("band"), col("jaccard"))
+  }
+}

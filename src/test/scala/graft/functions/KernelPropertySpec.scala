@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TopKAgg
+
+/** Seeded-random property checks of the native kernels against naive
+  * reference implementations, and of the TopKAgg merge law under arbitrary
+  * partitionings/merge orders. Pure JVM — no Spark session — so these run
+  * thousands of cases cheaply. (scalacheck's scalatest bridge isn't on the
+  * frozen classpath; generation is hand-rolled, same pattern as
+  * GridPairsSpec.)
+  */
+class KernelPropertySpec extends AnyFunSuite {
+
+  private val rnd = new scala.util.Random(4242)
+
+  // Java regex \s — the kernels' whitespace definition
+  private val Ws = " \t\n\u000B\f\r"
+
+  // alphabet exercising every branch: all 6 Java-\s whitespace chars,
+  // letters/digits, punctuation, and whole stopword/marker tokens
+  private def randomText(): String = {
+    val pieces = Seq("the", "a", "of", "de", "el", "you", "cat", "x!",
+      "ab,cd", "1234", "longertoken9", "!?;", "", "q")
+    val ws = Seq(" ", "\t", "\n", "\u000B", "\f", "\r", "  ", "")
+    (0 until rnd.nextInt(12)).map { _ =>
+      pieces(rnd.nextInt(pieces.length)) + ws(rnd.nextInt(ws.length))
+    }.mkString
+  }
+
+  private def naiveTokens(s: String): Seq[String] =
+    s.split(s"[$Ws]+").filter(_.nonEmpty).toSeq
+
+  test("textStats == naive reference on 2000 random strings") {
+    val stop = Set("the", "a", "an", "of", "to", "and", "in", "is", "on", "for")
+    for (_ <- 1 to 2000) {
+      val s = randomText()
+      val got = NativeKernels.textStats(UTF8String.fromString(s)).toLongArray.toSeq
+      val toks = naiveTokens(s)
+      val want = Seq(
+        s.length.toLong,
+        toks.length.toLong,
+        toks.map(_.length.toLong).sum,
+        toks.count(stop).toLong,
+        s.count(c => !Ws.contains(c) && !c.isLetterOrDigit).toLong,
+        toks.map(t => (t.length + 3L) / 4L).sum)
+      assert(got == want, s"text=${s.map(c => if (c < ' ') '?' else c)}")
+    }
+  }
+
+  test("langMarkerCounts == naive per-language filters on 2000 random strings") {
+    val sets = Seq(
+      Set("the", "a", "of", "and", "to", "is"),
+      Set("el", "la", "de", "que", "y", "los"),
+      Set("de", "le", "shi", "wo", "zai", "you"))
+    for (_ <- 1 to 2000) {
+      val s = randomText()
+      val got = NativeKernels.langMarkerCounts(UTF8String.fromString(s)).toLongArray.toSeq
+      val toks = naiveTokens(s)
+      val want = sets.map(set => toks.count(set).toLong)
+      assert(got == want, s"text=$s")
+    }
+  }
+
+  test("TopKAgg: any partitioning + any merge order == global sort take k") {
+    for (trial <- 1 to 500) {
+      val k = 1 + rnd.nextInt(5)
+      val agg = new TopKAgg(k)
+      val n = rnd.nextInt(30)
+      val rows = Seq.fill(n)((rnd.nextInt(8).toDouble, rnd.nextLong(1000L)))
+        .distinctBy(_._2) // unique ids (the aggregate's contract)
+      // random partitioning into up to 5 buffers, each reduced in input order
+      val parts = rows.groupBy(_ => rnd.nextInt(1 + rnd.nextInt(5))).values.toSeq
+      val reduced = parts.map(_.foldLeft(agg.zero)(agg.reduce))
+      // fold the partials in shuffled order
+      val merged = rnd.shuffle(reduced).foldLeft(agg.zero)(agg.merge)
+      val want = rows.sortBy { case (sc, i) => (-sc, i) }.take(k).toVector
+      assert(merged == want, s"trial $trial k=$k n=$n")
+      // idempotency: re-merging already-included elements is a no-op
+      if (reduced.nonEmpty)
+        assert(agg.merge(merged, reduced.head.filter(merged.contains)) == merged)
+    }
+  }
+
+  test("sortedIntersectSize == set intersection on random sorted-distinct arrays") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    for (_ <- 1 to 2000) {
+      val a = Seq.fill(rnd.nextInt(20))(rnd.nextLong(30L)).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(20))(rnd.nextLong(30L)).distinct.sorted
+      val got = NativeKernels.sortedIntersectSize(
+        ArrayData.toArrayData(a.toArray), ArrayData.toArrayData(b.toArray))
+      assert(got == a.toSet.intersect(b.toSet).size)
+    }
+  }
+}

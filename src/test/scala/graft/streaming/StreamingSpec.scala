@@ -162,6 +162,48 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(got == want)
   }
 
+  test("streaming near-dup pairs == batch LSH candidates (within horizon)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.Dedup
+    import graft.functions.TextFunctions
+
+    // documents with event time derived from doc_id: 20 s apart, so the
+    // whole 120-doc slice spans ~40 min — within the 1-hour horizon of
+    // each other (a wider spacing correctly DROPS far-apart pairs)
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).limit(120)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def ts(id: Long) = new java.sql.Timestamp(1704067200000L + id * 20000L)
+
+    val source = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = StreamingDedup.nearDupPairs(
+        source.toDF().toDF("doc_id", "ts", "text"), "doc_id", "ts", "text")
+      .writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append").start()
+    docs.grouped(50).foreach { batch =>
+      source.addData(batch.map { case (id, t) => (id, ts(id), t) }.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    val got = spark.table("neardup_stream")
+      .select("id_a", "id_b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batchDf = docs.toSeq.toDF("doc_id", "text")
+      .select(col("doc_id"), TextFunctions.shingleHashes(col("text"), 3).as("shh"))
+      .withColumn("bands", Dedup.bandHashes(Dedup.minhashSignature(col("shh"))))
+      .persist()
+    val want = Dedup.lshCandidatePairs(batchDf.select("doc_id", "bands"), "doc_id", "bands")
+      .join(batchDf.select(col("doc_id").as("id_a"), col("shh").as("shh_a")), "id_a")
+      .join(batchDf.select(col("doc_id").as("id_b"), col("shh").as("shh_b")), "id_b")
+      .filter(Dedup.jaccard(col("shh_a"), col("shh_b")) >= 0.5)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty)
+    assert(got == want)
+  }
+
   test("flatMapGroupsWithState sessionization == batch window twin") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
