@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, StringType}
 
 import graft.Tables
 import graft.functions.TextFunctions
@@ -80,6 +80,21 @@ object DedupQueries {
         .filter(col("jaccard") >= 0.5)
         .select("id_a", "id_b", "jaccard")
         .orderBy("id_a", "id_b")
+    }),
+
+    "pipeline_sample" -> ((s, dir) => {
+      // consistent hash sampling: a doc's fate depends only on its key, so
+      // the sample is stable under reruns, repartitioning, and corpus
+      // growth — unlike df.sample(), whose draw is partition-dependent.
+      // The 10% rate is exact-in-expectation per hash bucket; the hash is
+      // the engine's portable polyHash, so the oracle replays it exactly.
+      docsSpread(s, dir)
+        .filter(pmod(graft.functions.TextFunctions.polyHash(
+          col("doc_id").cast(StringType)), lit(100)) < 10)
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.tokenCount(col("text"))
+            .cast(LongType).as("n_tokens"))
+        .orderBy("doc_id")
     }),
 
     // SimHash over the distinct trigram shingle set (token-level simhash
@@ -323,6 +338,13 @@ object DedupQueries {
          |  AND len(list_filter(range(1, $Bands + 1), bi -> a.bands[bi] = b.bands[bi])) > 0
          |WHERE ${jaccardSql("a.shh", "b.shh")} >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "pipeline_sample" ->
+      s"""SELECT doc_id,
+         |  CAST(${graft.functions.TextQueries.sqlNTok} AS BIGINT) AS n_tokens
+         |FROM documents
+         |WHERE (${ph("CAST(doc_id AS VARCHAR)", "si")}) % 100 < 10
+         |ORDER BY doc_id""".stripMargin,
 
     "pipeline_corpus_prep" -> {
       val q = graft.functions.TextQueries.quality
