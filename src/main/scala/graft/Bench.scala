@@ -45,7 +45,10 @@ object Bench {
         try time(fn(spark, sfDir)
           .write.format("noop").mode("overwrite").save())
         catch { case _: Throwable => -1.0 }
-        finally spark.catalog.clearCache() // free per-query persists
+        finally {
+          spark.catalog.clearCache() // free per-query persists
+          CheckpointUtil.releaseStragglers() // and checkpoint blocks
+        }
       }
       coldTotal += math.max(runs.head, 0.0)
       name -> (if (runs.exists(_ < 0)) -1.0 else runs.min)
@@ -55,7 +58,11 @@ object Bench {
     val total = results.map { case (_, v) => math.max(v, 0.0) }.sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total_sec":$coldTotal,"sf":"$sfDir"}"""
-    Files.writeString(Paths.get("bench_out.json"), json + "\n")
+    // relative to CWD by default (the driver runs from the repo root);
+    // overridable so a spark-submit from elsewhere can't lose the results
+    Files.writeString(
+      Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")),
+      json + "\n")
     println(json)
     spark.stop()
   }

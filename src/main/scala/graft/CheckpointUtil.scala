@@ -4,29 +4,67 @@ import org.apache.spark.sql.DataFrame
 
 /** Release helpers for iterative operators that roll generations of
   * persisted / localCheckpoint'd DataFrames.
+  *
+  * Two distinct release operations — conflating them frees blocks that are
+  * still someone's recompute root:
+  *
+  *  - [[releasePersist]]: a superseded `persist()` generation. Frees ONLY
+  *    the CacheManager entry for this df. Its logical plan may EMBED an
+  *    earlier generation's checkpoint `LogicalRDD` as a leaf; those blocks
+  *    must NOT be freed here — live later generations still root their
+  *    lineage at that checkpoint (losing a persist block is recoverable by
+  *    recompute exactly as long as the checkpoint underneath survives).
+  *  - [[releaseCheckpoint]]: a superseded `localCheckpoint()` generation —
+  *    its plan is a bare `LogicalRDD` leaf (lineage truncated), and
+  *    `Dataset.unpersist` never reaches the checkpointed RDD's blocks.
+  *    Only call when NO live generation's lineage can reach it anymore; a
+  *    locally-checkpointed RDD cannot be recomputed after unpersisting.
+  *
+  * Checkpoints that outlive their loop (a returned result, the loop's last
+  * generations) are tracked here and freed by the driver harness BETWEEN
+  * queries via [[releaseStragglers]] — after the query's output is fully
+  * materialized — because `spark.catalog.clearCache()` never reaches
+  * checkpoint blocks (ADVICE r01).
   */
 object CheckpointUtil {
 
-  /** Fully release a superseded DataFrame's storage.
-    *
-    * `Dataset.unpersist` only clears the CacheManager entry behind
-    * `persist()`. A `localCheckpoint()` result is different: its blocks
-    * belong to the checkpointed RDD inside the plan's `LogicalRDD` leaf,
-    * which `unpersist` never touches — without this, every iteration of a
-    * loop leaks its checkpoint blocks until ContextCleaner happens to GC
-    * the reference (and `spark.catalog.clearCache()` between driver queries
-    * doesn't free them either).
-    *
-    * Only call on generations that are provably never executed again: a
-    * locally-checkpointed RDD has truncated lineage and CANNOT be
-    * recomputed after unpersisting.
-    */
-  def release(df: DataFrame): Unit = {
+  private val stragglers = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  /** Record a just-created localCheckpoint df; anything not explicitly
+    * released by its loop is freed at the next [[releaseStragglers]]. */
+  def track(df: DataFrame): DataFrame = synchronized {
+    stragglers += df
+    df
+  }
+
+  def releasePersist(df: DataFrame): Unit =
+    df.unpersist(blocking = false)
+
+  def releaseCheckpoint(df: DataFrame): Unit = {
+    synchronized { stragglers -= df }
     df.unpersist(blocking = false)
     df.queryExecution.logical.foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)
       case _ =>
+    }
+  }
+
+  /** Free every tracked checkpoint still alive. Call between queries, once
+    * the previous query's output is fully materialized. */
+  def releaseStragglers(): Unit = {
+    val pending = synchronized {
+      val p = stragglers.toList
+      stragglers.clear()
+      p
+    }
+    pending.foreach { df =>
+      df.unpersist(blocking = false)
+      df.queryExecution.logical.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ =>
+      }
     }
   }
 }

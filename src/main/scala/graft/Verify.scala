@@ -24,8 +24,11 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // queries persist() intermediates they fan out over; free them so
-      // later ML fits don't run with storage pinned by dead caches
+      // later ML fits don't run with storage pinned by dead caches.
+      // clearCache never reaches localCheckpoint blocks — the straggler
+      // registry does (the result is fully written by now).
       spark.catalog.clearCache()
+      CheckpointUtil.releaseStragglers()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

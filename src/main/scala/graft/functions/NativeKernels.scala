@@ -147,14 +147,20 @@ object NativeKernels {
     acc
   }
 
-  /** One base-31 combine per LSH band over a MinHash signature. */
+  /** One base-31 combine per LSH band over a MinHash signature. A band
+    * combines only the elements the signature actually has (the HOF twin's
+    * slice semantics) — internal callers always pass length bands*rows, but
+    * the expression is exposed to arbitrary SQL via graft_band_hashes, and
+    * an unchecked getLong past numElements reads adjacent memory on
+    * UnsafeArrayData (silently-wrong hashes). */
   def bandHashes(sig: ArrayData, bands: Int, rows: Int): ArrayData = {
+    val n = sig.numElements()
     val out = new Array[Long](bands)
     var i = 0
     while (i < bands) {
       var acc = 0L
       var j = 0
-      while (j < rows) {
+      while (j < rows && i * rows + j < n) {
         acc = (acc * 31L + sig.getLong(i * rows + j)) % P
         j += 1
       }

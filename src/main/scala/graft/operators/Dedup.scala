@@ -253,6 +253,7 @@ object Dedup {
       .agg(least(col("src"), min(col("dst"))).as("canonical_id"))
       .select(col("src").as("id"), col("canonical_id"))
       .localCheckpoint(true)
+    graft.CheckpointUtil.track(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -287,10 +288,12 @@ object Dedup {
         .observe(metricName, sum(when(col("canonical_id") =!= col("old_label"), 1L)
           .otherwise(0L)).as("changed"))
         .select(col("id"), col("canonical_id"))
-      val next = preCheckpoint.localCheckpoint(true)
+      val next = graft.CheckpointUtil.track(preCheckpoint.localCheckpoint(true))
       val changed = preCheckpoint.queryExecution.observedMetrics.get(metricName)
         .flatMap(r => Option(r.getAs[Long]("changed"))).getOrElse(0L)
-      graft.CheckpointUtil.release(labels)
+      // safe: `next` is EAGER and its plan is its own bare leaf, so the
+      // superseded round is referenced by nothing once `next` exists
+      graft.CheckpointUtil.releaseCheckpoint(labels)
       labels = next
       converged = changed == 0L
     }
@@ -303,19 +306,6 @@ object Dedup {
           "unconverged (silently wrong) cluster ids")
     (labels, iter)
   }
-
-  /** Free the localCheckpoint blocks behind a superseded round's label
-    * table. `Dataset.unpersist` only touches CacheManager entries; the
-    * checkpointed RDD sits inside the LogicalRDD leaf and must be
-    * unpersisted directly (ADVICE r01: these otherwise accumulate until
-    * ContextCleaner happens to GC them).
-    */
-  private def unpersistCheckpointed(df: DataFrame): Unit =
-    df.queryExecution.logical.foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-      case _ =>
-    }
 
   // ------------------------------------------------------------------
   // Exact dedup

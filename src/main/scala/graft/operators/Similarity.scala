@@ -33,11 +33,15 @@ object Similarity {
 
   /** vec_id, v (array<double>), nrm — the working shape for cosine tiers.
     * Repartition spreads the interpreted per-pair dot products across
-    * cores (bench files are single-row-group → one scan task). */
+    * cores (bench files are single-row-group → one scan task).
+    * Zero-norm vectors are dropped: cosine is undefined for them, and a
+    * NaN score sorts FIRST under a descending window — one all-zero
+    * embedding would otherwise poison every query's top-1. */
   def prepare(embeddings: DataFrame): DataFrame =
     embeddings.repartition(col("vec_id"))
       .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
       .withColumn("nrm", l2norm(col("v")))
+      .filter(col("nrm") > 0.0)
 
   /** Exact top-k: for each query vector, the k corpus vectors with highest
     * cosine (self excluded); ties broken by vec_id. */

@@ -56,7 +56,8 @@ object SimilarityQueries {
     val e =
       s"""SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |  FROM embeddings""".stripMargin
-    val n = s"SELECT vec_id, v, ${normSql("v")} AS nrm FROM e"
+    // nrm > 0 mirrors Similarity.prepare's zero-vector drop
+    val n = s"SELECT * FROM (SELECT vec_id, v, ${normSql("v")} AS nrm FROM e) WHERE nrm > 0.0"
     Map(
       "sim_topk_brute" ->
         s"""WITH e AS ($e), nn AS ($n),

@@ -38,7 +38,12 @@ class ShiftingStubClassifier(override val uid: String, delta: Double)
     fits += 1
     m
   }
-  override def copy(extra: ParamMap): ShiftingStubClassifier = defaultCopy(extra)
+  // defaultCopy would reflectively look for a (String) constructor this
+  // class doesn't have and crash (e.g. under Pipeline/fit(paramMap), which
+  // copy the estimator). The copy starts its own fit counter — each oracle
+  // query constructs a fresh instance anyway.
+  override def copy(extra: ParamMap): ShiftingStubClassifier =
+    copyValues(new ShiftingStubClassifier(uid, delta), extra)
 }
 
 class ShiftingStubModel(override val uid: String, val shift: Double)

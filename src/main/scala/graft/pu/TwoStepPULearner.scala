@@ -81,26 +81,38 @@ abstract class TwoStepPULearner[
     * iteration once the new one is materialized.
     */
   protected final class IterationState(checkpointEvery: Int = 3) {
-    private var prev: Option[DataFrame] = None
-    private var prevPrev: Option[DataFrame] = None
+    private var prev: Option[(DataFrame, Boolean)] = None
+    private var prevPrev: Option[(DataFrame, Boolean)] = None
+    // a superseded CHECKPOINT can't be freed when its two-generation turn
+    // comes: the still-live persist generations after it root their lineage
+    // at it (they recompute from it if their own blocks are evicted). It is
+    // unreachable only once the NEXT checkpoint has truncated lineage and
+    // every persist generation rooted at the old one has itself been
+    // superseded — which is exactly when the next checkpoint's own release
+    // turn arrives. So checkpoint frees are deferred one checkpoint cycle.
+    private var deferredCheckpoint: Option[DataFrame] = None
     private var iter = 0
 
     def advance(df: DataFrame): DataFrame = {
       iter += 1
+      val isCheckpoint = checkpointEvery > 0 && iter % checkpointEvery == 0
       val cur =
-        if (checkpointEvery > 0 && iter % checkpointEvery == 0)
-          df.localCheckpoint(eager = true) // also truncates lineage
+        if (isCheckpoint)
+          graft.CheckpointUtil.track(df.localCheckpoint(eager = true))
         else
           df.persist(StorageLevel.MEMORY_AND_DISK)
       // persist() is lazy: unpersisting `prev` NOW would evict it before
       // `cur` is ever materialized, forcing a full lineage recompute. Keep
       // two generations — by the next advance(), actions (iterMetrics/fit)
       // have materialized `cur`, so its grandparent is safely evictable.
-      // release() also frees localCheckpoint blocks, which plain
-      // unpersist/clearCache never reach.
-      prevPrev.foreach(graft.CheckpointUtil.release)
+      prevPrev.foreach { case (g, wasCheckpoint) =>
+        if (wasCheckpoint) {
+          deferredCheckpoint.foreach(graft.CheckpointUtil.releaseCheckpoint)
+          deferredCheckpoint = Some(g)
+        } else graft.CheckpointUtil.releasePersist(g)
+      }
       prevPrev = prev
-      prev = Some(cur)
+      prev = Some((cur, isCheckpoint))
       cur
     }
   }

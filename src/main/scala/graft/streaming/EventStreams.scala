@@ -22,8 +22,11 @@ object EventStreams {
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
-  /** Open-session state for flatMapGroupsWithState. */
-  case class OpenSession(startUs: Long, endUs: Long, n: Long)
+  /** One gap-merged interval of events (micros). */
+  case class Iv(startUs: Long, endUs: Long, n: Long)
+  /** Per-user open-session state for flatMapGroupsWithState: EVERY interval
+    * the watermark has not yet sealed, not just the latest. */
+  case class OpenSessions(ivs: Seq[Iv])
 
   val SessionGapMicros: Long = 30L * 60 * 1000000L
 
@@ -58,54 +61,52 @@ object EventStreams {
         count(lit(1)).as("n_events"))
   }
 
-  /** Streaming sessionization: one [[OpenSession]] of state per user,
-    * closed sessions emitted as soon as a gap is observed, trailing open
-    * sessions emitted on event-time timeout (watermark + gap). */
+  /** Streaming sessionization. State per user is the FULL set of intervals
+    * the watermark has not yet sealed; a session is emitted only once
+    * `end + gap < watermark` — the one condition that makes extension or
+    * backward bridging impossible for any event Spark will still accept
+    * (every future row has ts ≥ watermark > end + gap).
+    *
+    * Being followed by another interval does NOT seal a session: a
+    * still-in-watermark out-of-order event can land in the hole between two
+    * intervals and bridge toward the earlier one — an earlier version
+    * emitted `merged.init` eagerly and silently diverged from the batch
+    * twin on exactly that arrival order. Out-of-order events across
+    * micro-batches are handled by sort + gap-merge of (state ∪ new);
+    * an event earlier than (interval start - gap) forms its own interval.
+    */
   def sessionizeStream(events: Dataset[Event]): Dataset[Session] = {
     import events.sparkSession.implicits._
     events
       .withWatermark("ts", "30 minutes")
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[OpenSession, Session](
+      .flatMapGroupsWithState[OpenSessions, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (userId: Long, newEvents: Iterator[Event], state: GroupState[OpenSession]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator.single(Session(userId, s.startUs, s.endUs, s.n))
-          } else {
-            // Out-of-order events may arrive across micro-batches (anything
-            // the watermark hasn't sealed). Treat the open session and each
-            // new event as intervals, sort, and gap-merge: an event earlier
-            // than (session start - gap) correctly forms its OWN session
-            // instead of being glued onto the open one (the old guard only
-            // compared against session END, accepting arbitrarily-early
-            // events), and consecutive early events group with each other.
-            val intervals = (state.getOption.toVector.map(s => (s.startUs, s.endUs, s.n)) ++
-              newEvents.map(e => { val us = tsMicros(e.ts); (us, us, 1L) }))
-              .sortBy(iv => (iv._1, iv._2))
-            val merged = intervals.foldLeft(Vector.empty[(Long, Long, Long)]) {
-              (acc, iv) =>
-                acc.lastOption match {
-                  case Some((s0, e0, n0)) if iv._1 - e0 <= SessionGapMicros =>
-                    acc.init :+ ((s0, math.max(e0, iv._2), n0 + iv._3))
-                  case _ => acc :+ iv
-                }
+        (userId: Long, newEvents: Iterator[Event], state: GroupState[OpenSessions]) =>
+          val existing = state.getOption.map(_.ivs.toVector).getOrElse(Vector.empty)
+          val incoming = newEvents
+            .map(e => { val us = tsMicros(e.ts); Iv(us, us, 1L) }).toVector
+          val merged = (existing ++ incoming)
+            .sortBy(iv => (iv.startUs, iv.endUs))
+            .foldLeft(Vector.empty[Iv]) { (acc, iv) =>
+              acc.lastOption match {
+                case Some(Iv(s0, e0, n0)) if iv.startUs - e0 <= SessionGapMicros =>
+                  acc.init :+ Iv(s0, math.max(e0, iv.endUs), n0 + iv.n)
+                case _ => acc :+ iv
+              }
             }
-            // every interval but the last is followed by a >gap hole: closed.
-            // Stream==batch equivalence still requires watermarkDelay <= gap
-            // (an emitted session must be beyond extension by in-watermark
-            // events); both are 30 minutes here.
-            val closed = merged.init.map { case (s0, e0, n0) =>
-              Session(userId, s0, e0, n0)
-            }
-            merged.lastOption.foreach { case (s0, e0, n0) =>
-              state.update(OpenSession(s0, e0, n0))
-              // close the session once the watermark passes end + gap
-              state.setTimeoutTimestamp(e0 / 1000L + SessionGapMicros / 1000L)
-            }
-            closed.iterator
-          }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (closed, open) = merged.partition(_.endUs + SessionGapMicros < wmUs)
+          if (open.nonEmpty) {
+            state.update(OpenSessions(open))
+            // fire when the watermark passes the EARLIEST unsealed end+gap
+            // (one firing seals everything sealable at that point); must be
+            // strictly beyond the current watermark or Spark rejects it
+            state.setTimeoutTimestamp(math.max(
+              open.map(_.endUs + SessionGapMicros).min / 1000L,
+              state.getCurrentWatermarkMs() + 1L))
+          } else state.remove()
+          closed.iterator.map(iv => Session(userId, iv.startUs, iv.endUs, iv.n))
       }
   }
 

@@ -52,6 +52,34 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       EventStreams.tsMicros(ev(2, 5).ts), EventStreams.tsMicros(ev(1, 10).ts), 2)))
   }
 
+  test("an in-watermark event can bridge two intervals from an earlier batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(id: Long, minute: Long) =
+      Event(id, new java.sql.Timestamp(1704067200000L + minute * 60000L), 3L, "x", 0.0)
+
+    val source = MemoryStream[Event]
+    val q = EventStreams.sessionizeStream(source.toDS())
+      .writeStream.format("memory").queryName("bridge_sessions")
+      .outputMode("append").start()
+    // batch 1: t=0 and t=40min — a >30min hole, but the watermark (10min)
+    // has NOT sealed [0,0]: a legal later event can still bridge them.
+    // An eager emit of [0,0] here would diverge from the batch twin.
+    source.addData(ev(1, 0), ev(2, 40))
+    q.processAllAvailable()
+    // batch 2: t=20min (>= watermark) bridges both into ONE session
+    source.addData(ev(3, 20))
+    q.processAllAvailable()
+    source.addData(ev(99, 10000)) // flush watermark
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("bridge_sessions").as[Session].collect()
+      .filter(_.user_id == 3L).toSeq
+    assert(got == Seq(Session(3L,
+      EventStreams.tsMicros(ev(1, 0).ts), EventStreams.tsMicros(ev(2, 40).ts), 3)))
+  }
+
   test("streaming dedup drops duplicate event_ids within the watermark") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
