@@ -104,6 +104,53 @@ object RelationalQueries {
         .orderBy(col("o_custkey"), col("rank"))
     }),
 
+    // Hierarchical aggregation: ROLLUP emits (region, nation), per-region
+    // subtotals, and the grand total in ONE pass (Expand + single shuffle —
+    // not three separate aggregations); GROUPING() disambiguates subtotal
+    // rows from genuine NULL keys.
+    "q_rollup_revenue" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val ord = Tables.orders(s, dir)
+      val cust = Tables.customer(s, dir)
+      val nat = Tables.nation(s, dir)
+      val reg = Tables.region(s, dir)
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(sum(dec("l_extendedprice")).cast(DoubleType).as("revenue"),
+          grouping(col("r_name")).cast(LongType).as("g_region"),
+          grouping(col("n_name")).cast(LongType).as("g_nation"))
+        .orderBy(col("g_region"), col("g_nation"), col("r_name"), col("n_name"))
+    }),
+
+    // Pivot: event counts per user bucket × event type as columns — one
+    // shuffle on the group key; the pivot values are declared, so the plan
+    // is a fixed-width conditional aggregation (no second pass to discover
+    // columns, which at 100 TB would be a full extra scan).
+    "q_pivot_events" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("user_bucket", (col("user_id") % 4).cast(LongType))
+        .groupBy(col("user_bucket"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .orderBy(col("user_bucket"))
+    }),
+
+    // Exact quantiles of an integer-valued measure: interpolation lands on
+    // k/2 values (deterministic double arithmetic), so the oracle can
+    // hash-match quantile_cont. At 100 TB switch to approx_percentile —
+    // exact percentile must materialize per-group sorted values.
+    "q_quantiles" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.95)").as("p95"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Global top-k: sort+limit compiles to TakeOrderedAndProject (per-
     // partition heap + driver merge of k, not a cluster sort).
     "q_topk_parts" -> ((s, dir) => {
@@ -151,6 +198,31 @@ object RelationalQueries {
         |  event_type, COUNT(*) AS n
         |FROM events
         |GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+    "q_rollup_revenue" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  CAST(GROUPING(r_name) AS BIGINT) AS g_region,
+        |  CAST(GROUPING(n_name) AS BIGINT) AS g_nation
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY g_region, g_nation, r_name, n_name""".stripMargin,
+    "q_pivot_events" ->
+      """SELECT user_id % 4 AS user_bucket,
+        |  COUNT(*) FILTER (event_type = 'click') AS click,
+        |  COUNT(*) FILTER (event_type = 'view') AS view,
+        |  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (event_type = 'error') AS error
+        |FROM events GROUP BY 1 ORDER BY user_bucket""".stripMargin,
+    "q_quantiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.95) AS p95
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // identical result contract to the window formulation — one oracle text
     "q_topk_grouped_agg" ->
       """SELECT o_custkey,
