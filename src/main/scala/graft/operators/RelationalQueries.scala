@@ -104,6 +104,48 @@ object RelationalQueries {
         .orderBy(col("o_custkey"), col("rank"))
     }),
 
+    // Correlated EXISTS / NOT EXISTS via spark.sql: Catalyst rewrites the
+    // subqueries to a semi- and an anti-join on c_custkey — set-membership
+    // without materializing match multiplicity (a plain join would both
+    // duplicate customers and shuffle the full orders payload).
+    "q_exists_customers" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("graft_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("graft_orders")
+      s.sql("""
+        SELECT c_custkey, c_nationkey
+        FROM graft_customer
+        WHERE EXISTS (SELECT 1 FROM graft_orders o
+                      WHERE o.o_custkey = c_custkey)
+          AND NOT EXISTS (SELECT 1 FROM graft_orders o
+                          WHERE o.o_custkey = c_custkey
+                            AND o.o_totalprice > 300000.0)
+        ORDER BY c_custkey""")
+    }),
+
+    // Window frames: per-customer running revenue and 3-order moving
+    // average in ONE window pass (same partitioning+ordering → one sort,
+    // one shuffle for both frames). DECIMAL running sums are exact, so the
+    // cumulative column hash-matches; the moving average divides the exact
+    // decimal sum at the end.
+    "q_running_revenue" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("cum_spend",
+          sum(dec("o_totalprice")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast(DoubleType))
+        // divide as DOUBLE: decimal-division scale rules differ between
+        // engines, double division of the exact decimal sum does not
+        .withColumn("avg3",
+          sum(dec("o_totalprice")).over(w.rowsBetween(-2, Window.currentRow))
+            .cast(DoubleType) /
+            count(lit(1)).over(w.rowsBetween(-2, Window.currentRow))
+              .cast(DoubleType))
+        .select(col("o_custkey"), col("o_orderkey"), col("cum_spend"), col("avg3"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     // Hierarchical aggregation: ROLLUP emits (region, nation), per-region
     // subtotals, and the grand total in ONE pass (Expand + single shuffle —
     // not three separate aggregations); GROUPING() disambiguates subtotal
@@ -198,6 +240,26 @@ object RelationalQueries {
         |  event_type, COUNT(*) AS n
         |FROM events
         |GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+    "q_exists_customers" ->
+      """SELECT c_custkey, c_nationkey
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c_custkey)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c_custkey
+        |                    AND o.o_totalprice > 300000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_running_revenue" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_spend,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |   / CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS avg3
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_rollup_revenue" ->
       """SELECT r_name, n_name,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
