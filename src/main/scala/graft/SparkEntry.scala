@@ -111,6 +111,18 @@ object SparkEntry {
         .select(col("vec_id"), col("score")).orderBy("vec_id")
     }),
 
+    // Global rank over deterministic stub scores via the scale-path
+    // operator (range partition + offsets — no single-task sort); the
+    // oracle is the plain window formulation, proving result equality.
+    "pu_rank_by_score" -> ((s, dir) => {
+      import graft.pu.PU
+      val scored = puEmb(s, dir)
+        .select(col("vec_id"), stubScore.as("score"))
+      PU.globalRankByScore(scored, "score", col("vec_id"))
+        .select(col("vec_id"), col("score"), col("rank"))
+        .orderBy("rank")
+    }),
+
     // ============================================================
     // FULL PU loops under the shifting stub classifier — the complete
     // O16/O17 iterated recurrence (thresholds, rotation, early exit,
@@ -349,6 +361,10 @@ object SparkEntry {
 
   private def coreOracles: Map[String, String] = {
     Map(
+      "pu_rank_by_score" ->
+        s"""SELECT vec_id, $stubScoreSql AS score,
+           |  CAST(row_number() OVER (ORDER BY $stubScoreSql DESC, vec_id) AS BIGINT) AS rank
+           |FROM embeddings ORDER BY rank""".stripMargin,
       "pu_traditional_stub" -> traditionalStubSql(0.5, -0.125, 3),
       "pu_traditional_stub_exit" -> traditionalStubSql(0.5, 0.0, 3),
       "pu_gradreduction_stub" -> gradReductionStubSql(0.5, 0.125, 6),

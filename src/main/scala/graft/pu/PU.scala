@@ -62,11 +62,48 @@ object PU {
     *
     * NOTE scale: an unpartitioned window is a single-task sort. Fine for
     * top-of-ranking inspection at any scale IF preceded by a score filter;
-    * for full-corpus ranking at 100 TB use a sort-based global rank instead
-    * (sort + per-partition offsets), or rank within partitions.
+    * for full-corpus ranking use [[globalRankByScore]].
     */
   def rankByScore(df: DataFrame, scoreCol: String, tieBreak: Column,
                   rankCol: String = "rank"): DataFrame =
     df.withColumn(rankCol,
       row_number().over(Window.orderBy(col(scoreCol).desc, tieBreak)))
+
+  /** Full-corpus global rank WITHOUT the single-task sort: range-partition
+    * on the rank order (every task sorts only its slice), count each
+    * partition, and add broadcast per-partition offsets to the within-
+    * partition row numbers. Two jobs (the count pass, then the ranked
+    * output) but every stage is parallel — the 100 TB shape the plain
+    * window can't reach. Rank values are independent of where the range
+    * boundaries land, because offsets come from the actual partition sizes.
+    * `tieBreak` must be unique for a deterministic total order.
+    */
+  def globalRankByScore(df: DataFrame, scoreCol: String, tieBreak: Column,
+                        rankCol: String = "rank"): DataFrame = {
+    // Pin the range-partition id as a REAL column right after the
+    // exchange: spark_partition_id() is physical, so re-evaluating it
+    // after any later exchange (e.g. the window's own shuffle) would read
+    // the wrong partition. persist: the count pass and the ranked output
+    // must see ONE execution of the range exchange (boundary sampling is
+    // seed-deterministic, but sharing the materialized partitions is both
+    // provably consistent and half the work); freed by the harness's
+    // per-query clearCache.
+    val ordered = df.repartitionByRange(col(scoreCol).desc, tieBreak)
+      .withColumn("graft_pid", spark_partition_id())
+      .persist()
+    val sizes = ordered
+      .groupBy(col("graft_pid"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nParts = if (sizes.isEmpty) 0 else sizes.keys.max + 1
+    val offsets = (0 until nParts).scanLeft(0L) { (acc, pid) =>
+      acc + sizes.getOrElse(pid, 0L)
+    }.toArray // offsets(pid) = rows in partitions before pid
+    val w = Window.partitionBy(col("graft_pid"))
+      .orderBy(col(scoreCol).desc, tieBreak)
+    val offsetCol = element_at(lit(offsets), (col("graft_pid") + 1).cast("int"))
+    ordered
+      .withColumn(rankCol, row_number().over(w).cast("long") + offsetCol)
+      .drop("graft_pid")
+  }
 }

@@ -69,4 +69,22 @@ class PULearnerSpec extends SparkSuite {
     val top = ranked.orderBy(col("rank")).select("id").collect().map(_.getLong(0)).toSeq
     assert(top == Seq(2L, 3L, 1L))
   }
+
+  test("globalRankByScore == window rank, without the single-task sort") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val df = (1L to 500L).map(i => (i, rnd.nextInt(40).toDouble))
+      .toDF("id", "s").repartition(7)
+    val window = PU.rankByScore(df, "s", col("id"))
+      .select("id", "rank").as[(Long, Int)].collect().toMap
+    val global = PU.globalRankByScore(df, "s", col("id"))
+      .select("id", "rank").as[(Long, Long)].collect().toMap
+    assert(global.size == 500)
+    assert(global.forall { case (id, r) => window(id).toLong == r })
+    // and the plan has no unpartitioned window (single-task sort): the
+    // window spec partitions by SPARK_PARTITION_ID
+    val plan = PU.globalRankByScore(df, "s", col("id"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_pid"), plan)
+  }
 }

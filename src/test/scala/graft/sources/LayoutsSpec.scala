@@ -56,6 +56,22 @@ class LayoutsSpec extends SparkSuite {
       nation.orderBy("n_nationkey").collect().toSeq)
   }
 
+  test("FAILFAST surfaces malformed rows instead of silently nulling them") {
+    val dir = tmp("graft_badcsv")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "bad.csv"),
+      "id,score\n1,2.5\nnot_a_number,oops\n")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("score", DoubleType)))
+    val e = intercept[org.apache.spark.SparkException] {
+      Layouts.readCsv(spark, dir, schema).collect()
+    }
+    // the default PERMISSIVE mode would have returned (null, null) — data
+    // loss without a trace; FAILFAST names the malformed record
+    assert(e.getMessage.contains("Malformed") ||
+      Option(e.getCause).exists(_.getMessage.contains("Malformed")), e.getMessage)
+  }
+
   test("JSONL round-trip; absent fields are never parsed (projected schema)") {
     val dir = tmp("graft_jsonl")
     val docs = Tables.documents(spark, sf0001).select("doc_id", "source", "text")
