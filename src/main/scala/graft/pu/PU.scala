@@ -82,13 +82,14 @@ object PU {
                         rankCol: String = "rank"): DataFrame = {
     // Pin the range-partition id as a REAL column right after the
     // exchange: spark_partition_id() is physical, so re-evaluating it
-    // after any later exchange (e.g. the window's own shuffle) would read
-    // the wrong partition. persist: the count pass and the ranked output
-    // must see ONE execution of the range exchange (boundary sampling is
-    // seed-deterministic, but sharing the materialized partitions is both
-    // provably consistent and half the work); freed by the harness's
-    // per-query clearCache.
-    val ordered = df.repartitionByRange(col(scoreCol).desc, tieBreak)
+    // after any later exchange would read the wrong partition. persist:
+    // the count pass and the ranked output must see ONE execution of the
+    // range exchange (boundary sampling is seed-deterministic, but sharing
+    // the materialized partitions is both provably consistent and half the
+    // work); freed by the harness's per-query clearCache.
+    val ordered = df
+      .repartitionByRange(col(scoreCol).desc, tieBreak)
+      .sortWithinPartitions(col(scoreCol).desc, tieBreak)
       .withColumn("graft_pid", spark_partition_id())
       .persist()
     val sizes = ordered
@@ -99,11 +100,16 @@ object PU {
     val offsets = (0 until nParts).scanLeft(0L) { (acc, pid) =>
       acc + sizes.getOrElse(pid, 0L)
     }.toArray // offsets(pid) = rows in partitions before pid
-    val w = Window.partitionBy(col("graft_pid"))
-      .orderBy(col(scoreCol).desc, tieBreak)
+    // Within-partition row numbers WITHOUT a window: the partitions are
+    // already sorted, and monotonically_increasing_id encodes
+    // (partitionId << 33) | recordNumber in iteration (= sorted) order —
+    // so the record number is the row number, and no second exchange (a
+    // window by pid would hash-shuffle the whole corpus again) is needed.
+    val recNo = monotonically_increasing_id()
+      .bitwiseAND(lit((1L << 33) - 1))
     val offsetCol = element_at(lit(offsets), (col("graft_pid") + 1).cast("int"))
     ordered
-      .withColumn(rankCol, row_number().over(w).cast("long") + offsetCol)
+      .withColumn(rankCol, offsetCol + recNo + lit(1L))
       .drop("graft_pid")
   }
 }

@@ -81,10 +81,12 @@ class PULearnerSpec extends SparkSuite {
       .select("id", "rank").as[(Long, Long)].collect().toMap
     assert(global.size == 500)
     assert(global.forall { case (id, r) => window(id).toLong == r })
-    // and the plan has no unpartitioned window (single-task sort): the
-    // window spec partitions by SPARK_PARTITION_ID
+    // and the plan has NO window at all (neither the single-task global
+    // sort nor a second by-pid shuffle): ranks come from sorted partitions
+    // + monotonically_increasing_id record numbers + broadcast offsets
     val plan = PU.globalRankByScore(df, "s", col("id"))
       .queryExecution.executedPlan.toString
-    assert(plan.contains("graft_pid"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("monotonically_increasing_id"), plan)
   }
 }
