@@ -177,6 +177,9 @@ object RelationalQueries {
         .groupBy(col("user_bucket"))
         .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
         .agg(count(lit(1)))
+        // a bucket with zero rows of some type pivots to NULL; the oracle's
+        // COUNT(*) FILTER says 0 — align (latent divergence on sparse data)
+        .na.fill(0L, Seq("click", "view", "purchase", "signup", "error"))
         .orderBy(col("user_bucket"))
     }),
 

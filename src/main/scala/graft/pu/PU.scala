@@ -92,10 +92,18 @@ object PU {
       .sortWithinPartitions(col(scoreCol).desc, tieBreak)
       .withColumn("graft_pid", spark_partition_id())
       .persist()
+    graft.CheckpointUtil.track(ordered) // non-harness callers: freed when
+    // the df becomes unreachable (weak registry) or at releaseStragglers
     val sizes = ordered
       .groupBy(col("graft_pid"))
       .agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // the record-number field of monotonically_increasing_id is 33 bits;
+    // a fatter range partition would silently wrap recNo — fail loudly
+    // (at real scale: raise spark.sql.shuffle.partitions, don't rank >8.6B
+    // rows through one partition)
+    require(sizes.values.forall(_ <= (1L << 33)),
+      s"range partition exceeds 2^33 rows; increase partition count (sizes=${sizes.values.max})")
     val nParts = if (sizes.isEmpty) 0 else sizes.keys.max + 1
     val offsets = (0 until nParts).scanLeft(0L) { (acc, pid) =>
       acc + sizes.getOrElse(pid, 0L)

@@ -14,8 +14,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * Scale notes: windowed aggregation state is bounded by the watermark (2h
   * late tolerance → ~2-3 open windows per event_type); sessionization state
-  * is one open session per active user key, dropped on event-time timeout —
-  * both shapes run indefinitely without unbounded state growth.
+  * holds every not-yet-watermark-sealed interval per active user — bounded
+  * by the watermark delay (an interval seals, emits, and drops as soon as
+  * `end + gap < watermark`) — both shapes run indefinitely without
+  * unbounded state growth.
   */
 object EventStreams {
 
