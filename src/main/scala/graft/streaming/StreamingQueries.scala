@@ -24,6 +24,24 @@ object StreamingQueries {
     "q_attribution" -> ((s, dir) => {
       EventStreams.attributionBatch(Tables.events(s, dir))
         .orderBy("purchase_id", "click_id")
+    }),
+    // as-of join: each purchase matched to the user's single most recent
+    // click at-or-before it (vs q_attribution's ALL clicks in a window) —
+    // tagged-union + forward-fill composition, one shuffle, no candidate
+    // explosion; oracle is DuckDB's native ASOF LEFT JOIN
+    "q_asof_click" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          unix_micros(col("ts")).as("p_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          unix_micros(col("ts")).as("c_us"))
+        // unique per (key, ts): the as-of contract
+        .groupBy(col("user_id"), col("c_us")).agg(max(col("click_id")).as("click_id"))
+      graft.operators.AsOfJoin.asOf(purchases, clicks, Seq("user_id"),
+          "p_us", "c_us", Seq("click_id", "c_us"))
+        .orderBy("purchase_id")
     })
   )
 
@@ -49,6 +67,14 @@ object StreamingQueries {
          |FROM p JOIN c ON p.user_id = c.user_id
          | AND c.c_us <= p.p_us
          | AND c.c_us > p.p_us - ${EventStreams.AttributionWindowMicros}
-         |ORDER BY purchase_id, click_id""".stripMargin
+         |ORDER BY purchase_id, click_id""".stripMargin,
+    "q_asof_click" ->
+      s"""WITH p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_us
+         |           FROM events WHERE event_type = 'purchase'),
+         |c AS (SELECT user_id, epoch_us(ts) AS c_us, MAX(event_id) AS click_id
+         |      FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+         |SELECT p.user_id, p.purchase_id, p.p_us, c.click_id, c.c_us
+         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.c_us <= p.p_us
+         |ORDER BY purchase_id""".stripMargin
   )
 }
