@@ -154,6 +154,38 @@ object Dedup {
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   // ------------------------------------------------------------------
+  // SRP (signed random projection) — deterministic LSH for embeddings
+  // ------------------------------------------------------------------
+
+  val SrpPlanes = 16
+  val SrpDim = 64
+
+  /** ±1 hyperplane entries, derived from the LCG-mod-P low bit. These are
+    * COMPILE-TIME constants — embedded as literals in both the Spark plan
+    * and the oracle SQL, so the two engines replay identical planes. */
+  private[operators] def srpSign(j: Int, i: Int): Double = {
+    val x = (1103515245L * (j * SrpDim + i) + 12345L) % P
+    1.0 - 2.0 * (x % 2L).toDouble
+  }
+
+  /** Signed-random-projection signature for dense embeddings: bit j =
+    * `[dot(v, s_j) > 0]` over 16 fixed ±1 hyperplanes. The cosine-LSH
+    * analogue of [[simhash]] — two vectors at angle θ disagree on each bit
+    * with probability θ/π, so banding the 16 bits 4×4 yields candidate
+    * pairs for small angles (hamming ≤ 3 ALWAYS collides in some band).
+    * Fully deterministic, so unlike Spark-ML's BRP-LSH this embedding LSH
+    * is oracle-replicable; each plane dot is the codegen'd
+    * [[graft.functions.NativeExpressions.DotProduct]] against a literal
+    * array.
+    */
+  def srpSignature(v: Column): Column =
+    (0 until SrpPlanes).map { j =>
+      val signs = Array.tabulate(SrpDim)(i => srpSign(j, i))
+      when(graft.functions.NativeExpressions.dot(v, lit(signs)) > 0.0,
+        lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  // ------------------------------------------------------------------
   // Embedding cosine
   // ------------------------------------------------------------------
 

@@ -215,6 +215,30 @@ object DedupQueries {
     // Embedding-cosine near-dup, blocked by the label column (at 100 TB the
     // block key would be a coarse cluster/LSH bucket; see Similarity for the
     // ANN path). Norms computed once per row, not once per pair.
+    // SRP-LSH over embeddings, FULL corpus (no metadata blocking): the
+    // deterministic cosine-LSH complement of dedup_cosine_pairs' grid —
+    // catches near-dups the label blocks would split. Signature is 16
+    // literal ±1 hyperplane dots (codegen'd), banded 4×4, candidates
+    // verified with exact cosine.
+    "dedup_srp_pairs" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).repartition(col("vec_id")).select(
+        col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+        .withColumn("nrm", l2norm(col("v")))
+        .filter(col("nrm") > 0.0)
+        .withColumn("sig", srpSignature(col("v")))
+        .withColumn("bands", simhashBands(col("sig"), 4, 4))
+        .persist()
+      lshCandidatePairs(e.select("vec_id", "bands"), "vec_id", "bands")
+        .join(e.select(col("vec_id").as("id_a"), col("v").as("v_a"),
+          col("nrm").as("nrm_a")), "id_a")
+        .join(e.select(col("vec_id").as("id_b"), col("v").as("v_b"),
+          col("nrm").as("nrm_b")), "id_b")
+        .withColumn("cos", cosine(col("v_a"), col("v_b"), col("nrm_a"), col("nrm_b")))
+        .filter(col("cos") >= 0.4)
+        .select("id_a", "id_b", "cos")
+        .orderBy("id_a", "id_b")
+    }),
+
     "dedup_cosine_pairs" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir).repartition(col("vec_id")).select(
         col("vec_id"), col("label"), toDoubleArray(col("embedding")).as("v"))
@@ -426,6 +450,26 @@ object DedupQueries {
          |  AND len(list_filter(range(1, 5), bi -> a.bands[bi] = b.bands[bi])) > 0
          |WHERE bit_count(xor(a.sh, b.sh)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_srp_pairs" -> {
+      // identical literal hyperplanes as Dedup.srpSignature
+      val sigSqlExpr = (0 until Dedup.SrpPlanes).map { j =>
+        val signs = (0 until Dedup.SrpDim)
+          .map(i => Dedup.srpSign(j, i).toString).mkString("[", ", ", "]")
+        s"(CASE WHEN ${dotSql("v", signs)} > 0.0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |nn AS (SELECT * FROM (SELECT vec_id, v, ${normSql("v")} AS nrm FROM e) WHERE nrm > 0.0),
+         |s AS (SELECT vec_id, v, nrm, CAST($sigSqlExpr AS BIGINT) AS sig FROM nn),
+         |sb AS (SELECT vec_id, v, nrm, list_transform(range(0, 4), bi ->
+         |  CAST(floor(CAST(sig AS DOUBLE)/power(2, bi*4)) AS BIGINT) % 16) AS bands FROM s)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
+         |FROM sb a JOIN sb b ON a.vec_id < b.vec_id
+         |  AND len(list_filter(range(1, 5), bi -> a.bands[bi] = b.bands[bi])) > 0
+         |WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin
+    },
 
     "dedup_jaccard_blocked" ->
       s"""WITH t AS ($thCte),

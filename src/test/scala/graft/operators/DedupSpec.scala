@@ -23,6 +23,22 @@ class DedupSpec extends SparkSuite {
     assert(full.exceptAll(split).isEmpty && split.exceptAll(full).isEmpty)
   }
 
+  test("SRP signature is scale-invariant and separates opposite vectors") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = Array.tabulate(Dedup.SrpDim)(i => math.sin(i * 1.7) + 0.1)
+    val rows = Seq(
+      (1L, base.toSeq),
+      (2L, base.map(_ * 3.5).toSeq),  // same direction, different scale
+      (3L, base.map(-_).toSeq))       // opposite direction
+    val sigs = rows.toDF("id", "v")
+      .withColumn("sig", Dedup.srpSignature(col("v")))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(sigs(1L) == sigs(2L)) // cosine LSH: direction only
+    // the opposite vector flips every decided bit
+    assert(sigs(3L) == (~sigs(1L) & ((1L << Dedup.SrpPlanes) - 1)))
+  }
+
   test("exactDedup collapses true duplicates to the min id") {
     import spark.implicits._
     val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z")).toDF("doc_id", "text")
