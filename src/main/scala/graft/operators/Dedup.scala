@@ -160,12 +160,19 @@ object Dedup {
   val SrpPlanes = 16
   val SrpDim = 64
 
-  /** ±1 hyperplane entries, derived from the LCG-mod-P low bit. These are
-    * COMPILE-TIME constants — embedded as literals in both the Spark plan
-    * and the oracle SQL, so the two engines replay identical planes. */
+  /** ±1 hyperplane entries from per-plane universal-hash constants (the
+    * MinHash a_j/b_j family). The per-plane multipliers are load-bearing:
+    * a derivation affine in the flat index `j*dim+i` makes plane j+8 the
+    * exact NEGATION of plane j (sign structure repeats every 2·flip
+    * period), collapsing half the bits into complements of the other half
+    * — numerically checked here: 16 distinct planes, zero negation pairs,
+    * pairwise agreement 27–38 of 64. These are COMPILE-TIME constants —
+    * embedded as literals in both the Spark plan and the oracle SQL, so
+    * the two engines replay identical planes. */
   private[operators] def srpSign(j: Int, i: Int): Double = {
-    val x = (1103515245L * (j * SrpDim + i) + 12345L) % P
-    1.0 - 2.0 * (x % 2L).toDouble
+    val a = (1103515245L * (j + 1) + 12345L) % P
+    val b = (1103515245L * (j + 7) + 54321L) % P
+    1.0 - 2.0 * (((a * (i + 1) + b) % P) % 2L).toDouble
   }
 
   /** Signed-random-projection signature for dense embeddings: bit j =
@@ -178,12 +185,18 @@ object Dedup {
     * [[graft.functions.NativeExpressions.DotProduct]] against a literal
     * array.
     */
-  def srpSignature(v: Column): Column =
-    (0 until SrpPlanes).map { j =>
+  def srpSignature(v: Column): Column = {
+    val sig = (0 until SrpPlanes).map { j =>
       val signs = Array.tabulate(SrpDim)(i => srpSign(j, i))
       when(graft.functions.NativeExpressions.dot(v, lit(signs)) > 0.0,
         lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
+    // a ragged vector would make every dot NULL → signature 0 → all such
+    // rows collide in every band (the banded join degrades toward n²) and
+    // the oracle (which computes a real truncated dot) diverges — fail loud
+    when(size(v) === SrpDim, sig).otherwise(raise_error(concat(
+      lit(s"srpSignature: expected $SrpDim-dim vector, got "), size(v))))
+  }
 
   // ------------------------------------------------------------------
   // Embedding cosine

@@ -21,6 +21,27 @@ class AsOfJoinSpec extends SparkSuite {
       (2L, 5L, "p3", None)))      // key with no right rows → null
   }
 
+  test("asOf carries the latest right ROW atomically, even with null fields") {
+    import spark.implicits._
+    val left = Seq((1L, 10L)).toDF("k", "lts")
+    val right = Seq((1L, 1L, Some("c1"), Some("m1")), (1L, 2L, Some("c2"), None))
+      .toDF("k", "rts", "click", "meta")
+    val got = AsOfJoin.asOf(left, right, Seq("k"), "lts", "rts", Seq("click", "meta"))
+      .select("click", "meta").head
+    // per-column fills would produce the frankenrow ("c2", "m1")
+    assert(got.getString(0) == "c2" && got.isNullAt(1))
+  }
+
+  test("asOf rejects payload/left name collisions and reserved columns") {
+    import spark.implicits._
+    val l = Seq((1L, 1L, "x")).toDF("k", "lts", "v")
+    val r = Seq((1L, 1L, "y")).toDF("k", "rts", "v")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(l, r, Seq("k"), "lts", "rts", Seq("v"))
+    }
+    assert(e.getMessage.contains("collide"))
+  }
+
   test("asOf == naive per-row argmax on random data; one shuffle, no explosion") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
