@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] with 32 shuffle partitions needs real heap: at 8g the
+  // round-2 driver bench spent 3.6x dev time in GC/spill (165 s vs 45 s).
+  // The box has 128 GiB; 48g leaves room for sbt + page cache.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

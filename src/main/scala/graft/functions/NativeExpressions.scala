@@ -103,6 +103,34 @@ object NativeExpressions {
          """.stripMargin)
   }
 
+  /** Exact int8·int8 dot product as long — the quantized-ANN coarse
+    * scorer. Same null semantics as [[DotProduct]]: ragged lengths → null
+    * (matching the `aggregate(zip_with(...))` twin, where the pad null
+    * poisons the sum).
+    */
+  case class IntDot(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true // also null on ragged lengths
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): IntDot =
+      copy(left = l, right = r)
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val (aa, bb) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+      if (aa.numElements() != bb.numElements()) null
+      else NativeKernels.intDot(aa, bb)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"""
+           |if ($a.numElements() != $b.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  ${ev.value} = $Kernels.intDot($a, $b);
+           |}
+         """.stripMargin)
+  }
+
   /** `size(array_intersect(a, b))` over two strictly-ascending long arrays
     * (the sorted-distinct shingle sets produced by
     * `array_sort(array_distinct(...))`). Linear two-pointer merge in place
@@ -244,6 +272,9 @@ object NativeExpressions {
     GraftColumnBridge.column(TokenHashes(GraftColumnBridge.expression(c)))
   def dot(a: Column, b: Column): Column =
     GraftColumnBridge.column(DotProduct(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  def intDot(a: Column, b: Column): Column =
+    GraftColumnBridge.column(IntDot(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
   def sortedIntersectSize(a: Column, b: Column): Column =
     GraftColumnBridge.column(SortedIntersectSize(

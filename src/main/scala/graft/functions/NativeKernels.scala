@@ -196,6 +196,23 @@ object NativeKernels {
     acc
   }
 
+  /** Exact integer dot of two tinyint arrays, accumulated in long —
+    * identical to `aggregate(zip_with(a, b, (x,y) -> long(x)*long(y)), 0L,
+    * +)` on equal-length inputs (|x|,|y| ≤ 127 so no overflow short of
+    * 2^48 elements). The quantized-ANN coarse pass evaluates this once per
+    * corpus×query pair; the HOF formulation allocated an intermediate
+    * array per pair and walked it interpreted. */
+  def intDot(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += a.getByte(i).toLong * b.getByte(i).toLong
+      i += 1
+    }
+    acc
+  }
+
   /** Stopwords for [[textStats]] — must stay identical to
     * `TextFunctions.Stopwords` (spec-pinned). */
   private val StopwordSet: java.util.HashSet[String] = {

@@ -170,9 +170,11 @@ object Similarity {
 
     val coarse = slim.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
+      // codegen'd exact int8 dot (graft.functions.NativeExpressions.IntDot):
+      // the HOF `aggregate(zip_with(...))` form allocated + interpreted per
+      // corpus×query pair and dominated this query's profile
       .withColumn("idot",
-        aggregate(zip_with(col("qv"), col("qqv"),
-          (a, b) => a.cast("long") * b.cast("long")), lit(0L), (acc, x) => acc + x))
+        graft.functions.NativeExpressions.intDot(col("qv"), col("qqv")))
       .withColumn("coarse",
         (col("idot").cast("double") / (col("qscale") * col("qqscale"))) /
           (col("nrm") * col("qnrm")))

@@ -70,6 +70,9 @@ object GraftExtensions {
           "graft_band_hashes(sig, bands, rows) - per-band base-31 combines"),
         (args: Seq[Expression]) =>
           BandHashes(args(0), intArg(args(1), "bands"), intArg(args(2), "rows"))),
+      (FunctionIdentifier("graft_int_dot"),
+        info("graft_int_dot", "graft_int_dot(arr<tinyint>, arr<tinyint>) - exact integer dot as bigint"),
+        (args: Seq[Expression]) => IntDot(args(0), args(1))),
       (FunctionIdentifier("graft_sorted_intersect_size"),
         info("graft_sorted_intersect_size",
           "graft_sorted_intersect_size(a, b) - |a ∩ b| of strictly-ascending arrays"),

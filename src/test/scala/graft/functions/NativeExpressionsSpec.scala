@@ -168,4 +168,23 @@ class NativeExpressionsSpec extends SparkSuite {
       .filter(col("native") =!= col("hof")).count()
     assert(diff == 0)
   }
+
+  test("IntDot == aggregate(zip_with) formulation on quantized embeddings") {
+    val q = graft.operators.Similarity.quantize(
+      graft.operators.Similarity.prepare(Tables.embeddings(spark, sf0001)))
+      .select(col("qv"))
+    val pairs = q.limit(50).crossJoin(q.limit(50).select(col("qv").as("qw")))
+    val hof = aggregate(zip_with(col("qv"), col("qw"),
+      (x, y) => x.cast("long") * y.cast("long")), lit(0L), (acc, x) => acc + x)
+    val diff = pairs.select(
+      NativeExpressions.intDot(col("qv"), col("qw")).as("native"), hof.as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(diff == 0)
+  }
+
+  test("IntDot is null on ragged lengths, like the zip_with twin") {
+    val row = spark.sql(
+      "SELECT CAST(array(1,2,3) AS array<tinyint>) a, CAST(array(1,2) AS array<tinyint>) b")
+    assert(row.select(NativeExpressions.intDot(col("a"), col("b"))).head.isNullAt(0))
+  }
 }
