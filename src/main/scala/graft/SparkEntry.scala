@@ -61,6 +61,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     coreQueries ++ graft.functions.TextQueries.queries ++
       graft.operators.DedupQueries.queries ++
+      graft.operators.TrainingDataQueries.queries ++
       graft.operators.SimilarityQueries.queries ++
       graft.operators.RelationalQueries.queries ++
       graft.operators.MultimodalQueries.queries ++
@@ -253,6 +254,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     coreOracles ++ graft.functions.TextQueries.oracles ++
       graft.operators.DedupQueries.oracles ++
+      graft.operators.TrainingDataQueries.oracles ++
       graft.operators.SimilarityQueries.oracles ++
       graft.operators.RelationalQueries.oracles ++
       graft.operators.MultimodalQueries.oracles ++

@@ -236,6 +236,23 @@ object NativeExpressions {
       defineCodeGen(ctx, ev, c => s"$Kernels.textStats($c)")
   }
 
+  /** One-pass repetition statistics `[nTokens, nDistinctTokens,
+    * topTokenFreq, nBigrams, nDistinctBigrams]` (see
+    * [[NativeKernels.repetitionStats]]); ratio accessors project this node,
+    * CSE'd by whole-stage codegen like [[TextStats]].
+    */
+  case class RepetitionStats(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
+      copy(child = newChild)
+
+    override protected def nullSafeEval(input: Any): Any =
+      NativeKernels.repetitionStats(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Kernels.repetitionStats($c)")
+  }
+
   /** Per-language marker-token hit counts in one tokenization pass (see
     * [[NativeKernels.langMarkerCounts]]); the language-ID argmax stays in
     * Column space over this vector. */
@@ -291,6 +308,8 @@ object NativeExpressions {
     GraftColumnBridge.column(PolyCombine(GraftColumnBridge.expression(arr)))
   def textStats(text: Column): Column =
     GraftColumnBridge.column(TextStats(GraftColumnBridge.expression(text)))
+  def repetitionStats(text: Column): Column =
+    GraftColumnBridge.column(RepetitionStats(GraftColumnBridge.expression(text)))
   def langMarkerCounts(text: Column): Column =
     GraftColumnBridge.column(LangMarkerCounts(GraftColumnBridge.expression(text)))
 }

@@ -213,6 +213,38 @@ object NativeKernels {
     acc
   }
 
+  /** Repetition statistics of a document in one pass over its token
+    * hashes: `[nTokens, nDistinctTokens, topTokenFreq, nBigrams,
+    * nDistinctBigrams]` as array<long>. Bigram hash is the same base-31
+    * combine as [[shingleHashes]] with n=2 (`(h_i*31 + h_{i+1}) mod P`), so
+    * the DuckDB twin replays it with list lambdas. Backbone of
+    * Gopher-style repetition filters (top-token fraction, duplicate-ngram
+    * fraction): the HOF formulation needs an explode + two shuffling
+    * aggregations per corpus; this runs inside the scan.
+    */
+  def repetitionStats(u: UTF8String): ArrayData = {
+    val th = tokenHashesArray(u.toString)
+    val n = th.length
+    val counts = new java.util.HashMap[Long, Int](n * 2)
+    var top = 0
+    var i = 0
+    while (i < n) {
+      val c = counts.getOrDefault(th(i), 0) + 1
+      counts.put(th(i), c)
+      if (c > top) top = c
+      i += 1
+    }
+    val nBigrams = math.max(n - 1, 0)
+    val bigrams = new java.util.HashSet[Long](nBigrams * 2)
+    i = 0
+    while (i < n - 1) {
+      bigrams.add((th(i) * 31L + th(i + 1)) % P)
+      i += 1
+    }
+    ArrayData.toArrayData(Array(n.toLong, counts.size.toLong, top.toLong,
+      nBigrams.toLong, bigrams.size.toLong))
+  }
+
   /** Stopwords for [[textStats]] — must stay identical to
     * `TextFunctions.Stopwords` (spec-pinned). */
   private val StopwordSet: java.util.HashSet[String] = {

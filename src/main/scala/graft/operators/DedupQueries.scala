@@ -260,7 +260,7 @@ object DedupQueries {
   /** polyHash over a string expression var (same as TextQueries.sqlPolyHash
     * but with a caller-chosen char-index var name to avoid lambda-var
     * shadowing in nested contexts). */
-  private def ph(x: String, v: String): String =
+  private[operators] def ph(x: String, v: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(range(1, length($x)+1), $v -> CAST(unicode($x[$v]) AS BIGINT))), " +
       s"(a, c) -> (a*31 + c) % 1000000007)"
@@ -275,7 +275,7 @@ object DedupQueries {
 
   /** Distinct sorted n-gram shingle hashes of `text` — base-31 combine of
     * the n consecutive token hashes (mirrors TextFunctions.shingleHashes). */
-  private def shhSql(n: Int): String = {
+  private[operators] def shhSql(n: Int): String = {
     val combined =
       s"CASE WHEN len(th) < $n THEN CAST([] AS BIGINT[]) " +
         s"ELSE list_transform(range(1, len(th) - ${n - 1} + 1), i -> " +
@@ -285,7 +285,7 @@ object DedupQueries {
   }
 
   /** CTE producing (doc_id, source, th) — evaluate token hashes once. */
-  private val thCte = s"SELECT doc_id, source, $tokenHashesSql AS th FROM documents"
+  private[operators] val thCte = s"SELECT doc_id, source, $tokenHashesSql AS th FROM documents"
 
   /** MinHash signature (list<bigint> length 16) from a shingle-hash list
     * expression. */

@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Sequence packing and context-length chunking — the operators that turn a
+  * deduped document corpus into fixed-budget training sequences.
+  *
+  *  - [[chunks]]: split each document into `chunkTokens`-sized windows.
+  *    Pure per-row arithmetic (posexplode over a sequence) — embarrassingly
+  *    parallel, runs inside the scan at any corpus size.
+  *  - [[globalCumSum]]: exclusive prefix sum of a value column over a total
+  *    order, WITHOUT a single-task global window. Same scale shape as
+  *    `PU.globalRankByScore`: range-partition on the order (each task sorts
+  *    only its slice), aggregate per-partition totals (tiny — one row per
+  *    partition — collected and broadcast), then a zero-shuffle
+  *    per-partition pass adds each partition's offset to its local running
+  *    total. The per-partition pass is `mapPartitions` — genuine sequential
+  *    per-partition logic, the one place the build brief sanctions it.
+  *  - [[packAssignments]]: concat-and-cut packing on top of the prefix sum —
+  *    documents are laid head-to-tail in the total order and cut every
+  *    `packTokens`; a document starts in pack `cum_before div packTokens`
+  *    at offset `cum_before mod packTokens` (it may straddle into the next
+  *    pack, exactly like an LLM pretraining packer that cuts mid-document).
+  *
+  * The reference (ispras/pu4spark) has no packing surface (SURVEY.md §2.3);
+  * north-star training-pipeline operators.
+  */
+object Packing {
+
+  /** (docId, chunk_id, chunk_len) for every `chunkTokens`-sized window of
+    * each document; documents with zero tokens produce no chunks. */
+  def chunks(df: DataFrame, idCol: String, nTokensCol: String,
+             chunkTokens: Int): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    val n = col(nTokensCol).cast(LongType)
+    val nChunks = (n + (chunkTokens - 1)) div chunkTokens
+    df.filter(n > 0L)
+      .select(col(idCol), n.as(nTokensCol),
+        posexplode(sequence(lit(0L), nChunks - 1L)).as(Seq("chunk_id", "_c")))
+      .select(col(idCol), col(nTokensCol), col("chunk_id").cast(LongType).as("chunk_id"),
+        least(lit(chunkTokens.toLong), n - col("chunk_id") * chunkTokens).as("chunk_len"))
+  }
+
+  private implicit class DivOps(val c: org.apache.spark.sql.Column) extends AnyVal {
+    /** Integer division (SQL `div`) — `/` on longs is double division. */
+    def div(d: Long): org.apache.spark.sql.Column = call_function("div", c, lit(d))
+    def div(d: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      call_function("div", c, d)
+  }
+
+  /** Append `outCol` = exclusive prefix sum of `valueCol` (must be
+    * non-negative longs) in ascending `orderCol` order. Three parallel
+    * stages, no global window: range exchange, per-partition totals
+    * (collected: one long per partition), per-partition accumulate with the
+    * broadcast offsets.
+    */
+  def globalCumSum(df: DataFrame, orderCol: String, valueCol: String,
+                   outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val ordered = df
+      .withColumn(valueCol, col(valueCol).cast(LongType))
+      .repartitionByRange(col(orderCol))
+      .sortWithinPartitions(col(orderCol))
+      .withColumn("graft_pid", spark_partition_id())
+      .persist()
+    graft.CheckpointUtil.track(ordered)
+    val sizes = ordered.groupBy(col("graft_pid"))
+      .agg(sum(col(valueCol)).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nParts = if (sizes.isEmpty) 0 else sizes.keys.max + 1
+    val offsets = (0 until nParts).scanLeft(0L) { (acc, pid) =>
+      acc + sizes.getOrElse(pid, 0L)
+    }.toArray
+    val offsetsB = spark.sparkContext.broadcast(offsets)
+    val inSchema = ordered.schema
+    val valueIdx = inSchema.fieldIndex(valueCol)
+    val pidIdx = inSchema.fieldIndex("graft_pid")
+    val outSchema = inSchema.add(outCol, LongType, nullable = false)
+    // Zero-shuffle sequential pass over the cached, already-sorted
+    // partitions. The offset is looked up by the PINNED graft_pid column,
+    // NOT TaskContext.getPartitionId(): the task's stage-local partition
+    // index shifts whenever a downstream plan composes this result (e.g. a
+    // union re-indexes both children 0..n1+n2), while the column value was
+    // fixed at the range exchange the totals were keyed by.
+    val out = ordered.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val buf = it.buffered
+        var acc = offsetsB.value(buf.head.getInt(pidIdx))
+        buf.map { r =>
+          val before = acc
+          acc += r.getLong(valueIdx)
+          Row.fromSeq(r.toSeq :+ before)
+        }
+      }
+    }(Encoders.row(outSchema))
+    out.drop("graft_pid")
+  }
+
+  /** (everything in `df`) + pack_id / pack_offset from concat-and-cut
+    * packing at `packTokens` per sequence, in ascending `orderCol` order. */
+  def packAssignments(df: DataFrame, orderCol: String, nTokensCol: String,
+                      packTokens: Long): DataFrame = {
+    require(packTokens >= 1, s"packTokens must be >= 1, got $packTokens")
+    globalCumSum(df, orderCol, nTokensCol, "cum_before")
+      .withColumn("pack_id", col("cum_before") div packTokens)
+      .withColumn("pack_offset", pmod(col("cum_before"), lit(packTokens)))
+  }
+}

@@ -1,0 +1,335 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+
+import graft.Tables
+import graft.functions.{NativeExpressions, TextFunctions}
+
+/** Round-3 training-data pipeline queries: sequence packing / chunking,
+  * Bloom-filter membership, retrieval scoring, repetition quality, corpus
+  * mixing, and approximate-distinct — each with an exact DuckDB twin.
+  *
+  * Cross-engine float discipline (same contract as the rest of the engine):
+  * integer arithmetic wherever possible (exact on both engines), and where
+  * doubles are unavoidable the expression TREE is written identically on
+  * both sides so IEEE evaluation order matches bit-for-bit. Notably
+  * [[Bm25]] uses a log-free rational idf `(N - df + 0.5)/(df + 0.5)` —
+  * same ranking monotonicity as the classic `ln`-idf, but `ln` is the one
+  * operation whose libm rounding differs across engines, so it is kept out
+  * of the oracle-compared surface.
+  */
+object TrainingDataQueries {
+  import DedupQueries.{ph, thCte}
+
+  private val P = TextFunctions.HashMod
+
+  /** Pack budget (tokens per training sequence) and chunk width. */
+  val PackTokens = 2048L
+  val ChunkTokens = 64
+  /** Bloom sizing: 512 bits × 3 probes over ~125 build fingerprints →
+    * ~52% fill, ~14% false-positive rate at sf0.01 — deliberately small so
+    * the false-positive path is actually exercised by the gate. */
+  val BloomBits = 512
+  val BloomK = 3
+  /** HLL: 256 registers (p=8), trailing-zero rank over the ~22 hash bits
+    * above the bucket index. */
+  val HllRegisters = 256
+
+  private def docsSpread(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).repartition(col("doc_id"))
+
+  private def docTokens(s: SparkSession, dir: String): DataFrame =
+    docsSpread(s, dir).select(col("doc_id"),
+      TextFunctions.tokenCount(col("text")).cast(LongType).as("n_tokens"))
+
+  /** BM25 query terms (fixed literals — a real retrieval query). */
+  val Bm25Terms = Seq("join", "hash", "scan")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Concat-and-cut sequence packing: exclusive global prefix sum of
+    // token counts in doc_id order (range partition + broadcast offsets —
+    // no single-task window), then pack id / offset by integer division.
+    "pipeline_pack" -> ((s, dir) => {
+      Packing.packAssignments(docTokens(s, dir), "doc_id", "n_tokens", PackTokens)
+        .select("doc_id", "n_tokens", "cum_before", "pack_id", "pack_offset")
+        .orderBy("doc_id")
+    }),
+
+    // Context-length chunking: per-document window split, pure map work.
+    "pipeline_chunks" -> ((s, dir) => {
+      Packing.chunks(docTokens(s, dir), "doc_id", "n_tokens", ChunkTokens)
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    // "Seen-corpus" membership: build a bit-packed Bloom filter over the
+    // fingerprints of five sources (mergeable agg — map-side partials,
+    // 64 bytes per group over the wire), broadcast it, probe every doc
+    // with column arithmetic in the scan. exact_seen (broadcast join
+    // against the distinct build fingerprints) exposes the false-positive
+    // rows to the oracle.
+    "pipeline_bloom" -> ((s, dir) => {
+      val f = docsSpread(s, dir)
+        .select(col("doc_id"), col("source"),
+          TextFunctions.fingerprint(col("text")).as("fp"))
+        .persist()
+      val build = f.filter(col("source")
+        .isin("src0", "src1", "src2", "src3", "src4"))
+      val bloom = build.agg(
+        new BloomFilterAgg(BloomBits, BloomK).column(col("fp")).as("bloom"))
+      val buildFps = build.select(col("fp")).distinct()
+        .withColumn("graft_seen", lit(true))
+      f.crossJoin(broadcast(bloom))
+        .join(broadcast(buildFps), Seq("fp"), "left")
+        .select(col("doc_id"),
+          BloomFilterAgg.mightContain(col("bloom"), col("fp"), BloomBits, BloomK)
+            .as("maybe_seen"),
+          coalesce(col("graft_seen"), lit(false)).as("exact_seen"))
+        .orderBy("doc_id")
+    }),
+
+    // Corpus mixing: per-source consistent-hash downsampling rates (the
+    // domain-reweighting step of a pretraining mix) + deterministic
+    // upsampling of one language by row replication. The keep decision
+    // depends only on the doc key — stable under reruns and growth.
+    "pipeline_mix" -> ((s, dir) => {
+      docsSpread(s, dir)
+        .withColumn("rate",
+          when(col("source").isin("src0", "src1"), 10)
+            .when(col("source") === "src2", 50)
+            .otherwise(100))
+        .filter(pmod(TextFunctions.polyHash(col("doc_id").cast(StringType)),
+          lit(100)) < col("rate"))
+        .withColumn("weight", when(col("lang") === "en", 2).otherwise(1))
+        .select(col("doc_id"), col("source"), col("lang"),
+          explode(sequence(lit(1), col("weight"))).as("copy_id"))
+        .withColumn("copy_id", col("copy_id").cast(LongType))
+        .orderBy("doc_id", "copy_id")
+    }),
+
+    // BM25 retrieval over literal query terms: explode → per-(doc,term)
+    // tf, broadcast df + corpus stats, pivot to fixed term columns so the
+    // double sum has ONE evaluation order. Both shuffles are on doc_id
+    // (tf agg, pivot agg) over term-matching rows only — the corpus scan
+    // itself never shuffles.
+    "text_bm25" -> ((s, dir) => {
+      val dl = docTokens(s, dir).withColumnRenamed("n_tokens", "dl")
+      val totals = dl.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("n_tokens_total"))
+      val tf = docsSpread(s, dir)
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .filter(col("tok").isin(Bm25Terms: _*))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val dft = tf.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+      val w = tf
+        .join(broadcast(dft), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(totals))
+        .withColumn("avgdl",
+          col("n_tokens_total").cast(DoubleType) / col("n_docs").cast(DoubleType))
+        .withColumn("w",
+          ((col("n_docs").cast(DoubleType) - col("df").cast(DoubleType) + lit(0.5))
+            / (col("df").cast(DoubleType) + lit(0.5)))
+            * (col("tf").cast(DoubleType) * lit(2.2))
+            / (col("tf").cast(DoubleType)
+              + lit(1.2) * (lit(0.25)
+                + lit(0.75) * col("dl").cast(DoubleType) / col("avgdl"))))
+      val byTerm = w.groupBy(col("doc_id")).pivot("tok", Bm25Terms).agg(first(col("w")))
+      byTerm
+        .withColumn("score", Bm25Terms.map(t => coalesce(col(t), lit(0.0)))
+          .reduce(_ + _))
+        .select(col("doc_id"), col("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    }),
+
+    // Gopher-style repetition signals in one native pass per document
+    // (top-token fraction, distinct-token ratio, duplicate-bigram
+    // fraction) — the HOF/relational formulation needs an explode plus two
+    // shuffling aggregations; this runs inside the scan.
+    "text_repetition" -> ((s, dir) => {
+      val rep = NativeExpressions.repetitionStats(col("text"))
+      docsSpread(s, dir)
+        .select(col("doc_id"), rep.as("r"))
+        .select(col("doc_id"),
+          col("r").getItem(0).as("n_tokens"),
+          when(col("r").getItem(0) === 0L, lit(0.0))
+            .otherwise(col("r").getItem(2).cast(DoubleType)
+              / col("r").getItem(0).cast(DoubleType)).as("top_token_ratio"),
+          when(col("r").getItem(0) === 0L, lit(0.0))
+            .otherwise(col("r").getItem(1).cast(DoubleType)
+              / col("r").getItem(0).cast(DoubleType)).as("distinct_token_ratio"),
+          when(col("r").getItem(3) === 0L, lit(0.0))
+            .otherwise(lit(1.0) - col("r").getItem(4).cast(DoubleType)
+              / col("r").getItem(3).cast(DoubleType)).as("bigram_repetition"))
+        .orderBy("doc_id")
+    }),
+
+    // Approximate distinct shingles per source: a DETERMINISTIC HLL
+    // (trailing-zero rank over the engine's portable hash, max-register
+    // merge) whose estimate is computed in exact integer arithmetic until
+    // one final double division — so unlike approx_count_distinct this
+    // sketch is oracle-replicable. Registers are a two-level agg (map-side
+    // partials; 256 rows per source cross the wire). Exact count rides
+    // along for the error to be visible.
+    "text_hll_distinct" -> ((s, dir) => {
+      val flat = docsSpread(s, dir)
+        .select(col("source"),
+          explode(TextFunctions.shingleHashes(col("text"), 3)).as("h"))
+        .persist()
+      val v = col("h") div lit(HllRegisters.toLong)
+      val rho = when(v === 0L, lit(23L))
+        .otherwise(lit(1L) + bit_count(v.bitwiseAND(-v) - lit(1L)).cast(LongType))
+      val regs = flat
+        .select(col("source"), pmod(col("h"), lit(HllRegisters.toLong)).as("bucket"),
+          rho.as("rho"))
+        .groupBy(col("source"), col("bucket")).agg(max(col("rho")).as("m"))
+      val sums = regs.groupBy(col("source")).agg(
+        (sum(pow(lit(2.0), lit(32L) - col("m")).cast(LongType))
+          + (lit(HllRegisters.toLong) - count(lit(1))) * lit(4294967296L))
+          .as("sum_int"))
+      val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))
+      val exact = flat.groupBy(col("source"))
+        .agg(countDistinct(col("h")).as("n_exact"))
+      exact.join(sums, "source")
+        .withColumn("hll_estimate",
+          alpha * lit(65536.0) * lit(4294967296.0) / col("sum_int").cast(DoubleType))
+        .select(col("source"), col("n_exact"), col("hll_estimate"))
+        .orderBy("source")
+    })
+  )
+
+  // ------------------------------------------------------------------
+  // DuckDB twins
+  // ------------------------------------------------------------------
+
+  private val ntokSql = graft.functions.TextQueries.sqlNTok
+
+  /** Bloom probe position j of a fingerprint expression (exact mirror of
+    * BloomFilterAgg.position). */
+  private def bloomPosSql(fp: String, j: String): String =
+    s"((((1103515245*($j+1)+12345) % $P)*$fp + (1103515245*($j+7)+54321) % $P) % $P) % $BloomBits"
+
+  def oracles: Map[String, String] = Map(
+    "pipeline_pack" ->
+      s"""WITH t AS (SELECT doc_id, CAST($ntokSql AS BIGINT) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |  FROM t)
+         |SELECT doc_id, n_tokens, cum_before,
+         |  cum_before // $PackTokens AS pack_id,
+         |  cum_before % $PackTokens AS pack_offset
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "pipeline_chunks" ->
+      s"""WITH t AS (SELECT doc_id, CAST($ntokSql AS BIGINT) AS n_tokens
+         |  FROM documents WHERE ($ntokSql) > 0),
+         |e AS (SELECT doc_id, n_tokens,
+         |  unnest(range(0, (n_tokens + ${ChunkTokens - 1}) // $ChunkTokens)) AS chunk_id
+         |  FROM t)
+         |SELECT doc_id, n_tokens, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |  CAST(LEAST($ChunkTokens, n_tokens - $ChunkTokens * chunk_id) AS BIGINT) AS chunk_len
+         |FROM e ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "pipeline_bloom" ->
+      s"""WITH f AS (SELECT doc_id, source, ${ph("text", "ci")} AS fp FROM documents),
+         |build AS (SELECT DISTINCT fp FROM f
+         |  WHERE source IN ('src0','src1','src2','src3','src4')),
+         |bits AS (SELECT DISTINCT unnest(list_transform(range(0, $BloomK),
+         |  j -> ${bloomPosSql("fp", "j")})) AS pos FROM build),
+         |probed AS (SELECT doc_id, ${bloomPosSql("fp", "j")} AS pos
+         |  FROM (SELECT doc_id, fp, unnest(range(0, $BloomK)) AS j FROM f)),
+         |hits AS (SELECT doc_id, count(*) AS nhit
+         |  FROM probed JOIN bits USING (pos) GROUP BY doc_id)
+         |SELECT f.doc_id,
+         |  COALESCE(h.nhit, 0) = $BloomK AS maybe_seen,
+         |  f.fp IN (SELECT fp FROM build) AS exact_seen
+         |FROM f LEFT JOIN hits h ON f.doc_id = h.doc_id
+         |ORDER BY f.doc_id""".stripMargin,
+
+    "pipeline_mix" ->
+      s"""WITH r AS (SELECT doc_id, source, lang,
+         |  CASE WHEN source IN ('src0','src1') THEN 10
+         |       WHEN source = 'src2' THEN 50 ELSE 100 END AS rate,
+         |  CASE WHEN lang = 'en' THEN 2 ELSE 1 END AS w
+         |  FROM documents),
+         |k AS (SELECT * FROM r WHERE (${ph("CAST(doc_id AS VARCHAR)", "si")}) % 100 < rate),
+         |e AS (SELECT doc_id, source, lang, unnest(range(1, w + 1)) AS copy_id FROM k)
+         |SELECT doc_id, source, lang, CAST(copy_id AS BIGINT) AS copy_id
+         |FROM e ORDER BY doc_id, copy_id""".stripMargin,
+
+    "text_bm25" ->
+      s"""WITH dl AS (SELECT doc_id, CAST($ntokSql AS BIGINT) AS dl FROM documents),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(dl) AS BIGINT) AS n_tokens_total FROM dl),
+         |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+         |        FROM documents)
+         |  WHERE tok IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+         |  GROUP BY doc_id, tok),
+         |dft AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |  FROM tf GROUP BY tok),
+         |w AS (SELECT tf.doc_id, tf.tok,
+         |  ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+         |    * (CAST(tf AS DOUBLE) * 2.2)
+         |    / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+         |        / (CAST(n_tokens_total AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS w
+         |  FROM tf JOIN dft USING (tok) JOIN dl USING (doc_id) CROSS JOIN tot),
+         |s AS (SELECT doc_id,
+         |  ${Bm25Terms.map(t => s"COALESCE(MAX(CASE WHEN tok = '$t' THEN w END), 0.0)")
+                        .mkString("\n         |    + ")} AS score
+         |  FROM w GROUP BY doc_id)
+         |SELECT doc_id, score FROM s ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "text_repetition" ->
+      s"""WITH t AS ($thCte),
+         |bg AS (SELECT doc_id, th,
+         |  CASE WHEN len(th) < 2 THEN CAST([] AS BIGINT[])
+         |       ELSE list_transform(range(1, len(th)), i -> (th[i]*31 + th[i+1]) % $P)
+         |  END AS bgl FROM t),
+         |st AS (SELECT doc_id,
+         |  CAST(len(th) AS BIGINT) AS n,
+         |  CAST(len(list_distinct(th)) AS BIGINT) AS nd,
+         |  CAST(CASE WHEN len(th) = 0 THEN 0 ELSE
+         |    list_max(list_transform(list_distinct(th),
+         |      x -> len(list_filter(th, y -> y = x)))) END AS BIGINT) AS topf,
+         |  CAST(len(bgl) AS BIGINT) AS nb,
+         |  CAST(len(list_distinct(bgl)) AS BIGINT) AS nbd
+         |  FROM bg)
+         |SELECT doc_id, n AS n_tokens,
+         |  CASE WHEN n = 0 THEN 0.0 ELSE CAST(topf AS DOUBLE) / CAST(n AS DOUBLE) END AS top_token_ratio,
+         |  CASE WHEN n = 0 THEN 0.0 ELSE CAST(nd AS DOUBLE) / CAST(n AS DOUBLE) END AS distinct_token_ratio,
+         |  CASE WHEN nb = 0 THEN 0.0 ELSE 1.0 - CAST(nbd AS DOUBLE) / CAST(nb AS DOUBLE) END AS bigram_repetition
+         |FROM st ORDER BY doc_id""".stripMargin,
+
+    "text_hll_distinct" ->
+      s"""WITH t AS ($thCte),
+         |d AS (SELECT doc_id, source, ${DedupQueries.shhSql(3)} AS shh FROM t),
+         |fl AS (SELECT source, unnest(shh) AS h FROM d),
+         |b AS (SELECT source, h % $HllRegisters AS bucket, h // $HllRegisters AS v FROM fl),
+         |r AS (SELECT source, bucket,
+         |  CASE WHEN v = 0 THEN 23
+         |       ELSE 1 + CAST(bit_count((v & (-v)) - 1) AS BIGINT) END AS rho
+         |  FROM b),
+         |regs AS (SELECT source, bucket, MAX(rho) AS m FROM r GROUP BY source, bucket),
+         |sums AS (SELECT source,
+         |  CAST(SUM(CAST(power(2, 32 - m) AS BIGINT)) AS BIGINT)
+         |    + ($HllRegisters - CAST(count(*) AS BIGINT)) * 4294967296 AS sum_int
+         |  FROM regs GROUP BY source),
+         |ex AS (SELECT source, CAST(count(DISTINCT h) AS BIGINT) AS n_exact
+         |  FROM fl GROUP BY source)
+         |SELECT ex.source, ex.n_exact,
+         |  (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 4294967296.0
+         |    / CAST(sum_int AS DOUBLE) AS hll_estimate
+         |FROM ex JOIN sums USING (source) ORDER BY source""".stripMargin
+  )
+
+  /** Column-side integer division helper (SQL `div`). */
+  private implicit class DivCol(val c: org.apache.spark.sql.Column) {
+    def div(d: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      call_function("div", c, d)
+  }
+}

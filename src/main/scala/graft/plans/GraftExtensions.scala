@@ -70,6 +70,10 @@ object GraftExtensions {
           "graft_band_hashes(sig, bands, rows) - per-band base-31 combines"),
         (args: Seq[Expression]) =>
           BandHashes(args(0), intArg(args(1), "bands"), intArg(args(2), "rows"))),
+      (FunctionIdentifier("graft_repetition_stats"),
+        info("graft_repetition_stats",
+          "graft_repetition_stats(str) - [nTokens, nDistinct, topFreq, nBigrams, nDistinctBigrams] in one pass"),
+        (args: Seq[Expression]) => RepetitionStats(args.head)),
       (FunctionIdentifier("graft_int_dot"),
         info("graft_int_dot", "graft_int_dot(arr<tinyint>, arr<tinyint>) - exact integer dot as bigint"),
         (args: Seq[Expression]) => IntDot(args(0), args(1))),

@@ -182,6 +182,37 @@ class NativeExpressionsSpec extends SparkSuite {
     assert(diff == 0)
   }
 
+  test("RepetitionStats == the relational explode/groupBy formulation") {
+    val docs = Tables.documents(spark, sf0001).select(col("doc_id"), col("text"))
+    val got = docs.select(col("doc_id"),
+      NativeExpressions.repetitionStats(col("text")).as("r"))
+      .select(col("doc_id"), col("r").getItem(0).as("n"), col("r").getItem(1).as("nd"),
+        col("r").getItem(2).as("topf"), col("r").getItem(3).as("nb"),
+        col("r").getItem(4).as("nbd"))
+    val th = NativeExpressions.tokenHashes(col("text"))
+    val bigrams = zip_with(slice(th, lit(1), greatest(size(th) - 1, lit(0))),
+      slice(th, lit(2), greatest(size(th) - 1, lit(0))),
+      (a, b) => pmod(a * lit(31L) + b, lit(1000000007L)))
+    val tokCounts = docs.select(col("doc_id"), explode_outer(th).as("h"))
+      .groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("h").isNotNull, col("c")).otherwise(0L)).as("n"),
+        sum(when(col("h").isNotNull, 1L).otherwise(0L)).as("nd"),
+        max(when(col("h").isNotNull, col("c")).otherwise(0L)).as("topf"))
+    val bigStats = docs.select(col("doc_id"), bigrams.as("bg"))
+      .select(col("doc_id"), size(col("bg")).cast("long").as("nb"),
+        size(array_distinct(col("bg"))).cast("long").as("nbd"))
+    val want = tokCounts.join(bigStats, "doc_id")
+    val diff = got.join(want.select(col("doc_id"), col("n").as("wn"),
+        col("nd").as("wnd"), col("topf").as("wtopf"),
+        col("nb").as("wnb"), col("nbd").as("wnbd")), "doc_id")
+      .filter(col("n") =!= col("wn") || col("nd") =!= col("wnd") ||
+        col("topf") =!= col("wtopf") || col("nb") =!= col("wnb") ||
+        col("nbd") =!= col("wnbd"))
+      .count()
+    assert(diff == 0)
+  }
+
   test("IntDot is null on ragged lengths, like the zip_with twin") {
     val row = spark.sql(
       "SELECT CAST(array(1,2,3) AS array<tinyint>) a, CAST(array(1,2) AS array<tinyint>) b")
