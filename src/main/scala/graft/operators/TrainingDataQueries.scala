@@ -167,6 +167,24 @@ object TrainingDataQueries {
         .orderBy("doc_id")
     }),
 
+    // Deterministic stratified sample: the k docs per source with the
+    // smallest consistent-hash values — group-wise uniform sampling that is
+    // stable under reruns and corpus growth. Runs as the bounded top-k
+    // AGGREGATE on the negated hash (O(k) state, map-side partials,
+    // skew-safe), not a window sort of every group.
+    "pipeline_stratified" -> ((s, dir) => {
+      val k = 5
+      docsSpread(s, dir)
+        .select(col("source"), col("doc_id"),
+          TextFunctions.polyHash(col("doc_id").cast(StringType)).as("h"))
+        .groupBy(col("source"))
+        .agg(TopKAgg.column(k, -col("h").cast(DoubleType), col("doc_id")).as("top"))
+        .select(col("source"), posexplode(col("top")))
+        .select(col("source"), (col("pos") + 1).cast(LongType).as("rank"),
+          col("col._2").as("doc_id"), (-col("col._1")).cast(LongType).as("h"))
+        .orderBy("source", "rank")
+    }),
+
     // Approximate distinct shingles per source: a DETERMINISTIC HLL
     // (trailing-zero rank over the engine's portable hash, max-register
     // merge) whose estimate is computed in exact integer arithmetic until
@@ -304,6 +322,14 @@ object TrainingDataQueries {
          |  CASE WHEN n = 0 THEN 0.0 ELSE CAST(nd AS DOUBLE) / CAST(n AS DOUBLE) END AS distinct_token_ratio,
          |  CASE WHEN nb = 0 THEN 0.0 ELSE 1.0 - CAST(nbd AS DOUBLE) / CAST(nb AS DOUBLE) END AS bigram_repetition
          |FROM st ORDER BY doc_id""".stripMargin,
+
+    "pipeline_stratified" ->
+      s"""WITH h AS (SELECT source, doc_id,
+         |  (${ph("CAST(doc_id AS VARCHAR)", "si")}) AS h FROM documents)
+         |SELECT source,
+         |  CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS rank,
+         |  doc_id, h
+         |FROM h QUALIFY rank <= 5 ORDER BY source, rank""".stripMargin,
 
     "text_hll_distinct" ->
       s"""WITH t AS ($thCte),

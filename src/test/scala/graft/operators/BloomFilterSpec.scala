@@ -49,6 +49,13 @@ class BloomFilterSpec extends SparkSuite {
       s"fp=${r.getLong(0)}"))
   }
 
+  test("the probe plan broadcasts the bitmap and the build fingerprints — no sort-merge join") {
+    val q = TrainingDataQueries.queries("pipeline_bloom")(spark, sf0001)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("false-positive rate at the demo sizing is nonzero but bounded") {
     // 512 bits / 3 probes over the 5-source build set: small enough to
     // exercise the FP path, far from saturated (all-true would be useless)

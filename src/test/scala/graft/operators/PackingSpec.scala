@@ -54,6 +54,14 @@ class PackingSpec extends SparkSuite {
     assert(maxPack <= total / b)
   }
 
+  test("globalCumSum's plan has a range exchange and no Window node") {
+    val plan = Packing.globalCumSum(docTokens, "doc_id", "n_tokens", "cum")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("rangepartitioning") || plan.contains("RangePartitioning")
+      || plan.contains("REPARTITION_BY_RANGE"), plan)
+  }
+
   test("chunks partition each document exactly: lengths sum to n_tokens, all full but the last") {
     val c = 64
     val chunks = Packing.chunks(docTokens, "doc_id", "n_tokens", c)
