@@ -73,7 +73,12 @@ object Bench {
     // cheapest entries (full detail is always in bench_out.json).
     def compact(qrs: Seq[(String, Double)]): String =
       render(v => f"$v%.2f", qrs)
-    var keep = results.sortBy { case (_, v) => -v }
+    // failure sentinels (-1.0) sort FIRST so they are never trimmed — the
+    // driver must always see a failed query; then descending cost, so the
+    // cheapest successful entries are dropped first if space runs out
+    var keep = results.sortBy { case (_, v) =>
+      if (v < 0) Double.NegativeInfinity else -v
+    }
     while (compact(keep.sortBy(_._1)).length > 1850 && keep.nonEmpty)
       keep = keep.dropRight(1)
     println(compact(keep.sortBy(_._1)))

@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, IntegerType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Custom Catalyst expressions with whole-stage codegen for the per-row
@@ -109,6 +110,17 @@ object NativeExpressions {
     * poisons the sum).
     */
   case class IntDot(left: Expression, right: Expression) extends BinaryExpression {
+    // strict tinyint arrays: the kernel byte-indexes the array storage, so
+    // an un-cast int array would silently read the wrong bytes — analysis
+    // must reject it (SQL callers write CAST(... AS ARRAY<TINYINT>))
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(ByteType, _), ArrayType(ByteType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"graft_int_dot expects two array<tinyint> inputs, got " +
+            s"${l.catalogString} and ${r.catalogString}")
+      }
     override def dataType: DataType = LongType
     override def nullable: Boolean = true // also null on ragged lengths
     override protected def withNewChildrenInternal(l: Expression, r: Expression): IntDot =

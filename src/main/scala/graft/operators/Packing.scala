@@ -43,7 +43,7 @@ object Packing {
         least(lit(chunkTokens.toLong), n - col("chunk_id") * chunkTokens).as("chunk_len"))
   }
 
-  private implicit class DivOps(val c: org.apache.spark.sql.Column) extends AnyVal {
+  private[operators] implicit class DivOps(val c: org.apache.spark.sql.Column) extends AnyVal {
     /** Integer division (SQL `div`) — `/` on longs is double division. */
     def div(d: Long): org.apache.spark.sql.Column = call_function("div", c, lit(d))
     def div(d: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -59,13 +59,19 @@ object Packing {
   def globalCumSum(df: DataFrame, orderCol: String, valueCol: String,
                    outCol: String): DataFrame = {
     val spark = df.sparkSession
-    val ordered = df
+    // localCheckpoint (eager), NOT persist: the pinned graft_pid column is
+    // only trustworthy while the materialized blocks survive. With persist,
+    // a lost cache block is silently recomputed from lineage inside the
+    // downstream stage's task, where spark_partition_id() re-evaluates to
+    // the STAGE-local index — corrupting the offset lookup without any
+    // error. Truncated lineage turns block loss into a loud job failure
+    // instead of a wrong cumsum.
+    val ordered = graft.CheckpointUtil.track(df
       .withColumn(valueCol, col(valueCol).cast(LongType))
       .repartitionByRange(col(orderCol))
       .sortWithinPartitions(col(orderCol))
       .withColumn("graft_pid", spark_partition_id())
-      .persist()
-    graft.CheckpointUtil.track(ordered)
+      .localCheckpoint(true))
     val sizes = ordered.groupBy(col("graft_pid"))
       .agg(sum(col(valueCol)).as("s"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap

@@ -22,6 +22,7 @@ import graft.functions.{NativeExpressions, TextFunctions}
   */
 object TrainingDataQueries {
   import DedupQueries.{ph, thCte}
+  import Packing.DivOps
 
   private val P = TextFunctions.HashMod
 
@@ -353,9 +354,4 @@ object TrainingDataQueries {
          |FROM ex JOIN sums USING (source) ORDER BY source""".stripMargin
   )
 
-  /** Column-side integer division helper (SQL `div`). */
-  private implicit class DivCol(val c: org.apache.spark.sql.Column) {
-    def div(d: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      call_function("div", c, d)
-  }
 }

@@ -82,18 +82,22 @@ object PU {
                         rankCol: String = "rank"): DataFrame = {
     // Pin the range-partition id as a REAL column right after the
     // exchange: spark_partition_id() is physical, so re-evaluating it
-    // after any later exchange would read the wrong partition. persist:
-    // the count pass and the ranked output must see ONE execution of the
-    // range exchange (boundary sampling is seed-deterministic, but sharing
-    // the materialized partitions is both provably consistent and half the
-    // work); freed by the harness's per-query clearCache.
-    val ordered = df
+    // after any later exchange would read the wrong partition. The count
+    // pass and the ranked output must see ONE execution of the range
+    // exchange — and localCheckpoint (eager), NOT persist: graft_pid and the
+    // monotonically_increasing_id record numbers are only trustworthy while
+    // the materialized blocks survive — with persist, a lost cache block
+    // would be silently recomputed inside the downstream stage's task,
+    // where spark_partition_id() re-evaluates to the STAGE-local index and
+    // the offset lookup goes wrong without any error. Truncated lineage
+    // turns block loss into a loud job failure instead of a wrong rank.
+    // (Freed for non-harness callers when the df becomes unreachable —
+    // weak registry — or at releaseStragglers.)
+    val ordered = graft.CheckpointUtil.track(df
       .repartitionByRange(col(scoreCol).desc, tieBreak)
       .sortWithinPartitions(col(scoreCol).desc, tieBreak)
       .withColumn("graft_pid", spark_partition_id())
-      .persist()
-    graft.CheckpointUtil.track(ordered) // non-harness callers: freed when
-    // the df becomes unreachable (weak registry) or at releaseStragglers
+      .localCheckpoint(true))
     val sizes = ordered
       .groupBy(col("graft_pid"))
       .agg(count(lit(1)).as("n"))

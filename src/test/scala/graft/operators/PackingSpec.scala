@@ -54,12 +54,16 @@ class PackingSpec extends SparkSuite {
     assert(maxPack <= total / b)
   }
 
-  test("globalCumSum's plan has a range exchange and no Window node") {
+  test("globalCumSum's output plan is the zero-shuffle accumulate: no Window, no Exchange") {
+    // the range exchange runs BEFORE the eager localCheckpoint (lineage is
+    // truncated, so it cannot appear here); downstream must be only the
+    // per-partition mapPartitions pass over the checkpointed blocks
     val plan = Packing.globalCumSum(docTokens, "doc_id", "n_tokens", "cum")
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), plan)
-    assert(plan.contains("rangepartitioning") || plan.contains("RangePartitioning")
-      || plan.contains("REPARTITION_BY_RANGE"), plan)
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("MapPartitions"), plan)
+    assert(plan.contains("Scan ExistingRDD"), plan)
   }
 
   test("chunks partition each document exactly: lengths sum to n_tokens, all full but the last") {
