@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSuite, Tables}
+
+/** Plan-shape assertions for the properties the 100 TB story depends on:
+  * filters and projections must reach the parquet scan, small dimensions
+  * must broadcast, and the per-row kernel pipelines must stay inside
+  * whole-stage codegen. These are the properties `.explain` reviews check
+  * by hand — pinned here so a regression (a cast blocking pushdown, a
+  * broadcast threshold miss, a codegen fallback) fails the suite instead
+  * of silently degrading the plan.
+  */
+class PlanShapeSpec extends SparkSuite {
+
+  private def executed(name: String): String =
+    graft.SparkEntry.queries(name)(spark, sf0001)
+      .queryExecution.executedPlan.toString
+
+  test("filtered lineitem scan pushes the shipdate predicate into parquet") {
+    val plan = executed("q_agg_pricing_summary")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate")
+      || plan.contains("PushedFilters: [LessThan(l_shipdate"), plan)
+  }
+
+  test("projection pruning reaches the scan: pricing summary reads only the needed columns") {
+    val plan = executed("q_agg_pricing_summary")
+    // ReadSchema must not contain the unused join keys / comment-like columns
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.nonEmpty, plan)
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_partkey"),
+      readSchema)
+  }
+
+  test("revenue-by-nation joins broadcast the dimension tables, fact shuffles at most once") {
+    val plan = executed("q_join_revenue_by_nation")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("the text signature pipeline runs inside whole-stage codegen") {
+    val spans = Tables.documents(spark, sf0001)
+      .select(graft.functions.TextFunctions.shingleHashes(col("text"), 3).as("shh"))
+      .queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+      }
+    assert(spans.nonEmpty)
+  }
+
+  test("global top-k compiles to TakeOrderedAndProject, not a full sort") {
+    val plan = executed("q_topk_parts")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+}
