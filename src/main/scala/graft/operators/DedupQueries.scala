@@ -295,7 +295,7 @@ object DedupQueries {
       s"(((1103515245*(j+1)+12345) % 1000000007)*h + (1103515245*(j+7)+54321) % 1000000007) % 1000000007)), " +
       s"1000000007))"
 
-  private def combineSql(sig: String): String =
+  private[operators] def combineSql(sig: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), $sig), (a, x) -> (a*31 + x) % 1000000007)"
 
   /** SimHash (30-bit) over a list column named `th`. */

@@ -65,6 +65,23 @@ object TrainingDataQueries {
         .orderBy("doc_id", "chunk_id")
     }),
 
+    // Per-pack manifest — the "emit training sequences" step after
+    // packAssignments: which documents start in each pack, in order. One
+    // shuffle on pack_id; the in-pack order is pinned by sorting the
+    // collected doc list, folded to the engine's portable combine hash so
+    // the compared surface stays scalar.
+    "pipeline_pack_manifest" -> ((s, dir) => {
+      Packing.packAssignments(docTokens(s, dir), "doc_id", "n_tokens", PackTokens)
+        .groupBy(col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("tokens_started"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"),
+          NativeExpressions.polyCombine(sort_array(collect_list(col("doc_id"))))
+            .as("doc_list_hash"))
+        .orderBy("pack_id")
+    }),
+
     // "Seen-corpus" membership: build a bit-packed Bloom filter over the
     // fingerprints of five sources (mergeable agg — map-side partials,
     // 64 bytes per group over the wire), broadcast it, probe every doc
@@ -252,6 +269,21 @@ object TrainingDataQueries {
          |SELECT doc_id, n_tokens, CAST(chunk_id AS BIGINT) AS chunk_id,
          |  CAST(LEAST($ChunkTokens, n_tokens - $ChunkTokens * chunk_id) AS BIGINT) AS chunk_len
          |FROM e ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "pipeline_pack_manifest" ->
+      s"""WITH t AS (SELECT doc_id, CAST($ntokSql AS BIGINT) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |  FROM t),
+         |p AS (SELECT doc_id, n_tokens, cum_before // $PackTokens AS pack_id FROM c),
+         |g AS (SELECT pack_id, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS tokens_started,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+         |  list(doc_id ORDER BY doc_id) AS ids FROM p GROUP BY pack_id)
+         |SELECT pack_id, n_docs, tokens_started, first_doc, last_doc,
+         |  ${DedupQueries.combineSql("ids")} AS doc_list_hash
+         |FROM g ORDER BY pack_id""".stripMargin,
 
     "pipeline_bloom" ->
       s"""WITH f AS (SELECT doc_id, source, ${ph("text", "ci")} AS fp FROM documents),

@@ -25,6 +25,22 @@ object StreamingQueries {
       EventStreams.attributionBatch(Tables.events(s, dir))
         .orderBy("purchase_id", "click_id")
     }),
+    // range (containment) join: each error event matched to the session
+    // interval it falls inside — the bucketed equi-decomposition
+    // (RangeJoin.pointInInterval) instead of a theta-join; 1-hour buckets
+    // fit the 30-min session gap.
+    "q_interval_sessions" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val sessions = EventStreams.sessionizeBatch(ev)
+        .select(col("user_id"), col("session_seq").cast(LongType).as("session_seq"),
+          col("start_us"), col("end_us"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      graft.operators.RangeJoin.pointInInterval(errors, sessions,
+          Seq("user_id"), "us", "start_us", "end_us", 3600000000L)
+        .select(col("event_id"), col("user_id"), col("session_seq"))
+        .orderBy("event_id")
+    }),
     // as-of join: each purchase matched to the user's single most recent
     // click at-or-before it (vs q_attribution's ALL clicks in a window) —
     // tagged-union + forward-fill composition, one shuffle, no candidate
@@ -45,19 +61,34 @@ object StreamingQueries {
     })
   )
 
+  /** The session-reconstruction CTE chain (shared by q_sessions and the
+    * range-join twin). */
+  private val sessionCtes =
+    s"""e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+       |l AS (SELECT user_id, event_id, us,
+       |  lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us FROM e),
+       |n AS (SELECT user_id, event_id, us,
+       |  CASE WHEN prev_us IS NULL OR us - prev_us > ${EventStreams.SessionGapMicros} THEN 1 ELSE 0 END AS is_new FROM l),
+       |s AS (SELECT user_id, us,
+       |  SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id) AS seq FROM n)""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "q_sessions" ->
-      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
-         |l AS (SELECT user_id, event_id, us,
-         |  lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us FROM e),
-         |n AS (SELECT user_id, event_id, us,
-         |  CASE WHEN prev_us IS NULL OR us - prev_us > ${EventStreams.SessionGapMicros} THEN 1 ELSE 0 END AS is_new FROM l),
-         |s AS (SELECT user_id, us,
-         |  SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id) AS seq FROM n)
+      s"""WITH $sessionCtes
          |SELECT user_id, CAST(seq AS BIGINT) AS session_seq,
          |  MIN(us) AS start_us, MAX(us) AS end_us, COUNT(*) AS n_events
          |FROM s GROUP BY user_id, seq
          |ORDER BY user_id, session_seq""".stripMargin,
+    "q_interval_sessions" ->
+      s"""WITH $sessionCtes,
+         |sess AS (SELECT user_id, CAST(seq AS BIGINT) AS session_seq,
+         |  MIN(us) AS start_us, MAX(us) AS end_us FROM s GROUP BY user_id, seq),
+         |err AS (SELECT event_id, user_id, epoch_us(ts) AS us
+         |  FROM events WHERE event_type = 'error')
+         |SELECT err.event_id, err.user_id, sess.session_seq
+         |FROM err JOIN sess ON err.user_id = sess.user_id
+         |  AND err.us BETWEEN sess.start_us AND sess.end_us
+         |ORDER BY event_id""".stripMargin,
     "q_attribution" ->
       s"""WITH p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_us
          |           FROM events WHERE event_type = 'purchase'),
