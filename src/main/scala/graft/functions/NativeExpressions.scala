@@ -248,6 +248,26 @@ object NativeExpressions {
       defineCodeGen(ctx, ev, c => s"$Kernels.textStats($c)")
   }
 
+  /** Per-term token-occurrence counts in one tokenization pass (see
+    * [[NativeKernels.termCounts]]); the terms are expression-tree
+    * constants, shipped to generated code as a reference object.
+    */
+  case class TermCounts(child: Expression, terms: Seq[String]) extends UnaryExpression {
+    require(terms.nonEmpty, "termCounts needs at least one term")
+    private val termsArray: Array[String] = terms.toArray
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def withNewChildInternal(newChild: Expression): TermCounts =
+      copy(child = newChild)
+
+    override protected def nullSafeEval(input: Any): Any =
+      NativeKernels.termCounts(input.asInstanceOf[UTF8String], termsArray)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("graftTerms", termsArray, "java.lang.String[]")
+      defineCodeGen(ctx, ev, c => s"$Kernels.termCounts($c, $ref)")
+    }
+  }
+
   /** One-pass repetition statistics `[nTokens, nDistinctTokens,
     * topTokenFreq, nBigrams, nDistinctBigrams]` (see
     * [[NativeKernels.repetitionStats]]); ratio accessors project this node,
@@ -322,6 +342,8 @@ object NativeExpressions {
     GraftColumnBridge.column(TextStats(GraftColumnBridge.expression(text)))
   def repetitionStats(text: Column): Column =
     GraftColumnBridge.column(RepetitionStats(GraftColumnBridge.expression(text)))
+  def termCounts(text: Column, terms: Seq[String]): Column =
+    GraftColumnBridge.column(TermCounts(GraftColumnBridge.expression(text), terms))
   def langMarkerCounts(text: Column): Column =
     GraftColumnBridge.column(LangMarkerCounts(GraftColumnBridge.expression(text)))
 }

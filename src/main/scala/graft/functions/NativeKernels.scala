@@ -213,6 +213,34 @@ object NativeKernels {
     acc
   }
 
+  /** Per-term occurrence counts of `terms` in the whitespace tokenization
+    * of `u`, one pass, no regex and no explode: `out(j)` = number of
+    * tokens equal to `terms(j)`. The BM25 front-end — turns the
+    * explode→groupBy term-frequency shuffle into per-row map work inside
+    * the scan. Terms arrive as a constant reference object from codegen.
+    */
+  def termCounts(u: UTF8String, terms: Array[String]): ArrayData = {
+    val s = u.toString
+    val out = new Array[Long](terms.length)
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && isWs(s.charAt(i))) i += 1
+      if (i < n) {
+        val start = i
+        while (i < n && !isWs(s.charAt(i))) i += 1
+        var j = 0
+        while (j < terms.length) {
+          val t = terms(j)
+          if (t.length == i - start && s.regionMatches(start, t, 0, t.length))
+            out(j) += 1L
+          j += 1
+        }
+      }
+    }
+    ArrayData.toArrayData(out)
+  }
+
   /** Repetition statistics of a document in one pass over its token
     * hashes: `[nTokens, nDistinctTokens, topTokenFreq, nBigrams,
     * nDistinctBigrams]` as array<long>. Bigram hash is the same base-31

@@ -127,37 +127,38 @@ object TrainingDataQueries {
         .orderBy("doc_id", "copy_id")
     }),
 
-    // BM25 retrieval over literal query terms: explode → per-(doc,term)
-    // tf, broadcast df + corpus stats, pivot to fixed term columns so the
-    // double sum has ONE evaluation order. Both shuffles are on doc_id
-    // (tf agg, pivot agg) over term-matching rows only — the corpus scan
-    // itself never shuffles.
+    // BM25 retrieval over literal query terms, 100 TB shape: per-doc term
+    // frequencies come from ONE codegen'd tokenization pass inside the
+    // scan (TermCounts — no explode, no tf shuffle); corpus statistics
+    // (N, total tokens, per-term doc frequencies) are a single tiny agg
+    // row broadcast back; scoring is per-row arithmetic and the top-20 is
+    // TakeOrdered. Zero data-sized shuffles end to end. The doc-frequency
+    // idf is the log-free rational form (see the header note); the score
+    // sum runs in fixed term order so IEEE evaluation matches the twin.
     "text_bm25" -> ((s, dir) => {
-      val dl = docTokens(s, dir).withColumnRenamed("n_tokens", "dl")
-      val totals = dl.agg(count(lit(1)).as("n_docs"),
-        sum(col("dl")).as("n_tokens_total"))
-      val tf = docsSpread(s, dir)
-        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
-        .filter(col("tok").isin(Bm25Terms: _*))
-        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-      val dft = tf.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
-      val w = tf
-        .join(broadcast(dft), "tok")
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(totals))
+      val base = docsSpread(s, dir).select(col("doc_id"),
+        NativeExpressions.termCounts(col("text"), Bm25Terms).as("tf"),
+        TextFunctions.tokenCount(col("text")).cast(LongType).as("dl"))
+      val aggs = count(lit(1)).as("n_docs") +:
+        sum(col("dl")).as("n_tokens_total") +:
+        Bm25Terms.zipWithIndex.map { case (t, j) =>
+          sum(when(col("tf").getItem(j) > 0L, 1L).otherwise(0L)).as(s"df_$t")
+        }
+      val stats = base.agg(aggs.head, aggs.tail: _*)
+      val scored = base.crossJoin(broadcast(stats))
         .withColumn("avgdl",
           col("n_tokens_total").cast(DoubleType) / col("n_docs").cast(DoubleType))
-        .withColumn("w",
-          ((col("n_docs").cast(DoubleType) - col("df").cast(DoubleType) + lit(0.5))
-            / (col("df").cast(DoubleType) + lit(0.5)))
-            * (col("tf").cast(DoubleType) * lit(2.2))
-            / (col("tf").cast(DoubleType)
-              + lit(1.2) * (lit(0.25)
+        .withColumn("score", Bm25Terms.zipWithIndex.map { case (t, j) =>
+          val tf = col("tf").getItem(j).cast(DoubleType)
+          when(col("tf").getItem(j) > 0L,
+            ((col("n_docs").cast(DoubleType) - col(s"df_$t").cast(DoubleType) + lit(0.5))
+              / (col(s"df_$t").cast(DoubleType) + lit(0.5)))
+              * (tf * lit(2.2))
+              / (tf + lit(1.2) * (lit(0.25)
                 + lit(0.75) * col("dl").cast(DoubleType) / col("avgdl"))))
-      val byTerm = w.groupBy(col("doc_id")).pivot("tok", Bm25Terms).agg(first(col("w")))
-      byTerm
-        .withColumn("score", Bm25Terms.map(t => coalesce(col(t), lit(0.0)))
-          .reduce(_ + _))
+            .otherwise(lit(0.0))
+        }.reduce(_ + _))
+      scored.filter(col("score") > 0.0)
         .select(col("doc_id"), col("score"))
         .orderBy(col("score").desc, col("doc_id"))
         .limit(20)

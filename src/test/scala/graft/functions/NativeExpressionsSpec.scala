@@ -213,6 +213,23 @@ class NativeExpressionsSpec extends SparkSuite {
     assert(diff == 0)
   }
 
+  test("TermCounts == size(filter(tokens)) per term, on corpus + edges") {
+    import spark.implicits._
+    val terms = Seq("join", "hash", "scan", "absent-token")
+    val docs = Tables.documents(spark, sf0001).select(col("text"))
+      .unionAll(Seq("", "   ", "join", "join join hash", "joinx hash\tscan\njoin")
+        .toDF("text"))
+    val toks = split(trim(col("text")), "\\s+")
+    val hof = terms.map(t =>
+      when(length(trim(col("text"))) === 0, lit(0L))
+        .otherwise(size(filter(toks, x => x === lit(t))).cast("long")))
+    val diff = docs.select(
+      graft.functions.NativeExpressions.termCounts(col("text"), terms).as("native"),
+      array(hof: _*).as("hofc"))
+      .filter(not(col("native") === col("hofc"))).count()
+    assert(diff == 0)
+  }
+
   test("IntDot is null on ragged lengths, like the zip_with twin") {
     val row = spark.sql(
       "SELECT CAST(array(1,2,3) AS array<tinyint>) a, CAST(array(1,2) AS array<tinyint>) b")
