@@ -212,25 +212,26 @@ object TrainingDataQueries {
     // partials; 256 rows per source cross the wire). Exact count rides
     // along for the error to be visible.
     "text_hll_distinct" -> ((s, dir) => {
-      val flat = docsSpread(s, dir)
-        .select(col("source"),
-          explode(TextFunctions.shingleHashes(col("text"), 3)).as("h"))
-        .persist()
       val v = col("h") div lit(HllRegisters.toLong)
       val rho = when(v === 0L, lit(23L))
         .otherwise(lit(1L) + bit_count(v.bitwiseAND(-v) - lit(1L)).cast(LongType))
-      val regs = flat
+      // ONE data-sized shuffle: registers AND the exact count share the
+      // (source, bucket) aggregation — `bucket = h mod m` partitions the
+      // hash space, so per-source exact distinct = sum of per-bucket
+      // distinct counts. The second stage reduces ≤m rows per source.
+      val regs = docsSpread(s, dir)
+        .select(col("source"),
+          explode(TextFunctions.shingleHashes(col("text"), 3)).as("h"))
         .select(col("source"), pmod(col("h"), lit(HllRegisters.toLong)).as("bucket"),
-          rho.as("rho"))
-        .groupBy(col("source"), col("bucket")).agg(max(col("rho")).as("m"))
-      val sums = regs.groupBy(col("source")).agg(
+          rho.as("rho"), col("h"))
+        .groupBy(col("source"), col("bucket"))
+        .agg(max(col("rho")).as("m"), countDistinct(col("h")).as("nd"))
+      val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))
+      regs.groupBy(col("source")).agg(
+        sum(col("nd")).as("n_exact"),
         (sum(pow(lit(2.0), lit(32L) - col("m")).cast(LongType))
           + (lit(HllRegisters.toLong) - count(lit(1))) * lit(4294967296L))
           .as("sum_int"))
-      val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))
-      val exact = flat.groupBy(col("source"))
-        .agg(countDistinct(col("h")).as("n_exact"))
-      exact.join(sums, "source")
         .withColumn("hll_estimate",
           alpha * lit(65536.0) * lit(4294967296.0) / col("sum_int").cast(DoubleType))
         .select(col("source"), col("n_exact"), col("hll_estimate"))

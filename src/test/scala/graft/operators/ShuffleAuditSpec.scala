@@ -1,0 +1,33 @@
+package graft.operators
+
+import graft.SparkSuite
+
+/** Shuffle-count regression bound over every registered query. Exchange
+  * counts are a coarse proxy, but a future edit that accidentally turns a
+  * broadcast join into a shuffled one, loses a persist (recomputing a
+  * signature pipeline per branch), or adds an unintended repartition shows
+  * up here as a jump — caught at spec time instead of in the bench.
+  * Bounds are the audited round-3 values + headroom of 2.
+  */
+class ShuffleAuditSpec extends SparkSuite {
+  // queries whose plans legitimately need the most exchanges (banded
+  // incremental dedup unions three candidate generations; IVF probes twice)
+  private val bounds = Map(
+    "dedup_incremental" -> 16, "sim_topk_ivf" -> 12, "dedup_minhash_pairs" -> 11,
+    "sim_topk_quantized" -> 10, "sim_topk_ivf_kmeans" -> 10, "sim_topk_lsh" -> 9,
+    "pipeline_bloom" -> 8, "dedup_srp_pairs" -> 8, "dedup_simhash_pairs" -> 8,
+    "text_hll_distinct" -> 7, "q_setop_nations" -> 7
+  ).withDefaultValue(6)
+
+  test("every query plan builds, and its shuffle count stays within the audited bound") {
+    val over = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sf0001).queryExecution.executedPlan.toString
+      val shuffles = "Exchange".r.findAllIn(plan).length -
+        "BroadcastExchange".r.findAllIn(plan).length
+      spark.catalog.clearCache()
+      graft.CheckpointUtil.releaseStragglers()
+      if (shuffles > bounds(name)) Some(s"$name: $shuffles > ${bounds(name)}") else None
+    }
+    assert(over.isEmpty, over.mkString("; "))
+  }
+}
