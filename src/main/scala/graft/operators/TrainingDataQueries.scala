@@ -65,6 +65,38 @@ object TrainingDataQueries {
         .orderBy("doc_id", "chunk_id")
     }),
 
+    // Deterministic train/validation/test split: a doc's split depends
+    // only on its key hash (stable under reruns, repartitioning, and
+    // growth — the property df.randomSplit lacks), 90/5/5 by hash ranges;
+    // per-(source, split) counts in one agg so the mix is auditable.
+    "pipeline_split" -> ((s, dir) => {
+      val bucket = pmod(TextFunctions.polyHash(col("doc_id").cast(StringType)), lit(100))
+      docsSpread(s, dir)
+        .withColumn("split",
+          when(bucket < 90, "train").when(bucket < 95, "valid").otherwise("test"))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("source", "split")
+    }),
+
+    // Eval-set decontamination: corpus documents sharing any 8-gram with
+    // the held-out eval slice (source src19) must be dropped before
+    // training. The eval side's distinct shingle set is tiny → broadcast
+    // hash semi-join runs inside the corpus scan; the corpus is never
+    // shuffled, never self-joined.
+    "pipeline_decontaminate" -> ((s, dir) => {
+      val n = 8
+      val withShh = docsSpread(s, dir)
+        .select(col("doc_id"), col("source"),
+          explode(TextFunctions.shingleHashes(col("text"), n)).as("sh"))
+      val evalShh = withShh.filter(col("source") === "src19")
+        .select(col("sh")).distinct()
+      withShh.filter(col("source") =!= "src19")
+        .join(broadcast(evalShh), Seq("sh"), "left_semi")
+        .select(col("doc_id")).distinct()
+        .orderBy("doc_id")
+    }),
+
     // Per-pack manifest — the "emit training sequences" step after
     // packAssignments: which documents start in each pack, in order. One
     // shuffle on pack_id; the in-pack order is pinned by sorting the
@@ -271,6 +303,23 @@ object TrainingDataQueries {
          |SELECT doc_id, n_tokens, CAST(chunk_id AS BIGINT) AS chunk_id,
          |  CAST(LEAST($ChunkTokens, n_tokens - $ChunkTokens * chunk_id) AS BIGINT) AS chunk_len
          |FROM e ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "pipeline_split" ->
+      s"""WITH b AS (SELECT source,
+         |  (${ph("CAST(doc_id AS VARCHAR)", "si")}) % 100 AS bucket FROM documents)
+         |SELECT source,
+         |  CASE WHEN bucket < 90 THEN 'train'
+         |       WHEN bucket < 95 THEN 'valid' ELSE 'test' END AS split,
+         |  count(*) AS n_docs
+         |FROM b GROUP BY source, 2 ORDER BY source, split""".stripMargin,
+
+    "pipeline_decontaminate" ->
+      s"""WITH t AS ($thCte),
+         |d AS (SELECT doc_id, source, ${DedupQueries.shhSql(8)} AS shh FROM t),
+         |ev AS (SELECT DISTINCT unnest(shh) AS sh FROM d WHERE source = 'src19'),
+         |c AS (SELECT doc_id, unnest(shh) AS sh FROM d WHERE source <> 'src19')
+         |SELECT DISTINCT doc_id FROM c JOIN ev USING (sh)
+         |ORDER BY doc_id""".stripMargin,
 
     "pipeline_pack_manifest" ->
       s"""WITH t AS (SELECT doc_id, CAST($ntokSql AS BIGINT) AS n_tokens FROM documents),
