@@ -94,4 +94,50 @@ class KernelPropertySpec extends AnyFunSuite {
       assert(got == a.toSet.intersect(b.toSet).size)
     }
   }
+
+  test("intDot == BigInt dot on 2000 random byte arrays (no silent overflow)") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    for (_ <- 1 to 2000) {
+      val n = rnd.nextInt(80)
+      val a = Array.fill(n)((rnd.nextInt(256) - 128).toByte)
+      val b = Array.fill(n)((rnd.nextInt(256) - 128).toByte)
+      val got = NativeKernels.intDot(
+        ArrayData.toArrayData(a), ArrayData.toArrayData(b))
+      val want = a.zip(b).map { case (x, y) => BigInt(x.toInt) * BigInt(y.toInt) }.sum
+      assert(BigInt(got) == want)
+    }
+  }
+
+  test("termCounts == naive token equality counts on 2000 random strings") {
+    val terms = Array("the", "cat", "1234", "q", "absent")
+    for (_ <- 1 to 2000) {
+      val s = randomText()
+      val got = NativeKernels.termCounts(UTF8String.fromString(s), terms)
+        .toLongArray.toSeq
+      val toks = naiveTokens(s)
+      val want = terms.toSeq.map(t => toks.count(_ == t).toLong)
+      assert(got == want, s"text=${s.map(c => if (c < ' ') '?' else c)}")
+    }
+  }
+
+  test("repetitionStats == naive reference on 2000 random strings") {
+    val P = 1000000007L
+    for (_ <- 1 to 2000) {
+      val s = randomText()
+      val got = NativeKernels.repetitionStats(UTF8String.fromString(s))
+        .toLongArray.toSeq
+      val th = naiveTokens(s).map { t =>
+        t.foldLeft(0L)((acc, c) => (acc * 31L + c) % P)
+      }
+      val bigrams = th.sliding(2).filter(_.length == 2)
+        .map(p => (p(0) * 31L + p(1)) % P).toSeq
+      val want = Seq(
+        th.length.toLong,
+        th.distinct.length.toLong,
+        if (th.isEmpty) 0L else th.groupBy(identity).values.map(_.size).max.toLong,
+        math.max(th.length - 1, 0).toLong,
+        bigrams.distinct.length.toLong)
+      assert(got == want, s"text=${s.map(c => if (c < ' ') '?' else c)}")
+    }
+  }
 }
