@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the bench's stdout JSON line. sbt's default logger
+// prefixes every forked-process line with "[info] ", which breaks a
+// per-line JSON parse (rounds 1-3 all recorded parsed:null). StdoutOutput
+// inherits sbt's raw stdout/stderr, so the program's println arrives bare.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

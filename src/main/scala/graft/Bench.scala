@@ -88,7 +88,10 @@ object Bench {
     }
     while (compact(keep.sortBy(_._1)).length > 1850 && keep.nonEmpty)
       keep = keep.dropRight(1)
-    println(compact(keep.sortBy(_._1)))
+    // Stop Spark BEFORE printing: executor/shutdown WARN logs otherwise land
+    // between the JSON line and end-of-stream, pushing it out of the
+    // driver's 2000-char tail window.
     spark.stop()
+    println(compact(keep.sortBy(_._1)))
   }
 }
