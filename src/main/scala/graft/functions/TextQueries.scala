@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, StringType}
 
 import graft.Tables
 
@@ -47,8 +47,60 @@ object TextQueries {
         col("doc_id"),
         fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")
+    }),
+
+    // PII redaction (corpus scrubbing before training): mask emails and
+    // IPv4 literals, count what was masked per doc. The synthetic corpus
+    // contains no PII, so a deterministic contact line is prepended to a
+    // slice of docs on BOTH engines — the redaction path is actually
+    // exercised, not vacuously green. Regexes use only character classes
+    // and bounded repetition (no lookaround / backrefs), the subset on
+    // which Java regex and DuckDB's RE2 agree exactly. Pure map work:
+    // filters and expressions run inside the scan, zero shuffles.
+    "text_pii" -> ((s, dir) => {
+      val aug = when(col("doc_id") % 7 === 0,
+        concat(lit("contact user"), col("doc_id").cast(StringType),
+          lit("@example.com from 10.0."),
+          (col("doc_id") % 256).cast(StringType), lit(".1 "), col("text")))
+        .otherwise(col("text"))
+      Tables.documents(s, dir)
+        .withColumn("aug", aug)
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("aug"), lit(PiiEmailRe), lit(0)))
+            .cast(LongType).as("n_emails"),
+          size(regexp_extract_all(col("aug"), lit(PiiIpRe), lit(0)))
+            .cast(LongType).as("n_ips"),
+          polyHash(
+            regexp_replace(regexp_replace(col("aug"), PiiEmailRe, "<EMAIL>"),
+              PiiIpRe, "<IP>")).as("fp_redacted"))
+        .orderBy("doc_id")
+    }),
+
+    // Inverted-index build (term -> postings), the index side of
+    // retrieval: explode to (token, doc) pairs — the one genuinely
+    // data-sized shuffle an index build needs — then one per-term
+    // aggregation (countDistinct plans as two partial-agg stages, no
+    // Expand). Postings stay a combine-hash scalar in the compared
+    // surface: materializing full lists for stopword-like terms is the
+    // classic skew trap at 100 TB (a real index would bucket postings by
+    // doc-range; the df/tf stats and hash pin the same content).
+    "text_inverted_index" -> ((s, dir) => {
+      Tables.documents(s, dir).repartition(col("doc_id"))
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .groupBy(col("tok"))
+        .agg(countDistinct(col("doc_id")).as("df"),
+          count(lit(1)).as("tf_total"),
+          NativeExpressions.polyCombine(sort_array(collect_set(col("doc_id"))))
+            .as("postings_hash"))
+        .orderBy(col("df").desc, col("tok"))
+        .limit(50)
     })
   )
+
+  /** PII regexes — Java/RE2-agreeing subset (see text_pii note). */
+  private val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+  private val PiiIpRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
 
   // ------------------------------------------------------------------
   // DuckDB twins. Shared SQL fragments mirror TextFunctions exactly
@@ -115,7 +167,37 @@ object TextQueries {
            |FROM documents ORDER BY doc_id""".stripMargin,
       "text_fingerprint" ->
         s"""SELECT doc_id, ${sqlPolyHash("text")} AS fp
-           |FROM documents ORDER BY doc_id""".stripMargin
+           |FROM documents ORDER BY doc_id""".stripMargin,
+      "text_pii" -> {
+        // same regexes as the Spark side; DuckDB regexp_replace needs the
+        // explicit 'g' flag to match Java replaceAll's global semantics
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+        val ip = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+        s"""WITH a AS (SELECT doc_id,
+           |  CASE WHEN doc_id % 7 = 0 THEN 'contact user' || CAST(doc_id AS VARCHAR)
+           |    || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1 ' || text
+           |  ELSE text END AS aug FROM documents),
+           |r AS (SELECT doc_id, aug,
+           |  regexp_replace(regexp_replace(aug, '$email', '<EMAIL>', 'g'),
+           |    '$ip', '<IP>', 'g') AS red FROM a)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(aug, '$email')) AS BIGINT) AS n_emails,
+           |  CAST(len(regexp_extract_all(aug, '$ip')) AS BIGINT) AS n_ips,
+           |  ${sqlPolyHash("red")} AS fp_redacted
+           |FROM r ORDER BY doc_id""".stripMargin
+      },
+      "text_inverted_index" ->
+        s"""WITH e AS (SELECT doc_id, unnest($sqlToks) AS tok
+           |  FROM documents WHERE length(trim(text)) > 0),
+           |g AS (SELECT tok,
+           |  CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+           |  CAST(count(*) AS BIGINT) AS tf_total,
+           |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |    list_sort(list(DISTINCT doc_id))),
+           |    (a, x) -> (a*31 + x) % 1000000007) AS postings_hash
+           |  FROM e GROUP BY tok)
+           |SELECT tok, df, tf_total, postings_hash
+           |FROM g ORDER BY df DESC, tok LIMIT 50""".stripMargin
     )
   }
 }

@@ -250,6 +250,34 @@ object DedupQueries {
         .select(col("label"), col("vec_id_a").as("id_a"),
           col("vec_id_b").as("id_b"), col("cos"))
         .orderBy("id_a", "id_b")
+    }),
+
+    // Semantic dedup at the 100 TB shape (SemDeDup-style): embeddings are
+    // coarse-quantized onto IVF lists (centroids broadcast, assignment
+    // map-side — Similarity's machinery), and the tau-similarity check runs
+    // ONLY within a list: one shuffle on cen_id, never a global self-join.
+    // Keep policy is deterministic greedy-by-id: a vector is dropped iff
+    // some lower-id list-mate is tau-near it. Zero-norm vectors never enter
+    // (cosine undefined — Similarity.prepare drops them).
+    "dedup_semantic" -> ((s, dir) => {
+      val tau = 0.4
+      val corpus = Similarity.prepare(Tables.embeddings(s, dir)).persist()
+      val assigned = Similarity.ivfAssign(corpus,
+        Similarity.centroids(corpus, 16)).persist()
+      val a = assigned.select(col("cen_id"), col("vec_id").as("id_a"),
+        col("v").as("v_a"), col("nrm").as("nrm_a"))
+      val b = assigned.select(col("cen_id"), col("vec_id").as("id_b"),
+        col("v").as("v_b"), col("nrm").as("nrm_b"))
+      val victims = a.join(b, "cen_id")
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("cos", cosine(col("v_a"), col("v_b"), col("nrm_a"), col("nrm_b")))
+        .filter(col("cos") >= tau)
+        .select(col("id_b").as("vec_id")).distinct()
+        .withColumn("graft_drop", lit(true))
+      assigned.join(victims, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cen_id"),
+          not(coalesce(col("graft_drop"), lit(false))).as("keep"))
+        .orderBy("vec_id")
     })
   )
 
@@ -489,6 +517,27 @@ object DedupQueries {
          |  ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
          |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.4
-         |ORDER BY id_a, id_b""".stripMargin
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // same centroid/assignment formulation as the sim_topk_ivf oracle
+    "dedup_semantic" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |nn AS (SELECT * FROM (SELECT vec_id, v, ${normSql("v")} AS nrm FROM e) WHERE nrm > 0.0),
+         |cents AS (SELECT vec_id AS cen_id, v AS cv, nrm AS cnrm FROM nn WHERE vec_id < 16),
+         |assigned AS (
+         |  SELECT vec_id, cen_id, v, nrm FROM (
+         |    SELECT nn.vec_id, cents.cen_id, nn.v, nn.nrm,
+         |      row_number() OVER (PARTITION BY nn.vec_id
+         |        ORDER BY ${dotSql("nn.v", "cents.cv")} / (nn.nrm * cents.cnrm) DESC, cents.cen_id) AS crn
+         |    FROM nn, cents) WHERE crn = 1),
+         |victims AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cen_id = b.cen_id AND a.vec_id < b.vec_id
+         |  WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.4)
+         |SELECT n.vec_id, n.cen_id,
+         |  n.vec_id NOT IN (SELECT vec_id FROM victims) AS keep
+         |FROM assigned n ORDER BY n.vec_id""".stripMargin
   )
 }

@@ -167,6 +167,22 @@ object RelationalQueries {
         .orderBy(col("g_region"), col("g_nation"), col("r_name"), col("n_name"))
     }),
 
+    // Skew-safe distinct aggregation: COUNT(DISTINCT supplier) per flag as
+    // TWO explicit partial-agg stages — groupBy(key, value) then
+    // groupBy(key) — the shape that survives a hot key at 100 TB, where a
+    // naive distinct funnels the hot key's value set into one task. Both
+    // stages are map-side combinable; the associated SUM rides the same
+    // two stages (sum of partial decimal sums is exact), so no extra pass.
+    "q_distinct_twophase" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_suppkey"))
+        .agg(sum(dec("l_quantity")).as("qty_s"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(col("qty_s")).cast(DoubleType).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     // Pivot: event counts per user bucket × event type as columns — one
     // shuffle on the group key; the pivot values are declared, so the plan
     // is a fixed-width conditional aggregation (no second pass to discover
@@ -275,6 +291,12 @@ object RelationalQueries {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY g_region, g_nation, r_name, n_name""".stripMargin,
+    "q_distinct_twophase" ->
+      """SELECT l_returnflag,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_pivot_events" ->
       """SELECT user_id % 4 AS user_bucket,
         |  COUNT(*) FILTER (event_type = 'click') AS click,

@@ -159,6 +159,32 @@ object TrainingDataQueries {
         .orderBy("doc_id", "copy_id")
     }),
 
+    // Incremental corpus refresh — MERGE/upsert semantics, the CDC-apply
+    // step of a continuously-updated training corpus: a change batch
+    // (updates / inserts / deletes, derived deterministically from the key
+    // so both engines see the identical batch) is applied to the base
+    // snapshot. Shape: ONE shuffle join on the key (full-outer for
+    // upserts, anti for deletes; delete wins over a same-key update). At
+    // 100 TB a change batch is usually tiny relative to the snapshot, and
+    // Spark broadcasts it — the full-outer formulation here is the
+    // general both-sides-large path.
+    "pipeline_upsert" -> ((s, dir) => {
+      val base = docsSpread(s, dir).select(col("doc_id"), col("text"))
+      val upserts = base.filter(col("doc_id") % 10 === 3)
+        .select(col("doc_id"), concat(lit("rev2 "), col("text")).as("new_text"))
+        .unionByName(base.filter(col("doc_id") % 50 === 7)
+          .select((col("doc_id") + 1000000000L).as("doc_id"),
+            concat(lit("new "), col("text")).as("new_text")))
+      val deletes = base.filter(col("doc_id") % 17 === 5).select(col("doc_id"))
+      base.join(upserts, Seq("doc_id"), "full_outer")
+        .join(deletes, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"),
+          when(col("text").isNull, lit(2L))
+            .when(col("new_text").isNull, lit(0L)).otherwise(lit(1L)).as("rev"),
+          TextFunctions.polyHash(coalesce(col("new_text"), col("text"))).as("fp"))
+        .orderBy("doc_id")
+    }),
+
     // BM25 retrieval over literal query terms, 100 TB shape: per-doc term
     // frequencies come from ONE codegen'd tokenization pass inside the
     // scan (TermCounts — no explode, no tf shuffle); corpus statistics
@@ -362,6 +388,22 @@ object TrainingDataQueries {
          |e AS (SELECT doc_id, source, lang, unnest(range(1, w + 1)) AS copy_id FROM k)
          |SELECT doc_id, source, lang, CAST(copy_id AS BIGINT) AS copy_id
          |FROM e ORDER BY doc_id, copy_id""".stripMargin,
+
+    "pipeline_upsert" ->
+      s"""WITH base AS (SELECT doc_id, text FROM documents),
+         |ups AS (
+         |  SELECT doc_id, 'rev2 ' || text AS new_text FROM base WHERE doc_id % 10 = 3
+         |  UNION ALL
+         |  SELECT doc_id + 1000000000, 'new ' || text FROM base WHERE doc_id % 50 = 7),
+         |del AS (SELECT doc_id FROM base WHERE doc_id % 17 = 5),
+         |m AS (SELECT COALESCE(b.doc_id, u.doc_id) AS doc_id, b.text, u.new_text
+         |  FROM base b FULL OUTER JOIN ups u ON b.doc_id = u.doc_id),
+         |fin AS (SELECT doc_id,
+         |  CASE WHEN text IS NULL THEN 2 WHEN new_text IS NULL THEN 0 ELSE 1 END AS rev,
+         |  COALESCE(new_text, text) AS t
+         |  FROM m WHERE doc_id NOT IN (SELECT doc_id FROM del))
+         |SELECT doc_id, CAST(rev AS BIGINT) AS rev, ${ph("t", "ci")} AS fp
+         |FROM fin ORDER BY doc_id""".stripMargin,
 
     "text_bm25" ->
       s"""WITH dl AS (SELECT doc_id, CAST($ntokSql AS BIGINT) AS dl FROM documents),
