@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.functions.TextFunctions
+
+/** Semantics pins for the round-4 operators (beyond the DuckDB oracles):
+  * the greedy keep policy of semantic dedup, MERGE precedence rules,
+  * redaction behavior, index consistency, and two-phase == single-stage
+  * distinct equality.
+  */
+class Round4OpsSpec extends SparkSuite {
+
+  test("dedup_semantic: dropped iff a lower-id tau-near list-mate exists") {
+    val out = DedupQueries.queries("dedup_semantic")(spark, sf0001)
+      .select("vec_id", "cen_id", "keep").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(2)))).toMap
+    // independent brute-force within-list check
+    val corpus = Similarity.prepare(graft.Tables.embeddings(spark, sf0001))
+    val assigned = Similarity.ivfAssign(corpus, Similarity.centroids(corpus, 16))
+      .select("vec_id", "cen_id", "v", "nrm").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toArray, r.getDouble(3)))
+    def cos(a: Array[Double], b: Array[Double], na: Double, nb: Double) = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s / (na * nb)
+    }
+    assert(out.size == assigned.length)
+    for ((id, cen, v, nrm) <- assigned) {
+      val expectDrop = assigned.exists { case (id2, cen2, v2, nrm2) =>
+        cen2 == cen && id2 < id && cos(v, v2, nrm, nrm2) >= 0.4
+      }
+      assert(out(id)._1 == cen, s"vec $id assigned list mismatch")
+      assert(out(id)._2 == !expectDrop, s"vec $id keep policy mismatch")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("pipeline_upsert: delete wins, inserts/updates/unchanged classified") {
+    val out = TrainingDataQueries.queries("pipeline_upsert")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val base = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), TextFunctions.polyHash(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (id <- base.keys) {
+      if (id % 17 == 5) assert(!out.contains(id), s"deleted $id survived")
+      else if (id % 10 == 3) {
+        assert(out(id)._1 == 1L, s"update $id not classified rev=1")
+        assert(out(id)._2 != base(id), s"update $id kept the old text hash")
+      } else {
+        assert(out(id)._1 == 0L && out(id)._2 == base(id), s"unchanged $id altered")
+      }
+      if (id % 50 == 7) {
+        val nid = id + 1000000000L
+        assert(out.contains(nid) && out(nid)._1 == 2L, s"insert $nid missing")
+      }
+    }
+    // rows = base - deletes + inserts (insert keys never collide or die)
+    val dels = base.keys.count(_ % 17 == 5)
+    val ins = base.keys.count(_ % 50 == 7)
+    assert(out.size == base.size - dels + ins)
+  }
+
+  test("text_pii: seeded docs redact to a different fingerprint, others intact") {
+    val out = graft.functions.TextQueries.queries("text_pii")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val raw = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), TextFunctions.polyHash(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((id, (nEmail, nIp, fp)) <- out) {
+      if (id % 7 == 0) {
+        assert(nEmail >= 1 && nIp >= 1, s"doc $id: seeded PII not found")
+        assert(fp != raw(id), s"doc $id: redaction did not change the text")
+      } else {
+        // corpus text has no @ so no email match; IP-shaped numerics could
+        // in principle appear, in which case fp may legitimately differ
+        if (nEmail == 0 && nIp == 0) assert(fp == raw(id), s"doc $id altered")
+      }
+    }
+  }
+
+  test("text_inverted_index: stats are mutually consistent and df-ordered") {
+    val rows = graft.functions.TextQueries.queries("text_inverted_index")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val nDocs = graft.Tables.documents(spark, sf0001).count()
+    assert(rows.nonEmpty && rows.length <= 50)
+    for ((tok, df, tf) <- rows) {
+      assert(df >= 1 && df <= nDocs, s"$tok df out of range")
+      assert(tf >= df, s"$tok has fewer occurrences than documents")
+    }
+    val dfs = rows.map(_._2)
+    assert(dfs.zip(dfs.tail).forall { case (a, b) => a >= b }, "not df-descending")
+  }
+
+  test("q_distinct_twophase equals the single-stage distinct formulation") {
+    val two = RelationalQueries.queries("q_distinct_twophase")(spark, sf0001).collect()
+    val one = graft.Tables.lineitem(spark, sf0001)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .orderBy("l_returnflag").collect()
+    assert(two.map(_.toSeq.toList).toList == one.map(_.toSeq.toList).toList)
+  }
+}
