@@ -48,6 +48,15 @@ object TrainingDataQueries {
   /** BM25 query terms (fixed literals — a real retrieval query). */
   val Bm25Terms = Seq("join", "hash", "scan")
 
+  /** CMS shape and probe terms (one deliberately absent so the
+    * overestimate-only property is visible in the gate). The corpus
+    * vocabulary is ~31 tokens, so width is deliberately SMALLER (16×2)
+    * to force collisions — estimates must visibly over-count, not
+    * degenerate to exact. */
+  val CmsWidth = 16
+  val CmsDepth = 2
+  val CmsProbeTerms = Seq("join", "hash", "scan", "query", "window", "zzz_absent")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Concat-and-cut sequence packing: exclusive global prefix sum of
@@ -157,6 +166,34 @@ object TrainingDataQueries {
           explode(sequence(lit(1), col("weight"))).as("copy_id"))
         .withColumn("copy_id", col("copy_id").cast(LongType))
         .orderBy("doc_id", "copy_id")
+    }),
+
+    // Token-frequency estimation via a Count-Min sketch: ONE
+    // depth×width-long sketch summarizes the whole corpus's token
+    // frequencies (map-side partial sketches, elementwise-sum merge —
+    // constant state regardless of vocabulary size, vs the vocabulary-
+    // sized shuffle of an exact count). Probe terms are estimated with
+    // column arithmetic against the broadcast sketch; exact counts ride
+    // along (oracle-visible error, incl. one absent term pinning the
+    // overestimate-only property). The exact side exists for the gate —
+    // at 100 TB you'd ship only the sketch.
+    "text_cms_counts" -> ((s, dir) => {
+      import s.implicits._
+      val toks = docsSpread(s, dir)
+        .select(explode(TextFunctions.tokenHashes(col("text"))).as("h"))
+        .persist() // feeds the sketch build AND the exact-count join
+      val sketch = toks.agg(
+        new CountMinAgg(CmsWidth, CmsDepth).column(col("h")).as("cms"))
+      val probes = CmsProbeTerms.toDF("term")
+        .withColumn("h", TextFunctions.polyHash(col("term")))
+      probes.join(toks.withColumn("one", lit(1L)), Seq("h"), "left")
+        .groupBy(col("term"), col("h"))
+        .agg(sum(coalesce(col("one"), lit(0L))).as("n_exact"))
+        .crossJoin(broadcast(sketch))
+        .select(col("term"),
+          CountMinAgg.estimate(col("cms"), col("h"), CmsWidth, CmsDepth).as("n_est"),
+          col("n_exact"))
+        .orderBy("term")
     }),
 
     // Incremental corpus refresh — MERGE/upsert semantics, the CDC-apply
@@ -308,6 +345,10 @@ object TrainingDataQueries {
   private def bloomPosSql(fp: String, j: String): String =
     s"((((1103515245*($j+1)+12345) % $P)*$fp + (1103515245*($j+7)+54321) % $P) % $P) % $BloomBits"
 
+  /** CMS cell position — same universal-hash family, width modulus. */
+  private def cmsPosSql(h: String, j: String): String =
+    s"((((1103515245*($j+1)+12345) % $P)*$h + (1103515245*($j+7)+54321) % $P) % $P) % $CmsWidth"
+
   def oracles: Map[String, String] = Map(
     "pipeline_pack" ->
       s"""WITH t AS (SELECT doc_id, CAST($ntokSql AS BIGINT) AS n_tokens FROM documents),
@@ -388,6 +429,26 @@ object TrainingDataQueries {
          |e AS (SELECT doc_id, source, lang, unnest(range(1, w + 1)) AS copy_id FROM k)
          |SELECT doc_id, source, lang, CAST(copy_id AS BIGINT) AS copy_id
          |FROM e ORDER BY doc_id, copy_id""".stripMargin,
+
+    "text_cms_counts" -> {
+      val values = CmsProbeTerms.map(t => s"('$t')").mkString(", ")
+      s"""WITH t AS ($thCte),
+         |fl AS (SELECT unnest(th) AS h FROM t),
+         |cj AS (SELECT h, unnest(range(0, $CmsDepth)) AS j FROM fl),
+         |cells AS (SELECT j, ${cmsPosSql("h", "j")} AS cell,
+         |  CAST(count(*) AS BIGINT) AS c FROM cj GROUP BY j, cell),
+         |probes AS (SELECT term, ${ph("term", "ci")} AS h
+         |  FROM (VALUES $values) v(term)),
+         |pj AS (SELECT term, h, j, ${cmsPosSql("h", "j")} AS cell
+         |  FROM (SELECT term, h, unnest(range(0, $CmsDepth)) AS j FROM probes)),
+         |est AS (SELECT term, MIN(COALESCE(c.c, 0)) AS n_est
+         |  FROM pj LEFT JOIN cells c ON pj.j = c.j AND pj.cell = c.cell
+         |  GROUP BY term),
+         |ex AS (SELECT p.term, CAST(count(fl.h) AS BIGINT) AS n_exact
+         |  FROM probes p LEFT JOIN fl ON fl.h = p.h GROUP BY p.term)
+         |SELECT e.term, n_est, n_exact
+         |FROM est e JOIN ex USING (term) ORDER BY term""".stripMargin
+    },
 
     "pipeline_upsert" ->
       s"""WITH base AS (SELECT doc_id, text FROM documents),

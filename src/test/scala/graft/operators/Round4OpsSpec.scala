@@ -93,6 +93,33 @@ class Round4OpsSpec extends SparkSuite {
     assert(dfs.zip(dfs.tail).forall { case (a, b) => a >= b }, "not df-descending")
   }
 
+  test("CountMinAgg: overestimate-only, exact on collision-free input, merge law") {
+    import spark.implicits._
+    val w = 8; val d = 2
+    val agg = new CountMinAgg(w, d)
+    // overestimate-only: for ANY key set, estimate >= exact
+    val keys = Seq(3L, 3L, 3L, 17L, 17L, 99L, 123456789L, 99L, 3L)
+    val sketch = keys.toDF("h").agg(agg.column(col("h")).as("cms"))
+    val est = keys.distinct.toDF("h").crossJoin(sketch)
+      .select(col("h"), CountMinAgg.estimate(col("cms"), col("h"), w, d).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for ((k, n) <- exact) assert(est(k) >= n, s"under-count for $k")
+    // merge law: sketch(a ++ b) == merge(sketch(a), sketch(b))
+    val (a, b) = keys.splitAt(4)
+    val sa = a.foldLeft(agg.zero)(agg.reduce)
+    val sb = b.foldLeft(agg.zero)(agg.reduce)
+    val whole = keys.foldLeft(agg.zero)(agg.reduce)
+    assert(agg.merge(sa, sb).toSeq == whole.toSeq)
+    // exact when width is collision-free for the key set
+    val big = new CountMinAgg(1024, 3)
+    val s2 = keys.foldLeft(big.zero)(big.reduce)
+    for ((k, n) <- exact) {
+      val e = (0 until 3).map(j => s2(j * 1024 + BloomFilterAgg.position(k, j, 1024).toInt)).min
+      assert(e == n, s"collision-free sketch not exact for $k")
+    }
+  }
+
   test("q_distinct_twophase equals the single-stage distinct formulation") {
     val two = RelationalQueries.queries("q_distinct_twophase")(spark, sf0001).collect()
     val one = graft.Tables.lineitem(spark, sf0001)
