@@ -52,4 +52,26 @@ class PlanShapeSpec extends SparkSuite {
     val plan = executed("q_topk_parts")
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("semantic dedup broadcasts centroids and never cross-joins the corpus") {
+    val plan = executed("dedup_semantic")
+    // centroid fan-out is a BROADCAST nested-loop (16 rows); the corpus
+    // itself must only ever join hash/sort-merge on cen_id or vec_id
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    spark.catalog.clearCache()
+  }
+
+  test("upsert merge is a full-outer key join; delete filter does not re-shuffle the merged side") {
+    val plan = executed("pipeline_upsert")
+    assert(plan.contains("FullOuter"), plan)
+    // the tiny delete set must broadcast into the anti join
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
+  }
+
+  test("two-phase distinct plans as two aggregations with no Expand") {
+    val plan = executed("q_distinct_twophase")
+    assert(!plan.contains("Expand"), plan)
+    assert("HashAggregate".r.findAllIn(plan).length >= 4, plan) // 2 stages x partial+final
+  }
 }

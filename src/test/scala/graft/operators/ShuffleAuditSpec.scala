@@ -13,7 +13,8 @@ class ShuffleAuditSpec extends SparkSuite {
   // queries whose plans legitimately need the most exchanges (banded
   // incremental dedup unions three candidate generations; IVF probes twice)
   private val bounds = Map(
-    "dedup_incremental" -> 16, "sim_topk_ivf" -> 12, "dedup_minhash_pairs" -> 11,
+    "dedup_incremental" -> 16, "dedup_semantic" -> 14, "sim_topk_ivf" -> 12,
+    "dedup_minhash_pairs" -> 11,
     "sim_topk_quantized" -> 10, "sim_topk_ivf_kmeans" -> 10, "sim_topk_lsh" -> 9,
     "pipeline_bloom" -> 8, "dedup_srp_pairs" -> 8, "dedup_simhash_pairs" -> 8,
     "text_hll_distinct" -> 7, "q_setop_nations" -> 7

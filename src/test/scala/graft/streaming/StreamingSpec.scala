@@ -139,6 +139,41 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(got == want)
   }
 
+  test("Count-Min sketch aggregate in a streaming update-mode agg == batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.functions.TextFunctions
+    import graft.operators.CountMinAgg
+
+    val agg = new CountMinAgg(32, 2)
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("source"), TextFunctions.fingerprint(col("text")).as("fp"))
+      .limit(60).collect().map(r => (r.getString(0), r.getLong(1)))
+
+    val source = MemoryStream[(String, Long)]
+    val built = source.toDF().toDF("source", "fp")
+      .groupBy(col("source"))
+      .agg(agg.column(col("fp")).as("cms"))
+    val q = built.writeStream.format("memory").queryName("cms_stream")
+      .outputMode("update").start()
+    docs.grouped(25).foreach { batch => source.addData(batch.toSeq); q.processAllAvailable() }
+    q.stop()
+
+    // counters are monotone non-decreasing across update emissions, so the
+    // final state per key == elementwise MAX over every update row
+    val got = spark.table("cms_stream")
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toSeq
+      .groupBy(_._1).view.mapValues(
+        _.map(_._2).reduce((a, b) => a.zip(b).map { case (x, y) => math.max(x, y) }))
+      .toMap
+    val want = docs.toSeq.toDF("source", "fp")
+      .groupBy(col("source"))
+      .agg(agg.column(col("fp")).as("cms"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(want.nonEmpty)
+    assert(got == want)
+  }
+
   test("Bloom filter aggregate in a streaming update-mode agg == batch") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
