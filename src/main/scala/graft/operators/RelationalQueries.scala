@@ -167,6 +167,35 @@ object RelationalQueries {
         .orderBy(col("g_region"), col("g_nation"), col("r_name"), col("n_name"))
     }),
 
+    // Salted LARGE×LARGE join (SaltedJoin): lineitem probes orders with the
+    // key salted 4 ways by l_linenumber (deterministic — NOT rand(), which
+    // breaks exactly-once under task retry), orders replicated 4-fold. The
+    // shuffle_hash hint pins the shuffle-join strategy the pattern exists
+    // for (Spark would otherwise broadcast this small build side and the
+    // salt would be moot). Result is row-identical to the unsalted join —
+    // the oracle IS the plain join.
+    "q_salted_join" -> ((s, dir) => {
+      val build = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+        .hint("shuffle_hash")
+      SaltedJoin.join(Tables.lineitem(s, dir), build, "l_orderkey",
+          col("l_linenumber"), 4)
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(dec("l_extendedprice")).cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // lag/lead window navigation: previous/next order price per customer.
+    "q_lag_lead" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // Skew-safe distinct aggregation: COUNT(DISTINCT supplier) per flag as
     // TWO explicit partial-agg stages — groupBy(key, value) then
     // groupBy(key) — the shape that survives a hot key at 100 TB, where a
@@ -291,6 +320,17 @@ object RelationalQueries {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY g_region, g_nation, r_name, n_name""".stripMargin,
+    "q_salted_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_lag_lead" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_price,
+        |  lead(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS next_price
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_distinct_twophase" ->
       """SELECT l_returnflag,
         |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,

@@ -120,6 +120,30 @@ class Round4OpsSpec extends SparkSuite {
     }
   }
 
+  test("salted join is row-identical to the plain join, and the salt reaches the join keys") {
+    import graft.Tables
+    val li = Tables.lineitem(spark, sf0001)
+    val ord = Tables.orders(spark, sf0001)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    val salted = SaltedJoin.join(li, ord.hint("shuffle_hash"), "l_orderkey",
+      col("l_linenumber"), 4)
+    val plain = li.join(ord, "l_orderkey")
+    assert(salted.count() == plain.count())
+    // aggregate equality (same bag of rows => same group sums)
+    val agg = (df: org.apache.spark.sql.DataFrame) => df
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("rev"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority").collect().map(_.toSeq.toList).toList
+    assert(agg(salted.select("o_orderpriority", "l_extendedprice"))
+      == agg(plain.select("o_orderpriority", "l_extendedprice")))
+    // the executed join must key on (l_orderkey, graft_salt) — i.e. hot-key
+    // rows really are spread across 4 sub-buckets, not re-funneled
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_salt"), plan)
+    assert(!plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("q_distinct_twophase equals the single-stage distinct formulation") {
     val two = RelationalQueries.queries("q_distinct_twophase")(spark, sf0001).collect()
     val one = graft.Tables.lineitem(spark, sf0001)
