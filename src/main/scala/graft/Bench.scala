@@ -39,26 +39,35 @@ object Bench {
       fn
       (System.nanoTime() - t0) / 1e9
     }
-    var coldTotal = 0.0
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
-        try time(fn(spark, sfDir)
-          .write.format("noop").mode("overwrite").save())
-        catch { case _: Throwable => -1.0 }
-        finally {
-          spark.catalog.clearCache() // free per-query persists
-          CheckpointUtil.releaseStragglers() // and checkpoint blocks
-        }
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      try time(fn(spark, sfDir)
+        .write.format("noop").mode("overwrite").save())
+      catch { case _: Throwable => -1.0 }
+      finally {
+        spark.catalog.clearCache() // free per-query persists
+        CheckpointUtil.releaseStragglers() // and checkpoint blocks
       }
-      var runs = Seq(once(), once())
-      // This box shows transient multi-second stalls (virtualized host
-      // noise): if the two runs disagree by >3x, one of them hit a stall —
-      // take a tie-breaking third so a single stall can't pollute the
-      // reported steady-state number.
-      if (runs.forall(_ >= 0) && runs.max > 3 * math.max(runs.min, 0.05))
-        runs = runs :+ once()
-      coldTotal += math.max(runs.head, 0.0)
-      name -> (if (runs.exists(_ < 0)) -1.0 else runs.min)
+    }
+    def sweep(sel: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) =
+      sel.map { case (n, fn) => n -> once(fn) }.toMap
+    // This box shows transient stall WINDOWS lasting tens of seconds
+    // (virtualized host noise). Back-to-back repeats of one query both land
+    // inside such a window, so a per-query immediate retry can't save the
+    // number (observed: 3-6x inflation on several adjacent queries at
+    // once). Instead the repeats are separated by a full suite SWEEP —
+    // minutes apart — so the two observations are decorrelated in time;
+    // queries whose two sweeps still disagree >3x get a third pass.
+    val cold = sweep(named) // sweep 1: plans compile, footers read
+    val second = sweep(named) // sweep 2: steady-state candidate
+    val third = sweep(named.filter { case (n, _) =>
+      val (a, b) = (cold(n), second(n))
+      a >= 0 && b >= 0 && math.max(a, b) > 3 * math.max(math.min(a, b), 0.05)
+    })
+    val coldTotal = named.map { case (n, _) => math.max(cold(n), 0.0) }.sum
+    val results = named.map { case (n, _) =>
+      val runs = Seq(cold(n), second(n)) ++ third.get(n)
+      n -> (if (runs.exists(_ < 0)) -1.0 else runs.min)
     }
     val total = results.map { case (_, v) => math.max(v, 0.0) }.sum
     def render(fmt: Double => String, qrs: Seq[(String, Double)]): String = {
