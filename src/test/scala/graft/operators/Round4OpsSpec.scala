@@ -144,6 +144,26 @@ class Round4OpsSpec extends SparkSuite {
     assert(!plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("salted join == plain join for every fan-out on random skewed tables") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    // skewed probe: 60% of rows share key 0; build has duplicate keys too
+    // (each probe row must match EVERY build row of its key, once)
+    val probe = (1 to 300).map { i =>
+      (if (rnd.nextInt(10) < 6) 0L else rnd.nextInt(20).toLong, i.toLong)
+    }.toDF("k", "payload")
+    val build = (1 to 40).map { _ =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong)
+    }.toDF("k", "attr")
+    val want = probe.join(build, "k").collect()
+      .map(_.toSeq.toList).groupBy(identity).view.mapValues(_.length).toMap
+    for (s <- Seq(1, 2, 5, 8)) {
+      val got = SaltedJoin.join(probe, build, "k", col("payload"), s).collect()
+        .map(_.toSeq.toList).groupBy(identity).view.mapValues(_.length).toMap
+      assert(got == want, s"fan-out $s changed the join result bag")
+    }
+  }
+
   test("q_distinct_twophase equals the single-stage distinct formulation") {
     val two = RelationalQueries.queries("q_distinct_twophase")(spark, sf0001).collect()
     val one = graft.Tables.lineitem(spark, sf0001)
