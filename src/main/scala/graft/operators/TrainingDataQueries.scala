@@ -55,6 +55,10 @@ object TrainingDataQueries {
     * degenerate to exact. */
   val CmsWidth = 16
   val CmsDepth = 2
+
+  /** Tokenizer vocabulary cap — below the ~31-term corpus vocabulary so
+    * the OOV (id 0) path is exercised, not vacuous. */
+  val VocabSize = 25
   val CmsProbeTerms = Seq("join", "hash", "scan", "query", "window", "zzz_absent")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -166,6 +170,37 @@ object TrainingDataQueries {
           explode(sequence(lit(1), col("weight"))).as("copy_id"))
         .withColumn("copy_id", col("copy_id").cast(LongType))
         .orderBy("doc_id", "copy_id")
+    }),
+
+    // Corpus tokenization to vocabulary ids — the convert-text-to-
+    // training-tokens step: (1) build the vocabulary (df per term, ids
+    // dense-ranked by df desc) with the SCALE-PATH global rank (range
+    // partition + broadcast offsets — no single-task window, so a
+    // web-scale vocabulary ranks in parallel); (2) cap at VocabSize,
+    // everything rarer maps to OOV id 0; (3) apply as a BROADCAST MAP
+    // with a per-row `transform` lookup inside the scan — the corpus is
+    // never exploded or re-assembled, zero data-sized shuffles in the
+    // apply pass. Output pins the id sequence via the combine hash.
+    "pipeline_tokenize" -> ((s, dir) => {
+      val toksExpr = when(length(trim(col("text"))) === 0,
+          array().cast("array<string>"))
+        .otherwise(split(trim(col("text")), "\\s+"))
+      val base = docsSpread(s, dir).select(col("doc_id"), toksExpr.as("toks"))
+      val vocab = base.select(col("doc_id"), explode(col("toks")).as("tok"))
+        .groupBy(col("tok"))
+        .agg(countDistinct(col("doc_id")).cast(DoubleType).as("df_score"))
+      val ranked = graft.pu.PU.globalRankByScore(vocab, "df_score", col("tok"))
+        .filter(col("rank") <= VocabSize)
+      val vmap = ranked.agg(map_from_entries(
+        array_sort(collect_list(struct(col("tok"), col("rank"))))).as("vmap"))
+      base.crossJoin(broadcast(vmap))
+        .withColumn("ids", transform(col("toks"),
+          t => coalesce(element_at(col("vmap"), t), lit(0L))))
+        .select(col("doc_id"),
+          size(col("toks")).cast(LongType).as("n_tokens"),
+          size(filter(col("ids"), _ === lit(0L))).cast(LongType).as("n_oov"),
+          NativeExpressions.polyCombine(col("ids")).as("ids_hash"))
+        .orderBy("doc_id")
     }),
 
     // Token-frequency estimation via a Count-Min sketch: ONE
@@ -429,6 +464,29 @@ object TrainingDataQueries {
          |e AS (SELECT doc_id, source, lang, unnest(range(1, w + 1)) AS copy_id FROM k)
          |SELECT doc_id, source, lang, CAST(copy_id AS BIGINT) AS copy_id
          |FROM e ORDER BY doc_id, copy_id""".stripMargin,
+
+    "pipeline_tokenize" ->
+      s"""WITH tk AS (SELECT doc_id,
+         |  CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         |       ELSE string_split_regex(trim(text), '\\s+') END AS toks
+         |  FROM documents),
+         |e AS (SELECT doc_id, unnest(toks) AS tok FROM tk),
+         |v AS (SELECT tok, count(DISTINCT doc_id) AS df FROM e GROUP BY tok),
+         |r AS (SELECT tok, CAST(row_number() OVER (ORDER BY df DESC, tok) AS BIGINT) AS id
+         |  FROM v QUALIFY id <= $VocabSize),
+         |eo AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)+1),
+         |    i -> {'pos': i, 'tok': toks[i]})) AS u FROM tk),
+         |ids AS (SELECT eo.doc_id, eo.u.pos AS pos, COALESCE(r.id, 0) AS id
+         |  FROM eo LEFT JOIN r ON eo.u.tok = r.tok),
+         |agg AS (SELECT doc_id, list(id ORDER BY pos) AS idl,
+         |  CAST(count(CASE WHEN id = 0 THEN 1 END) AS BIGINT) AS n_oov
+         |  FROM ids GROUP BY doc_id)
+         |SELECT tk.doc_id,
+         |  CAST(len(tk.toks) AS BIGINT) AS n_tokens,
+         |  COALESCE(a.n_oov, 0) AS n_oov,
+         |  CASE WHEN a.idl IS NULL THEN 0 ELSE ${DedupQueries.combineSql("a.idl")} END AS ids_hash
+         |FROM tk LEFT JOIN agg a ON tk.doc_id = a.doc_id
+         |ORDER BY tk.doc_id""".stripMargin,
 
     "text_cms_counts" -> {
       val values = CmsProbeTerms.map(t => s"('$t')").mkString(", ")
