@@ -35,7 +35,11 @@ object SaltedJoin {
   def join(probe: DataFrame, build: DataFrame, key: String, saltExpr: Column,
            s: Int): DataFrame = {
     require(s >= 1, s"salt fan-out must be >= 1, got $s")
-    val salted = probe.withColumn("graft_salt", pmod(saltExpr, lit(s)))
+    // coalesce: a NULL salt expression must still land in SOME bucket —
+    // pmod(NULL) is NULL, which never equi-joins, and the row would be
+    // silently DROPPED relative to the plain join
+    val salted = probe.withColumn("graft_salt",
+      coalesce(pmod(saltExpr, lit(s)), lit(0)).cast("int"))
     val replicated = build
       .withColumn("graft_salt", explode(sequence(lit(0), lit(s - 1))))
     salted.join(replicated, Seq(key, "graft_salt")).drop("graft_salt")

@@ -149,8 +149,11 @@ class Round4OpsSpec extends SparkSuite {
     val rnd = new scala.util.Random(77)
     // skewed probe: 60% of rows share key 0; build has duplicate keys too
     // (each probe row must match EVERY build row of its key, once)
+    // ~10% NULL salt values: those rows must still join (bucket 0), not
+    // silently vanish (pmod(NULL) never equi-joins)
     val probe = (1 to 300).map { i =>
-      (if (rnd.nextInt(10) < 6) 0L else rnd.nextInt(20).toLong, i.toLong)
+      (if (rnd.nextInt(10) < 6) 0L else rnd.nextInt(20).toLong,
+        if (rnd.nextInt(10) == 0) null else java.lang.Long.valueOf(i.toLong))
     }.toDF("k", "payload")
     val build = (1 to 40).map { _ =>
       (rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong)
