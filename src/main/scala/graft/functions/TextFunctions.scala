@@ -75,6 +75,24 @@ object TextFunctions {
     */
   def fingerprint(text: Column): Column = polyHash(text)
 
+  /** PII regexes — restricted to the subset where Java regex and RE2
+    * (DuckDB) agree exactly: character classes + bounded repetition, no
+    * lookaround, no backrefs. Pure scan-stage column work, zero shuffles. */
+  val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+  val PiiIpRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** Corpus scrubbing: mask emails and IPv4 literals before training. */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, PiiEmailRe, "<EMAIL>"), PiiIpRe, "<IP>")
+
+  /** Count of email-shaped matches (audit signal for the redaction pass). */
+  def piiEmailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(PiiEmailRe), lit(0))).cast(LongType)
+
+  /** Count of IPv4-shaped matches. */
+  def piiIpCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(PiiIpRe), lit(0))).cast(LongType)
+
   /** Per-token hashes (for MinHash / SimHash signature building) —
     * codegen'd single pass ([[NativeExpressions.TokenHashes]]), identical
     * to `transform(tokens(text), polyHash)` with the blank-string guard. */

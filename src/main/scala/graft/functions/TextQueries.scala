@@ -66,13 +66,9 @@ object TextQueries {
       Tables.documents(s, dir)
         .withColumn("aug", aug)
         .select(col("doc_id"),
-          size(regexp_extract_all(col("aug"), lit(PiiEmailRe), lit(0)))
-            .cast(LongType).as("n_emails"),
-          size(regexp_extract_all(col("aug"), lit(PiiIpRe), lit(0)))
-            .cast(LongType).as("n_ips"),
-          polyHash(
-            regexp_replace(regexp_replace(col("aug"), PiiEmailRe, "<EMAIL>"),
-              PiiIpRe, "<IP>")).as("fp_redacted"))
+          TextFunctions.piiEmailCount(col("aug")).as("n_emails"),
+          TextFunctions.piiIpCount(col("aug")).as("n_ips"),
+          polyHash(TextFunctions.redactPii(col("aug"))).as("fp_redacted"))
         .orderBy("doc_id")
     }),
 
@@ -98,9 +94,6 @@ object TextQueries {
     })
   )
 
-  /** PII regexes — Java/RE2-agreeing subset (see text_pii note). */
-  private val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
-  private val PiiIpRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
 
   // ------------------------------------------------------------------
   // DuckDB twins. Shared SQL fragments mirror TextFunctions exactly

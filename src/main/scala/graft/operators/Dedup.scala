@@ -220,6 +220,36 @@ object Dedup {
   def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
     dot(a, b) / (normA * normB)
 
+  /** Semantic dedup (SemDeDup-style): coarse-quantize the corpus onto IVF
+    * lists ([[Similarity.ivfAssign]] — centroids broadcast, assignment
+    * map-side) and run the tau-similarity check ONLY within a list: one
+    * shuffle on cen_id, never a global self-join. Keep policy is
+    * deterministic greedy-by-id: a vector is dropped iff some lower-id
+    * list-mate is tau-near it. Zero-norm vectors never enter (cosine
+    * undefined — [[Similarity.prepare]] drops them).
+    *
+    * `corpus` must be in [[Similarity.prepare]] shape (vec_id, v, nrm) and
+    * SHOULD be persisted by the caller (it feeds centroid selection,
+    * assignment, and both pair sides). Returns (vec_id, cen_id, keep).
+    */
+  def semanticDedup(corpus: DataFrame, nCentroids: Int, tau: Double): DataFrame = {
+    val assigned = Similarity.ivfAssign(corpus,
+      Similarity.centroids(corpus, nCentroids)).persist()
+    val a = assigned.select(col("cen_id"), col("vec_id").as("id_a"),
+      col("v").as("v_a"), col("nrm").as("nrm_a"))
+    val b = assigned.select(col("cen_id"), col("vec_id").as("id_b"),
+      col("v").as("v_b"), col("nrm").as("nrm_b"))
+    val victims = a.join(b, "cen_id")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("v_a"), col("v_b"), col("nrm_a"), col("nrm_b")))
+      .filter(col("cos") >= tau)
+      .select(col("id_b").as("vec_id")).distinct()
+      .withColumn("graft_drop", lit(true))
+    assigned.join(victims, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cen_id"),
+        not(coalesce(col("graft_drop"), lit(false))).as("keep"))
+  }
+
   // ------------------------------------------------------------------
   // Blocked self-join (grid decomposition)
   // ------------------------------------------------------------------

@@ -260,24 +260,8 @@ object DedupQueries {
     // some lower-id list-mate is tau-near it. Zero-norm vectors never enter
     // (cosine undefined — Similarity.prepare drops them).
     "dedup_semantic" -> ((s, dir) => {
-      val tau = 0.4
       val corpus = Similarity.prepare(Tables.embeddings(s, dir)).persist()
-      val assigned = Similarity.ivfAssign(corpus,
-        Similarity.centroids(corpus, 16)).persist()
-      val a = assigned.select(col("cen_id"), col("vec_id").as("id_a"),
-        col("v").as("v_a"), col("nrm").as("nrm_a"))
-      val b = assigned.select(col("cen_id"), col("vec_id").as("id_b"),
-        col("v").as("v_b"), col("nrm").as("nrm_b"))
-      val victims = a.join(b, "cen_id")
-        .filter(col("id_a") < col("id_b"))
-        .withColumn("cos", cosine(col("v_a"), col("v_b"), col("nrm_a"), col("nrm_b")))
-        .filter(col("cos") >= tau)
-        .select(col("id_b").as("vec_id")).distinct()
-        .withColumn("graft_drop", lit(true))
-      assigned.join(victims, Seq("vec_id"), "left")
-        .select(col("vec_id"), col("cen_id"),
-          not(coalesce(col("graft_drop"), lit(false))).as("keep"))
-        .orderBy("vec_id")
+      semanticDedup(corpus, nCentroids = 16, tau = 0.4).orderBy("vec_id")
     })
   )
 

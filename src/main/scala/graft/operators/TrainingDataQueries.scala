@@ -243,17 +243,14 @@ object TrainingDataQueries {
     "pipeline_upsert" -> ((s, dir) => {
       val base = docsSpread(s, dir).select(col("doc_id"), col("text"))
       val upserts = base.filter(col("doc_id") % 10 === 3)
-        .select(col("doc_id"), concat(lit("rev2 "), col("text")).as("new_text"))
+        .select(col("doc_id"), concat(lit("rev2 "), col("text")).as("text"))
         .unionByName(base.filter(col("doc_id") % 50 === 7)
           .select((col("doc_id") + 1000000000L).as("doc_id"),
-            concat(lit("new "), col("text")).as("new_text")))
+            concat(lit("new "), col("text")).as("text")))
       val deletes = base.filter(col("doc_id") % 17 === 5).select(col("doc_id"))
-      base.join(upserts, Seq("doc_id"), "full_outer")
-        .join(deletes, Seq("doc_id"), "left_anti")
-        .select(col("doc_id"),
-          when(col("text").isNull, lit(2L))
-            .when(col("new_text").isNull, lit(0L)).otherwise(lit(1L)).as("rev"),
-          TextFunctions.polyHash(coalesce(col("new_text"), col("text"))).as("fp"))
+      Upsert(base, upserts, deletes, "doc_id")
+        .select(col("doc_id"), col("graft_rev").as("rev"),
+          TextFunctions.polyHash(col("text")).as("fp"))
         .orderBy("doc_id")
     }),
 

@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** MERGE/upsert apply — the CDC step of a continuously-refreshed corpus:
+  * apply a change batch (upserts + deletes) to a base snapshot keyed by
+  * `key`. Precedence: delete wins over a same-key upsert.
+  *
+  * Plan shape: ONE shuffle join on the key (full-outer against the upsert
+  * set, anti against the delete set — the delete set is usually tiny and
+  * broadcasts). At 100 TB the whole change batch is typically small
+  * relative to the snapshot and Spark broadcasts both joins; the
+  * full-outer formulation stays correct when it is not.
+  *
+  * Output columns: `key`, every payload column coalesced
+  * (upsert-then-base), and `graft_rev`: 0 = unchanged base row,
+  * 1 = updated, 2 = inserted (key absent from base). Presence is tracked
+  * with explicit marker columns, NOT payload nullness — a legitimately
+  * NULL payload value must not reclassify the row.
+  *
+  * The reference has no joins at all (SURVEY.md §2.3) — north-star surface.
+  */
+object Upsert {
+
+  def apply(base: DataFrame, upserts: DataFrame, deletes: DataFrame,
+            key: String): DataFrame = {
+    val payload = base.columns.filter(_ != key)
+    require(upserts.columns.toSet == base.columns.toSet,
+      s"upserts must carry the base schema; got ${upserts.columns.mkString(",")}")
+    val b = base.withColumn("graft_in_base", lit(true))
+    val u = payload.foldLeft(upserts) { (df, c) =>
+      df.withColumnRenamed(c, s"graft_new_$c")
+    }.withColumn("graft_in_new", lit(true))
+    b.join(u, Seq(key), "full_outer")
+      .join(deletes.select(col(key)), Seq(key), "left_anti")
+      .select(
+        col(key) +:
+          payload.map(c => coalesce(col(s"graft_new_$c"), col(c)).as(c)) :+
+          when(col("graft_in_base").isNull, lit(2L))
+            .when(col("graft_in_new").isNull, lit(0L))
+            .otherwise(lit(1L)).as("graft_rev"): _*)
+  }
+}
