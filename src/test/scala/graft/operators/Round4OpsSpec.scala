@@ -62,6 +62,22 @@ class Round4OpsSpec extends SparkSuite {
     assert(out.size == base.size - dels + ins)
   }
 
+  test("Upsert classifies by key presence, not payload nullness") {
+    import spark.implicits._
+    // base row 1 has a NULL payload; upsert row 2 carries a NULL payload.
+    // Neither null may change the rev classification or the delete.
+    val base = Seq((1L, null), (2L, "b2"), (3L, "b3"), (4L, "b4"))
+      .toDF("k", "v")
+    val ups = Seq((2L, null), (5L, "new5")).toDF("k", "v")
+    val dels = Seq(Tuple1(3L), Tuple1(5L)).toDF("k") // delete wins over insert too
+    val got = Upsert(base, ups, dels, "k").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, None, 0L),          // unchanged despite NULL payload
+      (2L, Some("b2"), 1L),    // updated; NULL new value falls back to base
+      (4L, Some("b4"), 0L)))   // 3 deleted, 5 insert-then-deleted
+  }
+
   test("text_pii: seeded docs redact to a different fingerprint, others intact") {
     val out = graft.functions.TextQueries.queries("text_pii")(spark, sf0001)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap

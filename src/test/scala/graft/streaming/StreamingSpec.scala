@@ -100,6 +100,49 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(got.toSet == events.map(_.event_id).toSet)
   }
 
+  test("streaming corpus prep (quality filter -> dedup -> per-source counts) == batch") {
+    // the operators composed END TO END in one streaming query: a
+    // stateless quality gate, stateful watermarked exact dedup on
+    // (source, fp), and a per-source aggregation downstream of the dedup
+    // state — the streaming form of pipeline_corpus_prep's skeleton
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.functions.TextFunctions
+
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text"))
+      .limit(120).collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+
+    def prep(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("doc_id")))
+      .filter(TextFunctions.qualityScore(col("text")) >= 0.5)
+      .withColumn("fp", TextFunctions.fingerprint(col("text")))
+
+    val source = MemoryStream[(Long, String, String)]
+    val stream = prep(source.toDF().toDF("doc_id", "source", "text"))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("source", "fp")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+    val q = stream.writeStream.format("memory").queryName("prep_stream")
+      .outputMode("update").start()
+    // duplicates injected across DIFFERENT micro-batches: state must carry
+    (docs ++ docs.take(40)).grouped(50).foreach { b =>
+      source.addData(b.toSeq); q.processAllAvailable()
+    }
+    q.stop()
+
+    // counts are monotone across update emissions -> final = max per key
+    val got = spark.table("prep_stream")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val want = prep(docs.toSeq.toDF("doc_id", "source", "text"))
+      .select("source", "fp").distinct()
+      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(want.nonEmpty)
+    assert(got == want)
+  }
+
   test("MinHash sketch aggregate in a streaming update-mode agg == batch") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
