@@ -65,6 +65,7 @@ object SparkEntry {
       graft.operators.SimilarityQueries.queries ++
       graft.operators.RelationalQueries.queries ++
       graft.operators.MultimodalQueries.queries ++
+      graft.sources.SourceQueries.queries ++
       graft.streaming.StreamingQueries.queries
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -258,6 +259,7 @@ object SparkEntry {
       graft.operators.SimilarityQueries.oracles ++
       graft.operators.RelationalQueries.oracles ++
       graft.operators.MultimodalQueries.oracles ++
+      graft.sources.SourceQueries.oracles ++
       graft.streaming.StreamingQueries.oracles
 
   // SQL twin of PU.puEmbeddings' deterministic labeling

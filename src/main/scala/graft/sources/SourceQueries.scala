@@ -1,0 +1,43 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Driver-facing layout queries: the write-side levers exercised end to
+  * end (write → pruned read → aggregate), not just plan-asserted. The
+  * scratch dir is the JVM tmpdir — per-box, overwritten idempotently.
+  */
+object SourceQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Partition-pruned roundtrip: events written partitioned by
+    // event_type, read back with a partition predicate — the scan lists
+    // only the two matching directories (PartitionFilters, pinned in
+    // PlanShapeSpec); non-matching partitions are never opened. The
+    // aggregate's correctness gate proves the layout roundtrip loses
+    // nothing.
+    "src_partition_prune" -> ((s, dir) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_events_by_type"
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      Layouts.writePartitioned(ev, out, "event_type")
+      Layouts.readPartitioned(s, out)
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(col("user_id")).as("sum_user"))
+        .orderBy("event_type")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "src_partition_prune" ->
+      """SELECT event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(user_id) AS BIGINT) AS sum_user
+        |FROM events
+        |WHERE event_type IN ('click', 'purchase')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}

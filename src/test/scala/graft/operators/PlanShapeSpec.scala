@@ -69,6 +69,12 @@ class PlanShapeSpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
   }
 
+  test("partition-layout roundtrip prunes at listing time: PartitionFilters carries the predicate") {
+    val plan = executed("src_partition_prune")
+    val scanLine = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("event_type"), plan)
+  }
+
   test("two-phase distinct plans as two aggregations with no Expand") {
     val plan = executed("q_distinct_twophase")
     assert(!plan.contains("Expand"), plan)
