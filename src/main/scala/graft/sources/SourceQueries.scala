@@ -28,6 +28,23 @@ object SourceQueries {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"), sum(col("user_id")).as("sum_user"))
         .orderBy("event_type")
+    }),
+
+    // JSONL roundtrip with an EXPLICIT projected schema: the corpus is
+    // written as JSON lines and read back with a 2-field schema — fields
+    // not in the schema are never parsed (Jackson skips them), so a
+    // wide-payload corpus reads at the cost of the projected fields.
+    // FAILFAST: a malformed line kills the job instead of nulling rows.
+    "src_jsonl_schema" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_docs_jsonl"
+      Layouts.writeJsonLines(
+        Tables.documents(s, dir).select(col("doc_id"), col("source"), col("lang")), out)
+      Layouts.readJsonLines(s, out, StructType(Seq(
+          StructField("doc_id", LongType), StructField("lang", StringType))))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
+        .orderBy("lang")
     })
   )
 
@@ -38,6 +55,12 @@ object SourceQueries {
         |  CAST(SUM(user_id) AS BIGINT) AS sum_user
         |FROM events
         |WHERE event_type IN ('click', 'purchase')
-        |GROUP BY event_type ORDER BY event_type""".stripMargin
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "src_jsonl_schema" ->
+      """SELECT lang,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        |FROM documents
+        |GROUP BY lang ORDER BY lang""".stripMargin
   )
 }
