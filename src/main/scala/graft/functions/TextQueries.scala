@@ -72,6 +72,40 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Unigram-LM document scoring — the perplexity-proxy quality filter:
+    // corpus-estimated token probabilities (ONE tiny agg, broadcast back
+    // as a map), then a per-row sequential fold inside the scan. mean_p
+    // is the LM score (higher = more typical text), min_p flags documents
+    // hinging on the rarest token. The log-free probability form keeps
+    // libm out of the compared surface (same reasoning as BM25's rational
+    // idf); the fold order is ascending on both engines so doubles match
+    // bit-for-bit.
+    "text_lm_score" -> ((s, dir) => {
+      val toksExpr = when(length(trim(col("text"))) === 0,
+          array().cast("array<string>"))
+        .otherwise(split(trim(col("text")), "\\s+"))
+      val base = Tables.documents(s, dir).repartition(col("doc_id"))
+        .select(col("doc_id"), toksExpr.as("toks"))
+      val counts = base.select(explode(col("toks")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      val pmap = counts.crossJoin(broadcast(counts.agg(sum(col("cnt")).as("total"))))
+        .select(col("tok"),
+          (col("cnt").cast("double") / col("total").cast("double")).as("p"))
+        .agg(map_from_entries(
+          array_sort(collect_list(struct(col("tok"), col("p"))))).as("pmap"))
+      base.crossJoin(broadcast(pmap))
+        .withColumn("ps", transform(col("toks"),
+          t => coalesce(element_at(col("pmap"), t), lit(0.0))))
+        .select(col("doc_id"),
+          size(col("toks")).cast(LongType).as("n_tokens"),
+          when(size(col("toks")) === 0, lit(0.0))
+            .otherwise(aggregate(col("ps"), lit(0.0), (a, x) => a + x)
+              / size(col("toks")).cast("double")).as("mean_p"),
+          when(size(col("toks")) === 0, lit(0.0))
+            .otherwise(array_min(col("ps"))).as("min_p"))
+        .orderBy("doc_id")
+    }),
+
     // Inverted-index build (term -> postings), the index side of
     // retrieval: explode to (token, doc) pairs — the one genuinely
     // data-sized shuffle an index build needs — then one per-term
@@ -179,6 +213,29 @@ object TextQueries {
            |  ${sqlPolyHash("red")} AS fp_redacted
            |FROM r ORDER BY doc_id""".stripMargin
       },
+      "text_lm_score" ->
+        s"""WITH tk AS (SELECT doc_id,
+           |  CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+           |       ELSE string_split_regex(trim(text), '\\s+') END AS toks
+           |  FROM documents),
+           |e AS (SELECT doc_id, unnest(toks) AS tok FROM tk),
+           |v AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM e GROUP BY tok),
+           |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v),
+           |p AS (SELECT tok, CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS p
+           |  FROM v CROSS JOIN tot),
+           |eo AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)+1),
+           |    i -> {'pos': i, 'tok': toks[i]})) AS u FROM tk),
+           |ps AS (SELECT eo.doc_id, eo.u.pos AS pos, COALESCE(p.p, 0.0) AS p
+           |  FROM eo LEFT JOIN p ON eo.u.tok = p.tok),
+           |agg AS (SELECT doc_id, list(p ORDER BY pos) AS pl FROM ps GROUP BY doc_id)
+           |SELECT tk.doc_id,
+           |  CAST(len(tk.toks) AS BIGINT) AS n_tokens,
+           |  CASE WHEN len(tk.toks) = 0 THEN 0.0
+           |       ELSE list_reduce(list_prepend(CAST(0.0 AS DOUBLE), a.pl),
+           |              (acc, x) -> acc + x) / CAST(len(tk.toks) AS DOUBLE) END AS mean_p,
+           |  CASE WHEN len(tk.toks) = 0 THEN 0.0 ELSE list_min(a.pl) END AS min_p
+           |FROM tk LEFT JOIN agg a ON tk.doc_id = a.doc_id
+           |ORDER BY tk.doc_id""".stripMargin,
       "text_inverted_index" ->
         s"""WITH e AS (SELECT doc_id, unnest($sqlToks) AS tok
            |  FROM documents WHERE length(trim(text)) > 0),
