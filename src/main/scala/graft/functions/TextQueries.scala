@@ -84,8 +84,10 @@ object TextQueries {
       val toksExpr = when(length(trim(col("text"))) === 0,
           array().cast("array<string>"))
         .otherwise(split(trim(col("text")), "\\s+"))
+      // persist: the tokenized corpus feeds the vocabulary branch AND the
+      // scoring branch — without it the split+guard runs twice per doc
       val base = Tables.documents(s, dir).repartition(col("doc_id"))
-        .select(col("doc_id"), toksExpr.as("toks"))
+        .select(col("doc_id"), toksExpr.as("toks")).persist()
       val counts = base.select(explode(col("toks")).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
       val pmap = counts.crossJoin(broadcast(counts.agg(sum(col("cnt")).as("total"))))

@@ -17,6 +17,7 @@ class ShuffleAuditSpec extends SparkSuite {
     "dedup_minhash_pairs" -> 11,
     "sim_topk_quantized" -> 10, "sim_topk_ivf_kmeans" -> 10, "sim_topk_lsh" -> 9,
     "pipeline_bloom" -> 8, "dedup_srp_pairs" -> 8, "dedup_simhash_pairs" -> 8,
+    "text_lm_score" -> 8, // persisted 2-branch base: plan text expands twice
     "text_hll_distinct" -> 7, "q_setop_nations" -> 7
   ).withDefaultValue(6)
 
