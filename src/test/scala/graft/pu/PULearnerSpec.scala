@@ -62,6 +62,23 @@ class PULearnerSpec extends SparkSuite {
     assert(ProbabilisticClassifierConfig.subclasses.size == 2)
   }
 
+  test("configs round-trip through short-type-hint JSON exactly") {
+    val configs: Seq[PositiveUnlabeledLearnerConfig] = Seq(
+      TraditionalPULearnerConfig(0.5, 3, LogisticRegressionConfig()),
+      TraditionalPULearnerConfig(0.75, 1, RandomForestConfig(numTrees = 16, seed = 7L)),
+      GradualReductionPULearnerConfig(0.25, LogisticRegressionConfig(50, 1e-6, 0.1)),
+      GradualReductionPULearnerConfig(0.5, RandomForestConfig()))
+    for (c <- configs) {
+      val json = ConfigJson.write(c)
+      assert(json.contains("\"jsonClass\""), json)
+      assert(ConfigJson.read(json) == c, json)
+    }
+    // an unregistered hint must be rejected, exactly like json4s hints
+    intercept[IllegalArgumentException] {
+      ConfigJson.read("""{"jsonClass":"EvilConfig","relNegThreshold":0.5}""")
+    }
+  }
+
   test("rankByScore ranks highest score first") {
     import spark.implicits._
     val df = Seq((1L, 0.2), (2L, 0.9), (3L, 0.5)).toDF("id", "s")
