@@ -167,6 +167,34 @@ object RelationalQueries {
         .orderBy(col("g_region"), col("g_nation"), col("r_name"), col("n_name"))
     }),
 
+    // Histogram quantiles — the ONE-PASS, mergeable order-statistics path:
+    // exact quantiles (q_quantiles) need a per-group sort, which at 100 TB
+    // means shuffling every row; fixed-range bin counts are a plain
+    // aggregation with constant (n_bins) state per group, map-side
+    // combinable, and the estimator reads bin edges off the tiny cumulated
+    // histogram. Estimator rule in INTEGER arithmetic (smallest bin with
+    // cum*k >= n*q — no doubles, so cross-engine parity is trivial).
+    // l_quantity is integral 1..50, so bin = qty-1 and the edge IS the
+    // value: estimates are exact here, the machinery is what's exercised.
+    "q_quantile_hist" -> ((s, dir) => {
+      val bins = 50
+      val bin = least(greatest(floor(col("l_quantity") - 1).cast(LongType),
+        lit(0L)), lit(bins - 1L))
+      val counts = Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("flag"), bin.as("bin"))
+        .groupBy(col("flag"), col("bin")).agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("flag")).orderBy(col("bin"))
+      counts
+        .withColumn("cum", sum(col("c")).over(w))
+        .withColumn("n", sum(col("c")).over(Window.partitionBy(col("flag"))))
+        .groupBy(col("flag"))
+        .agg(
+          (min(when(col("cum") * 2 >= col("n"), col("bin"))) + 1L).as("p50_est"),
+          (min(when(col("cum") * 20 >= col("n") * 19, col("bin"))) + 1L).as("p95_est"),
+          max(col("n")).as("n_rows"))
+        .orderBy("flag")
+    }),
+
     // Salted LARGE×LARGE join (SaltedJoin): lineitem probes orders with the
     // key salted 4 ways by l_linenumber (deterministic — NOT rand(), which
     // breaks exactly-once under task retry), orders replicated 4-fold. The
@@ -320,6 +348,19 @@ object RelationalQueries {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY g_region, g_nation, r_name, n_name""".stripMargin,
+    "q_quantile_hist" ->
+      """WITH b AS (SELECT l_returnflag AS flag,
+        |  LEAST(GREATEST(CAST(FLOOR(l_quantity - 1) AS BIGINT), 0), 49) AS bin
+        |  FROM lineitem),
+        |c AS (SELECT flag, bin, count(*) AS c FROM b GROUP BY flag, bin),
+        |w AS (SELECT flag, bin, c,
+        |  SUM(c) OVER (PARTITION BY flag ORDER BY bin) AS cum,
+        |  SUM(c) OVER (PARTITION BY flag) AS n FROM c)
+        |SELECT flag,
+        |  CAST(MIN(CASE WHEN cum*2 >= n THEN bin END) + 1 AS BIGINT) AS p50_est,
+        |  CAST(MIN(CASE WHEN cum*20 >= n*19 THEN bin END) + 1 AS BIGINT) AS p95_est,
+        |  CAST(MAX(n) AS BIGINT) AS n_rows
+        |FROM w GROUP BY flag ORDER BY flag""".stripMargin,
     "q_salted_join" ->
       """SELECT o_orderpriority,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
