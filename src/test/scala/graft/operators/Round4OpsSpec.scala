@@ -183,6 +183,58 @@ class Round4OpsSpec extends SparkSuite {
     }
   }
 
+  test("histogram quantile estimator lands within one bin of the true quantile") {
+    // the integral driver query degenerates to exact; pin the general
+    // contract on random CONTINUOUS data: the estimated edge is within one
+    // bin width above the true quantile (the estimator returns the upper
+    // edge of the first bin whose cumulative mass reaches q)
+    val rnd = new scala.util.Random(99)
+    val bins = 50; val lo = 0.0; val hi = 100.0
+    val width = (hi - lo) / bins
+    for (trial <- 1 to 50) {
+      val xs = Array.fill(200 + rnd.nextInt(800))(lo + rnd.nextDouble() * (hi - lo))
+      val counts = new Array[Long](bins)
+      xs.foreach { x =>
+        counts(math.min(bins - 1, math.max(0, ((x - lo) / width).toInt)) ) += 1
+      }
+      for (q <- Seq(0.5, 0.95)) {
+        val need = math.ceil(q * xs.length).toLong
+        var cum = 0L; var bin = -1
+        var i = 0
+        while (i < bins && bin < 0) { cum += counts(i); if (cum >= need) bin = i; i += 1 }
+        val est = lo + (bin + 1) * width // upper edge, mirrors the query's bin+1
+        val sorted = xs.sorted
+        val truth = sorted((need - 1).toInt)
+        assert(truth <= est && est - truth <= 2 * width,
+          s"trial $trial q=$q: est $est vs truth $truth")
+      }
+    }
+  }
+
+  test("text_lm_score mean equals the independent explode-join derivation") {
+    val got = graft.functions.TextQueries.queries("text_lm_score")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    spark.catalog.clearCache()
+    // independent derivation: explode tokens, join corpus probabilities,
+    // average per doc (order-free mean — compare with tolerance, since the
+    // query's sequential fold is a different summation order)
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .filter(length(trim(col("text"))) > 0)
+    val toks = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
+    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).cast("double").as("t")).collect()(0).getDouble(0)
+    val want = toks.join(counts, "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), sum(col("cnt").cast("double") / lit(total)).as("s"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2) / r.getLong(1))).toMap
+    assert(want.nonEmpty)
+    for ((id, (n, mean)) <- want) {
+      assert(got(id)._1 == n, s"doc $id token count")
+      assert(math.abs(got(id)._2 - mean) < 1e-9, s"doc $id mean_p")
+    }
+  }
+
   test("q_distinct_twophase equals the single-stage distinct formulation") {
     val two = RelationalQueries.queries("q_distinct_twophase")(spark, sf0001).collect()
     val one = graft.Tables.lineitem(spark, sf0001)
