@@ -114,6 +114,39 @@ object Multimodal {
       }
   }
 
+  case class AudioChunk(id: Long, chunk_idx: Long, start_byte: Long,
+                        chunk_checksum: Long)
+
+  /** Stub audio segmentation: OVERLAPPING strided windows (`window` bytes
+    * every `stride` bytes — the speech-pipeline shape: a 30 s window every
+    * 10 s, here 96 bytes every 64), vs [[sampleFrames]]' disjoint blocks.
+    * Same plumbing contract: payloads never shuffle, the flatMap emits only
+    * the small typed chunk rows; a real pipeline swaps the checksum body
+    * for a codec+featurizer call. */
+  def chunkWindows(spark: SparkSession, media: DataFrame, mime: String,
+                   window: Int = 96, stride: Int = 64): Dataset[AudioChunk] = {
+    import spark.implicits._
+    media.filter(col("meta.mime") === mime)
+      .select(col("id"), col("meta.mime").as("mime"),
+        col("meta.width").as("width"), col("meta.height").as("height"), col("data"))
+      .as[MediaRow]
+      .flatMap { r =>
+        val n = r.data.length
+        val nWin = if (n == 0) 0 else (n + stride - 1) / stride
+        (0 until nWin).iterator.map { k =>
+          val start = k * stride
+          val end = math.min(start + window, n)
+          var cs = 0L
+          var i = start
+          while (i < end) {
+            cs = (cs * TextFunctions.HashBase + (r.data(i) & 0xff)) % P
+            i += 1
+          }
+          AudioChunk(r.id, k.toLong, start.toLong, cs)
+        }
+      }
+  }
+
   /** Metadata-only "resize": pure column arithmetic — no payload touch, no
     * shuffle; Catalyst prunes `data` out of the scan entirely. */
   def resizeMeta(media: DataFrame, maxDim: Int): DataFrame = {

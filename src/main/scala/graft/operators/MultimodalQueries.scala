@@ -24,6 +24,10 @@ object MultimodalQueries {
       Multimodal.sampleFrames(s, media(s, dir), "fake/src0").toDF()
         .orderBy("id", "frame_idx")
     }),
+    "mm_audio_windows" -> ((s, dir) => {
+      Multimodal.chunkWindows(s, media(s, dir), "fake/src3").toDF()
+        .orderBy("id", "chunk_idx")
+    }),
     "mm_resized" -> ((s, dir) => {
       Multimodal.resizeMeta(media(s, dir), maxDim = 256)
         .select(col("id"), col("resized.mime").as("mime"),
@@ -54,6 +58,16 @@ object MultimodalQueries {
          |SELECT id, frame_idx,
          |  ${roll("list_transform(range(1, length(blk)+1), ci -> CAST(unicode(blk[ci]) AS BIGINT))")} AS frame_checksum
          |FROM fc ORDER BY id, frame_idx""".stripMargin,
+    "mm_audio_windows" ->
+      s"""WITH f AS (
+         |  SELECT doc_id AS id, text,
+         |    unnest(range(0, CAST(ceil(strlen(text)/64.0) AS BIGINT))) AS chunk_idx
+         |  FROM documents WHERE source = 'src3'),
+         |fc AS (SELECT id, chunk_idx, CAST(chunk_idx*64 AS BIGINT) AS start_byte,
+         |  substr(text, CAST(chunk_idx*64+1 AS INT), 96) AS blk FROM f)
+         |SELECT id, chunk_idx, start_byte,
+         |  ${roll("list_transform(range(1, length(blk)+1), ci -> CAST(unicode(blk[ci]) AS BIGINT))")} AS chunk_checksum
+         |FROM fc ORDER BY id, chunk_idx""".stripMargin,
     "mm_resized" ->
       """WITH m AS (SELECT doc_id AS id, 'fake/' || source AS mime,
         |  CAST(n_chars % 640 AS BIGINT) AS w, CAST(n_chars % 480 AS BIGINT) AS h
