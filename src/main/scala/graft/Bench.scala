@@ -67,7 +67,10 @@ object Bench {
     val coldTotal = named.map { case (n, _) => math.max(cold(n), 0.0) }.sum
     val results = named.map { case (n, _) =>
       val runs = Seq(cold(n), second(n)) ++ third.get(n)
-      n -> (if (runs.exists(_ < 0)) -1.0 else runs.min)
+      // min of the runs that SUCCEEDED: -1.0 is reserved for all-runs-failed,
+      // so a transient stall in one pass can't mask a working query
+      val ok = runs.filter(_ >= 0)
+      n -> (if (ok.isEmpty) -1.0 else ok.min)
     }
     val total = results.map { case (_, v) => math.max(v, 0.0) }.sum
     def render(fmt: Double => String, qrs: Seq[(String, Double)]): String = {

@@ -143,6 +143,92 @@ object NativeExpressions {
          """.stripMargin)
   }
 
+  /** Map-side IVF coarse assignment: the cen_id whose centroid has the
+    * highest cosine to the row vector (see
+    * [[NativeKernels.argMaxCosineIdx]]). The centroid set — small BY
+    * CONSTRUCTION (an IVF coarse quantizer is 10²–10⁴ vectors regardless of
+    * corpus size) — is a plan constant shipped to every task as reference
+    * objects, so assignment is pure per-row scan work: no join, no
+    * expansion, no shuffle. `left` = array<double> vector, `right` = its
+    * precomputed L2 norm.
+    */
+  case class ArgMaxCosine(left: Expression, right: Expression,
+      cents: Seq[(Long, Seq[Double], Double)]) extends BinaryExpression {
+    require(cents.nonEmpty, "argMaxCosine needs at least one centroid")
+    private val cenIdsArr: Array[Long] = cents.map(_._1).toArray
+    private val cvsArr: Array[Array[Double]] = cents.map(_._2.toArray).toArray
+    private val cnrmsArr: Array[Double] = cents.map(_._3).toArray
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(DoubleType, _), DoubleType) => TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"graft_argmax_cosine expects (array<double>, double), got " +
+            s"${l.catalogString} and ${r.catalogString}")
+      }
+    override def dataType: DataType = LongType
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): ArgMaxCosine =
+      copy(left = l, right = r)
+
+    // keep the centroid payload out of plan text: a 4k×128 constant would
+    // make every explain/spec error message megabytes long
+    override protected def flatArguments: Iterator[Any] =
+      Iterator(left, right, s"nCentroids=${cenIdsArr.length}")
+
+    override protected def nullSafeEval(v: Any, nrm: Any): Any =
+      cenIdsArr(NativeKernels.argMaxCosineIdx(
+        v.asInstanceOf[ArrayData], nrm.asInstanceOf[Double], cvsArr, cnrmsArr))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ids = ctx.addReferenceObj("graftCenIds", cenIdsArr, "long[]")
+      val cvs = ctx.addReferenceObj("graftCvs", cvsArr, "double[][]")
+      val cnrms = ctx.addReferenceObj("graftCnrms", cnrmsArr, "double[]")
+      defineCodeGen(ctx, ev, (v, nrm) =>
+        s"$ids[$Kernels.argMaxCosineIdx($v, $nrm, $cvs, $cnrms)]")
+    }
+  }
+
+  /** Map-side IVF probe selection: the `n` cen_ids nearest the row vector
+    * by cosine, ordered (cosine desc, cen_id asc) — see
+    * [[NativeKernels.topNCosineIds]]. Same constant-centroid contract as
+    * [[ArgMaxCosine]]; `explode` the result to fan a query out to its
+    * probed lists.
+    */
+  case class TopNCosineIds(left: Expression, right: Expression,
+      cents: Seq[(Long, Seq[Double], Double)], n: Int) extends BinaryExpression {
+    require(cents.nonEmpty, "topNCosineIds needs at least one centroid")
+    require(n >= 1, s"probe count must be >= 1, got $n")
+    private val cenIdsArr: Array[Long] = cents.map(_._1).toArray
+    private val cvsArr: Array[Array[Double]] = cents.map(_._2.toArray).toArray
+    private val cnrmsArr: Array[Double] = cents.map(_._3).toArray
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(DoubleType, _), DoubleType) => TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"graft_topn_cosine expects (array<double>, double), got " +
+            s"${l.catalogString} and ${r.catalogString}")
+      }
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): TopNCosineIds =
+      copy(left = l, right = r)
+
+    override protected def flatArguments: Iterator[Any] =
+      Iterator(left, right, s"nCentroids=${cenIdsArr.length}", s"n=$n")
+
+    override protected def nullSafeEval(v: Any, nrm: Any): Any =
+      NativeKernels.topNCosineIds(v.asInstanceOf[ArrayData],
+        nrm.asInstanceOf[Double], cvsArr, cnrmsArr, cenIdsArr, n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ids = ctx.addReferenceObj("graftCenIds", cenIdsArr, "long[]")
+      val cvs = ctx.addReferenceObj("graftCvs", cvsArr, "double[][]")
+      val cnrms = ctx.addReferenceObj("graftCnrms", cnrmsArr, "double[]")
+      defineCodeGen(ctx, ev, (v, nrm) =>
+        s"$Kernels.topNCosineIds($v, $nrm, $cvs, $cnrms, $ids, $n)")
+    }
+  }
+
   /** `size(array_intersect(a, b))` over two strictly-ascending long arrays
     * (the sorted-distinct shingle sets produced by
     * `array_sort(array_distinct(...))`). Linear two-pointer merge in place
@@ -325,6 +411,13 @@ object NativeExpressions {
   def intDot(a: Column, b: Column): Column =
     GraftColumnBridge.column(IntDot(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  def argMaxCosine(v: Column, nrm: Column, cents: Seq[(Long, Seq[Double], Double)]): Column =
+    GraftColumnBridge.column(ArgMaxCosine(
+      GraftColumnBridge.expression(v), GraftColumnBridge.expression(nrm), cents))
+  def topNCosineIds(v: Column, nrm: Column, cents: Seq[(Long, Seq[Double], Double)],
+                    n: Int): Column =
+    GraftColumnBridge.column(TopNCosineIds(
+      GraftColumnBridge.expression(v), GraftColumnBridge.expression(nrm), cents, n))
   def sortedIntersectSize(a: Column, b: Column): Column =
     GraftColumnBridge.column(SortedIntersectSize(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))

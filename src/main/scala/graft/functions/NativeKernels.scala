@@ -213,6 +213,90 @@ object NativeKernels {
     acc
   }
 
+  /** Index of the centroid with the highest cosine to `v` — the map-side
+    * IVF coarse-assignment kernel. Centroids arrive as constant reference
+    * objects (ordered by ascending cen_id), so the whole argmax runs inside
+    * the corpus scan with ZERO expansion and ZERO shuffle — replacing a
+    * crossJoin(broadcast(cents)) + per-vector window, whose argmax shuffle
+    * was |corpus|×nCentroids rows.
+    *
+    * Bit-compatible with `row_number() OVER (PARTITION BY vec_id ORDER BY
+    * dot(v,cv)/(nrm*cnrm) DESC, cen_id) = 1`: the dot is the same
+    * ascending-index single-accumulator sum as [[dot]], score ties keep the
+    * FIRST (lowest cen_id) candidate via a strict `>` (IEEE `>` also treats
+    * -0.0 == 0.0, matching both engines' orderings), and a NaN score only
+    * displaces a non-NaN one (both engines order NaN greatest; unreachable
+    * when callers drop zero-norm vectors, but pinned for totality).
+    * Centroids whose dimension differs from `v` are skipped (their cosine
+    * is NULL in both twins, ordered last under DESC); if every centroid is
+    * skipped the row falls to index 0 — the tie-break the all-NULL window
+    * ordering produces.
+    */
+  def argMaxCosineIdx(v: ArrayData, nrm: Double,
+                      cvs: Array[Array[Double]], cnrms: Array[Double]): Int = {
+    val n = v.numElements()
+    var best = -1
+    var bestScore = 0.0
+    var j = 0
+    while (j < cvs.length) {
+      val cv = cvs(j)
+      if (cv.length == n) {
+        var acc = 0.0
+        var i = 0
+        while (i < n) { acc += v.getDouble(i) * cv(i); i += 1 }
+        val score = acc / (nrm * cnrms(j))
+        if (best < 0 || score > bestScore ||
+            (java.lang.Double.isNaN(score) && !java.lang.Double.isNaN(bestScore))) {
+          best = j; bestScore = score
+        }
+      }
+      j += 1
+    }
+    if (best < 0) 0 else best
+  }
+
+  /** The `n` centroid ids nearest `v` by cosine, ordered (cosine desc,
+    * cen_id asc) — the map-side IVF PROBE-selection kernel, same contract
+    * as [[argMaxCosineIdx]] generalized to top-n. Equivalent to
+    * `row_number() OVER (PARTITION BY query_id ORDER BY pcos DESC, cen_id)
+    * <= n`: iteration is in ascending cen_id order and an insertion
+    * displaces only on strictly-greater score, so equal scores keep
+    * ascending-id order. Ragged centroids are skipped (NULL-cosine rows
+    * order last and `n` ≤ live centroids in every caller).
+    */
+  def topNCosineIds(v: ArrayData, nrm: Double, cvs: Array[Array[Double]],
+                    cnrms: Array[Double], cenIds: Array[Long], n: Int): ArrayData = {
+    val dim = v.numElements()
+    val kk = math.min(n, cvs.length)
+    val sc = new Array[Double](kk)
+    val ix = new Array[Int](kk)
+    var filled = 0
+    var j = 0
+    while (j < cvs.length) {
+      val cv = cvs(j)
+      if (cv.length == dim) {
+        var acc = 0.0
+        var i = 0
+        while (i < dim) { acc += v.getDouble(i) * cv(i); i += 1 }
+        val score = acc / (nrm * cnrms(j))
+        var p = filled
+        while (p > 0 && (score > sc(p - 1) ||
+            (java.lang.Double.isNaN(score) && !java.lang.Double.isNaN(sc(p - 1))))) p -= 1
+        if (p < kk) {
+          var q = math.min(filled, kk - 1)
+          while (q > p) { sc(q) = sc(q - 1); ix(q) = ix(q - 1); q -= 1 }
+          sc(p) = score; ix(p) = j
+          if (filled < kk) filled += 1
+        }
+      }
+      j += 1
+    }
+    val out = new Array[Long](filled)
+    var r = 0
+    while (r < filled) { out(r) = cenIds(ix(r)); r += 1 }
+    ArrayData.toArrayData(out)
+  }
+
   /** Per-term occurrence counts of `terms` in the whitespace tokenization
     * of `u`, one pass, no regex and no explode: `out(j)` = number of
     * tokens equal to `terms(j)`. The BM25 front-end — turns the

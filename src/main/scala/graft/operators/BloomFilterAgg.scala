@@ -64,9 +64,13 @@ object BloomFilterAgg {
   private def hashA(j: Int): Long = (1103515245L * (j + 1) + 12345L) % P
   private def hashB(j: Int): Long = (1103515245L * (j + 7) + 54321L) % P
 
-  /** Bit position of probe j for fingerprint `fp` (< P). */
+  /** Bit position of probe j for fingerprint `fp`. floorMod (not Scala %)
+    * so a negative fingerprint still yields a position in [0, mBits) —
+    * in-repo callers feed polyHash in [0, P), but the class is public API
+    * over arbitrary Long and the probe path ([[positionCol]]) uses `pmod`,
+    * which must agree for every input. */
   def position(fp: Long, j: Int, mBits: Int): Long =
-    ((hashA(j) * fp + hashB(j)) % P) % mBits
+    Math.floorMod(Math.floorMod(hashA(j) * fp + hashB(j), P), mBits.toLong)
 
   /** `((a_j*fp + b_j) % P) % m` as a Column (same value as [[position]]). */
   def positionCol(fp: Column, j: Int, mBits: Int): Column =

@@ -3,27 +3,40 @@ package graft.operators
 import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.NativeExpressions
+
 /** Approximate/exact nearest-neighbor search over an embedding column
-  * (`array<float>`). Three tiers, trading recall for scan cost:
+  * (`array<float>`). Four tiers, trading recall for scan cost:
   *
   *  1. [[bruteForceTopK]] — exact: broadcast the (small) query set against
-  *     the corpus, cosine per pair, per-query top-k window. The baseline
-  *     and the oracle-checkable ground truth. Cost: O(|Q|·|corpus|·dim),
-  *     embarrassingly parallel, zero shuffle on the corpus side (queries
-  *     are broadcast; the window partitions by query id).
+  *     the corpus, cosine per pair, per-query top-k. The baseline and the
+  *     oracle-checkable ground truth. Cost: O(|Q|·|corpus|·dim),
+  *     embarrassingly parallel, the corpus is never shuffled.
   *  2. [[ivfTopK]] — IVF (inverted-file) ANN: coarse-quantize the corpus to
   *     centroids, probe only the nProbe nearest lists per query. Cost drops
   *     by ~nProbe/nCentroids. Deterministic (centroid choice + argmax
   *     tie-breaks are fixed), so this tier is ALSO oracle-checkable — rare
-  *     for an ANN index. At 100 TB: centroids broadcast, assignment is
-  *     map-side, lists are bucketed by centroid id so a probe is a
-  *     partition-pruned read, not a scan.
-  *  3. [[lshTopK]] — Spark ML BucketedRandomProjectionLSH: the built-in
+  *     for an ANN index. At 100 TB: centroids are a plan constant (a coarse
+  *     quantizer is 10²–10⁴ vectors regardless of corpus size), assignment
+  *     is in-scan map work ([[graft.functions.NativeKernels.argMaxCosineIdx]]
+  *     — zero expansion, zero shuffle), and lists persist bucketed by
+  *     cen_id ([[graft.sources.Layouts.writeBucketed]], exercised by
+  *     `src_ivf_bucketed`) so a repeat probe is a pruned read, not a scan.
+  *  3. [[quantizedTopK]] — int8 scalar quantization: coarse-rank on an 8×
+  *     narrower column with exact integer arithmetic, rescore survivors.
+  *  4. [[lshTopK]] — Spark ML BucketedRandomProjectionLSH: the built-in
   *     scale path (hash-partitioned candidate join). Seeded but its
   *     internals aren't oracle-replicable → rows-only driver check.
+  *
+  * Per-query top-k selection in EVERY tier is `groupBy(query_id)` +
+  * [[TopKAgg]] (O(k) state, map-side partials), never a `row_number`
+  * window: a window partition cannot be split, so the window form funnels
+  * each query's full candidate set — the whole corpus, for brute force —
+  * through ONE task. TopKAgg ships at most k rows per (partition, query)
+  * into the shuffle and its merge law is proven equal to the window
+  * ordering by `q_topk_grouped_agg`'s oracle.
   *
   * The reference contains no similarity operators (SURVEY.md §2.3); this is
   * north-star surface.
@@ -32,16 +45,27 @@ object Similarity {
   import Dedup.{cosine, l2norm, toDoubleArray}
 
   /** vec_id, v (array<double>), nrm — the working shape for cosine tiers.
-    * Repartition spreads the interpreted per-pair dot products across
-    * cores (bench files are single-row-group → one scan task).
+    * Repartition spreads the per-pair dot products across cores (bench
+    * files are single-row-group → one scan task otherwise).
     * Zero-norm vectors are dropped: cosine is undefined for them, and a
-    * NaN score sorts FIRST under a descending window — one all-zero
+    * NaN score sorts FIRST under a descending ordering — one all-zero
     * embedding would otherwise poison every query's top-1. */
   def prepare(embeddings: DataFrame): DataFrame =
     embeddings.repartition(col("vec_id"))
       .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
       .withColumn("nrm", l2norm(col("v")))
       .filter(col("nrm") > 0.0)
+
+  /** Per-query top-k over scored candidates (query_id, vec_id, cos) via the
+    * bounded mergeable aggregate — the skew-safe selection shape (see class
+    * doc). Rank is the position in the (cos desc, vec_id asc) order, 1-based
+    * — exactly what `row_number` produced. */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(TopKAgg.column(k, col("cos"), col("vec_id")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col._2").as("vec_id"), col("col._1").as("cos"))
 
   /** Exact top-k: for each query vector, the k corpus vectors with highest
     * cosine (self excluded); ties broken by vec_id. */
@@ -51,11 +75,7 @@ object Similarity {
     val pairs = corpus.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("qv"), col("v"), col("qnrm"), col("nrm")))
-    pairs
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"), col("vec_id"), col("cos"))
+    topKPerQuery(pairs, k)
   }
 
   /** Deterministic coarse centroids: the first `nCentroids` corpus vectors
@@ -66,15 +86,31 @@ object Similarity {
     corpus.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cen_id"), col("v").as("cv"), col("nrm").as("cnrm"))
 
+  /** Materialize a centroid set (cen_id, cv, cnrm) on the driver, ordered by
+    * cen_id — the constant the assignment/probe kernels close over. A coarse
+    * quantizer is small BY CONSTRUCTION (10²–10⁴ vectors independent of
+    * corpus size; 4k × 128-dim ≈ 4 MB), so this is the same driver-side
+    * footprint as any broadcast dimension — not a collect-the-data
+    * anti-pattern. */
+  def collectCentroids(cents: DataFrame): Seq[(Long, Seq[Double], Double)] =
+    cents.select(col("cen_id").cast("long").as("cen_id"), col("cv"), col("cnrm"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toVector: Seq[Double], r.getDouble(2)))
+      .sortBy(_._1).toSeq
+
   /** Assign every corpus vector to its nearest centroid by cosine (argmax,
-    * ties to lowest cen_id). Centroids are broadcast; assignment is
-    * map-side + a per-vector window over nCentroids rows. */
+    * ties to lowest cen_id) — IN-SCAN: the centroid set is a plan constant
+    * and the argmax is one codegen'd kernel call per row. No join, no
+    * |corpus|×nCentroids expansion, no shuffle (the crossJoin+window form
+    * this replaced shuffled the full expansion to pick the argmax — a
+    * 4000×-data-sized shuffle at 4k centroids). */
   def ivfAssign(corpus: DataFrame, cents: DataFrame): DataFrame =
-    corpus.crossJoin(broadcast(cents))
-      .withColumn("ccos", cosine(col("v"), col("cv"), col("nrm"), col("cnrm")))
-      .withColumn("crn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cen_id"))))
-      .filter(col("crn") === 1)
+    ivfAssignWith(corpus, collectCentroids(cents))
+
+  /** [[ivfAssign]] over an already-collected centroid set. */
+  def ivfAssignWith(corpus: DataFrame, cents: Seq[(Long, Seq[Double], Double)]): DataFrame =
+    corpus.withColumn("cen_id",
+        NativeExpressions.argMaxCosine(col("v"), col("nrm"), cents))
       .select(col("vec_id"), col("cen_id"), col("v"), col("nrm"))
 
   /** Trained coarse centroids via Spark ML k-means (k-means|| init, fixed
@@ -113,27 +149,26 @@ object Similarity {
                     nProbe: Int, k: Int): DataFrame =
     ivfTopKWith(kmeansCentroids(corpus, nCentroids), corpus, queryPred, nProbe, k)
 
-  /** Probe machinery shared by the deterministic and k-means tiers. */
+  /** Probe machinery shared by the deterministic, k-means, and
+    * injected-centers tiers. Plan shape: assignment and probe selection are
+    * both in-scan kernel calls over the constant centroid set; the probe
+    * set (|Q|·nProbe rows) broadcasts into a hash join against the assigned
+    * corpus — the corpus itself is NEVER shuffled; the only exchange left
+    * is TopKAgg's k-bounded partial-aggregate shuffle. */
   def ivfTopKWith(cents: DataFrame, corpus: DataFrame, queryPred: Column,
                   nProbe: Int, k: Int): DataFrame = {
-    val assigned = ivfAssign(corpus, cents)
+    val centSeq = collectCentroids(cents)
+    val assigned = ivfAssignWith(corpus, centSeq)
 
-    val q = corpus.filter(queryPred)
+    val probes = corpus.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
-    val probes = q.crossJoin(broadcast(cents))
-      .withColumn("pcos", cosine(col("qv"), col("cv"), col("qnrm"), col("cnrm")))
-      .withColumn("prn", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("pcos").desc, col("cen_id"))))
-      .filter(col("prn") <= nProbe)
-      .select(col("query_id"), col("qv"), col("qnrm"), col("cen_id"))
+      .withColumn("cen_id",
+        explode(NativeExpressions.topNCosineIds(col("qv"), col("qnrm"), centSeq, nProbe)))
 
-    probes.join(assigned, "cen_id") // list lookup: shuffle on cen_id only
+    val cand = assigned.join(broadcast(probes), "cen_id") // list lookup, corpus side stays in place
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("qv"), col("v"), col("qnrm"), col("nrm")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"), col("vec_id"), col("cos"))
+    topKPerQuery(cand, k)
   }
 
   /** Per-vector symmetric int8 scalar quantization: `qv[i] =
@@ -156,9 +191,10 @@ object Similarity {
     * exactly from the full-precision vectors and take top-k.
     *
     * Plan shape: the coarse pass cross-joins the (broadcast, quantized)
-    * queries against ONLY the slim quantized columns; full-precision
-    * vectors are joined back for the ≤ |Q|·candidates survivors — the wide
-    * column is never scanned for losers.
+    * queries against ONLY the slim quantized columns, selects candidates
+    * with the bounded TopKAgg, then the ≤ |Q|·candidates survivors
+    * broadcast back against the full-precision vectors — the wide column is
+    * never scanned for losers and the corpus is never shuffled.
     */
   def quantizedTopK(corpus: DataFrame, queryPred: Column, candidates: Int,
                     k: Int): DataFrame = {
@@ -168,7 +204,7 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
         col("qscale").as("qqscale"), col("nrm").as("qnrm"), col("v").as("query_v"))
 
-    val coarse = slim.crossJoin(broadcast(q))
+    val cand = slim.crossJoin(broadcast(q.drop("query_v")))
       .filter(col("vec_id") =!= col("query_id"))
       // codegen'd exact int8 dot (graft.functions.NativeExpressions.IntDot):
       // the HOF `aggregate(zip_with(...))` form allocated + interpreted per
@@ -178,17 +214,15 @@ object Similarity {
       .withColumn("coarse",
         (col("idot").cast("double") / (col("qscale") * col("qqscale"))) /
           (col("nrm") * col("qnrm")))
-      .withColumn("crn", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("coarse").desc, col("vec_id"))))
-      .filter(col("crn") <= candidates)
-      .select(col("query_id"), col("query_v"), col("qnrm"), col("vec_id"))
+      .groupBy(col("query_id"))
+      .agg(TopKAgg.column(candidates, col("coarse"), col("vec_id")).as("ck"))
+      .select(col("query_id"), explode(col("ck")("_2")).as("vec_id"))
+      .join(broadcast(q.select(col("query_id"), col("query_v"), col("qnrm"))), "query_id")
 
-    coarse.join(corpus.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
+    val rescored = corpus.select(col("vec_id"), col("v"), col("nrm"))
+      .join(broadcast(cand), "vec_id")
       .withColumn("cos", cosine(col("query_v"), col("v"), col("qnrm"), col("nrm")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"), col("vec_id"), col("cos"))
+    topKPerQuery(rescored, k)
   }
 
   /** Spark ML LSH scale path: seeded BucketedRandomProjectionLSH
@@ -210,10 +244,6 @@ object Similarity {
         col("datasetB.v").as("v"), col("datasetB.nrm").as("nrm"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("qv"), col("v"), col("qnrm"), col("nrm")))
-    joined
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"), col("vec_id"), col("cos"))
+    topKPerQuery(joined, k)
   }
 }

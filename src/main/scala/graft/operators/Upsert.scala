@@ -19,6 +19,18 @@ import org.apache.spark.sql.functions._
   * with explicit marker columns, NOT payload nullness — a legitimately
   * NULL payload value must not reclassify the row.
   *
+  * Contract (caller's responsibility, mirrored in UpsertSpec):
+  *  - '''set-to-NULL is unsupported''': payload values merge with
+  *    `coalesce(new, old)`, so an upsert carrying NULL in a column keeps
+  *    the base value (the row still classifies `graft_rev = 1`). SQL MERGE
+  *    `UPDATE SET c = NULL` semantics would need per-column presence
+  *    markers; a pipeline that needs them models deletion-of-a-value as a
+  *    sentinel or a delete+insert.
+  *  - '''upsert keys must be unique''': a duplicate key in the change batch
+  *    fans out the full-outer join into duplicate output rows. Compact the
+  *    batch to latest-per-key first (e.g. the TopKAgg(1) shape over a
+  *    change sequence number) — this operator applies, it does not compact.
+  *
   * The reference has no joins at all (SURVEY.md §2.3) — north-star surface.
   */
 object Upsert {

@@ -7,9 +7,15 @@ import graft.Tables
 
 /** Driver-facing layout queries: the write-side levers exercised end to
   * end (write → pruned read → aggregate), not just plan-asserted. The
-  * scratch dir is the JVM tmpdir — per-box, overwritten idempotently.
+  * scratch dir is the JVM tmpdir, suffixed with the Spark application id:
+  * two concurrent drivers on one box (a bench sweep next to a test run)
+  * would otherwise interleave overwrite-and-read on the same fixed path
+  * and fail, or worse, read a partially-written layout.
   */
 object SourceQueries {
+
+  private def scratch(s: SparkSession, name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/${name}_${s.sparkContext.applicationId}"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Partition-pruned roundtrip: events written partitioned by
@@ -19,7 +25,7 @@ object SourceQueries {
     // aggregate's correctness gate proves the layout roundtrip loses
     // nothing.
     "src_partition_prune" -> ((s, dir) => {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_events_by_type"
+      val out = scratch(s, "graft_events_by_type")
       val ev = Tables.events(s, dir)
         .select(col("event_id"), col("user_id"), col("event_type"))
       Layouts.writePartitioned(ev, out, "event_type")
@@ -37,7 +43,7 @@ object SourceQueries {
     // FAILFAST: a malformed line kills the job instead of nulling rows.
     "src_jsonl_schema" -> ((s, dir) => {
       import org.apache.spark.sql.types._
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_docs_jsonl"
+      val out = scratch(s, "graft_docs_jsonl")
       Layouts.writeJsonLines(
         Tables.documents(s, dir).select(col("doc_id"), col("source"), col("lang")), out)
       Layouts.readJsonLines(s, out, StructType(Seq(

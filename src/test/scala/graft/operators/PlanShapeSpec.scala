@@ -12,7 +12,8 @@ import graft.{SparkSuite, Tables}
   * broadcast threshold miss, a codegen fallback) fails the suite instead
   * of silently degrading the plan.
   */
-class PlanShapeSpec extends SparkSuite {
+class PlanShapeSpec extends SparkSuite
+    with org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {
 
   private def executed(name: String): String =
     graft.SparkEntry.queries(name)(spark, sf0001)
@@ -53,13 +54,51 @@ class PlanShapeSpec extends SparkSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
-  test("semantic dedup broadcasts centroids and never cross-joins the corpus") {
-    val plan = executed("dedup_semantic")
-    // centroid fan-out is a BROADCAST nested-loop (16 rows); the corpus
-    // itself must only ever join hash/sort-merge on cen_id or vec_id
-    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
-    assert(!plan.contains("CartesianProduct"), plan)
+  test("semantic dedup assigns centroids IN-SCAN: no join, no exchange below the argmax project") {
+    val plan = graft.SparkEntry.queries("dedup_semantic")(spark, sf0001)
+      .queryExecution.executedPlan
+    val s = plan.toString
+    // assignment is a per-row kernel over constant centroids — the centroid
+    // fan-out join (even a broadcast one) must be GONE, and the corpus must
+    // only ever join on cen_id/vec_id
+    assert(s.toLowerCase.contains("argmaxcosine"), s)
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"), s)
+    // the assignment project may live inside a persisted (InMemoryRelation)
+    // segment — descend through cache boundaries to find it
+    def deepCollect[T](p: org.apache.spark.sql.execution.SparkPlan)(
+        f: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T]): Seq[T] =
+      collectWithSubqueries(p)(f) ++ collectWithSubqueries(p) {
+        case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          deepCollect(c.relation.cachedPlan)(f)
+      }.flatten
+    val assigns = deepCollect(plan) {
+      case p: org.apache.spark.sql.execution.ProjectExec
+          if p.projectList.exists(_.toString.toLowerCase.contains("argmaxcosine")) => p
+    }
+    assert(assigns.nonEmpty, s)
+    // within the assignment's own (un-cached) plan segment there must be NO
+    // shuffle between it and its scan/cache leaf: assignment is map work.
+    // (prepare()'s documented one-off spreading repartition sits behind the
+    // persisted-corpus cache boundary and is not part of assignment.)
+    assigns.foreach { p =>
+      val below = collectWithSubqueries(p) {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }
+      assert(below.isEmpty, s"exchange below in-scan assignment:\n$p")
+    }
     spark.catalog.clearCache()
+  }
+
+  test("similarity tiers select top-k with the bounded aggregate — no Window node anywhere") {
+    for (name <- Seq("sim_topk_brute", "sim_topk_ivf", "sim_topk_ivf_kmeans",
+        "sim_topk_quantized", "sim_topk_lsh")) {
+      val plan = executed(name)
+      // a window partition can't be split: one query's full candidate set
+      // (the whole corpus, for brute force) would funnel through ONE task
+      assert(!plan.contains("Window"), s"$name:\n$plan")
+      assert(plan.contains("ObjectHashAggregate"), s"$name:\n$plan")
+      spark.catalog.clearCache()
+    }
   }
 
   test("upsert merge is a full-outer key join; delete filter does not re-shuffle the merged side") {
