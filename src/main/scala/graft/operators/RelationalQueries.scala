@@ -214,6 +214,23 @@ object RelationalQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Hot-key-only salting: a skew-stats pass finds the keys worth
+    // splitting (orders with > 4 line items here); only those replicate
+    // s-fold on the build side and salt on the probe side — the tail joins
+    // 1:1 at salt 0, so the build blowup is hotKeys x s, not |build| x s.
+    // Same oracle as the plain join: salting must never change the result.
+    "q_salted_join_hotkey" -> ((s, dir) => {
+      val build = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+        .hint("shuffle_hash")
+      SaltedJoin.joinSkewAware(Tables.lineitem(s, dir), build, "l_orderkey",
+          col("l_linenumber"), s = 4, hotThreshold = 4L)
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(dec("l_extendedprice")).cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // lag/lead window navigation: previous/next order price per customer.
     "q_lag_lead" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
@@ -362,6 +379,14 @@ object RelationalQueries {
         |  CAST(MAX(n) AS BIGINT) AS n_rows
         |FROM w GROUP BY flag ORDER BY flag""".stripMargin,
     "q_salted_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // hot-key salting is an execution-only rewrite: the oracle IS the
+    // plain join, identical to q_salted_join's
+    "q_salted_join_hotkey" ->
       """SELECT o_orderpriority,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
         |  COUNT(*) AS n_items

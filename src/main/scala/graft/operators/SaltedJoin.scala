@@ -19,9 +19,12 @@ import org.apache.spark.sql.functions._
   *
   * Join on (key, salt) then drop the salt: the result is row-identical to
   * the unsalted join — pinned by the oracle twin and the equality spec.
-  * Production refinement (documented, not needed for result-correctness):
-  * replicate ONLY the hot keys (skew-stats driven) and leave salt = 0 for
-  * the long tail, bounding the build-side blowup to hotKeys × s rows.
+  *
+  * [[join]] replicates the WHOLE build side `s`-fold — simple, but an s×
+  * blowup of the build at scale. [[joinSkewAware]] is the production
+  * refinement: a skew-stats pass finds the keys that actually need
+  * splitting, only THOSE replicate (and only their probe rows salt; the
+  * long tail keeps salt = 0), bounding the blowup to hotKeys × s rows.
   * Spark's AQE skew-join does this adaptively for sort-merge joins; the
   * explicit form works for any join strategy and any engine.
   *
@@ -44,4 +47,48 @@ object SaltedJoin {
       .withColumn("graft_salt", explode(sequence(lit(0), lit(s - 1))))
     salted.join(replicated, Seq(key, "graft_salt")).drop("graft_salt")
   }
+
+  /** [[join]], but only keys whose probe-side row count exceeds
+    * `hotThreshold` are salted/replicated; tail keys join at salt 0 with
+    * exactly one build copy. The skew-stats aggregate is over probe KEYS
+    * (map-side combined: shuffle size is the distinct-key count, not the
+    * row count), and the hot-key set — small by construction, a key is hot
+    * because there are few like it — broadcasts into both sides as a
+    * semi-join marker. Result is row-identical to the plain join for every
+    * (s, hotThreshold): pinned by the equality/property specs and the
+    * oracle twin. At 100 TB the exact count can be replaced by a sample or
+    * a CMS sketch ([[CountMinAgg]]); exact keeps the demo deterministic.
+    */
+  def joinSkewAware(probe: DataFrame, build: DataFrame, key: String,
+                    saltExpr: Column, s: Int, hotThreshold: Long): DataFrame = {
+    require(s >= 1, s"salt fan-out must be >= 1, got $s")
+    require(hotThreshold >= 1, s"hot threshold must be >= 1, got $hotThreshold")
+    val hot = skewStats(probe, key, hotThreshold)
+    val salted = probe.join(broadcast(hot), Seq(key), "left")
+      .withColumn("graft_salt",
+        when(col("graft_hot").isNotNull,
+          coalesce(pmod(saltExpr, lit(s)), lit(0)).cast("int"))
+          .otherwise(lit(0)))
+      .drop("graft_hot")
+    salted.join(replicateHot(build, hot, key, s), Seq(key, "graft_salt"))
+      .drop("graft_salt")
+  }
+
+  /** The keys of `probe` with more than `hotThreshold` rows, marked
+    * `graft_hot` — the skew-stats pass of [[joinSkewAware]]. */
+  def skewStats(probe: DataFrame, key: String, hotThreshold: Long): DataFrame =
+    probe.groupBy(col(key)).agg(count(lit(1)).as("graft_cnt"))
+      .filter(col("graft_cnt") > hotThreshold)
+      .select(col(key), lit(true).as("graft_hot"))
+
+  /** Build side with hot keys replicated s-fold and tail keys kept single
+    * at salt 0 — exactly tail + hotBuildRows × s output rows (the bound the
+    * property spec pins). */
+  private[operators] def replicateHot(build: DataFrame, hot: DataFrame,
+                                      key: String, s: Int): DataFrame =
+    build.join(broadcast(hot), Seq(key), "left")
+      .withColumn("graft_salt", explode(
+        when(col("graft_hot").isNotNull, sequence(lit(0), lit(s - 1)))
+          .otherwise(array(lit(0)))))
+      .drop("graft_hot")
 }

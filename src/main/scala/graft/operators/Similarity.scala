@@ -60,7 +60,7 @@ object Similarity {
     * bounded mergeable aggregate — the skew-safe selection shape (see class
     * doc). Rank is the position in the (cos desc, vec_id asc) order, 1-based
     * — exactly what `row_number` produced. */
-  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+  def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy(col("query_id"))
       .agg(TopKAgg.column(k, col("cos"), col("vec_id")).as("tk"))
       .select(col("query_id"), posexplode(col("tk")))

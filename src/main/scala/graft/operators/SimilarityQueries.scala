@@ -13,8 +13,11 @@ object SimilarityQueries {
   import DedupQueries.{dotSql, normSql}
 
   /** Demo parameters: 8 query vectors, top-10, 16 IVF lists probe 4,
-    * 32 rescore candidates for the quantized tier. */
+    * 32 rescore candidates for the quantized tier. The bucketed serving
+    * query uses 2 query vectors — the point-lookup regime where bucket
+    * pruning pays (8 queries probe 15/16 lists and nothing prunes). */
   val NQueries = 8
+  val NQueriesServe = 2
   val K = 10
   val NCentroids = 16
   val NProbe = 4
@@ -49,6 +52,58 @@ object SimilarityQueries {
       val corpus = Similarity.prepare(Tables.embeddings(s, dir)).persist()
       Similarity.quantizedTopK(corpus, col("vec_id") < NQueries, NCandidates, K)
         .orderBy("query_id", "rank")
+    }),
+    // Injected-centers IVF: stride-selected corpus vectors (vec_id = 3+7i)
+    // with REINDEXED cen_ids 0..15 pushed through ivfTopKWith — proves the
+    // probe machinery is hash-exact for externally supplied centers (cen_id
+    // independent of vec_id), the oracle-able stand-in for the k-means tier
+    // whose centers aren't replicable cross-engine.
+    "sim_topk_ivf_fixed" -> ((s, dir) => {
+      val corpus = Similarity.prepare(Tables.embeddings(s, dir)).persist()
+      val cents = corpus
+        .filter(col("vec_id") >= 3 && col("vec_id") < 3 + 7 * NCentroids &&
+          (col("vec_id") - 3) % 7 === 0)
+        .select(((col("vec_id") - 3) / 7).cast("long").as("cen_id"),
+          col("v").as("cv"), col("nrm").as("cnrm"))
+      Similarity.ivfTopKWith(cents, corpus, col("vec_id") < NQueries, NProbe, K)
+        .orderBy("query_id", "rank")
+    }),
+    // Persisted IVF lists: the assigned corpus written bucketed by cen_id
+    // (graft.sources.Layouts.writeBucketed) and probed back as a
+    // BUCKET-PRUNED read — the repeated-query serving path promised by the
+    // Similarity scaladoc. Assignment cost is paid once at write; a probe
+    // scans only the buckets holding its probed lists (SelectedBucketsCount
+    // in the scan, pinned by PlanShapeSpec) and the corpus side never
+    // shuffles. Result is row-identical to sim_topk_ivf (same oracle).
+    // Scratch tables are app-id-suffixed like SourceQueries' paths; stale
+    // ones from prior sessions are dead files in spark-warehouse, never
+    // reused (deleting them here would race a concurrent driver).
+    "src_ivf_bucketed" -> ((s, dir) => {
+      import graft.functions.NativeExpressions
+      val corpus = Similarity.prepare(Tables.embeddings(s, dir)).persist()
+      val centSeq = Similarity.collectCentroids(
+        Similarity.centroids(corpus, NCentroids))
+      val tbl = "graft_ivf_lists_" +
+        s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+      graft.sources.Layouts.writeBucketed(
+        Similarity.ivfAssignWith(corpus, centSeq), tbl, "cen_id",
+        nBuckets = 16, sortCols = Seq("cen_id", "vec_id"))
+      val probes = corpus.filter(col("vec_id") < NQueriesServe)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+        .withColumn("cen_id", explode(
+          NativeExpressions.topNCosineIds(col("qv"), col("qnrm"), centSeq, NProbe)))
+        .persist()
+      // the probed list ids as LITERALS: this is what turns the read into a
+      // bucket-pruned one (an attribute-only join predicate can't prune)
+      val probeIds = probes.select(col("cen_id")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      val lists = s.table(tbl)
+        .filter(col("cen_id").isin(probeIds.map(Long.box): _*))
+      val cand = lists.join(broadcast(probes), "cen_id")
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cos", graft.operators.Dedup.cosine(
+          col("qv"), col("v"), col("qnrm"), col("nrm")))
+      Similarity.topKPerQuery(cand, K).orderBy("query_id", "rank")
     })
   )
 
@@ -58,6 +113,36 @@ object SimilarityQueries {
          |  FROM embeddings""".stripMargin
     // nrm > 0 mirrors Similarity.prepare's zero-vector drop
     val n = s"SELECT * FROM (SELECT vec_id, v, ${normSql("v")} AS nrm FROM e) WHERE nrm > 0.0"
+    // Shared IVF twin, parameterized by the centroid-set CTE: assign by
+    // argmax cosine (ties to lowest cen_id), probe top-NProbe lists per
+    // query, exact cosine within probed lists, per-query top-K.
+    def ivfOracle(centsSql: String, nQueries: Int = NQueries): String =
+      s"""WITH e AS ($e), nn AS ($n),
+         |cents AS ($centsSql),
+         |assigned AS (
+         |  SELECT vec_id, cen_id, v, nrm FROM (
+         |    SELECT nn.vec_id, cents.cen_id, nn.v, nn.nrm,
+         |      row_number() OVER (PARTITION BY nn.vec_id
+         |        ORDER BY ${dotSql("nn.v", "cents.cv")} / (nn.nrm * cents.cnrm) DESC, cents.cen_id) AS crn
+         |    FROM nn, cents) WHERE crn = 1),
+         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM nn WHERE vec_id < $nQueries),
+         |probes AS (
+         |  SELECT query_id, qv, qnrm, cen_id FROM (
+         |    SELECT q.query_id, q.qv, q.qnrm, cents.cen_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${dotSql("q.qv", "cents.cv")} / (q.qnrm * cents.cnrm) DESC, cents.cen_id) AS prn
+         |    FROM q, cents) WHERE prn <= $NProbe),
+         |cand AS (
+         |  SELECT p.query_id, a.vec_id,
+         |    ${dotSql("p.qv", "a.v")} / (p.qnrm * a.nrm) AS cos
+         |  FROM probes p JOIN assigned a ON p.cen_id = a.cen_id
+         |  WHERE a.vec_id <> p.query_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+         |  FROM cand)
+         |SELECT query_id, rank, vec_id, cos FROM ranked
+         |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
     Map(
       "sim_topk_brute" ->
         s"""WITH e AS ($e), nn AS ($n),
@@ -72,33 +157,17 @@ object SimilarityQueries {
            |  FROM pairs)
            |SELECT query_id, rank, vec_id, cos FROM ranked
            |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
-      "sim_topk_ivf" ->
-        s"""WITH e AS ($e), nn AS ($n),
-           |cents AS (SELECT vec_id AS cen_id, v AS cv, nrm AS cnrm FROM nn WHERE vec_id < $NCentroids),
-           |assigned AS (
-           |  SELECT vec_id, cen_id, v, nrm FROM (
-           |    SELECT nn.vec_id, cents.cen_id, nn.v, nn.nrm,
-           |      row_number() OVER (PARTITION BY nn.vec_id
-           |        ORDER BY ${dotSql("nn.v", "cents.cv")} / (nn.nrm * cents.cnrm) DESC, cents.cen_id) AS crn
-           |    FROM nn, cents) WHERE crn = 1),
-           |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM nn WHERE vec_id < $NQueries),
-           |probes AS (
-           |  SELECT query_id, qv, qnrm, cen_id FROM (
-           |    SELECT q.query_id, q.qv, q.qnrm, cents.cen_id,
-           |      row_number() OVER (PARTITION BY q.query_id
-           |        ORDER BY ${dotSql("q.qv", "cents.cv")} / (q.qnrm * cents.cnrm) DESC, cents.cen_id) AS prn
-           |    FROM q, cents) WHERE prn <= $NProbe),
-           |cand AS (
-           |  SELECT p.query_id, a.vec_id,
-           |    ${dotSql("p.qv", "a.v")} / (p.qnrm * a.nrm) AS cos
-           |  FROM probes p JOIN assigned a ON p.cen_id = a.cen_id
-           |  WHERE a.vec_id <> p.query_id),
-           |ranked AS (
-           |  SELECT query_id, vec_id, cos,
-           |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
-           |  FROM cand)
-           |SELECT query_id, rank, vec_id, cos FROM ranked
-           |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
+      "sim_topk_ivf" -> ivfOracle(
+        s"SELECT vec_id AS cen_id, v AS cv, nrm AS cnrm FROM nn WHERE vec_id < $NCentroids"),
+      // same probe machinery, stride-selected reindexed centers
+      "sim_topk_ivf_fixed" -> ivfOracle(
+        s"""SELECT (vec_id - 3) // 7 AS cen_id, v AS cv, nrm AS cnrm FROM nn
+           | WHERE vec_id >= 3 AND vec_id < ${3 + 7 * NCentroids} AND (vec_id - 3) % 7 = 0""".stripMargin),
+      // bucketed-persist roundtrip is row-identical to the in-flight IVF
+      // at the same (serving-regime) query count
+      "src_ivf_bucketed" -> ivfOracle(
+        s"SELECT vec_id AS cen_id, v AS cv, nrm AS cnrm FROM nn WHERE vec_id < $NCentroids",
+        nQueries = NQueriesServe),
       // int8 quantization is deterministic arithmetic — exact twin, same
       // operation order as Similarity.quantize/quantizedTopK
       "sim_topk_quantized" -> {

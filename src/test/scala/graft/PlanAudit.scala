@@ -22,6 +22,9 @@ object PlanAudit {
           val bc = "BroadcastExchange".r.findAllIn(plan).length
           val win = "Window".r.findAllIn(plan).length
           println(f"$name%-28s shuffles=$sh%2d broadcasts=$bc%2d windows=$win%2d")
+          if (args.length > 1 && args(1).nonEmpty)
+            plan.linesIterator.filter(_.contains(args(1)))
+              .foreach(l => println("    " + l.trim.take(800)))
         } catch { case e: Throwable => println(s"$name FAILED: ${e.getMessage}") }
         spark.catalog.clearCache()
         CheckpointUtil.releaseStragglers()

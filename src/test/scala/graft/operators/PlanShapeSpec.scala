@@ -101,6 +101,20 @@ class PlanShapeSpec extends SparkSuite
     }
   }
 
+  test("bucketed IVF probe is a bucket-pruned read joined broadcast — the lists never shuffle") {
+    val plan = executed("src_ivf_bucketed")
+    // literal probe-list filter must reach the bucketed scan as bucket
+    // pruning: only the buckets holding probed lists are read
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(m.isDefined, plan)
+    assert(m.get.group(1).toInt < m.get.group(2).toInt, m.get.matched)
+    // probes broadcast into the list scan; the persisted lists are never
+    // the shuffled side of anything
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    spark.catalog.clearCache()
+  }
+
   test("upsert merge is a full-outer key join; delete filter does not re-shuffle the merged side") {
     val plan = executed("pipeline_upsert")
     assert(plan.contains("FullOuter"), plan)

@@ -183,6 +183,38 @@ class Round4OpsSpec extends SparkSuite {
     }
   }
 
+  test("skew-aware salted join == plain join, and build blowup is bounded by tail + hot x s") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val probe = (1 to 400).map { i =>
+      (if (rnd.nextInt(10) < 5) 0L else rnd.nextInt(25).toLong,
+        if (rnd.nextInt(10) == 0) null else java.lang.Long.valueOf(i.toLong))
+    }.toDF("k", "payload")
+    val build = (1 to 60).map { _ =>
+      (rnd.nextInt(25).toLong, rnd.nextInt(1000).toLong)
+    }.toDF("k", "attr")
+    val want = probe.join(build, "k").collect()
+      .map(_.toSeq.toList).groupBy(identity).view.mapValues(_.length).toMap
+    for (s <- Seq(1, 4, 7); thr <- Seq(1L, 10L, 1000L)) {
+      val got = SaltedJoin.joinSkewAware(probe, build, "k", col("payload"), s, thr)
+        .collect().map(_.toSeq.toList).groupBy(identity).view.mapValues(_.length).toMap
+      assert(got == want, s"(s=$s, thr=$thr) changed the join result bag")
+      // replication bound: ONLY hot-key build rows fan out
+      val hotKeys = SaltedJoin.skewStats(probe, "k", thr)
+        .select("k").as[Long].collect().toSet
+      val buildKeys = build.select("k").as[Long].collect()
+      val expected = buildKeys.count(hotKeys) * s + buildKeys.count(!hotKeys(_))
+      val actual = SaltedJoin.replicateHot(
+        build, SaltedJoin.skewStats(probe, "k", thr), "k", s).count()
+      assert(actual == expected,
+        s"(s=$s, thr=$thr) replicated $actual rows, bound is $expected")
+    }
+    // threshold above every key's count must degrade to the UNsalted build
+    val untouched = SaltedJoin.replicateHot(
+      build, SaltedJoin.skewStats(probe, "k", 1000L), "k", 7).count()
+    assert(untouched == build.count())
+  }
+
   test("histogram quantile estimator lands within one bin of the true quantile") {
     // the integral driver query degenerates to exact; pin the general
     // contract on random CONTINUOUS data: the estimated edge is within one
