@@ -57,4 +57,50 @@ object StreamingDedup {
       // comparisons in specs do it on collect
       .select(col("id_a"), col("id_b"), col("band_a").as("band"), col("jaccard"))
   }
+
+  /** Semantic (embedding-cosine) near-duplicate pairs on a VECTOR STREAM —
+    * the streaming twin of [[graft.operators.Dedup.semanticDedup]]'s
+    * candidate generation. The IVF coarse assignment is a STATELESS per-row
+    * kernel over a constant centroid set
+    * ([[graft.functions.NativeExpressions.ArgMaxCosine]] — the centroids
+    * are a plan constant exactly like in batch, so assignment needs no
+    * state, no join, no shuffle), which is what makes the semantic family
+    * streamable at all: the only stateful operator is the watermarked
+    * stream-stream self-join WITHIN a centroid list (state key = cen_id,
+    * never a cross product), with the time bound evicting state.
+    *
+    * A pair is reported iff the two vectors share a nearest centroid,
+    * arrive within `horizon` of each other, and have exact cosine ≥ `tau`
+    * — the same tau-within-list contract as the batch operator over a
+    * sliding corpus window.
+    *
+    * `vecs`: streaming DataFrame with (id, ts, embedding array<float>).
+    * `cents`: driver-side centroid set (see
+    * [[graft.operators.Similarity.collectCentroids]]).
+    */
+  def semanticDupPairs(vecs: DataFrame, idCol: String, tsCol: String,
+                       embCol: String, cents: Seq[(Long, Seq[Double], Double)],
+                       horizon: String = "1 hour", tau: Double = 0.9): DataFrame = {
+    val prepared = vecs
+      .select(col(idCol), col(tsCol), Dedup.toDoubleArray(col(embCol)).as("v"))
+      .withColumn("nrm", Dedup.l2norm(col("v")))
+      .filter(col("nrm") > 0.0) // cosine undefined for zero vectors
+      .withColumn("cen_id",
+        graft.functions.NativeExpressions.argMaxCosine(col("v"), col("nrm"), cents))
+
+    val a = prepared.withWatermark(tsCol, horizon)
+      .select(col(idCol).as("id_a"), col(tsCol).as("ts_a"), col("v").as("v_a"),
+        col("nrm").as("nrm_a"), col("cen_id").as("cen_a"))
+    val b = prepared.withWatermark(tsCol, horizon)
+      .select(col(idCol).as("id_b"), col(tsCol).as("ts_b"), col("v").as("v_b"),
+        col("nrm").as("nrm_b"), col("cen_id").as("cen_b"))
+
+    a.join(b,
+        col("cen_a") === col("cen_b") && col("id_a") < col("id_b") &&
+          col("ts_b") >= col("ts_a") - expr(s"INTERVAL $horizon") &&
+          col("ts_b") <= col("ts_a") + expr(s"INTERVAL $horizon"))
+      .withColumn("cos", Dedup.cosine(col("v_a"), col("v_b"), col("nrm_a"), col("nrm_b")))
+      .filter(col("cos") >= tau)
+      .select(col("id_a"), col("id_b"), col("cen_a").as("cen_id"), col("cos"))
+  }
 }

@@ -345,6 +345,51 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(got == want)
   }
 
+  test("streaming semantic dedup pairs == batch tau-within-list pairs (within horizon)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.{Dedup, Similarity}
+
+    // 200 vectors, 20 s apart -> the slice spans ~67 min; tau low enough
+    // that list-mates actually pair up on synthetic embeddings
+    val corpus = Similarity.prepare(Tables.embeddings(spark, sfDir))
+      .filter(col("vec_id") < 200).persist()
+    val cents = Similarity.collectCentroids(Similarity.centroids(corpus, 16))
+    val rows = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 200)
+      .select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    def ts(id: Long) = new java.sql.Timestamp(1704067200000L + id * 20000L)
+
+    val source = MemoryStream[(Long, java.sql.Timestamp, Seq[Float])]
+    val q = StreamingDedup.semanticDupPairs(
+        source.toDF().toDF("vec_id", "ts", "embedding"),
+        "vec_id", "ts", "embedding", cents, horizon = "2 hours", tau = 0.3)
+      .writeStream.format("memory").queryName("semdup_stream")
+      .outputMode("append").start()
+    rows.grouped(80).foreach { batch =>
+      source.addData(batch.map { case (id, e) => (id, ts(id), e) }.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    val got = spark.table("semdup_stream")
+      .select("id_a", "id_b", "cen_id").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val assigned = Similarity.ivfAssignWith(corpus, cents)
+    val want = assigned.select(col("cen_id"), col("vec_id").as("id_a"),
+        col("v").as("v_a"), col("nrm").as("nrm_a"))
+      .join(assigned.select(col("cen_id"), col("vec_id").as("id_b"),
+        col("v").as("v_b"), col("nrm").as("nrm_b")), "cen_id")
+      .filter(col("id_a") < col("id_b"))
+      .filter(Dedup.cosine(col("v_a"), col("v_b"), col("nrm_a"), col("nrm_b")) >= 0.3)
+      .select("id_a", "id_b", "cen_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(want.nonEmpty, "batch twin produced no pairs — tau too high for the fixture")
+    assert(got == want)
+    corpus.unpersist()
+  }
+
   test("flatMapGroupsWithState sessionization == batch window twin") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
