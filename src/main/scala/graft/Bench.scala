@@ -87,23 +87,49 @@ object Bench {
     // The driver captures only the last 2000 chars of stdout, and sbt
     // appends a ~75-char "[success] Total time: ..." line after us — so the
     // stdout copy must stay under ~1900 chars or its head is clipped and
-    // the driver's parse fails (this lost rounds 1 and 2). Centisecond
-    // precision, and if the query set ever outgrows the window, drop the
-    // cheapest entries (full detail is always in bench_out.json).
-    def compact(qrs: Seq[(String, Double)]): String =
-      render(v => f"$v%.2f", qrs)
-    // failure sentinels (-1.0) sort FIRST so they are never trimmed — the
-    // driver must always see a failed query; then descending cost, so the
-    // cheapest successful entries are dropped first if space runs out
+    // the driver's parse fails (this lost rounds 1 and 2). With 85+ queries
+    // even centisecond values overflow the window on full names alone, so
+    // the stdout copy degrades in steps, never dropping a query until every
+    // cheaper lever is exhausted (full detail is always in bench_out.json):
+    //   1. full names, integer centiseconds ("qunit":"centisec");
+    //   2. prefix-compressed names plus an inline "prefix" legend;
+    //   3. the legend dropped (the mapping is documented here);
+    //   4. cheapest successful entries trimmed (failures never trim).
+    val prefixes = Seq("dedup_" -> "D", "sim_topk_" -> "S", "text_" -> "T",
+      "pipeline_" -> "P", "pu_" -> "U", "q_" -> "Q", "src_" -> "R", "mm_" -> "M")
+    def short(n: String): String =
+      prefixes.find { case (p, _) => n.startsWith(p) }
+        .map { case (p, c) => c + n.substring(p.length) }.getOrElse(n)
+    val shortIsUnique =
+      results.map(r => short(r._1)).distinct.length == results.length
+    def line(qrs: Seq[(String, Double)], shorten: Boolean, legend: Boolean): String = {
+      val qs = qrs.map { case (k, v) =>
+        "\"" + (if (shorten) short(k) else k) + "\":" +
+          (if (v < 0) "-100" else math.round(v * 100).toString) // csec; -100 = failed
+      }.mkString("{", ",", "}")
+      val leg = if (legend) ",\"prefix\":" + prefixes
+        .map { case (p, c) => "\"" + c + "\":\"" + p + "\"" }
+        .mkString("{", ",", "}") else ""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"qunit":"centisec"$leg,"cold_total_sec":$coldTotal%.2f,"sf":"$sfDir"}"""
+    }
+    val budget = 1850
+    val variants = Seq((false, false)) ++
+      (if (shortIsUnique) Seq((true, true), (true, false)) else Nil)
+    // failure sentinels sort FIRST so they are never trimmed — the driver
+    // must always see a failed query; then descending cost, so the cheapest
+    // successful entries are dropped first if space runs out
     var keep = results.sortBy { case (_, v) =>
       if (v < 0) Double.NegativeInfinity else -v
     }
-    while (compact(keep.sortBy(_._1)).length > 1850 && keep.nonEmpty)
+    val (doShorten, doLegend) = variants
+      .find { case (sh, lg) => line(keep.sortBy(_._1), sh, lg).length <= budget }
+      .getOrElse(variants.last)
+    while (line(keep.sortBy(_._1), doShorten, doLegend).length > budget && keep.nonEmpty)
       keep = keep.dropRight(1)
     // Stop Spark BEFORE printing: executor/shutdown WARN logs otherwise land
     // between the JSON line and end-of-stream, pushing it out of the
     // driver's 2000-char tail window.
     spark.stop()
-    println(compact(keep.sortBy(_._1)))
+    println(line(keep.sortBy(_._1), doShorten, doLegend))
   }
 }
