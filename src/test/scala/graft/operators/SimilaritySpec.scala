@@ -70,6 +70,60 @@ class SimilaritySpec extends SparkSuite {
     assert(hits >= brute.size - 1, s"recall $hits/${brute.size}")
   }
 
+  test("in-scan argmax/top-n assignment == the window formulation on random vectors") {
+    // the kernels replaced a crossJoin+row_number argmax; pin exact
+    // agreement (incl. tie-breaks to lowest cen_id) on adversarial random
+    // data with deliberate duplicates (guaranteed score ties)
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7)
+    val dim = 8
+    // centroids 2 == 6 and 3 == 9 value-identical: EVERY vector's scores
+    // tie across those pairs, so the lowest-cen_id tie-break is exercised
+    // on every row (and in every top-n list)
+    val base0 = Seq.fill(40)(Array.fill(dim)(rnd.nextGaussian()))
+    val base = base0.updated(6, base0(2)).updated(9, base0(3))
+    val vecs = (base ++ base.grouped(4).map(_.head)).zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toSeq) }
+    val df = vecs.toDF("vec_id", "v")
+      .withColumn("nrm", Dedup.l2norm(col("v")))
+      .filter(col("nrm") > 0.0)
+    val cents = Similarity.collectCentroids(
+      df.filter(col("vec_id") < 12).select(col("vec_id").as("cen_id"),
+        col("v").as("cv"), col("nrm").as("cnrm")))
+
+    val gotAssign = Similarity.ivfAssignWith(df, cents)
+      .select("vec_id", "cen_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val centsDf = df.filter(col("vec_id") < 12).select(
+      col("vec_id").as("cen_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val wantAssign = df.crossJoin(broadcast(centsDf))
+      .withColumn("ccos", Dedup.cosine(col("v"), col("cv"), col("nrm"), col("cnrm")))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cen_id"))))
+      .filter(col("crn") === 1)
+      .select("vec_id", "cen_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotAssign == wantAssign)
+
+    val n = 5
+    val gotProbes = df
+      .withColumn("cen_id", explode(graft.functions.NativeExpressions
+        .topNCosineIds(col("v"), col("nrm"), cents, n)))
+      .select("vec_id", "cen_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toList).toMap
+    val wantProbes = df.crossJoin(broadcast(centsDf))
+      .withColumn("ccos", Dedup.cosine(col("v"), col("cv"), col("nrm"), col("cnrm")))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cen_id"))))
+      .filter(col("crn") <= n).orderBy("vec_id", "crn")
+      .select("vec_id", "cen_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toList).toMap
+    assert(gotProbes == wantProbes) // ORDERED equality per vector
+  }
+
   test("LSH tier returns k rows per query") {
     val t = Similarity.lshTopK(Tables.embeddings(spark, sf0001), col("vec_id") < 4, 5)
       .collect().groupBy(_.getLong(0))
