@@ -110,7 +110,9 @@ object Bench {
       val leg = if (legend) ",\"prefix\":" + prefixes
         .map { case (p, c) => "\"" + c + "\":\"" + p + "\"" }
         .mkString("{", ",", "}") else ""
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"qunit":"centisec"$leg,"cold_total_sec":$coldTotal%.2f,"sf":"$sfDir"}"""
+      // sf as basename: the full path spends 15 chars of the window on
+      // "/root/testdata/" the driver already knows
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"qunit":"centisec"$leg,"cold_total_sec":$coldTotal%.2f,"sf":"${sfDir.split('/').last}"}"""
     }
     val budget = 1850
     val variants = Seq((false, false)) ++

@@ -79,33 +79,65 @@ object SimilarityQueries {
     // ones from prior sessions are dead files in spark-warehouse, never
     // reused (deleting them here would race a concurrent driver).
     "src_ivf_bucketed" -> ((s, dir) => {
-      import graft.functions.NativeExpressions
       val corpus = Similarity.prepare(Tables.embeddings(s, dir)).persist()
       val centSeq = Similarity.collectCentroids(
         Similarity.centroids(corpus, NCentroids))
-      val tbl = "graft_ivf_lists_" +
-        s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+      val tbl = scratchTable(s, "graft_ivf_lists")
       graft.sources.Layouts.writeBucketed(
         Similarity.ivfAssignWith(corpus, centSeq), tbl, "cen_id",
         nBuckets = 16, sortCols = Seq("cen_id", "vec_id"))
-      val probes = corpus.filter(col("vec_id") < NQueriesServe)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
-        .withColumn("cen_id", explode(
-          NativeExpressions.topNCosineIds(col("qv"), col("qnrm"), centSeq, NProbe)))
-        .persist()
-      // the probed list ids as LITERALS: this is what turns the read into a
-      // bucket-pruned one (an attribute-only join predicate can't prune)
-      val probeIds = probes.select(col("cen_id")).distinct()
-        .collect().map(_.getLong(0)).sorted
-      val lists = s.table(tbl)
-        .filter(col("cen_id").isin(probeIds.map(Long.box): _*))
-      val cand = lists.join(broadcast(probes), "cen_id")
-        .filter(col("vec_id") =!= col("query_id"))
-        .withColumn("cos", graft.operators.Dedup.cosine(
-          col("qv"), col("v"), col("qnrm"), col("nrm")))
-      Similarity.topKPerQuery(cand, K).orderBy("query_id", "rank")
+      probeBucketed(s, tbl, corpus, centSeq)
+    }),
+    // Append-maintained IVF lists: the daily-ingest lifecycle of a served
+    // ANN index. The base corpus builds the bucketed table ONCE; a later
+    // batch is assigned in-scan with the SAME centroids (the quantizer is a
+    // property of the index, never retrained per ingest) and APPENDED into
+    // the same bucket layout — no rebuild, no reshuffle of the existing
+    // lists. The probe result is hash-identical to a full rebuild over
+    // base ∪ increment (same oracle as src_ivf_bucketed), which is the
+    // whole point: ingest must not change answers.
+    "src_ivf_append" -> ((s, dir) => {
+      val corpus = Similarity.prepare(Tables.embeddings(s, dir)).persist()
+      val base = corpus.filter(col("vec_id") < 400)
+      val incr = corpus.filter(col("vec_id") >= 400)
+      val centSeq = Similarity.collectCentroids(
+        Similarity.centroids(base, NCentroids))
+      val tbl = scratchTable(s, "graft_ivf_append")
+      graft.sources.Layouts.writeBucketed(
+        Similarity.ivfAssignWith(base, centSeq), tbl, "cen_id",
+        nBuckets = 16, sortCols = Seq("cen_id", "vec_id"))
+      graft.sources.Layouts.writeBucketed(
+        Similarity.ivfAssignWith(incr, centSeq), tbl, "cen_id",
+        nBuckets = 16, sortCols = Seq("cen_id", "vec_id"), mode = "append")
+      probeBucketed(s, tbl, corpus, centSeq)
     })
   )
+
+  private def scratchTable(s: SparkSession, name: String): String =
+    name + "_" + s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+
+  /** Serving-path probe of a bucketed list table: probe lists selected
+    * in-scan per query, materialized as LITERALS (an attribute-only join
+    * predicate can't prune buckets), the pruned scan joined against the
+    * broadcast probe set, top-k via the bounded aggregate. */
+  private def probeBucketed(s: SparkSession, tbl: String, corpus: DataFrame,
+                            centSeq: Seq[(Long, Seq[Double], Double)]): DataFrame = {
+    import graft.functions.NativeExpressions
+    val probes = corpus.filter(col("vec_id") < NQueriesServe)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+      .withColumn("cen_id", explode(
+        NativeExpressions.topNCosineIds(col("qv"), col("qnrm"), centSeq, NProbe)))
+      .persist()
+    val probeIds = probes.select(col("cen_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val lists = s.table(tbl)
+      .filter(col("cen_id").isin(probeIds.map(Long.box): _*))
+    val cand = lists.join(broadcast(probes), "cen_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", graft.operators.Dedup.cosine(
+        col("qv"), col("v"), col("qnrm"), col("nrm")))
+    Similarity.topKPerQuery(cand, K).orderBy("query_id", "rank")
+  }
 
   def oracles: Map[String, String] = {
     val e =
@@ -166,6 +198,13 @@ object SimilarityQueries {
       // bucketed-persist roundtrip is row-identical to the in-flight IVF
       // at the same (serving-regime) query count
       "src_ivf_bucketed" -> ivfOracle(
+        s"SELECT vec_id AS cen_id, v AS cv, nrm AS cnrm FROM nn WHERE vec_id < $NCentroids",
+        nQueries = NQueriesServe),
+      // append-maintained lists ≡ full rebuild: base-trained centroids are
+      // the whole-corpus first-N (ids 0..15 < the 400-row base split), and
+      // ingest-time assignment uses them verbatim — so the oracle is
+      // EXACTLY the one src_ivf_bucketed uses
+      "src_ivf_append" -> ivfOracle(
         s"SELECT vec_id AS cen_id, v AS cv, nrm AS cnrm FROM nn WHERE vec_id < $NCentroids",
         nQueries = NQueriesServe),
       // int8 quantization is deterministic arithmetic — exact twin, same

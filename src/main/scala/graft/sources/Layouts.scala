@@ -41,10 +41,10 @@ object Layouts {
     * the catalog, not the files).
     */
   def writeBucketed(df: DataFrame, table: String, key: String, nBuckets: Int,
-                    sortCols: Seq[String] = Nil): Unit = {
+                    sortCols: Seq[String] = Nil, mode: String = "overwrite"): Unit = {
     val w = df.write.bucketBy(nBuckets, key)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
-      .mode("overwrite").saveAsTable(table)
+      .mode(mode).saveAsTable(table)
   }
 
   /** CSV with an EXPLICIT schema. Schema inference is a full extra pass over
