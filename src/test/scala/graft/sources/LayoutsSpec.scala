@@ -16,6 +16,26 @@ class LayoutsSpec extends SparkSuite {
   private def tmp(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
+  test("bucketed append preserves the layout; a mismatched bucket spec fails loudly") {
+    import spark.implicits._
+    val tbl = "graft_layouts_append_spec"
+    val base = (0L until 100L).map(i => (i, i % 7)).toDF("id", "k")
+    val incr = (100L until 150L).map(i => (i, i % 7)).toDF("id", "k")
+    Layouts.writeBucketed(base, tbl, "k", nBuckets = 8, sortCols = Seq("k", "id"))
+    Layouts.writeBucketed(incr, tbl, "k", nBuckets = 8, sortCols = Seq("k", "id"),
+      mode = "append")
+    assert(spark.table(tbl).count() == 150)
+    // an append that would silently CORRUPT the bucket layout (different
+    // bucket count -> rows hashed into the wrong files, every downstream
+    // bucket-pruned read wrong) must throw instead
+    intercept[Exception] {
+      Layouts.writeBucketed(incr, tbl, "k", nBuckets = 4, sortCols = Seq("k", "id"),
+        mode = "append")
+    }
+    assert(spark.table(tbl).count() == 150) // the failed append wrote nothing
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("partitioned write prunes directories on a partition predicate") {
     val dir = tmp("graft_part")
     val docs = Tables.documents(spark, sf0001)
