@@ -229,6 +229,70 @@ object NativeExpressions {
     }
   }
 
+  /** Product-quantization encode over a constant codebook (see
+    * [[NativeKernels.pqEncode]]): `m` bytes per row, computed in-scan. The
+    * codebook — ks full-dim reference vectors, small by construction —
+    * ships as a reference object like [[ArgMaxCosine]]'s centroids.
+    */
+  case class PqEncode(child: Expression, codebook: Seq[Seq[Double]], m: Int)
+      extends UnaryExpression {
+    require(codebook.nonEmpty && codebook.length <= 128,
+      s"codebook must hold 1..128 codewords (tinyint codes), got ${codebook.length}")
+    require(m >= 1, s"subspace count must be >= 1, got $m")
+    private val cbArr: Array[Array[Double]] = codebook.map(_.toArray).toArray
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"graft_pq_encode expects array<double>, got ${t.catalogString}")
+    }
+    override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+    override protected def withNewChildInternal(newChild: Expression): PqEncode =
+      copy(child = newChild)
+    override protected def flatArguments: Iterator[Any] =
+      Iterator(child, s"ks=${cbArr.length}", s"m=$m")
+
+    override protected def nullSafeEval(v: Any): Any =
+      NativeKernels.pqEncode(v.asInstanceOf[ArrayData], cbArr, m)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cb = ctx.addReferenceObj("graftPqCb", cbArr, "double[][]")
+      defineCodeGen(ctx, ev, c => s"$Kernels.pqEncode($c, $cb, $m)")
+    }
+  }
+
+  /** Asymmetric-distance dot of a full-precision query against a PQ code
+    * (see [[NativeKernels.pqAdc]]). `left` = query array<double>, `right` =
+    * array<tinyint> code. */
+  case class PqAdc(left: Expression, right: Expression,
+      codebook: Seq[Seq[Double]], m: Int) extends BinaryExpression {
+    require(codebook.nonEmpty && m >= 1, "bad PQ shape")
+    private val cbArr: Array[Array[Double]] = codebook.map(_.toArray).toArray
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(DoubleType, _), ArrayType(ByteType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"graft_pq_adc expects (array<double>, array<tinyint>), got " +
+            s"${l.catalogString} and ${r.catalogString}")
+      }
+    override def dataType: DataType = DoubleType
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdc =
+      copy(left = l, right = r)
+    override protected def flatArguments: Iterator[Any] =
+      Iterator(left, right, s"ks=${cbArr.length}", s"m=$m")
+
+    override protected def nullSafeEval(q: Any, codes: Any): Any =
+      NativeKernels.pqAdc(q.asInstanceOf[ArrayData],
+        codes.asInstanceOf[ArrayData], cbArr, m)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cb = ctx.addReferenceObj("graftPqCb", cbArr, "double[][]")
+      defineCodeGen(ctx, ev, (q, c) => s"$Kernels.pqAdc($q, $c, $cb, $m)")
+    }
+  }
+
   /** `size(array_intersect(a, b))` over two strictly-ascending long arrays
     * (the sorted-distinct shingle sets produced by
     * `array_sort(array_distinct(...))`). Linear two-pointer merge in place
@@ -418,6 +482,11 @@ object NativeExpressions {
                     n: Int): Column =
     GraftColumnBridge.column(TopNCosineIds(
       GraftColumnBridge.expression(v), GraftColumnBridge.expression(nrm), cents, n))
+  def pqEncode(v: Column, codebook: Seq[Seq[Double]], m: Int): Column =
+    GraftColumnBridge.column(PqEncode(GraftColumnBridge.expression(v), codebook, m))
+  def pqAdc(q: Column, codes: Column, codebook: Seq[Seq[Double]], m: Int): Column =
+    GraftColumnBridge.column(PqAdc(
+      GraftColumnBridge.expression(q), GraftColumnBridge.expression(codes), codebook, m))
   def sortedIntersectSize(a: Column, b: Column): Column =
     GraftColumnBridge.column(SortedIntersectSize(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))

@@ -255,6 +255,72 @@ object NativeKernels {
     if (best < 0) 0 else best
   }
 
+  /** Product-quantization encode: split `v` into `m` contiguous subspaces
+    * of dim/m dims each and store, per subspace, the index of the codeword
+    * (a FULL-dim reference vector, sliced per subspace) with minimum
+    * squared L2 distance on that slice — ties to the lowest codeword index
+    * (strict `<`, matching `row_number ... ORDER BY dist, j`). The code is
+    * `m` bytes per vector: at dim 64 / m 8 that is a 64× narrower coarse
+    * column than the raw doubles — the PQ IO story. Distances accumulate
+    * ascending-index with one accumulator (`acc += d*d`), bit-matching the
+    * DuckDB twin's list_reduce. Trailing dims beyond m*(dim/m) are ignored
+    * (callers use dim divisible by m). Codebooks whose dim differs from the
+    * row are skipped; if all are skipped the code falls to 0 per subspace.
+    */
+  def pqEncode(v: ArrayData, cb: Array[Array[Double]], m: Int): ArrayData = {
+    val dim = v.numElements()
+    val dsub = dim / m
+    val out = new Array[Byte](m)
+    var s = 0
+    while (s < m) {
+      var best = -1
+      var bestD = 0.0
+      var j = 0
+      while (j < cb.length) {
+        val c = cb(j)
+        if (c.length == dim) {
+          var acc = 0.0
+          var t = s * dsub
+          val end = t + dsub
+          while (t < end) {
+            val d = v.getDouble(t) - c(t)
+            acc += d * d
+            t += 1
+          }
+          if (best < 0 || acc < bestD) { best = j; bestD = acc }
+        }
+        j += 1
+      }
+      out(s) = (if (best < 0) 0 else best).toByte
+      s += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  /** Asymmetric-distance (ADC) dot: the dot product of the FULL-precision
+    * query against the PQ RECONSTRUCTION of a corpus vector (per dim i,
+    * the codeword chosen for i's subspace). Single ascending-index
+    * accumulator over the whole dim — identical to `dot(q, reconstructed)`
+    * in the DuckDB twin. Reads only the m-byte code on the corpus side.
+    */
+  def pqAdc(q: ArrayData, codes: ArrayData, cb: Array[Array[Double]], m: Int): Double = {
+    val dim = q.numElements()
+    val dsub = dim / m
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      val c = cb(codes.getByte(s).toInt & 0xFF)
+      var i = s * dsub
+      val end = i + dsub
+      while (i < end) {
+        acc += q.getDouble(i) * c(i)
+        i += 1
+      }
+      s += 1
+    }
+    acc
+  }
+
   /** The `n` centroid ids nearest `v` by cosine, ordered (cosine desc,
     * cen_id asc) — the map-side IVF PROBE-selection kernel, same contract
     * as [[argMaxCosineIdx]] generalized to top-n. Equivalent to

@@ -22,6 +22,9 @@ object SimilarityQueries {
   val NCentroids = 16
   val NProbe = 4
   val NCandidates = 32
+  /** PQ shape: 8 subspaces over the 64-dim embeddings, 16 codewords. */
+  val PqM = 8
+  val PqCodewords = 16
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // persist: the prepared corpus (cast + interpreted norm per row) feeds
@@ -51,6 +54,15 @@ object SimilarityQueries {
     "sim_topk_quantized" -> ((s, dir) => {
       val corpus = Similarity.prepare(Tables.embeddings(s, dir)).persist()
       Similarity.quantizedTopK(corpus, col("vec_id") < NQueries, NCandidates, K)
+        .orderBy("query_id", "rank")
+    }),
+    // Product-quantization tier: m-byte codes encoded in-scan, ADC coarse
+    // scoring (full-precision query vs PQ reconstruction), exact rescore of
+    // survivors — deterministic end to end, hash-exact oracle.
+    "sim_topk_pq" -> ((s, dir) => {
+      val corpus = Similarity.prepare(Tables.embeddings(s, dir)).persist()
+      Similarity.pqTopK(corpus, col("vec_id") < NQueries, PqCodewords, PqM,
+        NCandidates, K)
         .orderBy("query_id", "rank")
     }),
     // Injected-centers IVF: stride-selected corpus vectors (vec_id = 3+7i)
@@ -238,8 +250,53 @@ object SimilarityQueries {
            |  FROM res)
            |SELECT query_id, rank, vec_id, cos FROM ranked
            |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
-      }
+      },
       // sim_topk_lsh: Spark-ML internal hashing — rows-only driver check.
+      // PQ/ADC twin: encode per (vec_id, subspace) by argmin squared L2 on
+      // the slice (ties to lowest codeword), reconstruct, rank by
+      // dot(query, reconstruction)/(qnrm*nrm), exact-rescore survivors.
+      // Same sequential-sum arithmetic as the kernels — hash-exact.
+      "sim_topk_pq" -> {
+        val dsub = 8 // 64-dim embeddings / PqM subspaces
+        val sq = s"(nn.v[gs.s*$dsub + t] - cb.cv[gs.s*$dsub + t])"
+        s"""WITH e AS ($e), nn AS ($n),
+           |cb AS (SELECT vec_id AS j, v AS cv FROM nn WHERE vec_id < $PqCodewords),
+           |cbl AS (SELECT list(cv ORDER BY j) AS cbs FROM cb),
+           |sub AS (
+           |  SELECT nn.vec_id, gs.s, cb.j,
+           |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list_transform(range(1, ${dsub + 1}), t -> $sq * $sq)),
+           |      (acc, x) -> acc + x) AS dist
+           |  FROM nn, cb, range(0, $PqM) gs(s)),
+           |codes AS (
+           |  SELECT vec_id, list(j ORDER BY s) AS code FROM (
+           |    SELECT vec_id, s, j,
+           |      row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, j) AS rn
+           |    FROM sub) WHERE rn = 1 GROUP BY vec_id),
+           |recon AS (
+           |  SELECT c.vec_id, list_transform(range(1, ${PqM * dsub + 1}),
+           |    i -> cbl.cbs[CAST(c.code[CAST((i-1)//$dsub AS BIGINT) + 1] AS BIGINT) + 1][i]) AS rv
+           |  FROM codes c, cbl),
+           |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM nn WHERE vec_id < $NQueries),
+           |coarse AS (
+           |  SELECT q.query_id, n.vec_id,
+           |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+           |      ${dotSql("q.qv", "r.rv")} / (q.qnrm * n.nrm) DESC, n.vec_id) AS crn
+           |  FROM q, recon r JOIN nn n ON r.vec_id = n.vec_id
+           |  WHERE n.vec_id <> q.query_id),
+           |cand AS (SELECT query_id, vec_id FROM coarse WHERE crn <= $NCandidates),
+           |res AS (
+           |  SELECT cand.query_id, cand.vec_id,
+           |    ${dotSql("qq.qv", "n.v")} / (qq.qnrm * n.nrm) AS cos
+           |  FROM cand JOIN q qq ON cand.query_id = qq.query_id
+           |            JOIN nn n ON cand.vec_id = n.vec_id),
+           |ranked AS (
+           |  SELECT query_id, vec_id, cos,
+           |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+           |  FROM res)
+           |SELECT query_id, rank, vec_id, cos FROM ranked
+           |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+      }
     )
   }
 }

@@ -124,6 +124,36 @@ class SimilaritySpec extends SparkSuite {
     assert(gotProbes == wantProbes) // ORDERED equality per vector
   }
 
+  test("PQ encode: codes in range, and ADC == dot against the explicit reconstruction") {
+    import graft.functions.NativeExpressions
+    val m = 8
+    val ks = 16
+    val codebook: Seq[Seq[Double]] =
+      Similarity.collectCentroids(Similarity.centroids(corpus, ks)).map(_._2)
+    val coded = corpus
+      .withColumn("codes", NativeExpressions.pqEncode(col("v"), codebook, m))
+    val rows = coded.select("vec_id", "v", "codes").limit(50).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getSeq[Double](1)
+      val codes = r.getSeq[Byte](2)
+      assert(codes.length == m)
+      assert(codes.forall(c => c >= 0 && c < ks), codes)
+      val dsub = v.length / m
+      // explicit reconstruction (independent of the kernels' loop shapes)
+      val rv = (0 until m).flatMap(s =>
+        codebook(codes(s).toInt).slice(s * dsub, (s + 1) * dsub))
+      val want = v.zip(rv).foldLeft(0.0) { case (a, (x, y)) => a + x * y }
+      // typedlit: lit(Array[Byte]) would become a BinaryType literal, not
+      // the array<tinyint> the expression's type check requires
+      val got = coded.sparkSession.range(1).select(
+        NativeExpressions.pqAdc(
+          typedlit[Seq[Double]](v), typedlit[Seq[Byte]](codes), codebook, m))
+        .head().getDouble(0)
+      assert(got == want, s"vec ${r.getLong(0)}: adc $got != recon-dot $want")
+    }
+  }
+
   test("LSH tier returns k rows per query") {
     val t = Similarity.lshTopK(Tables.embeddings(spark, sf0001), col("vec_id") < 4, 5)
       .collect().groupBy(_.getLong(0))
