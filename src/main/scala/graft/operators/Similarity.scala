@@ -265,6 +265,45 @@ object Similarity {
     topKPerQuery(rescored, k)
   }
 
+  /** IVF-PQ: the composition that serves ANN at 100 TB — coarse lists
+    * bound WHICH rows are scored (probe nProbe/nCentroids of the corpus),
+    * PQ codes bound WHAT is read per scored row (m bytes + norm). Both the
+    * assignment and the encoding are in-scan kernel calls over constants;
+    * probes broadcast into the coded lists; survivors rescore exactly from
+    * the full vectors. Deterministic end to end (fixed centroid choice,
+    * argmax/argmin tie-breaks, sequential sums) → hash-exact oracle, which
+    * neither FAISS nor Spark-ML LSH can offer.
+    */
+  def ivfPqTopK(corpus: DataFrame, queryPred: Column, nCentroids: Int,
+                nProbe: Int, ks: Int, m: Int, candidates: Int, k: Int): DataFrame = {
+    val centSeq = collectCentroids(centroids(corpus, nCentroids))
+    val codebook: Seq[Seq[Double]] =
+      collectCentroids(centroids(corpus, ks)).map(_._2)
+    val coded = ivfAssignWith(corpus, centSeq)
+      .withColumn("codes", NativeExpressions.pqEncode(col("v"), codebook, m))
+      .select(col("vec_id"), col("cen_id"), col("codes"), col("nrm"))
+
+    val q = corpus.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val probes = q.withColumn("cen_id",
+      explode(NativeExpressions.topNCosineIds(col("qv"), col("qnrm"), centSeq, nProbe)))
+
+    val cand = coded.join(broadcast(probes), "cen_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("coarse",
+        NativeExpressions.pqAdc(col("qv"), col("codes"), codebook, m) /
+          (col("qnrm") * col("nrm")))
+      .groupBy(col("query_id"))
+      .agg(TopKAgg.column(candidates, col("coarse"), col("vec_id")).as("ck"))
+      .select(col("query_id"), explode(col("ck")("_2")).as("vec_id"))
+      .join(broadcast(q), "query_id")
+
+    val rescored = corpus.select(col("vec_id"), col("v"), col("nrm"))
+      .join(broadcast(cand), "vec_id")
+      .withColumn("cos", cosine(col("qv"), col("v"), col("qnrm"), col("nrm")))
+    topKPerQuery(rescored, k)
+  }
+
   /** Spark ML LSH scale path: seeded BucketedRandomProjectionLSH
     * approxSimilarityJoin then per-query top-k by actual cosine. */
   def lshTopK(embeddings: DataFrame, queryPred: Column, k: Int,

@@ -65,6 +65,15 @@ object SimilarityQueries {
         NCandidates, K)
         .orderBy("query_id", "rank")
     }),
+    // IVF-PQ: probed lists bound WHICH rows are scored, PQ codes bound WHAT
+    // is read per scored row — the canonical 100 TB ANN composition, still
+    // hash-exact (deterministic quantizers + pinned tie-breaks).
+    "sim_topk_ivfpq" -> ((s, dir) => {
+      val corpus = Similarity.prepare(Tables.embeddings(s, dir)).persist()
+      Similarity.ivfPqTopK(corpus, col("vec_id") < NQueries, NCentroids, NProbe,
+        PqCodewords, PqM, NCandidates, K)
+        .orderBy("query_id", "rank")
+    }),
     // Injected-centers IVF: stride-selected corpus vectors (vec_id = 3+7i)
     // with REINDEXED cen_ids 0..15 pushed through ivfTopKWith — proves the
     // probe machinery is hash-exact for externally supplied centers (cen_id
@@ -285,6 +294,66 @@ object SimilarityQueries {
            |  FROM q, recon r JOIN nn n ON r.vec_id = n.vec_id
            |  WHERE n.vec_id <> q.query_id),
            |cand AS (SELECT query_id, vec_id FROM coarse WHERE crn <= $NCandidates),
+           |res AS (
+           |  SELECT cand.query_id, cand.vec_id,
+           |    ${dotSql("qq.qv", "n.v")} / (qq.qnrm * n.nrm) AS cos
+           |  FROM cand JOIN q qq ON cand.query_id = qq.query_id
+           |            JOIN nn n ON cand.vec_id = n.vec_id),
+           |ranked AS (
+           |  SELECT query_id, vec_id, cos,
+           |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+           |  FROM res)
+           |SELECT query_id, rank, vec_id, cos FROM ranked
+           |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+      },
+      // IVF-PQ twin: IVF assignment + probe selection from the ivf twin,
+      // PQ encode + reconstruction from the pq twin, ADC coarse ranking
+      // restricted to probed lists, exact rescore.
+      "sim_topk_ivfpq" -> {
+        val dsub = 8
+        val sq = s"(nn.v[gs.s*$dsub + t] - cb.cv[gs.s*$dsub + t])"
+        s"""WITH e AS ($e), nn AS ($n),
+           |cents AS (SELECT vec_id AS cen_id, v AS cv, nrm AS cnrm FROM nn WHERE vec_id < $NCentroids),
+           |assigned AS (
+           |  SELECT vec_id, cen_id FROM (
+           |    SELECT nn.vec_id, cents.cen_id,
+           |      row_number() OVER (PARTITION BY nn.vec_id
+           |        ORDER BY ${dotSql("nn.v", "cents.cv")} / (nn.nrm * cents.cnrm) DESC, cents.cen_id) AS crn
+           |    FROM nn, cents) WHERE crn = 1),
+           |cb AS (SELECT vec_id AS j, v AS cv FROM nn WHERE vec_id < $PqCodewords),
+           |cbl AS (SELECT list(cv ORDER BY j) AS cbs FROM cb),
+           |sub AS (
+           |  SELECT nn.vec_id, gs.s, cb.j,
+           |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list_transform(range(1, ${dsub + 1}), t -> $sq * $sq)),
+           |      (acc, x) -> acc + x) AS dist
+           |  FROM nn, cb, range(0, $PqM) gs(s)),
+           |codes AS (
+           |  SELECT vec_id, list(j ORDER BY s) AS code FROM (
+           |    SELECT vec_id, s, j,
+           |      row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, j) AS rn
+           |    FROM sub) WHERE rn = 1 GROUP BY vec_id),
+           |recon AS (
+           |  SELECT c.vec_id, list_transform(range(1, ${PqM * dsub + 1}),
+           |    i -> cbl.cbs[CAST(c.code[CAST((i-1)//$dsub AS BIGINT) + 1] AS BIGINT) + 1][i]) AS rv
+           |  FROM codes c, cbl),
+           |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM nn WHERE vec_id < $NQueries),
+           |probes AS (
+           |  SELECT query_id, qv, qnrm, cen_id FROM (
+           |    SELECT q.query_id, q.qv, q.qnrm, cents.cen_id,
+           |      row_number() OVER (PARTITION BY q.query_id
+           |        ORDER BY ${dotSql("q.qv", "cents.cv")} / (q.qnrm * cents.cnrm) DESC, cents.cen_id) AS prn
+           |    FROM q, cents) WHERE prn <= $NProbe),
+           |coarse AS (
+           |  SELECT p.query_id, a.vec_id,
+           |    row_number() OVER (PARTITION BY p.query_id ORDER BY
+           |      ${dotSql("p.qv", "r.rv")} / (p.qnrm * n.nrm) DESC, a.vec_id) AS crn2
+           |  FROM probes p
+           |  JOIN assigned a ON p.cen_id = a.cen_id
+           |  JOIN recon r ON a.vec_id = r.vec_id
+           |  JOIN nn n ON a.vec_id = n.vec_id
+           |  WHERE a.vec_id <> p.query_id),
+           |cand AS (SELECT query_id, vec_id FROM coarse WHERE crn2 <= $NCandidates),
            |res AS (
            |  SELECT cand.query_id, cand.vec_id,
            |    ${dotSql("qq.qv", "n.v")} / (qq.qnrm * n.nrm) AS cos
