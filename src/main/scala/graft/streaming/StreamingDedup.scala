@@ -103,4 +103,38 @@ object StreamingDedup {
       .filter(col("cos") >= tau)
       .select(col("id_a"), col("id_b"), col("cen_a").as("cen_id"), col("cos"))
   }
+
+  /** Streaming ANN serving: a STREAM of query vectors answered against a
+    * STATIC prepared corpus — the online half of the IVF serving path.
+    * Per arriving query: probe-list selection is the stateless in-scan
+    * kernel (constant centroids, exactly as in batch), the probed lists
+    * come in via a stream-static join (the static side is the
+    * assigned corpus — at scale, the bucketed list table of
+    * `src_ivf_bucketed`), and the per-query top-k is an UPDATE-mode
+    * [[graft.operators.TopKAgg]] aggregation: O(k) state per query, and
+    * the bounded merge law makes late-arriving candidates fold into the
+    * standing answer instead of recomputing it. The final emission per
+    * query equals the batch IVF answer — pinned by the stream==batch spec.
+    *
+    * `queries`: streaming (id, embedding array<float>); `corpus`: static
+    * [[graft.operators.Similarity.prepare]]-shaped; returns one row per
+    * (query, update) with the current top-k as array<struct<cos, vec_id>>.
+    */
+  def annServe(queries: DataFrame, idCol: String, embCol: String,
+               corpus: DataFrame, cents: Seq[(Long, Seq[Double], Double)],
+               nProbe: Int, k: Int): DataFrame = {
+    import graft.operators.{Similarity, TopKAgg}
+    val q = queries
+      .select(col(idCol).as("query_id"), Dedup.toDoubleArray(col(embCol)).as("qv"))
+      .withColumn("qnrm", Dedup.l2norm(col("qv")))
+      .filter(col("qnrm") > 0.0)
+      .withColumn("cen_id", explode(
+        graft.functions.NativeExpressions.topNCosineIds(col("qv"), col("qnrm"), cents, nProbe)))
+    val lists = Similarity.ivfAssignWith(corpus, cents)
+    q.join(lists, "cen_id") // stream-static: only probed lists are scored
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", Dedup.cosine(col("qv"), col("v"), col("qnrm"), col("nrm")))
+      .groupBy(col("query_id"))
+      .agg(TopKAgg.column(k, col("cos"), col("vec_id")).as("topk"))
+  }
 }

@@ -390,6 +390,45 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     corpus.unpersist()
   }
 
+  test("streaming ANN serving: complete-mode TopKAgg state == batch IVF answers") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.Similarity
+
+    val corpus = Similarity.prepare(Tables.embeddings(spark, sfDir)).persist()
+    val cents = Similarity.collectCentroids(Similarity.centroids(corpus, 16))
+    val qrows = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 8)
+      .select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+
+    val source = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingDedup.annServe(
+        source.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        corpus, cents, nProbe = 4, k = 10)
+      .writeStream.format("memory").queryName("ann_serve")
+      .outputMode("complete").start()
+    // queries trickle in across micro-batches; each batch's answers must
+    // not disturb standing ones (complete mode re-emits the full state)
+    qrows.grouped(3).foreach { b =>
+      source.addData(b.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    val got = spark.table("ann_serve").collect().map { r =>
+      r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(x => (x.getDouble(0), x.getLong(1))).toList
+    }.toMap
+    val want = Similarity.ivfTopKWith(
+        Similarity.centroids(corpus, 16), corpus, col("vec_id") < 8, 4, 10)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), (r.getDouble(3), r.getLong(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toList).toMap
+    assert(want.size == 8)
+    assert(got == want)
+    corpus.unpersist()
+  }
+
   test("flatMapGroupsWithState sessionization == batch window twin") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
