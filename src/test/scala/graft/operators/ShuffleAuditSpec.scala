@@ -21,6 +21,12 @@ class ShuffleAuditSpec extends SparkSuite {
     // 9/6/7/6/5 (semantic/ivf/quantized/kmeans/lsh); bounds = measured + 2
     "dedup_semantic" -> 11, "sim_topk_ivf" -> 8, "sim_topk_ivf_kmeans" -> 8,
     "sim_topk_quantized" -> 9, "sim_topk_lsh" -> 7,
+    // PQ tiers reference the persisted corpus from four branches, and a
+    // MATERIALIZED cache prints its AQE plan twice (Initial + Final), so
+    // prepare()'s single runtime repartition shows up 8x in the text
+    // (measured 11 total; the runtime shuffle count is 3-4)
+    "sim_topk_pq" -> 13, "sim_topk_ivfpq" -> 13,
+    "src_ivf_bucketed" -> 8, "src_ivf_append" -> 8,
     "pipeline_bloom" -> 8, "dedup_srp_pairs" -> 8, "dedup_simhash_pairs" -> 8,
     "text_lm_score" -> 8, // persisted 2-branch base: plan text expands twice
     "text_hll_distinct" -> 7, "q_setop_nations" -> 7
