@@ -118,6 +118,22 @@ object Dedup {
     when(union === 0.0, lit(0.0)).otherwise(inter / union)
   }
 
+  /** Max-directional containment `|A∩B| / min(|A|,|B|)` over two
+    * sorted-distinct shingle sets — the QUOTE/SUBSET detector Jaccard
+    * misses: a short document fully copied into a long one has tiny
+    * Jaccard (union is the long doc) but containment 1.0. Broder's
+    * asymmetric containment C(A,B) = |A∩B|/|A|, maxed over direction so
+    * the pair is flagged whichever side is the quote. 0.0 when either set
+    * is empty (an empty doc is contained in everything vacuously — never a
+    * useful signal). Same codegen'd two-pointer intersect as [[jaccard]].
+    */
+  def containment(a: Column, b: Column): Column = {
+    val inter = graft.functions.NativeExpressions.sortedIntersectSize(a, b)
+      .cast(DoubleType)
+    val minSz = least(size(a), size(b)).cast(DoubleType)
+    when(minSz === 0.0, lit(0.0)).otherwise(inter / minSz)
+  }
+
   // ------------------------------------------------------------------
   // SimHash
   // ------------------------------------------------------------------

@@ -198,6 +198,22 @@ object DedupQueries {
     // verify only within blocks" pattern. Blocking trades recall for a
     // shuffle-on-block-key plan; the MinHash query above is the
     // recall-complete path.
+    // Quote/subset detection: max-directional containment |A∩B|/min(|A|,|B|)
+    // flags a short doc copied INTO a long one — tiny Jaccard (the union is
+    // the long doc), containment ~1.0. Same blocked-pair generation and
+    // codegen'd intersect as the Jaccard query; the training-data use is
+    // boilerplate/quotation pruning that symmetric near-dup passes miss.
+    "dedup_containment" -> ((s, dir) => {
+      val d = docShingles(s, dir, n = 2).persist()
+      gridBlockedPairs(d, "source", "doc_id")
+        .withColumn("containment", containment(col("shh_a"), col("shh_b")))
+        .filter(col("containment") >= 0.3)
+        .withColumn("jaccard", jaccard(col("shh_a"), col("shh_b")))
+        .select(col("source"), col("doc_id_a").as("id_a"),
+          col("doc_id_b").as("id_b"), col("containment"), col("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
     "dedup_jaccard_blocked" -> ((s, dir) => {
       val d = docShingles(s, dir, n = 2).persist()
       gridBlockedPairs(d, "source", "doc_id")
@@ -320,6 +336,12 @@ object DedupQueries {
       s"CASE WHEN ($bitSum) > 0 THEN CAST(power(2, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END)), " +
       s"(a, x) -> a + x)"
   }
+
+  /** Max-directional containment mirroring [[Dedup.containment]]. */
+  private def containmentSql(a: String, b: String): String =
+    s"CASE WHEN LEAST(len($a), len($b)) = 0 THEN 0.0 " +
+      s"ELSE CAST(len(list_intersect($a, $b)) AS DOUBLE) / " +
+      s"CAST(LEAST(len($a), len($b)) AS DOUBLE) END"
 
   private def jaccardSql(a: String, b: String): String = {
     val li = s"CAST(len(list_intersect($a, $b)) AS DOUBLE)"
@@ -490,6 +512,16 @@ object DedupQueries {
          |  ${jaccardSql("a.shh", "b.shh")} AS jaccard
          |FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
          |WHERE ${jaccardSql("a.shh", "b.shh")} >= 0.25
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_containment" ->
+      s"""WITH t AS ($thCte),
+         |d AS (SELECT doc_id, source, ${shhSql(2)} AS shh FROM t)
+         |SELECT a.source AS source, a.doc_id AS id_a, b.doc_id AS id_b,
+         |  ${containmentSql("a.shh", "b.shh")} AS containment,
+         |  ${jaccardSql("a.shh", "b.shh")} AS jaccard
+         |FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+         |WHERE ${containmentSql("a.shh", "b.shh")} >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_cosine_pairs" ->

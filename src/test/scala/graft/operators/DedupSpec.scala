@@ -149,6 +149,20 @@ class DedupSpec extends SparkSuite {
     assert(missed == 0)
   }
 
+  test("containment flags a strict subset at 1.0 where jaccard stays low") {
+    import spark.implicits._
+    // A = {1..4} fully inside B = {1..20}: the quote-in-a-long-doc shape
+    val df = Seq((Seq(1L, 2L, 3L, 4L), (1L to 20L).toSeq, Seq.empty[Long]))
+      .toDF("a", "b", "e")
+    val r = df.select(
+      Dedup.containment(col("a"), col("b")),
+      Dedup.jaccard(col("a"), col("b")),
+      Dedup.containment(col("a"), col("e"))).head
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getDouble(1) == 0.2) // 4/20 — symmetric near-dup would miss it
+    assert(r.getDouble(2) == 0.0) // empty side: vacuous, never a signal
+  }
+
   test("cosine is 1 for parallel vectors, 0 for orthogonal") {
     import spark.implicits._
     val df = Seq((Seq(1.0f, 0.0f), Seq(2.0f, 0.0f), Seq(0.0f, 3.0f)))

@@ -154,6 +154,26 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("PQ and IVF-PQ recall@10 vs brute force holds on the fixture (deterministic)") {
+    // measured 0.587 / 0.688 via graft.RecallProbe — everything in these
+    // tiers is deterministic, so the pin is exact-repeatable, not
+    // statistical; a drop means an encode/probe/selection change, not luck
+    val pred = col("vec_id") < 8
+    def ids(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+    val brute = ids(Similarity.bruteForceTopK(corpus, corpus.filter(pred), 10))
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = ids(df)
+      val per = brute.map { case (q, want) =>
+        got.getOrElse(q, Set.empty).intersect(want).size.toDouble / want.size }
+      per.sum / per.size
+    }
+    assert(recall(Similarity.pqTopK(corpus, pred, 16, 8, 32, 10)) >= 0.5)
+    assert(recall(Similarity.ivfPqTopK(corpus, pred, 16, 4, 16, 8, 32, 10)) >= 0.6)
+  }
+
   test("LSH tier returns k rows per query") {
     val t = Similarity.lshTopK(Tables.embeddings(spark, sf0001), col("vec_id") < 4, 5)
       .collect().groupBy(_.getLong(0))
