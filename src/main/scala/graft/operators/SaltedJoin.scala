@@ -74,6 +74,30 @@ object SaltedJoin {
       .drop("graft_salt")
   }
 
+  /** [[joinSkewAware]] with the skew-stats pass over a seeded Bernoulli
+    * SAMPLE of the probe (threshold scaled by the fraction): at 100 TB the
+    * exact key count is itself a full pass, and the hot-key set only needs
+    * to be roughly right — the RESULT is row-identical to the plain join
+    * for ANY hot set (a missed hot key costs a straggler, a false positive
+    * costs replication; neither costs correctness, which the equality spec
+    * pins across fractions). Seeded → deterministic per Spark version. */
+  def joinSkewAwareSampled(probe: DataFrame, build: DataFrame, key: String,
+                           saltExpr: Column, s: Int, hotThreshold: Long,
+                           fraction: Double, seed: Long = 42L): DataFrame = {
+    require(fraction > 0.0 && fraction <= 1.0, s"bad sample fraction $fraction")
+    val scaled = math.max(1L, math.round(hotThreshold * fraction))
+    val hot = skewStats(probe.sample(withReplacement = false, fraction, seed),
+      key, scaled)
+    val salted = probe.join(broadcast(hot), Seq(key), "left")
+      .withColumn("graft_salt",
+        when(col("graft_hot").isNotNull,
+          coalesce(pmod(saltExpr, lit(s)), lit(0)).cast("int"))
+          .otherwise(lit(0)))
+      .drop("graft_hot")
+    salted.join(replicateHot(build, hot, key, s), Seq(key, "graft_salt"))
+      .drop("graft_salt")
+  }
+
   /** The keys of `probe` with more than `hotThreshold` rows, marked
     * `graft_hot` — the skew-stats pass of [[joinSkewAware]]. */
   def skewStats(probe: DataFrame, key: String, hotThreshold: Long): DataFrame =

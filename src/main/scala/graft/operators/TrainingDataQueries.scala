@@ -254,6 +254,23 @@ object TrainingDataQueries {
         .orderBy("doc_id")
     }),
 
+    // CDC compaction — the pick-latest step Upsert's contract requires
+    // before a change batch with repeated keys is applied: latest event
+    // per user by (ts, event_id), as a map-side-combinable max(struct)
+    // aggregate — NOT a per-key window, whose partition a hot CDC key (a
+    // row updated millions of times a day) would turn into one straggler
+    // task. ts emitted as epoch micros (raw timestamps don't hash-compare
+    // across engines).
+    "pipeline_cdc_compact" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), col("value"))
+      Upsert.compactLatest(ev, "user_id", Seq("ts", "event_id"))
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("event_type"), col("value"))
+        .orderBy("user_id")
+    }),
+
     // BM25 retrieval over literal query terms, 100 TB shape: per-doc term
     // frequencies come from ONE codegen'd tokenization pass inside the
     // scan (TermCounts — no explode, no tf shuffle); corpus statistics
@@ -520,6 +537,12 @@ object TrainingDataQueries {
          |  FROM m WHERE doc_id NOT IN (SELECT doc_id FROM del))
          |SELECT doc_id, CAST(rev AS BIGINT) AS rev, ${ph("t", "ci")} AS fp
          |FROM fin ORDER BY doc_id""".stripMargin,
+
+    "pipeline_cdc_compact" ->
+      """SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     "text_bm25" ->
       s"""WITH dl AS (SELECT doc_id, CAST($ntokSql AS BIGINT) AS dl FROM documents),

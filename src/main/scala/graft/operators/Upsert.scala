@@ -53,4 +53,27 @@ object Upsert {
             .when(col("graft_in_new").isNull, lit(0L))
             .otherwise(lit(1L)).as("graft_rev"): _*)
   }
+
+  /** CDC compaction — the pick-latest step [[apply]]'s contract requires
+    * before a change batch with repeated keys can be applied: one row per
+    * key, the one with the greatest `seqCols` (lexicographic; make the
+    * tuple unique per key — a change sequence number or (ts, change_id)).
+    *
+    * Shape: `max(struct(seq..., payload...))` per key — an ordinary
+    * map-side-combinable aggregate, so each input partition contributes one
+    * candidate row per key to the shuffle. The window formulation
+    * (`row_number over partitionBy(key) orderBy(seq desc)`) routes EVERY
+    * change of a key through one task — a hot key (a row updated millions
+    * of times a day is exactly the CDC hot case) makes that a straggler by
+    * construction. Struct comparison is field-order lexicographic, so ties
+    * on the sequence fall to the payload — unique `seqCols` make that
+    * unreachable, and the driver query's (ts, event_id) is unique.
+    */
+  def compactLatest(changes: DataFrame, key: String, seqCols: Seq[String]): DataFrame = {
+    val payload = changes.columns.filter(c => c != key && !seqCols.contains(c))
+    val ordered = seqCols ++ payload
+    changes.groupBy(col(key))
+      .agg(max(struct(ordered.map(col): _*)).as("graft_latest"))
+      .select(col(key) +: ordered.map(c => col(s"graft_latest.$c").as(c)): _*)
+  }
 }

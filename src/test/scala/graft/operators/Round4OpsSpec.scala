@@ -62,6 +62,25 @@ class Round4OpsSpec extends SparkSuite {
     assert(out.size == base.size - dels + ins)
   }
 
+  test("compactLatest keeps the seq-greatest change per key; compact-then-apply never fans out") {
+    import spark.implicits._
+    val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val changes = Seq((1L, 1L, "x1"), (1L, 3L, "x3"), (1L, 2L, "x2"),
+      (3L, 1L, "n1"), (3L, 2L, "n2")).toDF("k", "seq", "v")
+    val compact = Upsert.compactLatest(changes, "k", Seq("seq"))
+    assert(compact.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      == Set((1L, 3L, "x3"), (3L, 2L, "n2")))
+    // the compacted batch satisfies Upsert's unique-key contract: one
+    // output row per key, correct classification
+    val applied = Upsert(base, compact.drop("seq"), Seq.empty[Long].toDF("k"), "k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(applied == Set((1L, "x3", 1L), (2L, "b", 0L), (3L, "n2", 2L)))
+    // the plan is an aggregate, not a window: hot CDC keys stay splittable
+    val plan = Upsert.compactLatest(changes, "k", Seq("seq"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("Upsert classifies by key presence, not payload nullness") {
     import spark.implicits._
     // base row 1 has a NULL payload; upsert row 2 carries a NULL payload.
@@ -213,6 +232,13 @@ class Round4OpsSpec extends SparkSuite {
     val untouched = SaltedJoin.replicateHot(
       build, SaltedJoin.skewStats(probe, "k", 1000L), "k", 7).count()
     assert(untouched == build.count())
+    // sampled skew stats: the hot set may differ, the RESULT may not
+    for (fraction <- Seq(0.1, 0.5, 1.0)) {
+      val got = SaltedJoin.joinSkewAwareSampled(
+          probe, build, "k", col("payload"), 5, 10L, fraction)
+        .collect().map(_.toSeq.toList).groupBy(identity).view.mapValues(_.length).toMap
+      assert(got == want, s"sampled stats (fraction=$fraction) changed the join result bag")
+    }
   }
 
   test("histogram quantile estimator lands within one bin of the true quantile") {
