@@ -8,7 +8,9 @@ import org.apache.spark.sql.functions._
 import graft.functions.NativeExpressions
 
 /** Approximate/exact nearest-neighbor search over an embedding column
-  * (`array<float>`). Four tiers, trading recall for scan cost:
+  * (`array<float>`). Tiers trading recall for scan cost — brute force,
+  * IVF (first-N / k-means / injected centers), int8 scalar quantization,
+  * PQ/ADC, the IVF-PQ composition, and Spark-ML LSH:
   *
   *  1. [[bruteForceTopK]] — exact: broadcast the (small) query set against
   *     the corpus, cosine per pair, per-query top-k. The baseline and the
