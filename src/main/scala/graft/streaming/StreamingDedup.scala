@@ -119,6 +119,14 @@ object StreamingDedup {
     * `queries`: streaming (id, embedding array<float>); `corpus`: static
     * [[graft.operators.Similarity.prepare]]-shaped; returns one row per
     * (query, update) with the current top-k as array<struct<cos, vec_id>>.
+    *
+    * Scale note: a stream-static join re-plans the static side every
+    * micro-batch, so at 100 TB the static side must not be a raw scan —
+    * serve from the bucketed list table (`src_ivf_bucketed`'s layout) via
+    * `foreachBatch` + the literal-probe-id pruned read, which turns each
+    * micro-batch into a few-bucket lookup. This operator demonstrates the
+    * continuous half (stateless probe kernel + bounded top-k state); the
+    * storage half is the bucketed serving path, already gate-checked.
     */
   def annServe(queries: DataFrame, idCol: String, embCol: String,
                corpus: DataFrame, cents: Seq[(Long, Seq[Double], Double)],
