@@ -67,8 +67,11 @@ object BloomFilterAgg {
   /** Bit position of probe j for fingerprint `fp`. floorMod (not Scala %)
     * so a negative fingerprint still yields a position in [0, mBits) —
     * in-repo callers feed polyHash in [0, P), but the class is public API
-    * over arbitrary Long and the probe path ([[positionCol]]) uses `pmod`,
-    * which must agree for every input. */
+    * over negative-capable Long and the probe path ([[positionCol]]) uses
+    * `pmod`, which must agree. Domain bound: `|fp|` must keep `hashA*fp`
+    * inside Long (|fp| ≲ 8.4e9) — beyond that [[positionCol]] throws under
+    * ANSI arithmetic while this wraps; pre-hash wider keys into [0, P)
+    * (spec pins path agreement across the supported range). */
   def position(fp: Long, j: Int, mBits: Int): Long =
     Math.floorMod(Math.floorMod(hashA(j) * fp + hashB(j), P), mBits.toLong)
 

@@ -49,6 +49,24 @@ class BloomFilterSpec extends SparkSuite {
       s"fp=${r.getLong(0)}"))
   }
 
+  test("position and positionCol agree on NEGATIVE fingerprints (floorMod vs pmod)") {
+    import spark.implicits._
+    // the class is public API over arbitrary Long: a negative fingerprint
+    // must land where the pmod-based column probe looks for it (Scala %
+    // would have gone negative and desynced build from probe — ADVICE r4)
+    // domain: |fp| within ~8e9 (hashA*fp must not overflow Long — beyond
+    // that the ANSI column path throws; polyHash callers are in [0, P))
+    val fps = Seq(-1L, -7L, -1000000007L, -8000000000L, 3L, 0L).toDF("fp")
+    for (j <- 0 until k) {
+      val got = fps.select(col("fp"), BloomFilterAgg.positionCol(col("fp"), j, m))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got.foreach { case (fp, want) =>
+        val pos = BloomFilterAgg.position(fp, j, m)
+        assert(pos == want && pos >= 0 && pos < m, s"fp=$fp j=$j: $pos != $want")
+      }
+    }
+  }
+
   test("the probe plan broadcasts the bitmap and the build fingerprints — no sort-merge join") {
     val q = TrainingDataQueries.queries("pipeline_bloom")(spark, sf0001)
     val plan = q.queryExecution.executedPlan.toString

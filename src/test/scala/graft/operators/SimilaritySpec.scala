@@ -154,6 +154,21 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("pqEncode ties fall to the lowest codeword index on duplicate codebook entries") {
+    import graft.functions.NativeExpressions
+    val m = 4
+    val base = Similarity.collectCentroids(Similarity.centroids(corpus, 8)).map(_._2)
+    // codeword 6 duplicates codeword 1: every subspace distance ties
+    // exactly, and the strict-< argmin must keep the FIRST (index 1) —
+    // matching `row_number ... ORDER BY dist, j`
+    val cb = base.updated(6, base(1))
+    val codes = corpus.limit(100)
+      .select(NativeExpressions.pqEncode(col("v"), cb, m).as("codes"))
+      .collect().flatMap(_.getSeq[Byte](0))
+    assert(codes.nonEmpty)
+    assert(!codes.contains(6.toByte), "a tie resolved to the higher duplicate index")
+  }
+
   test("PQ and IVF-PQ recall@10 vs brute force holds on the fixture (deterministic)") {
     // measured 0.587 / 0.688 via graft.RecallProbe — everything in these
     // tiers is deterministic, so the pin is exact-repeatable, not
