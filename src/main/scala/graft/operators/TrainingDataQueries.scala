@@ -34,6 +34,11 @@ object TrainingDataQueries {
     * the false-positive path is actually exercised by the gate. */
   val BloomBits = 512
   val BloomK = 3
+  /** Decontamination Bloom: 2^16 bits over the eval set's ~2k distinct
+    * 8-gram shingles → ~9% fill, FP per probe ~0.09³ ≈ 7e-4 — large enough
+    * to be a faithful filter, small enough that a false positive can still
+    * appear in the gate's maybe/exact comparison columns. */
+  val DecontBits = 65536
   /** HLL: 256 registers (p=8), trailing-zero rank over the ~22 hash bits
     * above the bucket index. */
   val HllRegisters = 256
@@ -107,6 +112,40 @@ object TrainingDataQueries {
       withShh.filter(col("source") =!= "src19")
         .join(broadcast(evalShh), Seq("sh"), "left_semi")
         .select(col("doc_id")).distinct()
+        .orderBy("doc_id")
+    }),
+
+    // Decontamination at the scale where the eval shingle set CANNOT
+    // broadcast exactly: fold it into one mergeable Bloom sketch (8 KB
+    // regardless of eval-set size — map-side partials, tiny over the wire)
+    // and probe every corpus shingle with column arithmetic inside the
+    // scan. Overestimate-only: flagged ⊇ exactly-contaminated (a Bloom has
+    // no false negatives — safe direction for decontamination, extra drops
+    // cost data, never leakage). Both flags are emitted so the gate hashes
+    // the false-positive rows too; the portable hash family makes even the
+    // FP pattern oracle-replicable.
+    "pipeline_decontaminate_bloom" -> ((s, dir) => {
+      val n = 8
+      val withShh = docsSpread(s, dir)
+        .select(col("doc_id"), col("source"),
+          TextFunctions.shingleHashes(col("text"), n).as("shh"))
+        .persist()
+      val evalShh = withShh.filter(col("source") === "src19")
+        .select(explode(col("shh")).as("sh")).distinct()
+      val bloom = evalShh.agg(
+        new BloomFilterAgg(DecontBits, BloomK).column(col("sh")).as("bloom"))
+      val exactIds = withShh.filter(col("source") =!= "src19")
+        .select(col("doc_id"), explode(col("shh")).as("sh"))
+        .join(broadcast(evalShh), Seq("sh"), "left_semi")
+        .select(col("doc_id")).distinct()
+        .withColumn("graft_exact", lit(true))
+      withShh.filter(col("source") =!= "src19")
+        .crossJoin(broadcast(bloom))
+        .withColumn("maybe_contaminated", exists(col("shh"),
+          sh => BloomFilterAgg.mightContain(col("bloom"), sh, DecontBits, BloomK)))
+        .join(broadcast(exactIds), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("maybe_contaminated"),
+          coalesce(col("graft_exact"), lit(false)).as("exact_contaminated"))
         .orderBy("doc_id")
     }),
 
@@ -391,8 +430,8 @@ object TrainingDataQueries {
 
   /** Bloom probe position j of a fingerprint expression (exact mirror of
     * BloomFilterAgg.position). */
-  private def bloomPosSql(fp: String, j: String): String =
-    s"((((1103515245*($j+1)+12345) % $P)*$fp + (1103515245*($j+7)+54321) % $P) % $P) % $BloomBits"
+  private def bloomPosSql(fp: String, j: String, bits: Int = BloomBits): String =
+    s"((((1103515245*($j+1)+12345) % $P)*$fp + (1103515245*($j+7)+54321) % $P) % $P) % $bits"
 
   /** CMS cell position — same universal-hash family, width modulus. */
   private def cmsPosSql(h: String, j: String): String =
@@ -436,6 +475,27 @@ object TrainingDataQueries {
          |c AS (SELECT doc_id, unnest(shh) AS sh FROM d WHERE source <> 'src19')
          |SELECT DISTINCT doc_id FROM c JOIN ev USING (sh)
          |ORDER BY doc_id""".stripMargin,
+
+    "pipeline_decontaminate_bloom" -> {
+      val n = 8
+      s"""WITH t AS ($thCte),
+         |d AS (SELECT doc_id, source, ${DedupQueries.shhSql(n)} AS shh FROM t),
+         |ev AS (SELECT DISTINCT unnest(shh) AS sh FROM d WHERE source = 'src19'),
+         |bits AS (SELECT DISTINCT unnest(list_transform(range(0, $BloomK),
+         |  j -> ${bloomPosSql("sh", "j", DecontBits)})) AS pos FROM ev),
+         |c AS (SELECT doc_id, unnest(shh) AS sh FROM d WHERE source <> 'src19'),
+         |probed AS (SELECT doc_id, sh, ${bloomPosSql("sh", "j", DecontBits)} AS pos
+         |  FROM (SELECT doc_id, sh, unnest(range(0, $BloomK)) AS j FROM c)),
+         |shhit AS (SELECT doc_id, sh FROM probed JOIN bits USING (pos)
+         |  GROUP BY doc_id, sh HAVING count(*) = $BloomK),
+         |flagged AS (SELECT DISTINCT doc_id FROM shhit),
+         |exact AS (SELECT DISTINCT c.doc_id FROM c JOIN ev USING (sh))
+         |SELECT d.doc_id,
+         |  d.doc_id IN (SELECT doc_id FROM flagged) AS maybe_contaminated,
+         |  d.doc_id IN (SELECT doc_id FROM exact) AS exact_contaminated
+         |FROM d WHERE d.source <> 'src19'
+         |ORDER BY d.doc_id""".stripMargin
+    },
 
     "pipeline_pack_manifest" ->
       s"""WITH t AS (SELECT doc_id, CAST($ntokSql AS BIGINT) AS n_tokens FROM documents),

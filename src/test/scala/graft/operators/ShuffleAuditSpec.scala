@@ -27,6 +27,9 @@ class ShuffleAuditSpec extends SparkSuite {
     // (measured 11 total; the runtime shuffle count is 3-4)
     "sim_topk_pq" -> 13, "sim_topk_ivfpq" -> 13,
     "src_ivf_bucketed" -> 8, "src_ivf_append" -> 8,
+    // persisted shingle base referenced from three branches (eval distinct,
+    // exact semi-join, probe side) — cached-plan text repeats as above
+    "pipeline_decontaminate_bloom" -> 11,
     "pipeline_bloom" -> 8, "dedup_srp_pairs" -> 8, "dedup_simhash_pairs" -> 8,
     "text_lm_score" -> 8, // persisted 2-branch base: plan text expands twice
     "text_hll_distinct" -> 7, "q_setop_nations" -> 7
