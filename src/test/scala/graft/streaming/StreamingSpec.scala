@@ -390,6 +390,42 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     corpus.unpersist()
   }
 
+  test("streaming CDC compaction: complete-mode max-struct state == batch compactLatest") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.Upsert
+
+    // compactLatest is an ordinary map-side-combinable aggregate, so the
+    // SAME call compacts a CDC stream continuously: the standing state per
+    // key is the latest change seen so far, late rows fold in via max
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("seq"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)].collect().toSeq
+
+    val source = MemoryStream[(Long, Long, Long, String)]
+    val q = Upsert.compactLatest(
+        source.toDF().toDF("user_id", "seq", "event_id", "event_type"),
+        "user_id", Seq("seq", "event_id"))
+      .writeStream.format("memory").queryName("cdc_stream")
+      .outputMode("complete").start()
+    ev.grouped(ev.size / 3 + 1).foreach { b =>
+      source.addData(b)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    val got = spark.table("cdc_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val want = Upsert.compactLatest(
+        ev.toDF("user_id", "seq", "event_id", "event_type"),
+        "user_id", Seq("seq", "event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(want.nonEmpty)
+    assert(got == want)
+  }
+
   test("streaming ANN serving: complete-mode TopKAgg state == batch IVF answers") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
