@@ -237,8 +237,10 @@ object Dedup {
     dot(a, b) / (normA * normB)
 
   /** Semantic dedup (SemDeDup-style): coarse-quantize the corpus onto IVF
-    * lists ([[Similarity.ivfAssign]] — centroids broadcast, assignment
-    * map-side) and run the tau-similarity check ONLY within a list: one
+    * lists ([[Similarity.ivfAssign]] — assignment is an IN-SCAN argmax
+    * kernel over the plan-constant centroid set, no join and no shuffle;
+    * PlanShapeSpec pins the absence of any centroid join) and run the
+    * tau-similarity check ONLY within a list: one
     * shuffle on cen_id, never a global self-join. Keep policy is
     * deterministic greedy-by-id: a vector is dropped iff some lower-id
     * list-mate is tau-near it. Zero-norm vectors never enter (cosine

@@ -61,9 +61,17 @@ object SaltedJoin {
     */
   def joinSkewAware(probe: DataFrame, build: DataFrame, key: String,
                     saltExpr: Column, s: Int, hotThreshold: Long): DataFrame = {
-    require(s >= 1, s"salt fan-out must be >= 1, got $s")
     require(hotThreshold >= 1, s"hot threshold must be >= 1, got $hotThreshold")
-    val hot = skewStats(probe, key, hotThreshold)
+    joinWithHot(probe, build, key, saltExpr, s,
+      skewStats(probe, key, hotThreshold))
+  }
+
+  /** The shared salted-probe + replicated-build body: salt rule and both
+    * joins live HERE only, so the exact and sampled stats variants cannot
+    * diverge. */
+  private def joinWithHot(probe: DataFrame, build: DataFrame, key: String,
+                          saltExpr: Column, s: Int, hot: DataFrame): DataFrame = {
+    require(s >= 1, s"salt fan-out must be >= 1, got $s")
     val salted = probe.join(broadcast(hot), Seq(key), "left")
       .withColumn("graft_salt",
         when(col("graft_hot").isNotNull,
@@ -86,16 +94,8 @@ object SaltedJoin {
                            fraction: Double, seed: Long = 42L): DataFrame = {
     require(fraction > 0.0 && fraction <= 1.0, s"bad sample fraction $fraction")
     val scaled = math.max(1L, math.round(hotThreshold * fraction))
-    val hot = skewStats(probe.sample(withReplacement = false, fraction, seed),
-      key, scaled)
-    val salted = probe.join(broadcast(hot), Seq(key), "left")
-      .withColumn("graft_salt",
-        when(col("graft_hot").isNotNull,
-          coalesce(pmod(saltExpr, lit(s)), lit(0)).cast("int"))
-          .otherwise(lit(0)))
-      .drop("graft_hot")
-    salted.join(replicateHot(build, hot, key, s), Seq(key, "graft_salt"))
-      .drop("graft_salt")
+    joinWithHot(probe, build, key, saltExpr, s,
+      skewStats(probe.sample(withReplacement = false, fraction, seed), key, scaled))
   }
 
   /** The keys of `probe` with more than `hotThreshold` rows, marked

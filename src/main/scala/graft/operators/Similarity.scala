@@ -278,9 +278,12 @@ object Similarity {
     */
   def ivfPqTopK(corpus: DataFrame, queryPred: Column, nCentroids: Int,
                 nProbe: Int, ks: Int, m: Int, candidates: Int, k: Int): DataFrame = {
-    val centSeq = collectCentroids(centroids(corpus, nCentroids))
-    val codebook: Seq[Seq[Double]] =
-      collectCentroids(centroids(corpus, ks)).map(_._2)
+    // one driver collect covers both constant sets (each is a first-N
+    // prefix by id — two separate jobs would scan the corpus twice for
+    // the same rows)
+    val all = collectCentroids(centroids(corpus, math.max(nCentroids, ks)))
+    val centSeq = all.filter(_._1 < nCentroids)
+    val codebook: Seq[Seq[Double]] = all.filter(_._1 < ks).map(_._2)
     val coded = ivfAssignWith(corpus, centSeq)
       .withColumn("codes", NativeExpressions.pqEncode(col("v"), codebook, m))
       .select(col("vec_id"), col("cen_id"), col("codes"), col("nrm"))

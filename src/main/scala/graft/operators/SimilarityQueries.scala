@@ -134,8 +134,13 @@ object SimilarityQueries {
     })
   )
 
-  private def scratchTable(s: SparkSession, name: String): String =
+  private def scratchTable(s: SparkSession, name: String): String = {
+    // dead sessions' scratch tables are plain warehouse directories (the
+    // in-memory catalog died with them) — age-gated sweep, see Scratch
+    graft.sources.Scratch.sweepStale(
+      graft.sources.Scratch.warehouseDir(s), name + "_")
     name + "_" + s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+  }
 
   /** Serving-path probe of a bucketed list table: probe lists selected
     * in-scan per query, materialized as LITERALS (an attribute-only join

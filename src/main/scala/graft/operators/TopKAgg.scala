@@ -26,9 +26,18 @@ import org.apache.spark.sql.functions.udaf
 class TopKAgg(k: Int)
   extends Aggregator[(Double, Long), Vector[(Double, Long)], Seq[(Double, Long)]] {
 
-  // score desc, id asc
+  // score desc, id asc — with NaN ordered GREATEST, matching both engines'
+  // `ORDER BY score DESC` (Spark's nanSafeCompare and DuckDB both rank NaN
+  // above every finite value; the plain `>` would instead sink NaN rows to
+  // the bottom and silently drop them from a full buffer, diverging from
+  // the row_number formulation this aggregate replaces on any NaN-bearing
+  // input). Two NaNs compare equal and fall to the id tie-break.
+  private def scoreGt(x: Double, y: Double): Boolean =
+    if (x.isNaN) !y.isNaN else !y.isNaN && x > y
+  private def scoreEq(x: Double, y: Double): Boolean =
+    (x.isNaN && y.isNaN) || x == y
   private def lt(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    scoreGt(a._1, b._1) || (scoreEq(a._1, b._1) && a._2 < b._2)
 
   override def zero: Vector[(Double, Long)] = Vector.empty
 

@@ -14,8 +14,12 @@ import graft.Tables
   */
 object SourceQueries {
 
-  private def scratch(s: SparkSession, name: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/${name}_${s.sparkContext.applicationId}"
+  private def scratch(s: SparkSession, name: String): String = {
+    val tmp = System.getProperty("java.io.tmpdir")
+    // reclaim prior runs' leaked copies before writing this run's
+    Scratch.sweepStale(tmp, s"${name}_")
+    s"$tmp/${name}_${s.sparkContext.applicationId}"
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Partition-pruned roundtrip: events written partitioned by

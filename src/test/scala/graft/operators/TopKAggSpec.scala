@@ -31,6 +31,19 @@ class TopKAggSpec extends SparkSuite {
     assert(agg.merge(merged, merged.take(2)) == merged)
   }
 
+  test("NaN scores rank GREATEST (as both engines' ORDER BY DESC does), ties by id") {
+    val nan = Double.NaN
+    val rows = Seq((5.0, 10L), (nan, 7L), (9.0, 8L), (nan, 2L), (1.0, 1L))
+    val buf = rows.foldLeft(agg.zero)(agg.reduce)
+    assert(buf.map(_._2) == Vector(2L, 7L, 8L)) // NaNs first, then 9.0
+    assert(buf(0)._1.isNaN && buf(1)._1.isNaN && buf(2)._1 == 9.0)
+    // merge keeps the same total order across partitions
+    val (a, b) = rows.splitAt(2)
+    val merged = agg.merge(
+      a.foldLeft(agg.zero)(agg.reduce), b.foldLeft(agg.zero)(agg.reduce))
+    assert(merged.map(_._2) == Vector(2L, 7L, 8L))
+  }
+
   test("aggregate equals the window row_number formulation on orders") {
     val orders = Tables.orders(spark, sf0001)
     val viaWindow = orders
