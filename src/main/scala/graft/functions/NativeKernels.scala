@@ -302,19 +302,31 @@ object NativeKernels {
     * the codeword chosen for i's subspace). Single ascending-index
     * accumulator over the whole dim — identical to `dot(q, reconstructed)`
     * in the DuckDB twin. Reads only the m-byte code on the corpus side.
+    *
+    * Ragged-input contract, same skip discipline as [[argMaxCosineIdx]] /
+    * [[pqEncode]]: a code byte past the codebook or a codeword shorter
+    * than the query dim contributes 0 to the sum instead of throwing
+    * inside codegen (unreachable from pqEncode-produced codes against the
+    * same codebook, but the expression is callable with arbitrary pairs).
     */
   def pqAdc(q: ArrayData, codes: ArrayData, cb: Array[Array[Double]], m: Int): Double = {
     val dim = q.numElements()
     val dsub = dim / m
+    val nc = math.min(m, codes.numElements())
     var acc = 0.0
     var s = 0
-    while (s < m) {
-      val c = cb(codes.getByte(s).toInt & 0xFF)
-      var i = s * dsub
-      val end = i + dsub
-      while (i < end) {
-        acc += q.getDouble(i) * c(i)
-        i += 1
+    while (s < nc) {
+      val idx = codes.getByte(s).toInt & 0xFF
+      if (idx < cb.length) {
+        val c = cb(idx)
+        if (c.length >= (s + 1) * dsub) {
+          var i = s * dsub
+          val end = i + dsub
+          while (i < end) {
+            acc += q.getDouble(i) * c(i)
+            i += 1
+          }
+        }
       }
       s += 1
     }

@@ -86,7 +86,7 @@ object TextQueries {
         .otherwise(split(trim(col("text")), "\\s+"))
       // persist: the tokenized corpus feeds the vocabulary branch AND the
       // scoring branch — without it the split+guard runs twice per doc
-      val base = Tables.documents(s, dir).repartition(col("doc_id"))
+      val base = graft.operators.Spread.ifNarrow(Tables.documents(s, dir), col("doc_id"))
         .select(col("doc_id"), toksExpr.as("toks")).persist()
       val counts = base.select(explode(col("toks")).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
@@ -117,7 +117,7 @@ object TextQueries {
     // classic skew trap at 100 TB (a real index would bucket postings by
     // doc-range; the df/tf stats and hash pin the same content).
     "text_inverted_index" -> ((s, dir) => {
-      Tables.documents(s, dir).repartition(col("doc_id"))
+      graft.operators.Spread.ifNarrow(Tables.documents(s, dir), col("doc_id"))
         .filter(length(trim(col("text"))) > 0)
         .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
         .groupBy(col("tok"))

@@ -17,13 +17,16 @@ object DedupQueries {
   import Dedup._
   import TextFunctions.shingleHashes
 
-  /** documents spread across shuffle partitions: the per-row signature
-    * pipelines are interpreted higher-order expressions (CPU-heavy), and the
-    * bench inputs are single-row-group files (one scan task). At 100 TB the
-    * scan itself has thousands of splits and this repartition is dwarfed by
-    * the compute it parallelizes. */
+  /** documents spread across shuffle partitions — gated on scan
+    * parallelism ([[Spread.ifNarrow]]): fires for the single-row-group
+    * bench fixtures (one scan task otherwise starves 31 cores of the
+    * CPU-heavy signature kernels), never for a multi-split corpus. */
   private def docsSpread(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).repartition(col("doc_id"))
+    Spread.ifNarrow(Tables.documents(s, dir), col("doc_id"))
+
+  /** embeddings, spread under the same gate. */
+  private def embSpread(s: SparkSession, dir: String): DataFrame =
+    Spread.ifNarrow(Tables.embeddings(s, dir), col("vec_id"))
 
   /** documents + per-doc trigram shingle-hash set. */
   private def docShingles(s: SparkSession, dir: String, n: Int = 3): DataFrame =
@@ -237,7 +240,7 @@ object DedupQueries {
     // literal ±1 hyperplane dots (codegen'd), banded 4×4, candidates
     // verified with exact cosine.
     "dedup_srp_pairs" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir).repartition(col("vec_id")).select(
+      val e = embSpread(s, dir).select(
         col("vec_id"), toDoubleArray(col("embedding")).as("v"))
         .withColumn("nrm", l2norm(col("v")))
         .filter(col("nrm") > 0.0)
@@ -256,7 +259,7 @@ object DedupQueries {
     }),
 
     "dedup_cosine_pairs" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir).repartition(col("vec_id")).select(
+      val e = embSpread(s, dir).select(
         col("vec_id"), col("label"), toDoubleArray(col("embedding")).as("v"))
         .withColumn("nrm", l2norm(col("v")))
         .persist()

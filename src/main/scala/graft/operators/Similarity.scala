@@ -47,13 +47,14 @@ object Similarity {
   import Dedup.{cosine, l2norm, toDoubleArray}
 
   /** vec_id, v (array<double>), nrm — the working shape for cosine tiers.
-    * Repartition spreads the per-pair dot products across cores (bench
-    * files are single-row-group → one scan task otherwise).
+    * The spread is GATED on scan parallelism ([[Spread.ifNarrow]]): it
+    * fires for the single-row-group bench fixtures and never for a real
+    * multi-split corpus — the corpus is never shuffled at scale.
     * Zero-norm vectors are dropped: cosine is undefined for them, and a
     * NaN score sorts FIRST under a descending ordering — one all-zero
     * embedding would otherwise poison every query's top-1. */
   def prepare(embeddings: DataFrame): DataFrame =
-    embeddings.repartition(col("vec_id"))
+    Spread.ifNarrow(embeddings, col("vec_id"))
       .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
       .withColumn("nrm", l2norm(col("v")))
       .filter(col("nrm") > 0.0)
@@ -245,6 +246,12 @@ object Similarity {
              candidates: Int, k: Int): DataFrame = {
     val codebook: Seq[Seq[Double]] =
       collectCentroids(centroids(corpus, ks)).map(_._2)
+    // the oracle indexes a dense list(cv ORDER BY j) by codeword id — a
+    // zero-norm vector inside the first-ks prefix would silently desync
+    // engine codes (dense positional) from oracle codes (sparse j)
+    require(codebook.length == ks,
+      s"PQ codebook collapsed to ${codebook.length}/$ks codewords " +
+        "(zero-norm vector in the first-ks prefix?)")
     val slim = corpus
       .withColumn("codes", NativeExpressions.pqEncode(col("v"), codebook, m))
       .select(col("vec_id"), col("codes"), col("nrm"))
@@ -284,6 +291,8 @@ object Similarity {
     val all = collectCentroids(centroids(corpus, math.max(nCentroids, ks)))
     val centSeq = all.filter(_._1 < nCentroids)
     val codebook: Seq[Seq[Double]] = all.filter(_._1 < ks).map(_._2)
+    require(codebook.length == ks, // same dense-index contract as pqTopK
+      s"PQ codebook collapsed to ${codebook.length}/$ks codewords")
     val coded = ivfAssignWith(corpus, centSeq)
       .withColumn("codes", NativeExpressions.pqEncode(col("v"), codebook, m))
       .select(col("vec_id"), col("cen_id"), col("codes"), col("nrm"))

@@ -136,26 +136,39 @@ object SimilarityQueries {
 
   private def scratchTable(s: SparkSession, name: String): String = {
     // dead sessions' scratch tables are plain warehouse directories (the
-    // in-memory catalog died with them) — age-gated sweep, see Scratch
+    // in-memory catalog died with them) — age-gated sweep, see Scratch;
+    // this session's own table is excluded regardless of age
+    val own = name + "_" + s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
     graft.sources.Scratch.sweepStale(
-      graft.sources.Scratch.warehouseDir(s), name + "_")
-    name + "_" + s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+      graft.sources.Scratch.warehouseDir(s), name + "_", exclude = Set(own))
+    own
   }
 
   /** Serving-path probe of a bucketed list table: probe lists selected
     * in-scan per query, materialized as LITERALS (an attribute-only join
     * predicate can't prune buckets), the pruned scan joined against the
-    * broadcast probe set, top-k via the bounded aggregate. */
-  private def probeBucketed(s: SparkSession, tbl: String, corpus: DataFrame,
+    * broadcast probe set, top-k via the bounded aggregate.
+    *
+    * The probe set (|Q|·nProbe rows — serving-regime tiny) is COLLECTED
+    * once and re-enters the plan as a local relation: one driver roundtrip
+    * yields both the literal probe ids for bucket pruning and the
+    * broadcast side, with no `persist` — a serving path runs forever, and
+    * a per-query cached plan that nothing unpersists is a leak (this
+    * replaced exactly that; pinned by CacheHygieneSpec).
+    */
+  private[operators] def probeBucketed(s: SparkSession, tbl: String, corpus: DataFrame,
                             centSeq: Seq[(Long, Seq[Double], Double)]): DataFrame = {
     import graft.functions.NativeExpressions
-    val probes = corpus.filter(col("vec_id") < NQueriesServe)
+    import s.implicits._
+    val probeRows = corpus.filter(col("vec_id") < NQueriesServe)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
       .withColumn("cen_id", explode(
         NativeExpressions.topNCosineIds(col("qv"), col("qnrm"), centSeq, NProbe)))
-      .persist()
-    val probeIds = probes.select(col("cen_id")).distinct()
-      .collect().map(_.getLong(0)).sorted
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2), r.getLong(3)))
+      .toSeq
+    val probes = probeRows.toDF("query_id", "qv", "qnrm", "cen_id")
+    val probeIds = probeRows.map(_._4).distinct.sorted
     val lists = s.table(tbl)
       .filter(col("cen_id").isin(probeIds.map(Long.box): _*))
     val cand = lists.join(broadcast(probes), "cen_id")

@@ -1,0 +1,32 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Parallelism gate for the ingest-side "spreading" repartition.
+  *
+  * The bench fixtures are single-row-group parquet files, so their scan is
+  * ONE task — without a spread, every per-row signature/vector pipeline
+  * (CPU-heavy hash/dot kernels) runs on one core. A hash repartition fixes
+  * that locally, but applied unconditionally it is a FULL data-sized
+  * shuffle that buys nothing at scale: a 100 TB corpus scan already has
+  * tens of thousands of splits, and when the scan already parallelizes,
+  * the "spread" is not dwarfed by the compute — it IS the largest shuffle
+  * in the plan.
+  *
+  * [[ifNarrow]] therefore repartitions ONLY when the scan's parallelism is
+  * below the session's default parallelism — true for the single-row-group
+  * fixtures, false for any real multi-split corpus — so "the corpus is
+  * never shuffled" holds literally on wide inputs (pinned by
+  * SpreadGateSpec).
+  */
+object Spread {
+
+  /** `df` hash-repartitioned on `key` iff its physical scan has fewer
+    * partitions than the session's default parallelism. The partition-count
+    * probe plans the query but runs no job.
+    */
+  def ifNarrow(df: DataFrame, key: Column): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(key) else df
+  }
+}

@@ -44,7 +44,7 @@ object TrainingDataQueries {
   val HllRegisters = 256
 
   private def docsSpread(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).repartition(col("doc_id"))
+    Spread.ifNarrow(Tables.documents(s, dir), col("doc_id"))
 
   private def docTokens(s: SparkSession, dir: String): DataFrame =
     docsSpread(s, dir).select(col("doc_id"),

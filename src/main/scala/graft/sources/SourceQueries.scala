@@ -16,8 +16,10 @@ object SourceQueries {
 
   private def scratch(s: SparkSession, name: String): String = {
     val tmp = System.getProperty("java.io.tmpdir")
-    // reclaim prior runs' leaked copies before writing this run's
-    Scratch.sweepStale(tmp, s"${name}_")
+    // reclaim prior runs' leaked copies before writing this run's; never
+    // this session's own artifact, whatever its age
+    Scratch.sweepStale(tmp, s"${name}_",
+      exclude = Set(s"${name}_${s.sparkContext.applicationId}"))
     s"$tmp/${name}_${s.sparkContext.applicationId}"
   }
 

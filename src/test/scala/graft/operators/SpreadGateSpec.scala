@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSuite, Tables}
+
+/** Pins the parallelism gate on the ingest "spread" repartition
+  * ([[Spread.ifNarrow]]): it must fire for the single-row-group fixtures
+  * (one scan task would starve every other core of the signature/vector
+  * kernels) and must be a NO-OP on an input whose scan already
+  * parallelizes — at 100 TB the scan has thousands of splits, and an
+  * unconditional repartition there is a full data-sized shuffle that buys
+  * nothing. "The corpus is never shuffled" has to be literally true on
+  * wide inputs.
+  */
+class SpreadGateSpec extends SparkSuite {
+
+  test("narrow fixture scan: the spread fires; wide input: same DataFrame back, untouched") {
+    val docs = Tables.documents(spark, sf0001)
+    val target = spark.sparkContext.defaultParallelism
+    assert(docs.rdd.getNumPartitions < target, "fixture unexpectedly multi-split")
+    val spreadPlan = Spread.ifNarrow(docs, col("doc_id"))
+      .queryExecution.executedPlan.toString
+    assert(spreadPlan.contains("Exchange"), spreadPlan)
+
+    val wide = docs.repartition(target, col("doc_id"))
+    // the gate returns the input REFERENCE — no wrapping, no new exchange
+    assert(Spread.ifNarrow(wide, col("doc_id")) eq wide)
+  }
+
+  test("similarity prepare over an already-parallel corpus plans ZERO shuffles") {
+    import spark.implicits._
+    val target = spark.sparkContext.defaultParallelism
+    val rows = Tables.embeddings(spark, sf0001).select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toSeq
+    // RDD-backed input with full parallelism — the shape of a real
+    // multi-split corpus scan (no exchange of its own)
+    val wide = spark.sparkContext.parallelize(rows, target).toDF("vec_id", "embedding")
+    val plan = Similarity.prepare(wide).queryExecution.executedPlan.toString
+    val shuffles = "Exchange".r.findAllIn(plan).length -
+      "BroadcastExchange".r.findAllIn(plan).length
+    assert(shuffles == 0, plan)
+  }
+}
