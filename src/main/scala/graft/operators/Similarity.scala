@@ -122,12 +122,23 @@ object Similarity {
     * on the trained centers agrees with the cosine argmax [[ivfAssign]]
     * uses. Balanced lists mean probe cost is ~|corpus|·nProbe/nCentroids
     * even on clustered corpora, where first-N centroids can degenerate.
+    *
+    * `samplePct` < 100 trains the quantizer on a CONSISTENT-HASH sample of
+    * the corpus — the 100 TB shape: a coarse quantizer needs thousands of
+    * training points per centroid, not the corpus, and the hash draw is
+    * stable under reruns, repartitioning, and corpus growth (unlike
+    * df.sample's partition-dependent draw).
+    *
     * Seeded-deterministic per Spark version but not oracle-replicable
     * (like [[lshTopK]]) → rows-only driver check + recall spec. */
   def kmeansCentroids(corpus: DataFrame, nCentroids: Int, maxIter: Int = 5,
-                      seed: Long = 42L): DataFrame = {
+                      seed: Long = 42L, samplePct: Int = 100): DataFrame = {
     val spark = corpus.sparkSession
-    val unit = corpus.select(
+    val training =
+      if (samplePct >= 100) corpus
+      else corpus.filter(pmod(graft.functions.TextFunctions.polyHash(
+        col("vec_id").cast("string")), lit(100)) < samplePct)
+    val unit = training.select(
       array_to_vector(transform(col("v"), x => x / col("nrm")).cast("array<double>"))
         .as("features"))
     val model = new org.apache.spark.ml.clustering.KMeans()
@@ -147,10 +158,12 @@ object Similarity {
     ivfTopKWith(centroids(corpus, nCentroids), corpus, queryPred, nProbe, k)
 
   /** IVF top-k over k-means-trained lists — same probe machinery, trained
-    * coarse quantizer. */
+    * coarse quantizer (`samplePct` < 100 trains it on a consistent-hash
+    * sample — the 100 TB regime, see [[kmeansCentroids]]). */
   def ivfTopKKMeans(corpus: DataFrame, queryPred: Column, nCentroids: Int,
-                    nProbe: Int, k: Int): DataFrame =
-    ivfTopKWith(kmeansCentroids(corpus, nCentroids), corpus, queryPred, nProbe, k)
+                    nProbe: Int, k: Int, samplePct: Int = 100): DataFrame =
+    ivfTopKWith(kmeansCentroids(corpus, nCentroids, samplePct = samplePct),
+      corpus, queryPred, nProbe, k)
 
   /** Probe machinery shared by the deterministic, k-means, and
     * injected-centers tiers. Plan shape: assignment and probe selection are
@@ -252,6 +265,14 @@ object Similarity {
     require(codebook.length == ks,
       s"PQ codebook collapsed to ${codebook.length}/$ks codewords " +
         "(zero-norm vector in the first-ks prefix?)")
+    pqTopKWith(corpus, queryPred, codebook, m, candidates, k)
+  }
+
+  /** [[pqTopK]] over a caller-supplied codebook (first-N for the
+    * hash-exact oracle tier, [[trainPqCodebook]] for the production
+    * recall tier — the encode/ADC machinery is identical). */
+  def pqTopKWith(corpus: DataFrame, queryPred: Column, codebook: Seq[Seq[Double]],
+                 m: Int, candidates: Int, k: Int): DataFrame = {
     val slim = corpus
       .withColumn("codes", NativeExpressions.pqEncode(col("v"), codebook, m))
       .select(col("vec_id"), col("codes"), col("nrm"))
@@ -293,6 +314,15 @@ object Similarity {
     val codebook: Seq[Seq[Double]] = all.filter(_._1 < ks).map(_._2)
     require(codebook.length == ks, // same dense-index contract as pqTopK
       s"PQ codebook collapsed to ${codebook.length}/$ks codewords")
+    ivfPqTopKWith(centSeq, codebook, corpus, queryPred, nProbe, m, candidates, k)
+  }
+
+  /** [[ivfPqTopK]] over caller-supplied coarse centroids and codebook —
+    * the seam the trained production tier shares with the oracle tier. */
+  def ivfPqTopKWith(centSeq: Seq[(Long, Seq[Double], Double)],
+                    codebook: Seq[Seq[Double]], corpus: DataFrame,
+                    queryPred: Column, nProbe: Int, m: Int,
+                    candidates: Int, k: Int): DataFrame = {
     val coded = ivfAssignWith(corpus, centSeq)
       .withColumn("codes", NativeExpressions.pqEncode(col("v"), codebook, m))
       .select(col("vec_id"), col("cen_id"), col("codes"), col("nrm"))
@@ -316,6 +346,141 @@ object Similarity {
       .join(broadcast(cand), "vec_id")
       .withColumn("cos", cosine(col("qv"), col("v"), col("qnrm"), col("nrm")))
     topKPerQuery(rescored, k)
+  }
+
+  /** Deterministic per-subspace PQ codebook TRAINING — the production
+    * alternative to the first-N reference vectors [[pqTopK]] uses for its
+    * hash-exact oracle. Per subspace `s`, plain Lloyd k-means (seeded
+    * k-means++ init, fixed iteration count, argmin ties to the lowest
+    * center index) runs on the `s`-slice of a consistent-hash sample of
+    * the corpus; the per-subspace centers are then reassembled into `ks`
+    * COMPOSITE full-dim codewords (codeword j's slice for subspace s is
+    * subspace s's trained center j), so [[graft.functions.NativeKernels
+    * .pqEncode]]/[[graft.functions.NativeKernels.pqAdc]] run UNCHANGED —
+    * they always slice the codeword by subspace.
+    *
+    * 100 TB shape: a PQ codebook needs thousands of training points per
+    * codeword, not the corpus — the consistent-hash sample (stable under
+    * reruns/growth, like `pipeline_sample`) is capped at `maxSample`
+    * vectors, bounding the driver collect at maxSample·dim doubles
+    * (4096·64 ≈ 2 MB) regardless of corpus size. Deterministic end to end
+    * given (seed, sample), but k-means internals aren't oracle-replicable
+    * → the trained tiers are rows-only like [[kmeansCentroids]], with
+    * recall pinned in SimilaritySpec/RecallProbe.
+    */
+  def trainPqCodebook(corpus: DataFrame, ks: Int, m: Int, samplePct: Int = 60,
+                      maxSample: Int = 4096, iters: Int = 10,
+                      seed: Long = 42L): Seq[Seq[Double]] = {
+    val sample = corpus
+      .filter(pmod(graft.functions.TextFunctions.polyHash(
+        col("vec_id").cast("string")), lit(100)) < samplePct)
+      .select(col("vec_id"), col("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).take(maxSample).map(_._2)
+    require(sample.nonEmpty, "empty PQ training sample")
+    val dim = sample.head.length
+    require(m >= 1 && dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val perSub: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
+      val pts = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      kmeansLloyd(pts, ks, iters, seed + s)
+    }
+    (0 until ks).map { j =>
+      (0 until m).flatMap(s => perSub(s)(j).toSeq).toVector: Seq[Double]
+    }
+  }
+
+  /** Driver-side Lloyd k-means for [[trainPqCodebook]]'s subspace slices
+    * (points = a bounded sample, never corpus-sized). Deterministic:
+    * seeded k-means++ init, fixed `iters`, argmin ties keep the lowest
+    * center index, an emptied cluster keeps its previous center. */
+  private def kmeansLloyd(pts: Array[Array[Double]], k: Int, iters: Int,
+                          seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    val n = pts.length
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc
+    }
+    val dimS = pts.head.length
+    val centers = new Array[Array[Double]](k)
+    centers(0) = pts(rnd.nextInt(n)).clone()
+    // k-means++ : each next center drawn proportional to squared distance
+    // from the nearest chosen one
+    val minD = Array.fill(n)(Double.MaxValue)
+    var c = 1
+    while (c < k) {
+      var i = 0
+      while (i < n) {
+        val d = d2(pts(i), centers(c - 1))
+        if (d < minD(i)) minD(i) = d
+        i += 1
+      }
+      val total = minD.sum
+      centers(c) =
+        if (total <= 0.0) pts(rnd.nextInt(n)).clone()
+        else {
+          var r = rnd.nextDouble() * total
+          var j = 0
+          while (j < n - 1 && r > minD(j)) { r -= minD(j); j += 1 }
+          pts(j).clone()
+        }
+      c += 1
+    }
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dimS))
+      val counts = new Array[Int](k)
+      var i = 0
+      while (i < n) {
+        var best = 0
+        var bestD = d2(pts(i), centers(0))
+        var j = 1
+        while (j < k) {
+          val d = d2(pts(i), centers(j))
+          if (d < bestD) { best = j; bestD = d }
+          j += 1
+        }
+        val s = sums(best)
+        var t = 0
+        while (t < dimS) { s(t) += pts(i)(t); t += 1 }
+        counts(best) += 1
+        i += 1
+      }
+      var j = 0
+      while (j < k) {
+        if (counts(j) > 0) {
+          var t = 0
+          while (t < dimS) { sums(j)(t) /= counts(j); t += 1 }
+          centers(j) = sums(j)
+        }
+        j += 1
+      }
+      it += 1
+    }
+    centers
+  }
+
+  /** PQ/ADC over TRAINED per-subspace codebooks — same plan as
+    * [[pqTopK]], production recall (the first-N codebook's recall is what
+    * a quantizer looks like before training). */
+  def pqTopKTrained(corpus: DataFrame, queryPred: Column, ks: Int, m: Int,
+                    candidates: Int, k: Int): DataFrame =
+    pqTopKWith(corpus, queryPred, trainPqCodebook(corpus, ks, m), m, candidates, k)
+
+  /** IVF-PQ with BOTH quantizers trained on consistent-hash samples —
+    * sample-trained spherical k-means coarse lists, per-subspace Lloyd
+    * codebooks. The full production composition; probe/encode plan
+    * identical to the oracle-gated [[ivfPqTopK]]. */
+  def ivfPqTopKTrained(corpus: DataFrame, queryPred: Column, nCentroids: Int,
+                       nProbe: Int, ks: Int, m: Int, candidates: Int,
+                       k: Int): DataFrame = {
+    val cents = collectCentroids(kmeansCentroids(corpus, nCentroids, samplePct = 60))
+    ivfPqTopKWith(cents, trainPqCodebook(corpus, ks, m), corpus, queryPred,
+      nProbe, m, candidates, k)
   }
 
   /** Spark ML LSH scale path: seeded BucketedRandomProjectionLSH

@@ -25,6 +25,20 @@ object SimilarityQueries {
   /** PQ shape: 8 subspaces over the 64-dim embeddings, 16 codewords. */
   val PqM = 8
   val PqCodewords = 16
+  /** Trained-tier shape. The fixture embeddings are near-isotropic (no
+    * cluster structure), the regime where quantization recall is hardest:
+    * lifting recall@10 to >=0.9 takes finer codes (16 subspaces x 128
+    * codewords — still a 16-byte code, 32x narrower than the raw doubles),
+    * a deeper rescore pool, and for the IVF composition a larger probe
+    * fraction (12/16 lists here; on a clustered corpus a few percent of
+    * lists gives the same recall — the knobs are the recall/cost dial,
+    * pinned at this setting by SimilaritySpec).
+    */
+  val PqMTrained = 16
+  val PqCodewordsTrained = 128
+  val NCandidatesTrained = 48
+  val NProbeTrained = 12
+  val NCandidatesIvfPqTrained = 64
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // persist: the prepared corpus (cast + interpreted norm per row) feeds
@@ -45,10 +59,13 @@ object SimilarityQueries {
     }),
     // trained coarse quantizer: k-means|| internals aren't oracle-replicable
     // (like sim_topk_lsh) — rows-only driver check; recall vs brute force is
-    // spec-pinned in SimilaritySpec
+    // spec-pinned in SimilaritySpec. samplePct=60: the quantizer trains on
+    // a consistent-hash sample, the 100 TB regime (a coarse quantizer
+    // never needs the corpus).
     "sim_topk_ivf_kmeans" -> ((s, dir) => {
       val corpus = Similarity.prepare(Tables.embeddings(s, dir)).persist()
-      Similarity.ivfTopKKMeans(corpus, col("vec_id") < NQueries, NCentroids, NProbe, K)
+      Similarity.ivfTopKKMeans(corpus, col("vec_id") < NQueries, NCentroids, NProbe, K,
+          samplePct = 60)
         .orderBy("query_id", "rank")
     }),
     "sim_topk_quantized" -> ((s, dir) => {
@@ -72,6 +89,25 @@ object SimilarityQueries {
       val corpus = Similarity.prepare(Tables.embeddings(s, dir)).persist()
       Similarity.ivfPqTopK(corpus, col("vec_id") < NQueries, NCentroids, NProbe,
         PqCodewords, PqM, NCandidates, K)
+        .orderBy("query_id", "rank")
+    }),
+    // TRAINED PQ codebooks (per-subspace Lloyd k-means on a consistent-hash
+    // sample, composite codewords — Similarity.trainPqCodebook): the
+    // production recall tier over the SAME encode/ADC kernels and plan as
+    // sim_topk_pq. k-means internals aren't oracle-replicable → rows-only
+    // driver check; recall@10 >= 0.9 is pinned in SimilaritySpec.
+    "sim_topk_pq_trained" -> ((s, dir) => {
+      val corpus = Similarity.prepare(Tables.embeddings(s, dir)).persist()
+      Similarity.pqTopKTrained(corpus, col("vec_id") < NQueries,
+        PqCodewordsTrained, PqMTrained, NCandidatesTrained, K)
+        .orderBy("query_id", "rank")
+    }),
+    // Full production IVF-PQ: sample-trained spherical k-means coarse
+    // lists + trained per-subspace codebooks. Rows-only; recall spec-pinned.
+    "sim_topk_ivfpq_trained" -> ((s, dir) => {
+      val corpus = Similarity.prepare(Tables.embeddings(s, dir)).persist()
+      Similarity.ivfPqTopKTrained(corpus, col("vec_id") < NQueries, NCentroids,
+        NProbeTrained, PqCodewordsTrained, PqMTrained, NCandidatesIvfPqTrained, K)
         .orderBy("query_id", "rank")
     }),
     // Injected-centers IVF: stride-selected corpus vectors (vec_id = 3+7i)

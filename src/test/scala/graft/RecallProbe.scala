@@ -26,9 +26,12 @@ object RecallProbe {
         got.getOrElse(q, Set.empty).intersect(want).size.toDouble / want.size }
       per.sum / per.size
     }
-    println(f"pq     recall@10 = ${recall(Similarity.pqTopK(corpus, pred, 16, 8, 32, 10))}%.3f")
-    println(f"ivfpq  recall@10 = ${recall(Similarity.ivfPqTopK(corpus, pred, 16, 4, 16, 8, 32, 10))}%.3f")
-    println(f"ivf    recall@10 = ${recall(Similarity.ivfTopK(corpus, pred, 16, 4, 10))}%.3f")
+    println(f"pq       recall@10 = ${recall(Similarity.pqTopK(corpus, pred, 16, 8, 32, 10))}%.3f")
+    println(f"ivfpq    recall@10 = ${recall(Similarity.ivfPqTopK(corpus, pred, 16, 4, 16, 8, 32, 10))}%.3f")
+    println(f"ivf      recall@10 = ${recall(Similarity.ivfTopK(corpus, pred, 16, 4, 10))}%.3f")
+    println(f"pq-tr    recall@10 = ${recall(Similarity.pqTopKTrained(corpus, pred, 128, 16, 48, 10))}%.3f")
+    println(f"ivfpq-tr recall@10 = ${recall(Similarity.ivfPqTopKTrained(corpus, pred, 16, 12, 128, 16, 64, 10))}%.3f")
+    println(f"ivf-km60 recall@10 = ${recall(Similarity.ivfTopKKMeans(corpus, pred, 16, 4, 10, samplePct = 60))}%.3f")
     spark.stop()
   }
 }

@@ -92,6 +92,7 @@ class PlanShapeSpec extends SparkSuite
   test("similarity tiers select top-k with the bounded aggregate — no Window node anywhere") {
     for (name <- Seq("sim_topk_brute", "sim_topk_ivf", "sim_topk_ivf_kmeans",
         "sim_topk_ivf_fixed", "sim_topk_quantized", "sim_topk_pq", "sim_topk_ivfpq",
+        "sim_topk_pq_trained", "sim_topk_ivfpq_trained",
         "sim_topk_lsh", "src_ivf_bucketed", "src_ivf_append")) {
       val plan = executed(name)
       // a window partition can't be split: one query's full candidate set

@@ -26,6 +26,9 @@ class ShuffleAuditSpec extends SparkSuite {
     // prepare()'s single runtime repartition shows up 8x in the text
     // (measured 11 total; the runtime shuffle count is 3-4)
     "sim_topk_pq" -> 13, "sim_topk_ivfpq" -> 13,
+    // trained tiers share the pq/ivfpq plan shape (persisted corpus fanned
+    // out over four branches, cached-plan text doubled under AQE)
+    "sim_topk_pq_trained" -> 13, "sim_topk_ivfpq_trained" -> 13,
     "src_ivf_bucketed" -> 8, "src_ivf_append" -> 8,
     // persisted shingle base referenced from three branches (eval distinct,
     // exact semi-join, probe side) — cached-plan text repeats as above
