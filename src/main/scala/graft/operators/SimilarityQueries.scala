@@ -195,7 +195,6 @@ object SimilarityQueries {
   private[operators] def probeBucketed(s: SparkSession, tbl: String, corpus: DataFrame,
                             centSeq: Seq[(Long, Seq[Double], Double)]): DataFrame = {
     import graft.functions.NativeExpressions
-    import s.implicits._
     val probeRows = corpus.filter(col("vec_id") < NQueriesServe)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
       .withColumn("cen_id", explode(
@@ -203,6 +202,18 @@ object SimilarityQueries {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2), r.getLong(3)))
       .toSeq
+    probeListsPruned(s, tbl, probeRows, K)
+  }
+
+  /** The shared serving read: collected probe rows (query_id, qv, qnrm,
+    * cen_id) against the bucketed list table. Probe ids enter the plan as
+    * LITERALS (bucket pruning needs a constant predicate), the probe set
+    * as a local relation broadcast into the pruned scan — the lists never
+    * shuffle, nothing persists. Also the per-micro-batch body of
+    * [[graft.streaming.StreamingDedup.annServeBucketed]]. */
+  private[graft] def probeListsPruned(s: SparkSession, tbl: String,
+      probeRows: Seq[(Long, Seq[Double], Double, Long)], k: Int): DataFrame = {
+    import s.implicits._
     val probes = probeRows.toDF("query_id", "qv", "qnrm", "cen_id")
     val probeIds = probeRows.map(_._4).distinct.sorted
     val lists = s.table(tbl)
@@ -211,7 +222,7 @@ object SimilarityQueries {
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", graft.operators.Dedup.cosine(
         col("qv"), col("v"), col("qnrm"), col("nrm")))
-    Similarity.topKPerQuery(cand, K).orderBy("query_id", "rank")
+    Similarity.topKPerQuery(cand, k).orderBy("query_id", "rank")
   }
 
   def oracles: Map[String, String] = {

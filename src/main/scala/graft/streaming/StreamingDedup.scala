@@ -119,14 +119,16 @@ object StreamingDedup {
     * `queries`: streaming (id, embedding array<float>); `corpus`: static
     * [[graft.operators.Similarity.prepare]]-shaped; returns one row per
     * (query, update) with the current top-k as array<struct<cos, vec_id>>.
+    * Runs in complete OR update output mode (both spec-pinned: complete
+    * re-emits the full standing state, update re-emits only the groups the
+    * batch changed — the last update per query equals the batch answer).
     *
     * Scale note: a stream-static join re-plans the static side every
     * micro-batch, so at 100 TB the static side must not be a raw scan —
-    * serve from the bucketed list table (`src_ivf_bucketed`'s layout) via
-    * `foreachBatch` + the literal-probe-id pruned read, which turns each
-    * micro-batch into a few-bucket lookup. This operator demonstrates the
-    * continuous half (stateless probe kernel + bounded top-k state); the
-    * storage half is the bucketed serving path, already gate-checked.
+    * that regime is [[annServeBucketed]], which serves each micro-batch
+    * from the bucketed list table via `foreachBatch` + the
+    * literal-probe-id pruned read. This operator is the in-flight
+    * (index-less) variant of the same continuous half.
     */
   def annServe(queries: DataFrame, idCol: String, embCol: String,
                corpus: DataFrame, cents: Seq[(Long, Seq[Double], Double)],
@@ -144,5 +146,46 @@ object StreamingDedup {
       .withColumn("cos", Dedup.cosine(col("qv"), col("v"), col("qnrm"), col("nrm")))
       .groupBy(col("query_id"))
       .agg(TopKAgg.column(k, col("cos"), col("vec_id")).as("topk"))
+  }
+
+  /** Streaming ANN serving against the PERSISTED bucketed list table —
+    * the 100 TB regime [[annServe]]'s scaladoc promises: the static side
+    * is `src_ivf_bucketed`'s layout (assignment paid once at write), and
+    * each micro-batch runs the literal-probe-id PRUNED read
+    * ([[graft.operators.SimilarityQueries.probeListsPruned]]) instead of
+    * re-planning a raw corpus scan per batch.
+    *
+    * Per micro-batch: probe-list selection is the stateless in-scan kernel
+    * over the constant centroids; the (serving-regime tiny) probe rows are
+    * collected once, yielding both the bucket-pruning literals and the
+    * broadcast probe relation; the scan reads ONLY the buckets holding
+    * probed lists (SelectedBucketsCount — pinned per batch by the
+    * streaming spec); top-k per query via the bounded aggregate. Answers
+    * equal the batch serving path row-for-row (stream==batch spec).
+    *
+    * `emit` receives each micro-batch's (lazy) result DataFrame
+    * (query_id, rank, vec_id, cos) plus the batch id — the caller's sink
+    * seam (write, table append, plan inspection in specs). Returns the
+    * configured writer; caller `.start()`s it.
+    */
+  def annServeBucketed(queries: DataFrame, idCol: String, embCol: String,
+                       tbl: String, cents: Seq[(Long, Seq[Double], Double)],
+                       nProbe: Int, k: Int)(
+      emit: (DataFrame, Long) => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    queries.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val probeRows = batch
+        .select(col(idCol).as("query_id"), Dedup.toDoubleArray(col(embCol)).as("qv"))
+        .withColumn("qnrm", Dedup.l2norm(col("qv")))
+        .filter(col("qnrm") > 0.0) // cosine undefined for zero vectors
+        .withColumn("cen_id", explode(graft.functions.NativeExpressions
+          .topNCosineIds(col("qv"), col("qnrm"), cents, nProbe)))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2), r.getLong(3)))
+        .toSeq
+      if (probeRows.nonEmpty)
+        emit(graft.operators.SimilarityQueries.probeListsPruned(
+          batch.sparkSession, tbl, probeRows, k), batchId)
+    }
   }
 }

@@ -465,6 +465,102 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     corpus.unpersist()
   }
 
+  test("streaming ANN serving in UPDATE mode: last update per query == batch IVF answers") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.Similarity
+
+    val corpus = Similarity.prepare(Tables.embeddings(spark, sfDir)).persist()
+    val cents = Similarity.collectCentroids(Similarity.centroids(corpus, 16))
+    val qrows = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 8)
+      .select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+
+    val source = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingDedup.annServe(
+        source.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        corpus, cents, nProbe = 4, k = 10)
+      .writeStream.format("memory").queryName("ann_serve_upd")
+      .outputMode("update").start()
+    qrows.grouped(3).foreach { b =>
+      source.addData(b.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    // update mode re-emits only the groups a batch changed; each query's
+    // candidates arrive in one batch here, so the LAST update per query is
+    // its standing answer — fold in sink order and keep the last
+    val got = spark.table("ann_serve_upd").collect().foldLeft(
+        Map.empty[Long, List[(Double, Long)]]) { (acc, r) =>
+      acc + (r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(x => (x.getDouble(0), x.getLong(1))).toList)
+    }
+    val want = Similarity.ivfTopKWith(
+        Similarity.centroids(corpus, 16), corpus, col("vec_id") < 8, 4, 10)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), (r.getDouble(3), r.getLong(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toList).toMap
+    assert(want.size == 8)
+    assert(got == want)
+    corpus.unpersist()
+  }
+
+  test("bucketed streaming ANN serving: every micro-batch is bucket-pruned, stream==batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.Similarity
+
+    val corpus = Similarity.prepare(Tables.embeddings(spark, sfDir)).persist()
+    val cents = Similarity.collectCentroids(Similarity.centroids(corpus, 16))
+    // the write-once serving layout (same shape as src_ivf_bucketed)
+    val tbl = "graft_ivf_stream_spec"
+    graft.sources.Layouts.writeBucketed(
+      Similarity.ivfAssignWith(corpus, cents), tbl, "cen_id",
+      nBuckets = 16, sortCols = Seq("cen_id", "vec_id"))
+    val qrows = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 6)
+      .select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+
+    val plans = scala.collection.mutable.ArrayBuffer.empty[String]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    val source = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingDedup.annServeBucketed(
+        source.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        tbl, cents, nProbe = 4, k = 10) { (df, _) =>
+      plans += df.queryExecution.executedPlan.toString
+      got ++= df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    }.start()
+    qrows.grouped(2).foreach { b =>
+      source.addData(b.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    // the pruning pin: NO micro-batch scans unprobed buckets — each batch's
+    // scan reads strictly fewer buckets than the table holds
+    assert(plans.size == 3, s"expected 3 micro-batch plans, got ${plans.size}")
+    plans.foreach { p =>
+      val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(p)
+      assert(m.isDefined, p)
+      assert(m.get.group(1).toInt < m.get.group(2).toInt, m.get.matched)
+      assert(!p.contains("SortMergeJoin"), p) // lists never shuffle
+    }
+    // stream==batch: the union of per-batch answers equals the in-flight
+    // IVF result over the same queries (the bucketed roundtrip is
+    // row-identical to compute-side IVF — same contract the batch gate
+    // pins for src_ivf_bucketed)
+    val want = Similarity.ivfTopKWith(
+        Similarity.centroids(corpus, 16), corpus, col("vec_id") < 6, 4, 10)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(want.nonEmpty)
+    assert(got.toSet == want)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    corpus.unpersist()
+  }
+
   test("flatMapGroupsWithState sessionization == batch window twin") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
