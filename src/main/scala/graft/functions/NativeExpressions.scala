@@ -464,6 +464,43 @@ object NativeExpressions {
       defineCodeGen(ctx, ev, c => s"$Kernels.polyCombine($c)")
   }
 
+  /** One-pass subword (BPE) tokenization statistics over a constant merge
+    * table (see [[NativeKernels.bpeStats]]): `[nTokens, nPieces,
+    * piecesHash]`. The table — learned by [[graft.operators.Bpe
+    * .learnMerges]], a few dozen to a few thousand entries — ships to
+    * generated code as reference objects (rank map + component pairs),
+    * so the whole apply loop runs inside the scan.
+    */
+  case class BpeStats(child: Expression, merges: Seq[(String, String)])
+      extends UnaryExpression {
+    require(merges.nonEmpty, "bpeStats needs at least one merge")
+    private val pairsArr: Array[Array[String]] =
+      merges.map(p => Array(p._1, p._2)).toArray
+    private val ranksMap: java.util.HashMap[String, Integer] = {
+      val m = new java.util.HashMap[String, Integer]()
+      var i = 0
+      while (i < pairsArr.length) {
+        m.put(pairsArr(i)(0) + '\u0001' + pairsArr(i)(1), Integer.valueOf(i + 1))
+        i += 1
+      }
+      m
+    }
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def withNewChildInternal(newChild: Expression): BpeStats =
+      copy(child = newChild)
+    override protected def flatArguments: Iterator[Any] =
+      Iterator(child, s"merges=${pairsArr.length}")
+
+    override protected def nullSafeEval(input: Any): Any =
+      NativeKernels.bpeStats(input.asInstanceOf[UTF8String], ranksMap, pairsArr)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val rk = ctx.addReferenceObj("graftBpeRanks", ranksMap, "java.util.HashMap")
+      val pr = ctx.addReferenceObj("graftBpePairs", pairsArr, "java.lang.String[][]")
+      defineCodeGen(ctx, ev, c => s"$Kernels.bpeStats($c, $rk, $pr)")
+    }
+  }
+
   // Column-level entry points
   def polyHash(c: Column): Column =
     GraftColumnBridge.column(PolyHash(GraftColumnBridge.expression(c)))
@@ -508,4 +545,6 @@ object NativeExpressions {
     GraftColumnBridge.column(TermCounts(GraftColumnBridge.expression(text), terms))
   def langMarkerCounts(text: Column): Column =
     GraftColumnBridge.column(LangMarkerCounts(GraftColumnBridge.expression(text)))
+  def bpeStats(text: Column, merges: Seq[(String, String)]): Column =
+    GraftColumnBridge.column(BpeStats(GraftColumnBridge.expression(text), merges))
 }

@@ -525,6 +525,88 @@ object NativeKernels {
     ArrayData.toArrayData(counts)
   }
 
+  private def polyHashStr(s: String): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      acc = (acc * 31L + s.charAt(i)) % P
+      i += 1
+    }
+    acc
+  }
+
+  private val BpeSep = '\u0001'
+
+  /** Canonical BPE apply for one token: repeatedly merge the present pair
+    * with the LOWEST rank (all non-overlapping occurrences, left to
+    * right) until no pair in the table remains. `ranks` maps
+    * `left + \u0001 + right` to 1-based rank; `pairs(rank-1)` holds the
+    * components. Bit-matches the DuckDB twin's recursive
+    * list_position/list_reduce formulation.
+    */
+  private def bpeApply(tok: String, ranks: java.util.HashMap[String, Integer],
+                       pairs: Array[Array[String]]): Array[String] = {
+    var seg: Array[String] = Array.tabulate(tok.length)(i => String.valueOf(tok.charAt(i)))
+    var done = seg.length <= 1
+    while (!done) {
+      var best = Int.MaxValue
+      var i = 0
+      while (i < seg.length - 1) {
+        val r = ranks.get(seg(i) + BpeSep + seg(i + 1))
+        if (r != null && r.intValue() < best) best = r.intValue()
+        i += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        val l = pairs(best - 1)(0)
+        val rr = pairs(best - 1)(1)
+        val out = new scala.collection.mutable.ArrayBuffer[String](seg.length)
+        var j = 0
+        while (j < seg.length) {
+          if (j < seg.length - 1 && seg(j) == l && seg(j + 1) == rr) { out += l + rr; j += 2 }
+          else { out += seg(j); j += 1 }
+        }
+        seg = out.toArray
+        if (seg.length <= 1) done = true
+      }
+    }
+    seg
+  }
+
+  /** Whole-document BPE statistics in one pass: tokenize by whitespace
+    * runs, [[bpeApply]] each token against the constant merge table,
+    * emit `[nTokens, nPieces, piecesHash]` where piecesHash is the
+    * base-31 combine of each piece's [[polyHash]] in document order —
+    * the scalar compared surface for subword tokenization (materializing
+    * per-piece rows would explode the corpus ~4x for the gate's benefit
+    * only).
+    */
+  def bpeStats(u: UTF8String, ranks: java.util.HashMap[String, Integer],
+               pairs: Array[Array[String]]): ArrayData = {
+    val s = u.toString
+    var nTok = 0L
+    var nPieces = 0L
+    var hash = 0L
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && isWs(s.charAt(i))) i += 1
+      if (i < n) {
+        val start = i
+        while (i < n && !isWs(s.charAt(i))) i += 1
+        nTok += 1
+        val pieces = bpeApply(s.substring(start, i), ranks, pairs)
+        nPieces += pieces.length
+        var j = 0
+        while (j < pieces.length) {
+          hash = (hash * 31L + polyHashStr(pieces(j))) % P
+          j += 1
+        }
+      }
+    }
+    ArrayData.toArrayData(Array(nTok, nPieces, hash))
+  }
+
   /** Size of the intersection of two strictly-ascending long arrays
     * (sorted-distinct token-hash sets from `array_sort(array_distinct(…))`).
     * Linear merge — replaces the interpreted

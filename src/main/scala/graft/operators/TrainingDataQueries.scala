@@ -64,6 +64,13 @@ object TrainingDataQueries {
   /** Tokenizer vocabulary cap — below the ~31-term corpus vocabulary so
     * the OOV (id 0) path is exercised, not vacuous. */
   val VocabSize = 25
+  /** BPE merge rounds (the twin unrolls exactly this many) and the
+    * frequency cap on the vocabulary histogram the trainer collects —
+    * inactive at fixture scale, the bound that keeps the driver collect
+    * constant-size at 100 TB (every BPE trainer learns from the head of
+    * the word-frequency histogram). */
+  val BpeRounds = 8
+  val BpeVocabCap = 100000
   val CmsProbeTerms = Seq("join", "hash", "scan", "query", "window", "zzz_absent")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -239,6 +246,37 @@ object TrainingDataQueries {
           size(col("toks")).cast(LongType).as("n_tokens"),
           size(filter(col("ids"), _ === lit(0L))).cast(LongType).as("n_oov"),
           NativeExpressions.polyCombine(col("ids")).as("ids_hash"))
+        .orderBy("doc_id")
+    }),
+
+    // Subword (BPE) tokenization — the step every modern training pipeline
+    // runs where pipeline_tokenize stops at whole words. LEARN: one
+    // corpus-sized aggregation builds the token-frequency histogram (capped
+    // at BpeVocabCap — learning never rescans the corpus, the classic BPE
+    // trainer shape), then BpeRounds greedy merges on the driver
+    // (Bpe.learnMerges — deterministic ties, replayed exactly by the
+    // unrolled-rounds twin, so the LEARNED TABLE itself is inside the
+    // hash-exact surface). APPLY: the merge table is a plan constant and
+    // the whole rank-order apply runs in ONE codegen'd pass per document
+    // (NativeExpressions.bpeStats) — no explode, no per-piece shuffle; the
+    // compared surface stays scalar (piece count + ordered piece-hash
+    // combine).
+    "pipeline_bpe" -> ((s, dir) => {
+      val toksExpr = when(length(trim(col("text"))) === 0,
+          array().cast("array<string>"))
+        .otherwise(split(trim(col("text")), "\\s+"))
+      val vocab = docsSpread(s, dir)
+        .select(explode(toksExpr).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("w"))
+        .orderBy(col("w").desc, col("tok")).limit(BpeVocabCap)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val merges = Bpe.learnMerges(vocab, BpeRounds)
+      docsSpread(s, dir)
+        .select(col("doc_id"), NativeExpressions.bpeStats(col("text"), merges).as("b"))
+        .select(col("doc_id"),
+          col("b").getItem(0).as("n_tokens"),
+          col("b").getItem(1).as("n_pieces"),
+          col("b").getItem(2).as("pieces_hash"))
         .orderBy("doc_id")
     }),
 
@@ -561,6 +599,64 @@ object TrainingDataQueries {
          |  CASE WHEN a.idl IS NULL THEN 0 ELSE ${DedupQueries.combineSql("a.idl")} END AS ids_hash
          |FROM tk LEFT JOIN agg a ON tk.doc_id = a.doc_id
          |ORDER BY tk.doc_id""".stripMargin,
+
+    // Unrolled-rounds BPE twin: BpeRounds learning rounds as CTE blocks
+    // (pair counts -> argmax pair -> fold-merge every segmentation), then
+    // the canonical rank-order apply as a per-token recursion (each step
+    // merges the present pair with the lowest rank; strictly decreasing
+    // segment count, so the final state per token is the min-length row).
+    // chr(1) is the pair-key separator (below every corpus char, so key
+    // order == component order — mirrors Bpe.Sep).
+    "pipeline_bpe" -> {
+      def fm(seg: String, l: String, r: String): String =
+        s"list_reduce(list_prepend(CAST([] AS VARCHAR[]), list_transform($seg, s0 -> [s0])), " +
+          s"(acc, x) -> CASE WHEN len(acc) > 0 AND acc[len(acc)] = $l AND x[1] = $r " +
+          s"THEN list_append(acc[1:len(acc)-1], $l || $r) ELSE list_concat(acc, x) END)"
+      val rounds = (1 to BpeRounds).map { k =>
+        s"pc$k AS (SELECT pr, sum(w) AS cnt FROM (" +
+          s"SELECT w, unnest(list_transform(range(1, len(seg)), i -> seg[i] || chr(1) || seg[i+1])) AS pr " +
+          s"FROM v${k - 1}) GROUP BY pr),\n" +
+          s"b$k AS (SELECT pr, string_split(pr, chr(1))[1] AS l, string_split(pr, chr(1))[2] AS r " +
+          s"FROM pc$k ORDER BY cnt DESC, pr LIMIT 1),\n" +
+          s"v$k AS (SELECT tok, w, ${fm("v.seg", "b.l", "b.r")} AS seg FROM v${k - 1} v, b$k b)"
+      }.mkString(",\n")
+      val mtList = (1 to BpeRounds).map(k => s"b$k.pr").mkString(", ")
+      val mtFrom = (1 to BpeRounds).map(k => s"b$k").mkString(", ")
+      s"""WITH RECURSIVE
+         |tk AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         |       ELSE string_split_regex(trim(text), '\\s+') END AS toks FROM documents),
+         |e0 AS (SELECT unnest(toks) AS tok FROM tk),
+         |hist AS (SELECT tok, count(*) AS w FROM e0 GROUP BY tok),
+         |v0 AS (SELECT tok, w, list_transform(range(1, length(tok)+1), c0 -> tok[c0]) AS seg
+         |       FROM hist QUALIFY row_number() OVER (ORDER BY w DESC, tok) <= $BpeVocabCap),
+         |$rounds,
+         |mt AS (SELECT [$mtList] AS mtl FROM $mtFrom),
+         |va AS (SELECT tok, list_transform(range(1, length(tok)+1), c1 -> tok[c1]) AS seg FROM hist),
+         |rec AS (
+         |  SELECT tok, seg FROM va
+         |  UNION ALL
+         |  SELECT tok, ${fm("seg",
+             "string_split(mtl[best], chr(1))[1]", "string_split(mtl[best], chr(1))[2]")} AS seg
+         |  FROM (
+         |    SELECT rec.tok, rec.seg, m.mtl,
+         |      list_min(list_filter(list_transform(range(1, len(rec.seg)), i ->
+         |        list_position(m.mtl, rec.seg[i] || chr(1) || rec.seg[i+1])), q0 -> q0 IS NOT NULL AND q0 > 0)) AS best
+         |    FROM rec, mt m)
+         |  WHERE best IS NOT NULL
+         |),
+         |fin AS (SELECT tok, seg FROM (
+         |  SELECT tok, seg, row_number() OVER (PARTITION BY tok ORDER BY len(seg)) AS rn FROM rec) WHERE rn = 1),
+         |eo AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)+1), i -> {'pos': i, 'tok': toks[i]})) AS u FROM tk),
+         |pp AS (SELECT eo.doc_id, eo.u.pos AS pos, f.seg AS seg FROM eo JOIN fin f ON eo.u.tok = f.tok),
+         |fl AS (SELECT doc_id, pos, unnest(list_transform(range(1, len(seg)+1), j -> {'j': j, 'pc': seg[j]})) AS w2 FROM pp),
+         |hh AS (SELECT doc_id, pos, w2.j AS j, ${ph("w2.pc", "ci")} AS h FROM fl),
+         |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pieces, list(h ORDER BY pos, j) AS hl FROM hh GROUP BY doc_id)
+         |SELECT tk.doc_id, CAST(len(tk.toks) AS BIGINT) AS n_tokens,
+         |  COALESCE(ag.n_pieces, 0) AS n_pieces,
+         |  CASE WHEN ag.hl IS NULL THEN 0 ELSE ${DedupQueries.combineSql("ag.hl")} END AS pieces_hash
+         |FROM tk LEFT JOIN ag ON tk.doc_id = ag.doc_id
+         |ORDER BY tk.doc_id""".stripMargin
+    },
 
     "text_cms_counts" -> {
       val values = CmsProbeTerms.map(t => s"('$t')").mkString(", ")
