@@ -464,6 +464,21 @@ object NativeExpressions {
       defineCodeGen(ctx, ev, c => s"$Kernels.polyCombine($c)")
   }
 
+  /** Non-overlapping token-window ("paragraph") hashes in one pass (see
+    * [[NativeKernels.windowHashes]]) — the paragraph-dedup front-end. */
+  case class WindowHashes(child: Expression, w: Int) extends UnaryExpression {
+    require(w >= 1, s"window width must be >= 1, got $w")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def withNewChildInternal(newChild: Expression): WindowHashes =
+      copy(child = newChild)
+
+    override protected def nullSafeEval(input: Any): Any =
+      NativeKernels.windowHashes(input.asInstanceOf[UTF8String], w)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Kernels.windowHashes($c, $w)")
+  }
+
   /** One-pass subword (BPE) tokenization statistics over a constant merge
     * table (see [[NativeKernels.bpeStats]]): `[nTokens, nPieces,
     * piecesHash]`. The table — learned by [[graft.operators.Bpe
@@ -547,4 +562,6 @@ object NativeExpressions {
     GraftColumnBridge.column(LangMarkerCounts(GraftColumnBridge.expression(text)))
   def bpeStats(text: Column, merges: Seq[(String, String)]): Column =
     GraftColumnBridge.column(BpeStats(GraftColumnBridge.expression(text), merges))
+  def windowHashes(text: Column, w: Int): Column =
+    GraftColumnBridge.column(WindowHashes(GraftColumnBridge.expression(text), w))
 }

@@ -525,6 +525,29 @@ object NativeKernels {
     ArrayData.toArrayData(counts)
   }
 
+  /** Non-overlapping token-window ("paragraph") hashes: window i is the
+    * base-31 combine of token hashes [i*w, min((i+1)*w, n)) in order, the
+    * last partial window kept. The paragraph-level dedup front-end — one
+    * pass, no explode of token rows. Mirrors the twin's
+    * `list_transform(range(...), i -> list_reduce(th[slice]))`.
+    */
+  def windowHashes(u: UTF8String, w: Int): ArrayData = {
+    val th = tokenHashesArray(u.toString)
+    if (th.length == 0) return ArrayData.toArrayData(Array.empty[Long])
+    val m = (th.length + w - 1) / w
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var acc = 0L
+      var j = i * w
+      val end = math.min(j + w, th.length)
+      while (j < end) { acc = (acc * 31L + th(j)) % P; j += 1 }
+      out(i) = acc
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
   private def polyHashStr(s: String): Long = {
     var acc = 0L
     var i = 0

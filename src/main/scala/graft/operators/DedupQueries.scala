@@ -271,6 +271,45 @@ object DedupQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Paragraph-level EXACT dedup (the RefinedWeb-style pass doc-level
+    // dedup misses: boilerplate repeated across distinct documents). The
+    // corpus has no paragraph breaks, so "paragraph" = a non-overlapping
+    // 20-token window — hashed IN-SCAN by one kernel pass (no token
+    // explode). Canonical occurrence per hash is a map-side-combinable
+    // min(struct) aggregate; every later occurrence is dropped and the
+    // doc's surviving content is pinned by an ordered hash combine. Plan:
+    // the two unavoidable data-sized shuffles of any global exact dedup
+    // (group by hash, join back by hash) and the per-doc re-aggregation —
+    // never a window, never a self-join. Docs with zero tokens have no
+    // paragraphs and are absent by construction (both engines).
+    "dedup_paragraph" -> ((s, dir) => {
+      import graft.functions.NativeExpressions
+      val w = 20
+      // persist: the exploded paragraph set feeds the canonical agg AND the
+      // join-back — without it the scan + kernel pass runs twice
+      val paras = docsSpread(s, dir)
+        .select(col("doc_id"),
+          posexplode(NativeExpressions.windowHashes(col("text"), w)))
+        .select(col("doc_id"), col("pos").cast(LongType).as("pidx"),
+          col("col").as("h"))
+        .persist()
+      val canon = paras.groupBy(col("h"))
+        .agg(min(struct(col("doc_id"), col("pidx"))).as("c"))
+        .select(col("h"), col("c").getField("doc_id").as("c_doc"),
+          col("c").getField("pidx").as("c_pidx"))
+      paras.join(canon, "h")
+        .withColumn("kept",
+          col("doc_id") === col("c_doc") && col("pidx") === col("c_pidx"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_paras"),
+          sum(when(col("kept"), 0L).otherwise(1L)).as("n_dup"),
+          graft.functions.NativeExpressions.polyCombine(
+            transform(array_sort(collect_list(when(col("kept"),
+              struct(col("pidx"), col("h"))))), e => e.getField("h")))
+            .as("kept_hash"))
+        .orderBy("doc_id")
+    }),
+
     // Semantic dedup at the 100 TB shape (SemDeDup-style): embeddings are
     // coarse-quantized onto IVF lists (centroids broadcast, assignment
     // map-side — Similarity's machinery), and the tau-similarity check runs
@@ -537,6 +576,26 @@ object DedupQueries {
          |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.4
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_paragraph" -> {
+      val w = 20
+      s"""WITH t AS ($thCte),
+         |p0 AS (SELECT doc_id, th FROM t WHERE len(th) > 0),
+         |paras AS (SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pidx, u.h FROM (
+         |  SELECT doc_id, unnest(list_transform(range(1, ((len(th) + ${w - 1}) // $w) + 1),
+         |    i -> {'i': i, 'h': ${combineSql(s"th[(i-1)*$w+1:LEAST(i*$w, len(th))]")}})) AS u
+         |  FROM p0)),
+         |canon AS (SELECT h, min(struct_pack(d := doc_id, p := pidx)) AS c
+         |  FROM paras GROUP BY h),
+         |j AS (SELECT p.doc_id, p.pidx, p.h,
+         |       (p.doc_id = c.c.d AND p.pidx = c.c.p) AS kept
+         |      FROM paras p JOIN canon c USING (h))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras,
+         |  CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dup,
+         |  CASE WHEN count(*) FILTER (WHERE kept) = 0 THEN 0
+         |       ELSE ${combineSql("list(h ORDER BY pidx) FILTER (WHERE kept)")} END AS kept_hash
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
 
     // same centroid/assignment formulation as the sim_topk_ivf oracle
     "dedup_semantic" ->

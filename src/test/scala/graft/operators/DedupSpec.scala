@@ -163,6 +163,21 @@ class DedupSpec extends SparkSuite {
     assert(r.getDouble(2) == 0.0) // empty side: vacuous, never a signal
   }
 
+  test("paragraph dedup: fixture has cross-doc duplicate windows; canonical survives, later copies drop") {
+    val rows = graft.SparkEntry.queries("dedup_paragraph")(spark, sf0001).collect()
+    assert(rows.length == 500)
+    // the gate proves exactness vs the twin; pin non-vacuity here — the
+    // fixture corpus really contains repeated 20-token windows
+    val totalDup = rows.map(_.getLong(2)).sum
+    assert(totalDup > 0, "no duplicate paragraphs in fixture — operator untested")
+    // a doc can never drop ALL paragraphs AND still hash nonzero
+    rows.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(2)) // n_paras >= n_dup
+      if (r.getLong(1) == r.getLong(2)) assert(r.getLong(3) == 0L)
+    }
+    spark.catalog.clearCache()
+  }
+
   test("cosine is 1 for parallel vectors, 0 for orthogonal") {
     import spark.implicits._
     val df = Seq((Seq(1.0f, 0.0f), Seq(2.0f, 0.0f), Seq(0.0f, 3.0f)))
