@@ -484,9 +484,18 @@ object Similarity {
   }
 
   /** Spark ML LSH scale path: seeded BucketedRandomProjectionLSH
-    * approxSimilarityJoin then per-query top-k by actual cosine. */
+    * approxSimilarityJoin then per-query top-k by actual cosine.
+    *
+    * `maxDist` bounds the similarity join so it PRUNES instead of keeping
+    * every bucket-colliding pair — at scale an unbounded join materializes
+    * the full collision set. Size it from a sampled pairwise-distance
+    * distribution, comfortably above the k-th-NN distance (the fixture's
+    * 10th-NN distances are ~1.22; the demo query passes 1.35, its ~25th
+    * pairwise percentile). The MaxValue default is the exact-within-
+    * buckets mode for callers that need recall over cost. */
   def lshTopK(embeddings: DataFrame, queryPred: Column, k: Int,
-              numHashTables: Int = 4, bucketLength: Double = 4.0): DataFrame = {
+              numHashTables: Int = 4, bucketLength: Double = 4.0,
+              maxDist: Double = Double.MaxValue): DataFrame = {
     val prepared = prepare(embeddings)
       .withColumn("features", array_to_vector(col("v").cast("array<double>")))
     val lsh = new BucketedRandomProjectionLSH()
@@ -494,7 +503,7 @@ object Similarity {
       .setNumHashTables(numHashTables).setBucketLength(bucketLength).setSeed(42L)
     val model = lsh.fit(prepared)
     val q = prepared.filter(queryPred)
-    val joined = model.approxSimilarityJoin(q, prepared, Double.MaxValue, "dist")
+    val joined = model.approxSimilarityJoin(q, prepared, maxDist, "dist")
       .select(
         col("datasetA.vec_id").as("query_id"),
         col("datasetA.v").as("qv"), col("datasetA.nrm").as("qnrm"),

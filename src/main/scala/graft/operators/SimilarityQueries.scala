@@ -54,7 +54,11 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
     "sim_topk_lsh" -> ((s, dir) => {
-      Similarity.lshTopK(Tables.embeddings(s, dir), col("vec_id") < NQueries, K)
+      // maxDist 1.35 ≈ the corpus's 25th pairwise-distance percentile,
+      // well above the ~1.22 10th-NN distances — the join prunes the far
+      // tail instead of keeping every bucket collision (see lshTopK doc)
+      Similarity.lshTopK(Tables.embeddings(s, dir), col("vec_id") < NQueries, K,
+          maxDist = 1.35)
         .orderBy("query_id", "rank")
     }),
     // trained coarse quantizer: k-means|| internals aren't oracle-replicable
