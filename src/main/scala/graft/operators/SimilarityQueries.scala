@@ -157,6 +157,67 @@ object SimilarityQueries {
     // lists. The probe result is hash-identical to a full rebuild over
     // base ∪ increment (same oracle as src_ivf_bucketed), which is the
     // whole point: ingest must not change answers.
+    // Persisted IVF-PQ serving — the full production layout in ONE
+    // artifact: the corpus written bucketed by cen_id carrying the m-byte
+    // PQ codes, the norm, AND the full vector. A probe then reads the
+    // table twice, each time minimally: the coarse ADC pass is BUCKET-
+    // pruned (only probed lists) and COLUMN-pruned (codes+nrm — the full
+    // vector column is never deserialized for losers; parquet columnar IO
+    // makes the 64x narrower coarse read real, pinned via ReadSchema),
+    // and the exact rescore reads full vectors only for the <= |Q|*cand
+    // survivors via a broadcast semi-join into the scan. Assignment and
+    // encoding are paid once at write. Deterministic quantizers (first-N,
+    // same as sim_topk_ivfpq) -> hash-exact oracle at the serving query
+    // count.
+    "src_ivfpq_bucketed" -> ((s, dir) => {
+      import graft.functions.NativeExpressions
+      val corpus = Similarity.prepare(Tables.embeddings(s, dir)).persist()
+      val all = Similarity.collectCentroids(
+        Similarity.centroids(corpus, math.max(NCentroids, PqCodewords)))
+      val centSeq = all.filter(_._1 < NCentroids)
+      val codebook: Seq[Seq[Double]] = all.filter(_._1 < PqCodewords).map(_._2)
+      require(codebook.length == PqCodewords, // dense-index oracle contract
+        s"PQ codebook collapsed to ${codebook.length}/$PqCodewords codewords")
+      val tbl = scratchTable(s, "graft_ivfpq_lists")
+      graft.sources.Layouts.writeBucketed(
+        Similarity.ivfAssignWith(corpus, centSeq)
+          .withColumn("codes", NativeExpressions.pqEncode(col("v"), codebook, PqM))
+          .select(col("vec_id"), col("cen_id"), col("codes"), col("nrm"), col("v")),
+        tbl, "cen_id", nBuckets = 16, sortCols = Seq("cen_id", "vec_id"))
+
+      val probeRows = corpus.filter(col("vec_id") < NQueriesServe)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+        .withColumn("cen_id", explode(
+          NativeExpressions.topNCosineIds(col("qv"), col("qnrm"), centSeq, NProbe)))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2), r.getLong(3)))
+        .toSeq
+      import s.implicits._
+      val probes = probeRows.toDF("query_id", "qv", "qnrm", "cen_id")
+      val probeIds = probeRows.map(_._4).distinct.sorted
+      val q = probes.select("query_id", "qv", "qnrm").distinct()
+
+      // coarse: bucket-pruned, codes+nrm only — v is NOT selected
+      val coarse = s.table(tbl)
+        .filter(col("cen_id").isin(probeIds.map(Long.box): _*))
+        .select(col("vec_id"), col("cen_id"), col("codes"), col("nrm"))
+        .join(broadcast(probes), "cen_id")
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("coarse",
+          NativeExpressions.pqAdc(col("qv"), col("codes"), codebook, PqM) /
+            (col("qnrm") * col("nrm")))
+        .groupBy(col("query_id"))
+        .agg(TopKAgg.column(NCandidates, col("coarse"), col("vec_id")).as("ck"))
+        .select(col("query_id"), explode(col("ck")("_2")).as("vec_id"))
+        .join(broadcast(q), "query_id")
+
+      // rescore: full vectors only for survivors (broadcast semi into scan)
+      val rescored = s.table(tbl).select(col("vec_id"), col("v"), col("nrm"))
+        .join(broadcast(coarse), "vec_id")
+        .withColumn("cos", graft.operators.Dedup.cosine(
+          col("qv"), col("v"), col("qnrm"), col("nrm")))
+      Similarity.topKPerQuery(rescored, K).orderBy("query_id", "rank")
+    }),
     "src_ivf_append" -> ((s, dir) => {
       val corpus = Similarity.prepare(Tables.embeddings(s, dir)).persist()
       val base = corpus.filter(col("vec_id") < 400)
@@ -377,11 +438,23 @@ object SimilarityQueries {
       },
       // IVF-PQ twin: IVF assignment + probe selection from the ivf twin,
       // PQ encode + reconstruction from the pq twin, ADC coarse ranking
-      // restricted to probed lists, exact rescore.
-      "sim_topk_ivfpq" -> {
-        val dsub = 8
-        val sq = s"(nn.v[gs.s*$dsub + t] - cb.cv[gs.s*$dsub + t])"
-        s"""WITH e AS ($e), nn AS ($n),
+      // restricted to probed lists, exact rescore. Parameterized by query
+      // count: the in-flight tier compares at NQueries, the persisted
+      // serving roundtrip (src_ivfpq_bucketed — row-identical by
+      // construction) at the serving regime's NQueriesServe.
+      "sim_topk_ivfpq" -> ivfPqOracle(NQueries),
+      "src_ivfpq_bucketed" -> ivfPqOracle(NQueriesServe)
+    )
+  }
+
+  private def ivfPqOracle(nQueries: Int): String = {
+    val e =
+      s"""SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings""".stripMargin
+    val n = s"SELECT * FROM (SELECT vec_id, v, ${normSql("v")} AS nrm FROM e) WHERE nrm > 0.0"
+    val dsub = 8
+    val sq = s"(nn.v[gs.s*$dsub + t] - cb.cv[gs.s*$dsub + t])"
+    s"""WITH e AS ($e), nn AS ($n),
            |cents AS (SELECT vec_id AS cen_id, v AS cv, nrm AS cnrm FROM nn WHERE vec_id < $NCentroids),
            |assigned AS (
            |  SELECT vec_id, cen_id FROM (
@@ -406,7 +479,7 @@ object SimilarityQueries {
            |  SELECT c.vec_id, list_transform(range(1, ${PqM * dsub + 1}),
            |    i -> cbl.cbs[CAST(c.code[CAST((i-1)//$dsub AS BIGINT) + 1] AS BIGINT) + 1][i]) AS rv
            |  FROM codes c, cbl),
-           |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM nn WHERE vec_id < $NQueries),
+           |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM nn WHERE vec_id < $nQueries),
            |probes AS (
            |  SELECT query_id, qv, qnrm, cen_id FROM (
            |    SELECT q.query_id, q.qv, q.qnrm, cents.cen_id,
@@ -434,7 +507,5 @@ object SimilarityQueries {
            |  FROM res)
            |SELECT query_id, rank, vec_id, cos FROM ranked
            |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
-      }
-    )
   }
 }

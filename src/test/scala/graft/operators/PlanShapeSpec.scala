@@ -117,6 +117,24 @@ class PlanShapeSpec extends SparkSuite
     spark.catalog.clearCache()
   }
 
+  test("persisted IVF-PQ serving: coarse scan is bucket-pruned AND column-pruned to the m-byte codes") {
+    val plan = executed("src_ivfpq_bucketed")
+    // bucket pruning: only the buckets holding probed lists are read
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(m.isDefined, plan)
+    assert(m.get.group(1).toInt < m.get.group(2).toInt, m.get.matched)
+    // column pruning: the coarse (ADC) read must NOT deserialize the full
+    // vector column — some scan of the table reads codes WITHOUT v. The
+    // rescore scan reads v (for survivors only), so assert per-line.
+    val schemas = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(schemas.exists(l => l.contains("codes") && !l.contains("v:array")),
+      schemas.mkString("\n"))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+    spark.catalog.clearCache()
+  }
+
   test("upsert merge is a full-outer key join; delete filter does not re-shuffle the merged side") {
     val plan = executed("pipeline_upsert")
     assert(plan.contains("FullOuter"), plan)

@@ -29,7 +29,7 @@ class ShuffleAuditSpec extends SparkSuite {
     // trained tiers share the pq/ivfpq plan shape (persisted corpus fanned
     // out over four branches, cached-plan text doubled under AQE)
     "sim_topk_pq_trained" -> 13, "sim_topk_ivfpq_trained" -> 13,
-    "src_ivf_bucketed" -> 8, "src_ivf_append" -> 8,
+    "src_ivf_bucketed" -> 8, "src_ivf_append" -> 8, "src_ivfpq_bucketed" -> 8,
     // persisted shingle base referenced from three branches (eval distinct,
     // exact semi-join, probe side) — cached-plan text repeats as above
     "pipeline_decontaminate_bloom" -> 11,
