@@ -464,6 +464,22 @@ object NativeExpressions {
       defineCodeGen(ctx, ev, c => s"$Kernels.polyCombine($c)")
   }
 
+  /** Feature-hashed document embedding in one pass (see
+    * [[NativeKernels.hashEmbed]]) — signed-count components, exact under
+    * any order, so the embed->dedup chain stays oracle-replicable. */
+  case class HashEmbed(child: Expression, dim: Int) extends UnaryExpression {
+    require(dim >= 1, s"embedding dim must be >= 1, got $dim")
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override protected def withNewChildInternal(newChild: Expression): HashEmbed =
+      copy(child = newChild)
+
+    override protected def nullSafeEval(input: Any): Any =
+      NativeKernels.hashEmbed(input.asInstanceOf[UTF8String], dim)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Kernels.hashEmbed($c, $dim)")
+  }
+
   /** Non-overlapping token-window ("paragraph") hashes in one pass (see
     * [[NativeKernels.windowHashes]]) — the paragraph-dedup front-end. */
   case class WindowHashes(child: Expression, w: Int) extends UnaryExpression {
@@ -564,4 +580,6 @@ object NativeExpressions {
     GraftColumnBridge.column(BpeStats(GraftColumnBridge.expression(text), merges))
   def windowHashes(text: Column, w: Int): Column =
     GraftColumnBridge.column(WindowHashes(GraftColumnBridge.expression(text), w))
+  def hashEmbed(text: Column, dim: Int): Column =
+    GraftColumnBridge.column(HashEmbed(GraftColumnBridge.expression(text), dim))
 }

@@ -525,6 +525,29 @@ object NativeKernels {
     ArrayData.toArrayData(counts)
   }
 
+  /** Feature-hashed bag-of-tokens document embedding (hashing trick): one
+    * pass over the token hashes; token h lands in bucket `h mod dim` with
+    * sign `+1` iff `(h div dim) mod 2 == 1`. Components are signed
+    * INTEGER counts (emitted as doubles), so the result is exact under
+    * any accumulation order — the oracle recomputes each bucket as a
+    * filtered count difference and matches bit-for-bit. Bridges the text
+    * pipeline into the similarity/semantic-dedup stack without a trained
+    * encoder: deterministic, so the full embed -> assign -> dedup chain
+    * stays hash-exact.
+    */
+  def hashEmbed(u: UTF8String, dim: Int): ArrayData = {
+    val th = tokenHashesArray(u.toString)
+    val out = new Array[Double](dim)
+    var i = 0
+    while (i < th.length) {
+      val h = th(i)
+      val b = (h % dim).toInt
+      if ((h / dim) % 2 == 1) out(b) += 1.0 else out(b) -= 1.0
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
   /** Non-overlapping token-window ("paragraph") hashes: window i is the
     * base-31 combine of token hashes [i*w, min((i+1)*w, n)) in order, the
     * last partial window kept. The paragraph-level dedup front-end — one

@@ -320,6 +320,26 @@ object DedupQueries {
     "dedup_semantic" -> ((s, dir) => {
       val corpus = Similarity.prepare(Tables.embeddings(s, dir)).persist()
       semanticDedup(corpus, nCentroids = 16, tau = 0.4).orderBy("vec_id")
+    }),
+
+    // Semantic dedup END TO END over DOCUMENTS: embeddings are derived
+    // in-scan by the feature-hashing trick (signed token counts, one
+    // kernel pass — no trained encoder, no external embedding table),
+    // then the same IVF-list tau machinery as dedup_semantic. Every step
+    // is deterministic integer/fixed-order arithmetic, so the whole
+    // embed -> assign -> dedup chain is hash-exact — the oracle-able twin
+    // of "run SemDeDup on your corpus". tau=0.9 ~ the corpus's 99.9th
+    // cosine percentile (unigram profiles of a shared-vocabulary corpus
+    // are globally similar; only near-identical profiles are dups).
+    "dedup_semantic_text" -> ((s, dir) => {
+      import graft.functions.NativeExpressions
+      val emb = docsSpread(s, dir)
+        .select(col("doc_id").as("vec_id"),
+          NativeExpressions.hashEmbed(col("text"), 64).as("v"))
+        .withColumn("nrm", l2norm(col("v")))
+        .filter(col("nrm") > 0.0)
+        .persist()
+      semanticDedup(emb, nCentroids = 16, tau = 0.9).orderBy("vec_id")
     })
   )
 
@@ -614,6 +634,32 @@ object DedupQueries {
          |  FROM assigned a JOIN assigned b
          |    ON a.cen_id = b.cen_id AND a.vec_id < b.vec_id
          |  WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.4)
+         |SELECT n.vec_id, n.cen_id,
+         |  n.vec_id NOT IN (SELECT vec_id FROM victims) AS keep
+         |FROM assigned n ORDER BY n.vec_id""".stripMargin,
+
+    // same IVF-tau formulation; vectors DERIVED from text by the hashing
+    // trick — per bucket, (#tokens with sign bit set) - (#without), exact
+    // integer counts cast to double, so accumulation order is irrelevant
+    "dedup_semantic_text" ->
+      s"""WITH t AS ($thCte),
+         |hv AS (SELECT doc_id AS vec_id, list_transform(range(0, 64), b ->
+         |  CAST(len(list_filter(th, h -> h % 64 = b AND (h // 64) % 2 = 1)) -
+         |       len(list_filter(th, h -> h % 64 = b AND (h // 64) % 2 = 0)) AS DOUBLE)) AS v
+         |  FROM t),
+         |nn AS (SELECT * FROM (SELECT vec_id, v, ${normSql("v")} AS nrm FROM hv) WHERE nrm > 0.0),
+         |cents AS (SELECT vec_id AS cen_id, v AS cv, nrm AS cnrm FROM nn WHERE vec_id < 16),
+         |assigned AS (
+         |  SELECT vec_id, cen_id, v, nrm FROM (
+         |    SELECT nn.vec_id, cents.cen_id, nn.v, nn.nrm,
+         |      row_number() OVER (PARTITION BY nn.vec_id
+         |        ORDER BY ${dotSql("nn.v", "cents.cv")} / (nn.nrm * cents.cnrm) DESC, cents.cen_id) AS crn
+         |    FROM nn, cents) WHERE crn = 1),
+         |victims AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cen_id = b.cen_id AND a.vec_id < b.vec_id
+         |  WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.9)
          |SELECT n.vec_id, n.cen_id,
          |  n.vec_id NOT IN (SELECT vec_id FROM victims) AS keep
          |FROM assigned n ORDER BY n.vec_id""".stripMargin

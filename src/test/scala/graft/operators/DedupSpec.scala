@@ -178,6 +178,26 @@ class DedupSpec extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("hashEmbed: signed-count buckets, hand-checked; text semantic dedup is non-vacuous") {
+    import spark.implicits._
+    import graft.functions.NativeExpressions
+    // token "a" -> polyHash 97 -> bucket 33, sign + (97/64 = 1, odd);
+    // token "b" -> 98 -> bucket 34, sign +; doubled "a" accumulates
+    val v = Seq("a a b").toDF("text")
+      .select(NativeExpressions.hashEmbed(col("text"), 64).as("v"))
+      .head().getSeq[Double](0)
+    assert(v.length == 64)
+    assert(v(33) == 2.0 && v(34) == 1.0)
+    assert(v.map(math.abs).sum == 3.0)
+
+    val rows = graft.SparkEntry.queries("dedup_semantic_text")(spark, sf0001).collect()
+    assert(rows.length == 500)
+    val dropped = rows.count(!_.getBoolean(2))
+    assert(dropped > 0 && dropped < rows.length,
+      s"degenerate dedup: $dropped/${rows.length} dropped")
+    spark.catalog.clearCache()
+  }
+
   test("cosine is 1 for parallel vectors, 0 for orthogonal") {
     import spark.implicits._
     val df = Seq((Seq(1.0f, 0.0f), Seq(2.0f, 0.0f), Seq(0.0f, 3.0f)))
