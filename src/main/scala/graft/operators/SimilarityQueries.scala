@@ -192,31 +192,7 @@ object SimilarityQueries {
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2), r.getLong(3)))
         .toSeq
-      import s.implicits._
-      val probes = probeRows.toDF("query_id", "qv", "qnrm", "cen_id")
-      val probeIds = probeRows.map(_._4).distinct.sorted
-      val q = probes.select("query_id", "qv", "qnrm").distinct()
-
-      // coarse: bucket-pruned, codes+nrm only — v is NOT selected
-      val coarse = s.table(tbl)
-        .filter(col("cen_id").isin(probeIds.map(Long.box): _*))
-        .select(col("vec_id"), col("cen_id"), col("codes"), col("nrm"))
-        .join(broadcast(probes), "cen_id")
-        .filter(col("vec_id") =!= col("query_id"))
-        .withColumn("coarse",
-          NativeExpressions.pqAdc(col("qv"), col("codes"), codebook, PqM) /
-            (col("qnrm") * col("nrm")))
-        .groupBy(col("query_id"))
-        .agg(TopKAgg.column(NCandidates, col("coarse"), col("vec_id")).as("ck"))
-        .select(col("query_id"), explode(col("ck")("_2")).as("vec_id"))
-        .join(broadcast(q), "query_id")
-
-      // rescore: full vectors only for survivors (broadcast semi into scan)
-      val rescored = s.table(tbl).select(col("vec_id"), col("v"), col("nrm"))
-        .join(broadcast(coarse), "vec_id")
-        .withColumn("cos", graft.operators.Dedup.cosine(
-          col("qv"), col("v"), col("qnrm"), col("nrm")))
-      Similarity.topKPerQuery(rescored, K).orderBy("query_id", "rank")
+      probePqLists(s, tbl, codebook, PqM, probeRows, NCandidates, K)
     }),
     "src_ivf_append" -> ((s, dir) => {
       val corpus = Similarity.prepare(Tables.embeddings(s, dir)).persist()
@@ -268,6 +244,46 @@ object SimilarityQueries {
       .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2), r.getLong(3)))
       .toSeq
     probeListsPruned(s, tbl, probeRows, K)
+  }
+
+  /** The shared COMPRESSED serving read against a PQ-coded bucketed list
+    * table (vec_id, cen_id, codes, nrm, v): coarse ADC pass bucket-pruned
+    * to the probed lists and column-pruned to codes+nrm (the full-vector
+    * column never deserializes for losers), exact rescore of the
+    * survivors from the same table via a broadcast semi-join into the
+    * scan. The per-micro-batch body of
+    * [[graft.streaming.StreamingDedup.annServePq]] and the batch body of
+    * `src_ivfpq_bucketed`. */
+  private[graft] def probePqLists(s: SparkSession, tbl: String,
+      codebook: Seq[Seq[Double]], m: Int,
+      probeRows: Seq[(Long, Seq[Double], Double, Long)],
+      candidates: Int, k: Int): DataFrame = {
+    import graft.functions.NativeExpressions
+    import s.implicits._
+    val probes = probeRows.toDF("query_id", "qv", "qnrm", "cen_id")
+    val probeIds = probeRows.map(_._4).distinct.sorted
+    val q = probes.select("query_id", "qv", "qnrm").distinct()
+
+    // coarse: bucket-pruned, codes+nrm only — v is NOT selected
+    val coarse = s.table(tbl)
+      .filter(col("cen_id").isin(probeIds.map(Long.box): _*))
+      .select(col("vec_id"), col("cen_id"), col("codes"), col("nrm"))
+      .join(broadcast(probes), "cen_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("coarse",
+        NativeExpressions.pqAdc(col("qv"), col("codes"), codebook, m) /
+          (col("qnrm") * col("nrm")))
+      .groupBy(col("query_id"))
+      .agg(TopKAgg.column(candidates, col("coarse"), col("vec_id")).as("ck"))
+      .select(col("query_id"), explode(col("ck")("_2")).as("vec_id"))
+      .join(broadcast(q), "query_id")
+
+    // rescore: full vectors only for survivors (broadcast semi into scan)
+    val rescored = s.table(tbl).select(col("vec_id"), col("v"), col("nrm"))
+      .join(broadcast(coarse), "vec_id")
+      .withColumn("cos", graft.operators.Dedup.cosine(
+        col("qv"), col("v"), col("qnrm"), col("nrm")))
+    Similarity.topKPerQuery(rescored, k).orderBy("query_id", "rank")
   }
 
   /** The shared serving read: collected probe rows (query_id, qv, qnrm,

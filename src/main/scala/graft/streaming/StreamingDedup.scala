@@ -188,4 +188,36 @@ object StreamingDedup {
           batch.sparkSession, tbl, probeRows, k), batchId)
     }
   }
+
+  /** Streaming ANN serving against the COMPRESSED persisted index — the
+    * [[annServeBucketed]] shape over the PQ-coded table of
+    * `src_ivfpq_bucketed`: each micro-batch's coarse ADC pass reads the
+    * table bucket-pruned (probed lists only) AND column-pruned (the
+    * m-byte codes + norm; the full-vector column never deserializes for
+    * losers), then rescores only the surviving candidates exactly. The
+    * per-batch read is [[graft.operators.SimilarityQueries.probePqLists]]
+    * — identical to the batch serving body, so stream==batch holds by
+    * construction and is spec-pinned anyway.
+    */
+  def annServePq(queries: DataFrame, idCol: String, embCol: String,
+                 tbl: String, cents: Seq[(Long, Seq[Double], Double)],
+                 codebook: Seq[Seq[Double]], m: Int, nProbe: Int,
+                 candidates: Int, k: Int)(
+      emit: (DataFrame, Long) => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    queries.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val probeRows = batch
+        .select(col(idCol).as("query_id"), Dedup.toDoubleArray(col(embCol)).as("qv"))
+        .withColumn("qnrm", Dedup.l2norm(col("qv")))
+        .filter(col("qnrm") > 0.0)
+        .withColumn("cen_id", explode(graft.functions.NativeExpressions
+          .topNCosineIds(col("qv"), col("qnrm"), cents, nProbe)))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2), r.getLong(3)))
+        .toSeq
+      if (probeRows.nonEmpty)
+        emit(graft.operators.SimilarityQueries.probePqLists(
+          batch.sparkSession, tbl, codebook, m, probeRows, candidates, k), batchId)
+    }
+  }
 }

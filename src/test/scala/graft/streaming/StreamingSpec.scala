@@ -561,6 +561,65 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     corpus.unpersist()
   }
 
+  test("compressed streaming ANN serving: ADC coarse reads pruned both ways, stream==batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.Similarity
+    import graft.functions.NativeExpressions
+
+    val corpus = Similarity.prepare(Tables.embeddings(spark, sfDir)).persist()
+    val all = Similarity.collectCentroids(Similarity.centroids(corpus, 16))
+    val cents = all
+    val codebook: Seq[Seq[Double]] = all.map(_._2) // first-16, like the batch query
+    val tbl = "graft_ivfpq_stream_spec"
+    graft.sources.Layouts.writeBucketed(
+      Similarity.ivfAssignWith(corpus, cents)
+        .withColumn("codes", NativeExpressions.pqEncode(col("v"), codebook, 8))
+        .select(col("vec_id"), col("cen_id"), col("codes"), col("nrm"), col("v")),
+      tbl, "cen_id", nBuckets = 16, sortCols = Seq("cen_id", "vec_id"))
+    val qrows = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 6)
+      .select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+
+    val plans = scala.collection.mutable.ArrayBuffer.empty[String]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    val source = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingDedup.annServePq(
+        source.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        tbl, cents, codebook, m = 8, nProbe = 4, candidates = 32, k = 10) { (df, _) =>
+      plans += df.queryExecution.executedPlan.toString
+      got ++= df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    }.start()
+    qrows.grouped(2).foreach { b =>
+      source.addData(b.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    assert(plans.size == 3, s"expected 3 micro-batch plans, got ${plans.size}")
+    plans.foreach { p =>
+      // bucket pruning per batch
+      val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(p)
+      assert(m.isDefined, p)
+      assert(m.get.group(1).toInt < m.get.group(2).toInt, m.get.matched)
+      // column pruning: the coarse scan reads codes WITHOUT the vector col
+      val schemas = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+      assert(schemas.exists(l => l.contains("codes") && !l.contains("v:array")),
+        schemas.mkString("\n"))
+      assert(!p.contains("SortMergeJoin"), p)
+    }
+    // stream==batch: union of per-batch answers == the in-flight IVF-PQ
+    // result over the same queries (compressed roundtrip preserves answers)
+    val want = Similarity.ivfPqTopK(corpus, col("vec_id") < 6, 16, 4, 16, 8, 32, 10)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(want.nonEmpty)
+    assert(got.toSet == want)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    corpus.unpersist()
+  }
+
   test("flatMapGroupsWithState sessionization == batch window twin") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
