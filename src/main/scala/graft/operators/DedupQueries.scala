@@ -197,6 +197,36 @@ object DedupQueries {
       connectedComponents(pairs).orderBy("id")
     }),
 
+    // The OTHER half of the dedup decision: not "which docs are duplicates"
+    // (dedup_clusters) but "which copy do we KEEP". Production pipelines
+    // keep the highest-QUALITY member of each near-dup cluster, not the
+    // lowest id (the copies differ — truncation, boilerplate, OCR noise).
+    // Representative = argmax by (qualityScore, ties to lowest doc_id) —
+    // exactly TopKAgg(k=1)'s ordering, so selection is a mergeable
+    // k-bounded aggregate with map-side partials: no per-cluster window,
+    // no sort, and the quality tree is evaluated once per member in-scan.
+    "dedup_canonical" -> ((s, dir) => {
+      val d = docShingles(s, dir)
+        .withColumn("bands", bandHashes(minhashSignature(col("shh"))))
+        .persist()
+      val cands = lshCandidatePairs(d.select("doc_id", "bands"), "doc_id", "bands")
+      val pairs = cands
+        .join(d.select(col("doc_id").as("id_a"), col("shh").as("shh_a")), "id_a")
+        .join(d.select(col("doc_id").as("id_b"), col("shh").as("shh_b")), "id_b")
+        .filter(jaccard(col("shh_a"), col("shh_b")) >= 0.5)
+        .select("id_a", "id_b")
+      val members = connectedComponents(pairs) // (id, canonical_id)
+      val quality = docsSpread(s, dir).select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+      members.join(quality, col("id") === col("doc_id"))
+        .groupBy(col("canonical_id"))
+        .agg(count(lit(1)).as("n_members"),
+          TopKAgg.column(1, col("quality"), col("id")).as("tk"))
+        .select(col("canonical_id").as("cluster_id"), col("n_members"),
+          col("tk")(0)("_2").as("rep_id"), col("tk")(0)("_1").as("rep_quality"))
+        .orderBy("cluster_id")
+    }),
+
     // Metadata-blocked n-gram (bigram) Jaccard: the "block by a cheap key,
     // verify only within blocks" pattern. Blocking trades recall for a
     // shuffle-on-block-key plan; the MinHash query above is the
@@ -528,6 +558,31 @@ object DedupQueries {
          |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
          |SELECT s AS id, least(s, min(d)) AS canonical_id
          |FROM reach GROUP BY s ORDER BY id""".stripMargin,
+
+    "dedup_canonical" ->
+      s"""WITH RECURSIVE t AS ($thCte),
+         |d AS (SELECT doc_id, ${shhSql(3)} AS shh FROM t),
+         |s AS (SELECT doc_id, shh, ${sigSql("shh")} AS sig FROM d),
+         |sb AS (SELECT doc_id, shh, list_transform(range(0, $Bands), bi ->
+         |  ${combineSql(s"sig[bi*$RowsPerBand+1:bi*$RowsPerBand+$RowsPerBand]")}) AS bands FROM s),
+         |p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sb a JOIN sb b ON a.doc_id < b.doc_id
+         |    AND len(list_filter(range(1, $Bands + 1), bi -> a.bands[bi] = b.bands[bi])) > 0
+         |  WHERE ${jaccardSql("a.shh", "b.shh")} >= 0.5),
+         |edges AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+         |reach(s, d) AS (
+         |  SELECT s, d FROM edges
+         |  UNION
+         |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+         |cl AS (SELECT s AS id, least(s, min(d)) AS canonical_id FROM reach GROUP BY s),
+         |q AS (SELECT doc_id, ${graft.functions.TextQueries.quality} AS quality FROM documents),
+         |j AS (SELECT cl.canonical_id, cl.id, q.quality FROM cl JOIN q ON cl.id = q.doc_id),
+         |r AS (SELECT canonical_id, id, quality,
+         |  row_number() OVER (PARTITION BY canonical_id ORDER BY quality DESC, id) AS rn,
+         |  count(*) OVER (PARTITION BY canonical_id) AS n_members FROM j)
+         |SELECT canonical_id AS cluster_id, n_members, id AS rep_id, quality AS rep_quality
+         |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH t0 AS ($thCte),

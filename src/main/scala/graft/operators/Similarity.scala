@@ -187,6 +187,38 @@ object Similarity {
     topKPerQuery(cand, k)
   }
 
+  /** Distributed ANN JOIN: top-k corpus neighbors for EVERY row of a query
+    * relation that is itself corpus-sized — the "enrich dataset A with its
+    * nearest neighbors in dataset B" shape (retrieval-based filtering,
+    * cross-corpus near-dup discovery). The serving tiers collect a handful
+    * of probes to the driver and broadcast them; that is exactly wrong when
+    * the query side is billions of rows, so here BOTH sides stay
+    * distributed: each side gets its centroid assignment in-scan against
+    * the constant quantizer (query rows exploded to their nProbe probed
+    * lists), and the sides meet in a shuffle HASH join keyed on cen_id —
+    * each relation crosses the wire ONCE, partitioned by list; no
+    * broadcast, no crossJoin, no |Q|×|C| expansion beyond the probed
+    * lists. TopKAgg then reduces candidates to k per query (k-bounded,
+    * map-side partial). The `shuffle_hash` hint pins the at-scale strategy
+    * (neither side fits a broadcast; sort would be wasted on a hash-only
+    * key). At 100 TB: persist the corpus bucketed by cen_id
+    * ([[graft.sources.Layouts.writeBucketed]]) and the corpus-side
+    * exchange disappears; skewed hot lists are the
+    * [[SaltedJoin.hotKeyOnly]] knob on cen_id. */
+  def ivfJoinTopK(corpus: DataFrame, queries: DataFrame, nCentroids: Int,
+                  nProbe: Int, k: Int): DataFrame = {
+    val centSeq = collectCentroids(centroids(corpus, nCentroids))
+    val assigned = ivfAssignWith(corpus, centSeq)
+    val probes = queries
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+      .withColumn("cen_id",
+        explode(NativeExpressions.topNCosineIds(col("qv"), col("qnrm"), centSeq, nProbe)))
+    val cand = assigned.join(probes.hint("shuffle_hash"), "cen_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("v"), col("qnrm"), col("nrm")))
+    topKPerQuery(cand, k)
+  }
+
   /** Per-vector symmetric int8 scalar quantization: `qv[i] =
     * round(v[i] * 127/max|v|)` as `array<tinyint>`, with the scale kept for
     * dequantized scoring. At 100 TB this is the memory/IO lever: the coarse

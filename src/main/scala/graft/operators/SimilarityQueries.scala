@@ -53,6 +53,16 @@ object SimilarityQueries {
       Similarity.ivfTopK(corpus, col("vec_id") < NQueries, NCentroids, NProbe, K)
         .orderBy("query_id", "rank")
     }),
+    // Distributed ANN JOIN: the query side is 20% of the corpus — far past
+    // what the collect-and-broadcast serving tiers allow — and stays a
+    // distributed relation end to end; both sides meet in ONE shuffle-hash
+    // join on cen_id. See Similarity.ivfJoinTopK for the shuffle story.
+    "sim_join_ivf" -> ((s, dir) => {
+      val corpus = Similarity.prepare(Tables.embeddings(s, dir)).persist()
+      Similarity.ivfJoinTopK(corpus, corpus.filter(col("vec_id") % 5 === 2),
+          NCentroids, NProbe, K)
+        .orderBy("query_id", "rank")
+    }),
     "sim_topk_lsh" -> ((s, dir) => {
       // maxDist 1.35 ≈ the corpus's 25th pairwise-distance percentile,
       // well above the ~1.22 10th-NN distances — the join prunes the far
@@ -315,7 +325,8 @@ object SimilarityQueries {
     // Shared IVF twin, parameterized by the centroid-set CTE: assign by
     // argmax cosine (ties to lowest cen_id), probe top-NProbe lists per
     // query, exact cosine within probed lists, per-query top-K.
-    def ivfOracle(centsSql: String, nQueries: Int = NQueries): String =
+    def ivfOracle(centsSql: String, nQueries: Int = NQueries,
+                  qPred: Option[String] = None): String =
       s"""WITH e AS ($e), nn AS ($n),
          |cents AS ($centsSql),
          |assigned AS (
@@ -324,7 +335,8 @@ object SimilarityQueries {
          |      row_number() OVER (PARTITION BY nn.vec_id
          |        ORDER BY ${dotSql("nn.v", "cents.cv")} / (nn.nrm * cents.cnrm) DESC, cents.cen_id) AS crn
          |    FROM nn, cents) WHERE crn = 1),
-         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM nn WHERE vec_id < $nQueries),
+         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM nn
+         |  WHERE ${qPred.getOrElse(s"vec_id < $nQueries")}),
          |probes AS (
          |  SELECT query_id, qv, qnrm, cen_id FROM (
          |    SELECT q.query_id, q.qv, q.qnrm, cents.cen_id,
@@ -358,6 +370,11 @@ object SimilarityQueries {
            |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
       "sim_topk_ivf" -> ivfOracle(
         s"SELECT vec_id AS cen_id, v AS cv, nrm AS cnrm FROM nn WHERE vec_id < $NCentroids"),
+      // identical IVF semantics, distributed-join execution: only the
+      // query-side predicate differs
+      "sim_join_ivf" -> ivfOracle(
+        s"SELECT vec_id AS cen_id, v AS cv, nrm AS cnrm FROM nn WHERE vec_id < $NCentroids",
+        qPred = Some("vec_id % 5 = 2")),
       // same probe machinery, stride-selected reindexed centers
       "sim_topk_ivf_fixed" -> ivfOracle(
         s"""SELECT (vec_id - 3) // 7 AS cen_id, v AS cv, nrm AS cnrm FROM nn

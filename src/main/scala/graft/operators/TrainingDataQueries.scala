@@ -42,6 +42,8 @@ object TrainingDataQueries {
   /** HLL: 256 registers (p=8), trailing-zero rank over the ~22 hash bits
     * above the bucket index. */
   val HllRegisters = 256
+  /** Training-shard count for the deterministic global shuffle. */
+  val NShards = 8
 
   private def docsSpread(s: SparkSession, dir: String): DataFrame =
     Spread.ifNarrow(Tables.documents(s, dir), col("doc_id"))
@@ -171,6 +173,30 @@ object TrainingDataQueries {
           NativeExpressions.polyCombine(sort_array(collect_list(col("doc_id"))))
             .as("doc_list_hash"))
         .orderBy("pack_id")
+    }),
+
+    // Deterministic GLOBAL SHUFFLE into training shards — the step between
+    // "corpus is ready" and "trainer reads it": shard = consistent-hash of
+    // the doc key mod NShards, within-shard order = a SECOND independent
+    // hash (salted differently, so shard and order don't correlate). No
+    // random(): rerun-, growth-, and partitioning-stable, and hash-uniform
+    // shards are balanced by construction. At 100 TB this is
+    // repartition(shard_id) + sortWithinPartitions(pos_h) — exactly one
+    // shuffle; here the gate pins the per-shard membership AND order by
+    // folding the hash-ordered doc list to the portable combine hash.
+    "pipeline_shard" -> ((s, dir) => {
+      docTokens(s, dir)
+        .withColumn("shard_id", pmod(TextFunctions.polyHash(
+          concat(lit("shard"), col("doc_id").cast(StringType))), lit(NShards)))
+        .withColumn("pos_h", TextFunctions.polyHash(
+          concat(lit("pos"), col("doc_id").cast(StringType))))
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          NativeExpressions.polyCombine(
+            transform(sort_array(collect_list(struct(col("pos_h"), col("doc_id")))),
+              x => x("doc_id"))).as("order_hash"))
+        .orderBy("shard_id")
     }),
 
     // "Seen-corpus" membership: build a bit-packed Bloom filter over the
@@ -505,6 +531,15 @@ object TrainingDataQueries {
          |       WHEN bucket < 95 THEN 'valid' ELSE 'test' END AS split,
          |  count(*) AS n_docs
          |FROM b GROUP BY source, 2 ORDER BY source, split""".stripMargin,
+
+    "pipeline_shard" ->
+      s"""WITH t AS (SELECT doc_id, CAST($ntokSql AS BIGINT) AS n_tokens FROM documents),
+         |h AS (SELECT doc_id, n_tokens,
+         |  ${ph("('shard' || CAST(doc_id AS VARCHAR))", "si")} % $NShards AS shard_id,
+         |  ${ph("('pos' || CAST(doc_id AS VARCHAR))", "pi")} AS pos_h FROM t)
+         |SELECT shard_id, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  ${DedupQueries.combineSql("list(doc_id ORDER BY pos_h, doc_id)")} AS order_hash
+         |FROM h GROUP BY shard_id ORDER BY shard_id""".stripMargin,
 
     "pipeline_decontaminate" ->
       s"""WITH t AS ($thCte),

@@ -178,6 +178,30 @@ class DedupSpec extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("canonical selection keeps each cluster's max-quality member, not its min id") {
+    val reps = graft.SparkEntry.queries("dedup_canonical")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(reps.nonEmpty)
+    val members = graft.SparkEntry.queries("dedup_clusters")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byCluster = members.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val quality = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), graft.functions.TextFunctions.qualityScore(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(reps.map(_._1).toSet == byCluster.keySet)
+    reps.foreach { case (cluster, n, repId, repQ) =>
+      val ids = byCluster(cluster)
+      assert(n == ids.size)
+      assert(ids.contains(repId))
+      assert(repQ == ids.map(quality).max)
+      // the rep rule is argmax-quality — prove it DIFFERS from min-id
+      // somewhere in the fixture (otherwise the operator is vacuous)
+    }
+    assert(reps.exists { case (cluster, _, repId, _) => repId != cluster },
+      "every representative equals the min-id canonical — quality argmax untested")
+    spark.catalog.clearCache()
+  }
+
   test("hashEmbed: signed-count buckets, hand-checked; text semantic dedup is non-vacuous") {
     import spark.implicits._
     import graft.functions.NativeExpressions

@@ -97,6 +97,24 @@ class Round4OpsSpec extends SparkSuite {
       (4L, Some("b4"), 0L)))   // 3 deleted, 5 insert-then-deleted
   }
 
+  test("pipeline_shard: shards partition the corpus, balanced, rerun-stable") {
+    val run = () => graft.SparkEntry.queries("pipeline_shard")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val shards = run()
+    assert(shards.map(_._1).toSet == (0L until TrainingDataQueries.NShards).toSet)
+    assert(shards.map(_._2).sum == 500L) // every doc lands in exactly one shard
+    // hash-uniform balance: no shard further than 3x sigma from the mean
+    val mean = 500.0 / TrainingDataQueries.NShards
+    val tol = 3 * math.sqrt(mean)
+    shards.foreach { case (id, n, _, _) =>
+      assert(math.abs(n - mean) <= tol, s"shard $id holds $n docs (mean $mean)")
+    }
+    // determinism: membership, counts, and within-shard ORDER (the folded
+    // hash) reproduce exactly on a rerun
+    assert(run().toSeq == shards.toSeq)
+    spark.catalog.clearCache()
+  }
+
   test("text_pii: seeded docs redact to a different fingerprint, others intact") {
     val out = graft.functions.TextQueries.queries("text_pii")(spark, sf0001)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap

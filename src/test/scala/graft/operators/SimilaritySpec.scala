@@ -30,6 +30,25 @@ class SimilaritySpec extends SparkSuite {
     assert(hits >= brute.size / 2, s"recall $hits/${brute.size}")
   }
 
+  test("distributed ANN join == per-query IVF on the same predicate; shuffle join, no broadcast/window") {
+    val pred = col("vec_id") % 5 === 2
+    val joined = Similarity.ivfJoinTopK(corpus, corpus.filter(pred), 16, 4, 10)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    val a = joined.collect().map(key).toSet
+    val b = Similarity.ivfTopK(corpus, pred, 16, 4, 10).collect().map(key).toSet
+    assert(a.nonEmpty)
+    assert(a == b)
+    // both sides distributed: probes meet the assigned corpus in a shuffle
+    // HASH join on cen_id — no broadcast anywhere in this plan, no sort on
+    // a hash-only key, and top-k selection never plans a Window
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    assert(!plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("k-means IVF: k rows per query, top-1 recall at nProbe=4/16") {
     val brute = Similarity.bruteForceTopK(corpus, corpus.filter(col("vec_id") < 16), 1)
       .select("query_id", "vec_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
