@@ -57,6 +57,25 @@ object SourceQueries {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
         .orderBy("lang")
+    }),
+
+    // CSV roundtrip with an EXPLICIT typed schema — no inference pass (at
+    // scale inference is a full extra scan of the data, and inferred types
+    // drift between runs), FAILFAST instead of PERMISSIVE's silent nulls.
+    // CSV is positional, so the schema names every column (unlike the
+    // JSONL read, which prunes by field name); the aggregate's gate
+    // proves the typed roundtrip loses nothing.
+    "src_csv_schema" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val out = scratch(s, "graft_docs_csv")
+      Layouts.writeCsv(
+        Tables.documents(s, dir).select(col("doc_id"), col("source"), col("lang")), out)
+      Layouts.readCsv(s, out, StructType(Seq(
+          StructField("doc_id", LongType), StructField("source", StringType),
+          StructField("lang", StringType))))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
+        .orderBy("source")
     })
   )
 
@@ -68,6 +87,12 @@ object SourceQueries {
         |FROM events
         |WHERE event_type IN ('click', 'purchase')
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "src_csv_schema" ->
+      """SELECT source,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        |FROM documents
+        |GROUP BY source ORDER BY source""".stripMargin,
     "src_jsonl_schema" ->
       """SELECT lang,
         |  COUNT(*) AS n_docs,
