@@ -44,6 +44,9 @@ object TrainingDataQueries {
   val HllRegisters = 256
   /** Training-shard count for the deterministic global shuffle. */
   val NShards = 8
+  /** Per-source quota: ~25 docs/source in the fixture, so the cap bites
+    * every source without emptying any. */
+  val DomainCap = 20
 
   private def docsSpread(s: SparkSession, dir: String): DataFrame =
     Spread.ifNarrow(Tables.documents(s, dir), col("doc_id"))
@@ -197,6 +200,28 @@ object TrainingDataQueries {
             transform(sort_array(collect_list(struct(col("pos_h"), col("doc_id")))),
               x => x("doc_id"))).as("order_hash"))
         .orderBy("shard_id")
+    }),
+
+    // Per-domain QUOTA: cap every source's contribution so no single
+    // domain dominates the mix (the "max N pages per site" rule of web
+    // corpora). Survivors are chosen by consistent hash — an unbiased,
+    // rerun- and growth-stable draw (a doc's fate never depends on what
+    // else arrived) — and selection is TopKAgg again: k-bounded mergeable
+    // aggregate with map-side partials, so only (sources × cap) ids cross
+    // the shuffle and there is no per-domain window/sort. The gate pins
+    // membership AND the within-quota hash order via the folded combine.
+    "pipeline_domain_cap" -> ((s, dir) => {
+      docsSpread(s, dir)
+        .withColumn("h", TextFunctions.polyHash(
+          concat(lit("cap"), col("doc_id").cast(StringType))))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_total"),
+          TopKAgg.column(DomainCap, -col("h").cast(DoubleType), col("doc_id")).as("tk"))
+        .select(col("source"), col("n_total"),
+          size(col("tk")).cast(LongType).as("n_kept"),
+          NativeExpressions.polyCombine(
+            transform(col("tk"), x => x("_2"))).as("kept_hash"))
+        .orderBy("source")
     }),
 
     // "Seen-corpus" membership: build a bit-packed Bloom filter over the
@@ -540,6 +565,17 @@ object TrainingDataQueries {
          |SELECT shard_id, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
          |  ${DedupQueries.combineSql("list(doc_id ORDER BY pos_h, doc_id)")} AS order_hash
          |FROM h GROUP BY shard_id ORDER BY shard_id""".stripMargin,
+
+    "pipeline_domain_cap" ->
+      s"""WITH h AS (SELECT doc_id, source,
+         |  ${ph("('cap' || CAST(doc_id AS VARCHAR))", "ci")} AS h FROM documents),
+         |r AS (SELECT doc_id, source, h,
+         |  row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn,
+         |  count(*) OVER (PARTITION BY source) AS n_total FROM h)
+         |SELECT source, n_total, count(*) AS n_kept,
+         |  ${DedupQueries.combineSql("list(doc_id ORDER BY h, doc_id)")} AS kept_hash
+         |FROM r WHERE rn <= $DomainCap
+         |GROUP BY source, n_total ORDER BY source""".stripMargin,
 
     "pipeline_decontaminate" ->
       s"""WITH t AS ($thCte),
