@@ -218,6 +218,30 @@ object SimilarityQueries {
         Similarity.ivfAssignWith(incr, centSeq), tbl, "cen_id",
         nBuckets = 16, sortCols = Seq("cen_id", "vec_id"), mode = "append")
       probeBucketed(s, tbl, corpus, centSeq)
+    }),
+    // Index COMPACTION under the serving layout: base write + append (the
+    // src_ivf_append lifecycle) leaves every bucket with one file per
+    // pass; compact rewrites into a fresh table under the SAME bucket
+    // spec — one scan partition per bucket in, one file per bucket out —
+    // and the probe of the compacted table must be row-identical to the
+    // in-flight IVF (same oracle as the append query proves it).
+    "src_ivf_compact" -> ((s, dir) => {
+      val corpus = Similarity.prepare(Tables.embeddings(s, dir)).persist()
+      val base = corpus.filter(col("vec_id") < 400)
+      val incr = corpus.filter(col("vec_id") >= 400)
+      val centSeq = Similarity.collectCentroids(
+        Similarity.centroids(base, NCentroids))
+      val tbl = scratchTable(s, "graft_ivf_precompact")
+      val compacted = scratchTable(s, "graft_ivf_compacted")
+      graft.sources.Layouts.writeBucketed(
+        Similarity.ivfAssignWith(base, centSeq), tbl, "cen_id",
+        nBuckets = 16, sortCols = Seq("cen_id", "vec_id"))
+      graft.sources.Layouts.writeBucketed(
+        Similarity.ivfAssignWith(incr, centSeq), tbl, "cen_id",
+        nBuckets = 16, sortCols = Seq("cen_id", "vec_id"), mode = "append")
+      graft.sources.Layouts.compactBucketed(s, tbl, compacted, "cen_id",
+        nBuckets = 16, sortCols = Seq("cen_id", "vec_id"))
+      probeBucketed(s, compacted, corpus, centSeq)
     })
   )
 
@@ -389,6 +413,11 @@ object SimilarityQueries {
       // ingest-time assignment uses them verbatim — so the oracle is
       // EXACTLY the one src_ivf_bucketed uses
       "src_ivf_append" -> ivfOracle(
+        s"SELECT vec_id AS cen_id, v AS cv, nrm AS cnrm FROM nn WHERE vec_id < $NCentroids",
+        nQueries = NQueriesServe),
+      // compaction is layout- and content-preserving, so its probe answers
+      // the SAME oracle as the append lifecycle it compacts
+      "src_ivf_compact" -> ivfOracle(
         s"SELECT vec_id AS cen_id, v AS cv, nrm AS cnrm FROM nn WHERE vec_id < $NCentroids",
         nQueries = NQueriesServe),
       // int8 quantization is deterministic arithmetic — exact twin, same

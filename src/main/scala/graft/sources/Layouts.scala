@@ -47,6 +47,37 @@ object Layouts {
       .mode(mode).saveAsTable(table)
   }
 
+  /** Small-files compaction for a bucketed table, layout-preserving: after
+    * N append passes every bucket holds ≥N files (each append lands one
+    * file per bucket per task), and at some point open-file overhead beats
+    * pruning gains. Reading a bucketed table plans ONE partition per
+    * bucket, so rewriting it under the SAME bucket spec emits one file per
+    * bucket — and because the bucket function, count, and sort are
+    * unchanged, serving reads keep pruning and the contents are
+    * row-identical (gate- and spec-pinned). Compaction targets a NEW table
+    * then swaps at the catalog: Spark (correctly) refuses to overwrite a
+    * table it is reading, and the swap keeps the index serveable for the
+    * whole rewrite — the operational requirement of a live index.
+    *
+    * The explicit repartition clusters rows by `hash(key) % nBuckets` —
+    * the SAME function the bucket spec uses — so every bucket's rows land
+    * whole in one write task and each task emits one file per bucket it
+    * holds: ≤ nBuckets files total. The partition expression is the
+    * DERIVED bucket id, not the raw key, deliberately: a bucketed-table
+    * scan advertises hash-partitioning on the key, so a repartition on the
+    * key itself is optimized away as redundant — while the actual read is
+    * packed by FILE (one task spanning several buckets' small files is the
+    * exact state being compacted), and the elision reproduces the
+    * fragmentation in the output. That one bucket-aligned exchange is the
+    * cost of compaction; it is the only shuffle in the rewrite. */
+  def compactBucketed(spark: SparkSession, from: String, to: String, key: String,
+                      nBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    writeBucketed(
+      spark.table(from).repartition(nBuckets, pmod(hash(col(key)), lit(nBuckets))),
+      to, key, nBuckets, sortCols)
+  }
+
   /** CSV with an EXPLICIT schema. Schema inference is a full extra pass over
     * the data and types drift between runs — never acceptable at scale.
     * `mode=FAILFAST` surfaces malformed rows instead of silently nulling

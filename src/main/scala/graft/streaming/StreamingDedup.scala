@@ -189,6 +189,32 @@ object StreamingDedup {
     }
   }
 
+  /** Streaming INDEX MAINTENANCE: continuous vector ingest into the
+    * persisted bucketed IVF list table — the write half of the serving
+    * story ([[annServeBucketed]] is the read half). Each micro-batch gets
+    * its centroid assignment IN-SCAN (the quantizer is a plan constant —
+    * no join, no shuffle beyond the bucketed write's own clustering) and
+    * APPENDS under the same bucket spec, so every batch's files land
+    * bucket-aligned: serving reads keep pruning mid-ingest, and after any
+    * prefix of batches the table is row-identical to a full rebuild over
+    * the rows ingested so far (spec-pinned). Compact periodically with
+    * [[graft.sources.Layouts.compactBucketed]] — each batch adds one file
+    * per touched bucket.
+    */
+  def ivfIngest(vectors: DataFrame, idCol: String, embCol: String, tbl: String,
+                cents: Seq[(Long, Seq[Double], Double)], nBuckets: Int):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    vectors.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val prepared = batch
+        .select(col(idCol).as("vec_id"), Dedup.toDoubleArray(col(embCol)).as("v"))
+        .withColumn("nrm", Dedup.l2norm(col("v")))
+        .filter(col("nrm") > 0.0)
+      graft.sources.Layouts.writeBucketed(
+        graft.operators.Similarity.ivfAssignWith(prepared, cents), tbl, "cen_id",
+        nBuckets = nBuckets, sortCols = Seq("cen_id", "vec_id"), mode = "append")
+    }
+  }
+
   /** Streaming ANN serving against the COMPRESSED persisted index — the
     * [[annServeBucketed]] shape over the PQ-coded table of
     * `src_ivfpq_bucketed`: each micro-batch's coarse ADC pass reads the

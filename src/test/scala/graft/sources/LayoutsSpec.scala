@@ -36,6 +36,59 @@ class LayoutsSpec extends SparkSuite {
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("compactBucketed: one file per bucket, contents and pruning preserved") {
+    import spark.implicits._
+    val tbl = "graft_layouts_compact_from"
+    val out = "graft_layouts_compact_to"
+    // a prior SESSION's managed-table dir outlives its (in-memory) catalog
+    // entry; CTAS refuses an existing location, so clear both layers
+    Seq(tbl, out).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(del); f.delete()
+      }
+      del(new java.io.File(Scratch.warehouseDir(spark), t))
+    }
+    val mk = (lo: Long, hi: Long) => (lo until hi).map(i => (i, i % 7)).toDF("id", "k")
+    Layouts.writeBucketed(mk(0, 100), tbl, "k", nBuckets = 8, sortCols = Seq("k", "id"))
+    Layouts.writeBucketed(mk(100, 150), tbl, "k", nBuckets = 8,
+      sortCols = Seq("k", "id"), mode = "append")
+    Layouts.writeBucketed(mk(150, 200), tbl, "k", nBuckets = 8,
+      sortCols = Seq("k", "id"), mode = "append")
+    def parquetFiles(t: String): Int = {
+      val dir = new java.io.File(Scratch.warehouseDir(spark), t)
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(f)
+      walk(dir).count(_.getName.endsWith(".parquet"))
+    }
+    val before = parquetFiles(tbl)
+    assert(before >= 21, s"expected >= 3 files x 7 touched buckets, saw $before")
+    Layouts.compactBucketed(spark, tbl, out, "k", nBuckets = 8, sortCols = Seq("k", "id"))
+    val after = parquetFiles(out)
+    // one scan partition per bucket in -> one file per touched bucket out
+    assert(after <= 8 && after < before, s"$before -> $after")
+    // row-identical contents, and the compacted table still bucket-prunes
+    val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getLong(1))
+    assert(spark.table(out).collect().map(key).toSet
+      == spark.table(tbl).collect().map(key).toSet)
+    // a bare filter makes autoBucketedScan drop the bucketed layout as
+    // "no operator benefits"; force it on to pin that the compacted table
+    // still CARRIES a prunable bucket spec (the serving reads that benefit
+    // are pinned elsewhere)
+    val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(autoKey)
+    val plan = try {
+      spark.conf.set(autoKey, "false")
+      spark.table(out).filter(col("k") === 3)
+        .queryExecution.executedPlan.toString
+    } finally spark.conf.set(autoKey, prev)
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(m.isDefined && m.get.group(1).toInt == 1, plan)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"DROP TABLE IF EXISTS $out")
+  }
+
   test("partitioned write prunes directories on a partition predicate") {
     val dir = tmp("graft_part")
     val docs = Tables.documents(spark, sf0001)

@@ -561,6 +561,54 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     corpus.unpersist()
   }
 
+  test("streaming IVF ingest: append-maintained index == full rebuild, serving prunes it") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.Similarity
+
+    val corpus = Similarity.prepare(Tables.embeddings(spark, sfDir)).persist()
+    val cents = Similarity.collectCentroids(Similarity.centroids(corpus, 16))
+    val tbl = "graft_ivf_ingest_spec"
+    // clear the catalog entry AND a prior session's orphaned location dir
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    locally {
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(del); f.delete()
+      }
+      del(new java.io.File(graft.sources.Scratch.warehouseDir(spark), tbl))
+    }
+    val rows = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+
+    val source = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingDedup.ivfIngest(
+        source.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        tbl, cents, nBuckets = 16).start()
+    rows.grouped(200).foreach { b =>
+      source.addData(b.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    // the batch-maintained table is row-identical to a one-shot rebuild
+    val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getLong(1))
+    val got = spark.table(tbl).select("vec_id", "cen_id").collect().map(key).toSet
+    val want = Similarity.ivfAssignWith(corpus, cents)
+      .select("vec_id", "cen_id").collect().map(key).toSet
+    assert(want.nonEmpty)
+    assert(got == want)
+    // and the first-append-created table carries the bucket spec: a
+    // serving read against it still bucket-prunes
+    val served = graft.operators.SimilarityQueries.probeListsPruned(
+      spark, tbl, Seq((0L, rows(0)._2.map(_.toDouble).toSeq,
+        math.sqrt(rows(0)._2.map(x => x * x.toDouble).sum), cents.head._1)), 5)
+    val plan = served.queryExecution.executedPlan.toString
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(m.isDefined && m.get.group(1).toInt < m.get.group(2).toInt, plan)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    corpus.unpersist()
+  }
+
   test("compressed streaming ANN serving: ADC coarse reads pruned both ways, stream==batch") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
