@@ -111,8 +111,13 @@ object Bench {
         .map { case (p, c) => "\"" + c + "\":\"" + p + "\"" }
         .mkString("{", ",", "}") else ""
       // sf as basename: the full path spends 15 chars of the window on
-      // "/root/testdata/" the driver already knows
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"qunit":"centisec"$leg,"cold_total_sec":$coldTotal%.2f,"sf":"${sfDir.split('/').last}"}"""
+      // "/root/testdata/" the driver already knows. "trimmed" makes the
+      // step-4 drop EXPLICIT (no silent cap): n cheapest successful
+      // entries absent here, all present in bench_out.json; total covers
+      // every query either way.
+      val trm = if (qrs.length < results.length)
+        s""","trimmed":${results.length - qrs.length}""" else ""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"qunit":"centisec"$leg$trm,"cold_total_sec":$coldTotal%.2f,"sf":"${sfDir.split('/').last}"}"""
     }
     val budget = 1850
     val variants = Seq((false, false)) ++

