@@ -219,6 +219,33 @@ object Similarity {
     topKPerQuery(cand, k)
   }
 
+  /** [[ivfJoinTopK]] with hot-LIST salting — the skew arm of the
+    * distributed ANN join. Coarse lists are Zipfian on clustered corpora
+    * (a trained quantizer puts a dense cluster's mass in a few lists), and
+    * a shuffle join on cen_id sends each list to ONE reducer: the hottest
+    * list is the straggler that sets the join's wall-clock.
+    * [[SaltedJoin.joinSkewAware]] splits only the lists whose corpus-side
+    * count exceeds `hotThreshold` across `s` sub-partitions (salt =
+    * hash(vec_id), deterministic per row) and replicates only those lists'
+    * probe rows — the tail pays nothing. Row-identical to the unsalted
+    * join for every (s, threshold), so `sim_join_ivf_salted` shares
+    * `sim_join_ivf`'s oracle verbatim. */
+  def ivfJoinTopKSalted(corpus: DataFrame, queries: DataFrame, nCentroids: Int,
+                        nProbe: Int, k: Int, s: Int,
+                        hotThreshold: Long): DataFrame = {
+    val centSeq = collectCentroids(centroids(corpus, nCentroids))
+    val assigned = ivfAssignWith(corpus, centSeq)
+    val probes = queries
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+      .withColumn("cen_id",
+        explode(NativeExpressions.topNCosineIds(col("qv"), col("qnrm"), centSeq, nProbe)))
+    val cand = SaltedJoin
+      .joinSkewAware(assigned, probes, "cen_id", hash(col("vec_id")), s, hotThreshold)
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("v"), col("qnrm"), col("nrm")))
+    topKPerQuery(cand, k)
+  }
+
   /** Per-vector symmetric int8 scalar quantization: `qv[i] =
     * round(v[i] * 127/max|v|)` as `array<tinyint>`, with the scale kept for
     * dequantized scoring. At 100 TB this is the memory/IO lever: the coarse

@@ -63,6 +63,20 @@ object SimilarityQueries {
           NCentroids, NProbe, K)
         .orderBy("query_id", "rank")
     }),
+    // the skew arm: hot lists split s-ways, tail lists untouched; result
+    // row-identical to sim_join_ivf — the oracle is shared verbatim.
+    // hotThreshold = the MEAN list size: above-average lists salt,
+    // below-average stay tail, so the fixture exercises BOTH arms (the
+    // near-uniform lists straddle their mean). The extra count() here is
+    // demo parameterization — production picks the threshold from the
+    // same sampled stats pass joinSkewAwareSampled already runs.
+    "sim_join_ivf_salted" -> ((s, dir) => {
+      val corpus = Similarity.prepare(Tables.embeddings(s, dir)).persist()
+      Similarity.ivfJoinTopKSalted(corpus, corpus.filter(col("vec_id") % 5 === 2),
+          NCentroids, NProbe, K, s = 4,
+          hotThreshold = math.max(1L, corpus.count() / NCentroids))
+        .orderBy("query_id", "rank")
+    }),
     "sim_topk_lsh" -> ((s, dir) => {
       // maxDist 1.35 ≈ the corpus's 25th pairwise-distance percentile,
       // well above the ~1.22 10th-NN distances — the join prunes the far
@@ -397,6 +411,10 @@ object SimilarityQueries {
       // identical IVF semantics, distributed-join execution: only the
       // query-side predicate differs
       "sim_join_ivf" -> ivfOracle(
+        s"SELECT vec_id AS cen_id, v AS cv, nrm AS cnrm FROM nn WHERE vec_id < $NCentroids",
+        qPred = Some("vec_id % 5 = 2")),
+      // salting is exact: same twin, verbatim
+      "sim_join_ivf_salted" -> ivfOracle(
         s"SELECT vec_id AS cen_id, v AS cv, nrm AS cnrm FROM nn WHERE vec_id < $NCentroids",
         qPred = Some("vec_id % 5 = 2")),
       // same probe machinery, stride-selected reindexed centers

@@ -36,6 +36,10 @@ class ShuffleAuditSpec extends SparkSuite {
     // TopKAgg's partial-agg exchange; persisted-corpus plan text doubles
     // under AQE as above (measured 8; runtime shuffles are 3-4)
     "sim_join_ivf" -> 10,
+    // the salted arm adds the skew-stats aggregate (one map-side-combined
+    // exchange over distinct cen_ids) on top of the join's two sides
+    // (measured 12 in plan text; cached-corpus doubling as above)
+    "sim_join_ivf_salted" -> 14,
     // persisted shingle base referenced from three branches (eval distinct,
     // exact semi-join, probe side) — cached-plan text repeats as above
     "pipeline_decontaminate_bloom" -> 11,

@@ -49,6 +49,23 @@ class SimilaritySpec extends SparkSuite {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("salted ANN join == unsalted, and the fixture exercises both the hot and tail arms") {
+    val pred = col("vec_id") % 5 === 2
+    val thr = math.max(1L, corpus.count() / 16)
+    val assigned = Similarity.ivfAssignWith(corpus,
+      Similarity.collectCentroids(Similarity.centroids(corpus, 16)))
+    val hot = SaltedJoin.skewStats(assigned, "cen_id", thr).count()
+    assert(hot >= 1 && hot < 16, s"degenerate skew fixture: $hot/16 lists hot")
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    val salted = Similarity
+      .ivfJoinTopKSalted(corpus, corpus.filter(pred), 16, 4, 10, s = 4, hotThreshold = thr)
+      .collect().map(key).toSet
+    val plain = Similarity.ivfJoinTopK(corpus, corpus.filter(pred), 16, 4, 10)
+      .collect().map(key).toSet
+    assert(salted == plain)
+  }
+
   test("k-means IVF: k rows per query, top-1 recall at nProbe=4/16") {
     val brute = Similarity.bruteForceTopK(corpus, corpus.filter(col("vec_id") < 16), 1)
       .select("query_id", "vec_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
