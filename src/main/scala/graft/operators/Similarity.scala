@@ -59,6 +59,15 @@ object Similarity {
       .withColumn("nrm", l2norm(col("v")))
       .filter(col("nrm") > 0.0)
 
+  /** [[prepare]] carrying extra metadata columns through — the working
+    * shape for FILTERED search, where per-row attributes (label, lang,
+    * source) must survive to the candidate stage. */
+  def prepareWith(embeddings: DataFrame, extra: Column*): DataFrame =
+    Spread.ifNarrow(embeddings, col("vec_id"))
+      .select(col("vec_id") +: toDoubleArray(col("embedding")).as("v") +: extra: _*)
+      .withColumn("nrm", l2norm(col("v")))
+      .filter(col("nrm") > 0.0)
+
   /** Per-query top-k over scored candidates (query_id, vec_id, cos) via the
     * bounded mergeable aggregate — the skew-safe selection shape (see class
     * doc). Rank is the position in the (cos desc, vec_id asc) order, 1-based
@@ -214,6 +223,37 @@ object Similarity {
       .withColumn("cen_id",
         explode(NativeExpressions.topNCosineIds(col("qv"), col("qnrm"), centSeq, nProbe)))
     val cand = assigned.join(probes.hint("shuffle_hash"), "cen_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("v"), col("qnrm"), col("nrm")))
+    topKPerQuery(cand, k)
+  }
+
+  /** FILTERED ANN: per-query top-k restricted to the corpus rows
+    * satisfying `corpusPred` — ONE index over the full corpus, the filter
+    * applied at query time (the "search English docs only" feature; the
+    * index is shared across every filter, so selectivity can vary per
+    * query without re-indexing). This is PRE-filtering: the predicate cuts
+    * candidates INSIDE the probed lists before scoring, so top-k is exact
+    * within the probed lists and never comes back short the way
+    * post-filtering a fixed-k result does. The centroid set and probe
+    * selection deliberately use the FULL corpus (queries and the quantizer
+    * are filter-independent); only the candidate side filters — per-row
+    * identical to filtering after assignment, but the kernel never runs
+    * for rows the predicate drops. In the persisted layout the same
+    * predicate lands on the bucketed list scan as an ordinary pushed
+    * filter, compounding with bucket pruning. Deterministic end to end —
+    * oracle-checkable like the unfiltered IVF tier. */
+  def ivfTopKWhere(corpus: DataFrame, queryPred: Column, corpusPred: Column,
+                   nCentroids: Int, nProbe: Int, k: Int): DataFrame = {
+    val centSeq = collectCentroids(centroids(corpus, nCentroids))
+    val assigned = corpus.filter(corpusPred)
+      .withColumn("cen_id",
+        NativeExpressions.argMaxCosine(col("v"), col("nrm"), centSeq))
+    val probes = corpus.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+      .withColumn("cen_id",
+        explode(NativeExpressions.topNCosineIds(col("qv"), col("qnrm"), centSeq, nProbe)))
+    val cand = assigned.join(broadcast(probes), "cen_id")
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("qv"), col("v"), col("qnrm"), col("nrm")))
     topKPerQuery(cand, k)

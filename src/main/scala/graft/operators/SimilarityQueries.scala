@@ -77,6 +77,17 @@ object SimilarityQueries {
           hotThreshold = math.max(1L, corpus.count() / NCentroids))
         .orderBy("query_id", "rank")
     }),
+    // FILTERED ANN: one full-corpus index, attribute predicate applied at
+    // query time inside the probed lists (pre-filter — exact within lists,
+    // never short of k the way post-filtering is); label=3 is a ~10%
+    // selective filter on the fixture
+    "sim_topk_filtered" -> ((s, dir) => {
+      val corpus = Similarity.prepareWith(Tables.embeddings(s, dir), col("label"))
+        .persist()
+      Similarity.ivfTopKWhere(corpus, col("vec_id") < NQueries,
+          col("label") === 3, NCentroids, NProbe, K)
+        .orderBy("query_id", "rank")
+    }),
     "sim_topk_lsh" -> ((s, dir) => {
       // maxDist 1.35 ≈ the corpus's 25th pairwise-distance percentile,
       // well above the ~1.22 10th-NN distances — the join prunes the far
@@ -417,6 +428,40 @@ object SimilarityQueries {
       "sim_join_ivf_salted" -> ivfOracle(
         s"SELECT vec_id AS cen_id, v AS cv, nrm AS cnrm FROM nn WHERE vec_id < $NCentroids",
         qPred = Some("vec_id % 5 = 2")),
+      // the filtered tier threads the label attribute through nn and cuts
+      // candidates inside the probed lists — otherwise the unfiltered twin
+      "sim_topk_filtered" ->
+        s"""WITH e AS (SELECT vec_id, label,
+           |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+           |nn AS (SELECT * FROM
+           |  (SELECT vec_id, label, v, ${normSql("v")} AS nrm FROM e) WHERE nrm > 0.0),
+           |cents AS (SELECT vec_id AS cen_id, v AS cv, nrm AS cnrm FROM nn
+           |  WHERE vec_id < $NCentroids),
+           |assigned AS (
+           |  SELECT vec_id, label, cen_id, v, nrm FROM (
+           |    SELECT nn.vec_id, nn.label, cents.cen_id, nn.v, nn.nrm,
+           |      row_number() OVER (PARTITION BY nn.vec_id
+           |        ORDER BY ${dotSql("nn.v", "cents.cv")} / (nn.nrm * cents.cnrm) DESC, cents.cen_id) AS crn
+           |    FROM nn, cents) WHERE crn = 1),
+           |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM nn
+           |  WHERE vec_id < $NQueries),
+           |probes AS (
+           |  SELECT query_id, qv, qnrm, cen_id FROM (
+           |    SELECT q.query_id, q.qv, q.qnrm, cents.cen_id,
+           |      row_number() OVER (PARTITION BY q.query_id
+           |        ORDER BY ${dotSql("q.qv", "cents.cv")} / (q.qnrm * cents.cnrm) DESC, cents.cen_id) AS prn
+           |    FROM q, cents) WHERE prn <= $NProbe),
+           |cand AS (
+           |  SELECT p.query_id, a.vec_id,
+           |    ${dotSql("p.qv", "a.v")} / (p.qnrm * a.nrm) AS cos
+           |  FROM probes p JOIN assigned a ON p.cen_id = a.cen_id
+           |  WHERE a.vec_id <> p.query_id AND a.label = 3),
+           |ranked AS (
+           |  SELECT query_id, vec_id, cos,
+           |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+           |  FROM cand)
+           |SELECT query_id, rank, vec_id, cos FROM ranked
+           |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
       // same probe machinery, stride-selected reindexed centers
       "sim_topk_ivf_fixed" -> ivfOracle(
         s"""SELECT (vec_id - 3) // 7 AS cen_id, v AS cv, nrm AS cnrm FROM nn

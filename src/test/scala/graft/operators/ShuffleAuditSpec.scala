@@ -20,7 +20,7 @@ class ShuffleAuditSpec extends SparkSuite {
     // TopKAgg instead of a row_number window — measured counts dropped to
     // 9/6/7/6/5 (semantic/ivf/quantized/kmeans/lsh); bounds = measured + 2
     "dedup_semantic" -> 11, "dedup_semantic_text" -> 11,
-    "sim_topk_ivf" -> 8, "sim_topk_ivf_kmeans" -> 8,
+    "sim_topk_ivf" -> 8, "sim_topk_ivf_kmeans" -> 8, "sim_topk_filtered" -> 8,
     "sim_topk_quantized" -> 9, "sim_topk_lsh" -> 7,
     // PQ tiers reference the persisted corpus from four branches, and a
     // MATERIALIZED cache prints its AQE plan twice (Initial + Final), so

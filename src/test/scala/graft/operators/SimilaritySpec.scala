@@ -49,6 +49,26 @@ class SimilaritySpec extends SparkSuite {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("filtered ANN pre-filters inside the lists: fills k where post-filtering starves") {
+    val withLabel = Similarity
+      .prepareWith(Tables.embeddings(spark, sf0001), col("label")).persist()
+    val labels = Tables.embeddings(spark, sf0001).select("vec_id", "label")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val pre = Similarity
+      .ivfTopKWhere(withLabel, col("vec_id") < 8, col("label") === 3, 16, 4, 10)
+      .collect()
+    assert(pre.nonEmpty)
+    // every result row satisfies the predicate
+    pre.foreach(r => assert(labels(r.getLong(2)) == 3))
+    // the naive alternative — unfiltered top-10, THEN filter — returns far
+    // fewer rows for the same queries (the classic post-filter starvation)
+    val post = Similarity.ivfTopK(corpus, col("vec_id") < 8, 16, 4, 10)
+      .collect().filter(r => labels(r.getLong(2)) == 3)
+    assert(post.length < pre.length,
+      s"post-filter kept ${post.length} vs pre-filter ${pre.length}")
+    withLabel.unpersist()
+  }
+
   test("salted ANN join == unsalted, and the fixture exercises both the hot and tail arms") {
     val pred = col("vec_id") % 5 === 2
     val thr = math.max(1L, corpus.count() / 16)
