@@ -33,6 +33,25 @@ object DedupQueries {
     docsSpread(s, dir)
       .select(col("doc_id"), col("source"), shingleHashes(col("text"), n).as("shh"))
 
+  /** LSH candidates -> verified >=0.5-Jaccard pairs -> connected
+    * components (id, canonical_id): the ONE near-dup cluster definition,
+    * shared by `dedup_clusters` (emit it), `dedup_canonical` (the keep
+    * decision) and `pipeline_corpus_prep` (the drop decision) — a
+    * threshold or band tweak can no longer fork the cluster definition
+    * between the three. */
+  private def nearDupClusters(s: SparkSession, dir: String): DataFrame = {
+    val d = docShingles(s, dir)
+      .withColumn("bands", bandHashes(minhashSignature(col("shh"))))
+      .persist()
+    val cands = lshCandidatePairs(d.select("doc_id", "bands"), "doc_id", "bands")
+    val pairs = cands
+      .join(d.select(col("doc_id").as("id_a"), col("shh").as("shh_a")), "id_a")
+      .join(d.select(col("doc_id").as("id_b"), col("shh").as("shh_b")), "id_b")
+      .filter(jaccard(col("shh_a"), col("shh_b")) >= 0.5)
+      .select("id_a", "id_b")
+    connectedComponents(pairs)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "dedup_exact" -> ((s, dir) => {
@@ -133,16 +152,7 @@ object DedupQueries {
     // anti-join (the cluster victim list is tiny relative to the corpus).
     "pipeline_corpus_prep" -> ((s, dir) => {
       import graft.functions.TextFunctions
-      val d = docShingles(s, dir)
-        .withColumn("bands", bandHashes(minhashSignature(col("shh"))))
-        .persist()
-      val cands = lshCandidatePairs(d.select("doc_id", "bands"), "doc_id", "bands")
-      val pairs = cands
-        .join(d.select(col("doc_id").as("id_a"), col("shh").as("shh_a")), "id_a")
-        .join(d.select(col("doc_id").as("id_b"), col("shh").as("shh_b")), "id_b")
-        .filter(jaccard(col("shh_a"), col("shh_b")) >= 0.5)
-        .select("id_a", "id_b")
-      val victims = connectedComponents(pairs)
+      val victims = nearDupClusters(s, dir)
         .filter(col("id") =!= col("canonical_id")).select(col("id").as("doc_id"))
       docsSpread(s, dir)
         // compute the (large, interpreted) quality tree once and reuse
@@ -185,16 +195,7 @@ object DedupQueries {
     // LSH candidates -> verified pairs -> connected components. The keep/
     // drop decision of a 100 TB dedup pass (keep canonical_id, drop rest).
     "dedup_clusters" -> ((s, dir) => {
-      val d = docShingles(s, dir)
-        .withColumn("bands", bandHashes(minhashSignature(col("shh"))))
-        .persist()
-      val cands = lshCandidatePairs(d.select("doc_id", "bands"), "doc_id", "bands")
-      val pairs = cands
-        .join(d.select(col("doc_id").as("id_a"), col("shh").as("shh_a")), "id_a")
-        .join(d.select(col("doc_id").as("id_b"), col("shh").as("shh_b")), "id_b")
-        .filter(jaccard(col("shh_a"), col("shh_b")) >= 0.5)
-        .select("id_a", "id_b")
-      connectedComponents(pairs).orderBy("id")
+      nearDupClusters(s, dir).orderBy("id")
     }),
 
     // The OTHER half of the dedup decision: not "which docs are duplicates"
@@ -206,16 +207,7 @@ object DedupQueries {
     // k-bounded aggregate with map-side partials: no per-cluster window,
     // no sort, and the quality tree is evaluated once per member in-scan.
     "dedup_canonical" -> ((s, dir) => {
-      val d = docShingles(s, dir)
-        .withColumn("bands", bandHashes(minhashSignature(col("shh"))))
-        .persist()
-      val cands = lshCandidatePairs(d.select("doc_id", "bands"), "doc_id", "bands")
-      val pairs = cands
-        .join(d.select(col("doc_id").as("id_a"), col("shh").as("shh_a")), "id_a")
-        .join(d.select(col("doc_id").as("id_b"), col("shh").as("shh_b")), "id_b")
-        .filter(jaccard(col("shh_a"), col("shh_b")) >= 0.5)
-        .select("id_a", "id_b")
-      val members = connectedComponents(pairs) // (id, canonical_id)
+      val members = nearDupClusters(s, dir) // (id, canonical_id)
       val quality = docsSpread(s, dir).select(col("doc_id"),
         TextFunctions.qualityScore(col("text")).as("quality"))
       members.join(quality, col("id") === col("doc_id"))
@@ -418,6 +410,28 @@ object DedupQueries {
   private[operators] def combineSql(sig: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), $sig), (a, x) -> (a*31 + x) % 1000000007)"
 
+  /** Shared WITH-chain (use after `WITH RECURSIVE`): shingles -> minhash
+    * signature -> bands -> LSH candidates -> verified >=0.5-Jaccard pairs
+    * -> transitive reachability `reach(s, d)`. The twin of
+    * [[nearDupClusters]] — the three near-dup oracles compose on top, so
+    * the cluster definition cannot fork between them. */
+  private def reachCtes: String =
+    s"""t AS ($thCte),
+       |d AS (SELECT doc_id, ${shhSql(3)} AS shh FROM t),
+       |s AS (SELECT doc_id, shh, ${sigSql("shh")} AS sig FROM d),
+       |sb AS (SELECT doc_id, shh, list_transform(range(0, $Bands), bi ->
+       |  ${combineSql(s"sig[bi*$RowsPerBand+1:bi*$RowsPerBand+$RowsPerBand]")}) AS bands FROM s),
+       |p AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM sb a JOIN sb b ON a.doc_id < b.doc_id
+       |    AND len(list_filter(range(1, $Bands + 1), bi -> a.bands[bi] = b.bands[bi])) > 0
+       |  WHERE ${jaccardSql("a.shh", "b.shh")} >= 0.5),
+       |edges AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+       |reach(s, d) AS (
+       |  SELECT s, d FROM edges
+       |  UNION
+       |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)""".stripMargin
+
   /** SimHash (30-bit) over a list column named `th`. */
   private val simhashSql = {
     val bitSum =
@@ -499,21 +513,7 @@ object DedupQueries {
     "pipeline_corpus_prep" -> {
       val q = graft.functions.TextQueries.quality
       val ntokSql = graft.functions.TextQueries.sqlNTok
-      s"""WITH RECURSIVE t AS ($thCte),
-         |d AS (SELECT doc_id, ${shhSql(3)} AS shh FROM t),
-         |s AS (SELECT doc_id, shh, ${sigSql("shh")} AS sig FROM d),
-         |sb AS (SELECT doc_id, shh, list_transform(range(0, $Bands), bi ->
-         |  ${combineSql(s"sig[bi*$RowsPerBand+1:bi*$RowsPerBand+$RowsPerBand]")}) AS bands FROM s),
-         |p AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM sb a JOIN sb b ON a.doc_id < b.doc_id
-         |    AND len(list_filter(range(1, $Bands + 1), bi -> a.bands[bi] = b.bands[bi])) > 0
-         |  WHERE ${jaccardSql("a.shh", "b.shh")} >= 0.5),
-         |edges AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
-         |reach(s, d) AS (
-         |  SELECT s, d FROM edges
-         |  UNION
-         |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+      s"""WITH RECURSIVE $reachCtes,
          |victims AS (
          |  SELECT s AS doc_id FROM reach GROUP BY s HAVING least(s, min(d)) <> s)
          |SELECT doc_id, CAST($ntokSql AS BIGINT) AS n_tokens, $q AS quality
@@ -541,40 +541,12 @@ object DedupQueries {
         |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin,
 
     "dedup_clusters" ->
-      s"""WITH RECURSIVE t AS ($thCte),
-         |d AS (SELECT doc_id, ${shhSql(3)} AS shh FROM t),
-         |s AS (SELECT doc_id, shh, ${sigSql("shh")} AS sig FROM d),
-         |sb AS (SELECT doc_id, shh, list_transform(range(0, $Bands), bi ->
-         |  ${combineSql(s"sig[bi*$RowsPerBand+1:bi*$RowsPerBand+$RowsPerBand]")}) AS bands FROM s),
-         |p AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM sb a JOIN sb b ON a.doc_id < b.doc_id
-         |    AND len(list_filter(range(1, $Bands + 1), bi -> a.bands[bi] = b.bands[bi])) > 0
-         |  WHERE ${jaccardSql("a.shh", "b.shh")} >= 0.5),
-         |edges AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
-         |reach(s, d) AS (
-         |  SELECT s, d FROM edges
-         |  UNION
-         |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+      s"""WITH RECURSIVE $reachCtes
          |SELECT s AS id, least(s, min(d)) AS canonical_id
          |FROM reach GROUP BY s ORDER BY id""".stripMargin,
 
     "dedup_canonical" ->
-      s"""WITH RECURSIVE t AS ($thCte),
-         |d AS (SELECT doc_id, ${shhSql(3)} AS shh FROM t),
-         |s AS (SELECT doc_id, shh, ${sigSql("shh")} AS sig FROM d),
-         |sb AS (SELECT doc_id, shh, list_transform(range(0, $Bands), bi ->
-         |  ${combineSql(s"sig[bi*$RowsPerBand+1:bi*$RowsPerBand+$RowsPerBand]")}) AS bands FROM s),
-         |p AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM sb a JOIN sb b ON a.doc_id < b.doc_id
-         |    AND len(list_filter(range(1, $Bands + 1), bi -> a.bands[bi] = b.bands[bi])) > 0
-         |  WHERE ${jaccardSql("a.shh", "b.shh")} >= 0.5),
-         |edges AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
-         |reach(s, d) AS (
-         |  SELECT s, d FROM edges
-         |  UNION
-         |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+      s"""WITH RECURSIVE $reachCtes,
          |cl AS (SELECT s AS id, least(s, min(d)) AS canonical_id FROM reach GROUP BY s),
          |q AS (SELECT doc_id, ${graft.functions.TextQueries.quality} AS quality FROM documents),
          |j AS (SELECT cl.canonical_id, cl.id, q.quality FROM cl JOIN q ON cl.id = q.doc_id),

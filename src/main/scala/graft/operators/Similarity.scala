@@ -53,11 +53,7 @@ object Similarity {
     * Zero-norm vectors are dropped: cosine is undefined for them, and a
     * NaN score sorts FIRST under a descending ordering — one all-zero
     * embedding would otherwise poison every query's top-1. */
-  def prepare(embeddings: DataFrame): DataFrame =
-    Spread.ifNarrow(embeddings, col("vec_id"))
-      .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
-      .withColumn("nrm", l2norm(col("v")))
-      .filter(col("nrm") > 0.0)
+  def prepare(embeddings: DataFrame): DataFrame = prepareWith(embeddings)
 
   /** [[prepare]] carrying extra metadata columns through — the working
     * shape for FILTERED search, where per-row attributes (label, lang,
@@ -67,6 +63,23 @@ object Similarity {
       .select(col("vec_id") +: toDoubleArray(col("embedding")).as("v") +: extra: _*)
       .withColumn("nrm", l2norm(col("v")))
       .filter(col("nrm") > 0.0)
+
+  /** Probe rows for a query relation: (query_id, qv, qnrm) exploded to the
+    * `nProbe` nearest centroid ids — the ONE probe shape every IVF tier
+    * joins against (in-flight, distributed-join, salted, filtered). */
+  private def probesOf(queries: DataFrame,
+                       centSeq: Seq[(Long, Seq[Double], Double)],
+                       nProbe: Int): DataFrame =
+    queries
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+      .withColumn("cen_id",
+        explode(NativeExpressions.topNCosineIds(col("qv"), col("qnrm"), centSeq, nProbe)))
+
+  /** Self-exclusion + exact cosine over candidate (corpus × probe) rows —
+    * the ONE scoring rule downstream of every cen_id join. */
+  private def scoreCandidates(joined: DataFrame): DataFrame =
+    joined.filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("v"), col("qnrm"), col("nrm")))
 
   /** Per-query top-k over scored candidates (query_id, vec_id, cos) via the
     * bounded mergeable aggregate — the skew-safe selection shape (see class
@@ -184,16 +197,9 @@ object Similarity {
                   nProbe: Int, k: Int): DataFrame = {
     val centSeq = collectCentroids(cents)
     val assigned = ivfAssignWith(corpus, centSeq)
-
-    val probes = corpus.filter(queryPred)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
-      .withColumn("cen_id",
-        explode(NativeExpressions.topNCosineIds(col("qv"), col("qnrm"), centSeq, nProbe)))
-
-    val cand = assigned.join(broadcast(probes), "cen_id") // list lookup, corpus side stays in place
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("qv"), col("v"), col("qnrm"), col("nrm")))
-    topKPerQuery(cand, k)
+    val probes = probesOf(corpus.filter(queryPred), centSeq, nProbe)
+    // list lookup: probes broadcast, corpus side stays in place
+    topKPerQuery(scoreCandidates(assigned.join(broadcast(probes), "cen_id")), k)
   }
 
   /** Distributed ANN JOIN: top-k corpus neighbors for EVERY row of a query
@@ -218,14 +224,9 @@ object Similarity {
                   nProbe: Int, k: Int): DataFrame = {
     val centSeq = collectCentroids(centroids(corpus, nCentroids))
     val assigned = ivfAssignWith(corpus, centSeq)
-    val probes = queries
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
-      .withColumn("cen_id",
-        explode(NativeExpressions.topNCosineIds(col("qv"), col("qnrm"), centSeq, nProbe)))
-    val cand = assigned.join(probes.hint("shuffle_hash"), "cen_id")
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("qv"), col("v"), col("qnrm"), col("nrm")))
-    topKPerQuery(cand, k)
+    val probes = probesOf(queries, centSeq, nProbe)
+    topKPerQuery(
+      scoreCandidates(assigned.join(probes.hint("shuffle_hash"), "cen_id")), k)
   }
 
   /** FILTERED ANN: per-query top-k restricted to the corpus rows
@@ -249,14 +250,8 @@ object Similarity {
     val assigned = corpus.filter(corpusPred)
       .withColumn("cen_id",
         NativeExpressions.argMaxCosine(col("v"), col("nrm"), centSeq))
-    val probes = corpus.filter(queryPred)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
-      .withColumn("cen_id",
-        explode(NativeExpressions.topNCosineIds(col("qv"), col("qnrm"), centSeq, nProbe)))
-    val cand = assigned.join(broadcast(probes), "cen_id")
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("qv"), col("v"), col("qnrm"), col("nrm")))
-    topKPerQuery(cand, k)
+    val probes = probesOf(corpus.filter(queryPred), centSeq, nProbe)
+    topKPerQuery(scoreCandidates(assigned.join(broadcast(probes), "cen_id")), k)
   }
 
   /** [[ivfJoinTopK]] with hot-LIST salting — the skew arm of the
@@ -275,15 +270,9 @@ object Similarity {
                         hotThreshold: Long): DataFrame = {
     val centSeq = collectCentroids(centroids(corpus, nCentroids))
     val assigned = ivfAssignWith(corpus, centSeq)
-    val probes = queries
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
-      .withColumn("cen_id",
-        explode(NativeExpressions.topNCosineIds(col("qv"), col("qnrm"), centSeq, nProbe)))
-    val cand = SaltedJoin
-      .joinSkewAware(assigned, probes, "cen_id", hash(col("vec_id")), s, hotThreshold)
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("qv"), col("v"), col("qnrm"), col("nrm")))
-    topKPerQuery(cand, k)
+    val probes = probesOf(queries, centSeq, nProbe)
+    topKPerQuery(scoreCandidates(SaltedJoin.joinSkewAware(
+      assigned, probes, "cen_id", hash(col("vec_id")), s, hotThreshold)), k)
   }
 
   /** Per-vector symmetric int8 scalar quantization: `qv[i] =

@@ -33,12 +33,16 @@ object Spread {
     */
   def ifNarrow(df: DataFrame, key: Column): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
+    // key on the canonicalized plan OBJECT (structural equals/hashCode),
+    // not its hashCode — a 32-bit collision between two different base
+    // reads would silently reuse the wrong partition count
     val cacheKey = (System.identityHashCode(df.sparkSession),
-      df.queryExecution.analyzed.canonicalized.hashCode)
+      df.queryExecution.analyzed.canonicalized)
+    if (probeCache.size > 256) probeCache.clear() // bases are few; bound anyway
     val n = probeCache.computeIfAbsent(cacheKey, _ => df.rdd.getNumPartitions)
     if (n < target) df.repartition(key) else df
   }
 
-  private val probeCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Int]()
+  private val probeCache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), Int]()
 }

@@ -193,25 +193,56 @@ object StreamingDedup {
     * persisted bucketed IVF list table — the write half of the serving
     * story ([[annServeBucketed]] is the read half). Each micro-batch gets
     * its centroid assignment IN-SCAN (the quantizer is a plan constant —
-    * no join, no shuffle beyond the bucketed write's own clustering) and
-    * APPENDS under the same bucket spec, so every batch's files land
-    * bucket-aligned: serving reads keep pruning mid-ingest, and after any
-    * prefix of batches the table is row-identical to a full rebuild over
-    * the rows ingested so far (spec-pinned). Compact periodically with
-    * [[graft.sources.Layouts.compactBucketed]] — each batch adds one file
-    * per touched bucket.
+    * no join, no shuffle beyond the bucketed write's own clustering), so
+    * serving reads keep pruning mid-ingest, and after any prefix of
+    * batches the table is row-identical to a full rebuild over the rows
+    * ingested so far (spec-pinned).
+    *
+    * EXACTLY-ONCE under replay: foreachBatch is at-least-once — a
+    * task/epoch failure or checkpoint restart re-runs a batch, and a blind
+    * append would double its rows. Each batch therefore owns ONE table
+    * partition (`ingest_batch` = the batchId Structured Streaming supplies
+    * for exactly this purpose) and writes it in DYNAMIC partition-OVERWRITE
+    * mode: a replay overwrites its own partition and touches nothing else,
+    * so the write is idempotent per batch (spec-pinned by replaying a
+    * batch). Partition dirs nest the bucket files; serving reads still
+    * bucket-prune across partitions, and
+    * [[graft.sources.Layouts.compactBucketed]] remains the periodic
+    * small-files answer.
     */
   def ivfIngest(vectors: DataFrame, idCol: String, embCol: String, tbl: String,
                 cents: Seq[(Long, Seq[Double], Double)], nBuckets: Int):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    vectors.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      val prepared = batch
-        .select(col(idCol).as("vec_id"), Dedup.toDoubleArray(col(embCol)).as("v"))
-        .withColumn("nrm", Dedup.l2norm(col("v")))
-        .filter(col("nrm") > 0.0)
-      graft.sources.Layouts.writeBucketed(
-        graft.operators.Similarity.ivfAssignWith(prepared, cents), tbl, "cen_id",
-        nBuckets = nBuckets, sortCols = Seq("cen_id", "vec_id"), mode = "append")
+    vectors.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      ivfIngestBatch(batch, batchId, idCol, embCol, tbl, cents, nBuckets)
+    }
+  }
+
+  /** The per-batch body of [[ivfIngest]], callable directly so a replayed
+    * batchId is testable without faking a stream failure. */
+  private[graft] def ivfIngestBatch(batch: DataFrame, batchId: Long,
+      idCol: String, embCol: String, tbl: String,
+      cents: Seq[(Long, Seq[Double], Double)], nBuckets: Int): Unit = {
+    val s = batch.sparkSession
+    val prepared = batch
+      .select(col(idCol).as("vec_id"), Dedup.toDoubleArray(col(embCol)).as("v"))
+      .withColumn("nrm", Dedup.l2norm(col("v")))
+      .filter(col("nrm") > 0.0)
+    val assigned = graft.operators.Similarity.ivfAssignWith(prepared, cents)
+      .withColumn("ingest_batch", lit(batchId))
+    if (!s.catalog.tableExists(tbl)) {
+      assigned.write.partitionBy("ingest_batch")
+        .bucketBy(nBuckets, "cen_id").sortBy("cen_id", "vec_id")
+        .saveAsTable(tbl)
+    } else {
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "dynamic")
+      try assigned.write.mode("overwrite").insertInto(tbl)
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
     }
   }
 

@@ -50,7 +50,7 @@ class BucketedJoinSpec extends SparkSuite
     val tbl = "graft_annjoin_bucketed_spec"
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
     locally {
-      val dir = new java.io.File(s"spark-warehouse/$tbl")
+      val dir = new java.io.File(graft.sources.Scratch.warehouseDir(spark), tbl)
       if (dir.exists()) { import scala.reflect.io.Directory; new Directory(dir).deleteRecursively() }
     }
     val corpus = Similarity.prepare(Tables.embeddings(spark, sf0001)).persist()

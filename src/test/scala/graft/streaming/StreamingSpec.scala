@@ -590,13 +590,24 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     }
     q.stop()
 
-    // the batch-maintained table is row-identical to a one-shot rebuild
+    // the batch-maintained table is row-identical to a one-shot rebuild —
+    // compare counts too, or a double-appended batch would collapse in the
+    // Set and pass
     val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getLong(1))
     val got = spark.table(tbl).select("vec_id", "cen_id").collect().map(key).toSet
     val want = Similarity.ivfAssignWith(corpus, cents)
       .select("vec_id", "cen_id").collect().map(key).toSet
     assert(want.nonEmpty)
     assert(got == want)
+    assert(spark.table(tbl).count() == want.size)
+    // REPLAY a mid-stream batch (foreachBatch is at-least-once): the
+    // dynamic partition overwrite makes it idempotent — same rows, same
+    // count, no duplicates
+    StreamingDedup.ivfIngestBatch(
+      rows.grouped(200).toSeq(1).toSeq.toDF("vec_id", "embedding"),
+      batchId = 1L, "vec_id", "embedding", tbl, cents, nBuckets = 16)
+    assert(spark.table(tbl).select("vec_id", "cen_id").collect().map(key).toSet == want)
+    assert(spark.table(tbl).count() == want.size)
     // and the first-append-created table carries the bucket spec: a
     // serving read against it still bucket-prunes
     val served = graft.operators.SimilarityQueries.probeListsPruned(
