@@ -459,13 +459,17 @@ object Similarity {
   def trainPqCodebook(corpus: DataFrame, ks: Int, m: Int, samplePct: Int = 60,
                       maxSample: Int = 4096, iters: Int = 10,
                       seed: Long = 42L): Seq[Seq[Double]] = {
+    // the maxSample cap is applied IN the query (TakeOrdered — distributed,
+    // k-bounded) so the driver collect really is bounded at maxSample*dim
+    // doubles regardless of corpus size; a post-collect .take would pull
+    // samplePct of the whole corpus first
     val sample = corpus
       .filter(pmod(graft.functions.TextFunctions.polyHash(
         col("vec_id").cast("string")), lit(100)) < samplePct)
       .select(col("vec_id"), col("v"))
+      .orderBy(col("vec_id")).limit(maxSample)
       .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1).take(maxSample).map(_._2)
+      .map(r => r.getSeq[Double](1).toArray)
     require(sample.nonEmpty, "empty PQ training sample")
     val dim = sample.head.length
     require(m >= 1 && dim % m == 0, s"dim $dim not divisible by m=$m")
@@ -584,8 +588,13 @@ object Similarity {
   def lshTopK(embeddings: DataFrame, queryPred: Column, k: Int,
               numHashTables: Int = 4, bucketLength: Double = 4.0,
               maxDist: Double = Double.MaxValue): DataFrame = {
+    // hash UNIT vectors: on the unit sphere Euclidean distance is monotone
+    // in cosine (d^2 = 2 - 2cos), so the join's distance bound is a real
+    // cosine floor (cos >= 1 - maxDist^2/2) instead of a scale-dependent
+    // cutoff that can prune a parallel-but-longer true neighbor
     val prepared = prepare(embeddings)
-      .withColumn("features", array_to_vector(col("v").cast("array<double>")))
+      .withColumn("features", array_to_vector(
+        transform(col("v"), x => x / col("nrm")).cast("array<double>")))
     val lsh = new BucketedRandomProjectionLSH()
       .setInputCol("features").setOutputCol("hashes")
       .setNumHashTables(numHashTables).setBucketLength(bucketLength).setSeed(42L)

@@ -89,9 +89,11 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
     "sim_topk_lsh" -> ((s, dir) => {
-      // maxDist 1.35 ≈ the corpus's 25th pairwise-distance percentile,
-      // well above the ~1.22 10th-NN distances — the join prunes the far
-      // tail instead of keeping every bucket collision (see lshTopK doc)
+      // distances are UNIT-sphere Euclidean (lshTopK hashes normalized
+      // vectors), so maxDist 1.35 is a principled cosine floor of
+      // 1 - 1.35^2/2 ≈ 0.09 — comfortably below the fixture's ~0.3+
+      // 10th-NN cosines, well above the ~0 random-pair bulk: the join
+      // prunes the far tail instead of keeping every bucket collision
       Similarity.lshTopK(Tables.embeddings(s, dir), col("vec_id") < NQueries, K,
           maxDist = 1.35)
         .orderBy("query_id", "rank")
@@ -337,8 +339,14 @@ object SimilarityQueries {
       .select(col("query_id"), explode(col("ck")("_2")).as("vec_id"))
       .join(broadcast(q), "query_id")
 
-    // rescore: full vectors only for survivors (broadcast semi into scan)
-    val rescored = s.table(tbl).select(col("vec_id"), col("v"), col("nrm"))
+    // rescore: full vectors only for survivors (broadcast semi into scan).
+    // The cen_id filter is semantics-free (every coarse survivor lives in
+    // a probed list) but it is what keeps THIS scan bucket-pruned too —
+    // without it the rescore reads all buckets and deserializes the wide
+    // v column for every corpus row, per micro-batch in the streaming path
+    val rescored = s.table(tbl)
+      .filter(col("cen_id").isin(probeIds.map(Long.box): _*))
+      .select(col("vec_id"), col("v"), col("nrm"))
       .join(broadcast(coarse), "vec_id")
       .withColumn("cos", graft.operators.Dedup.cosine(
         col("qv"), col("v"), col("qnrm"), col("nrm")))

@@ -174,20 +174,31 @@ object StreamingDedup {
       emit: (DataFrame, Long) => Unit):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     queries.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      val probeRows = batch
-        .select(col(idCol).as("query_id"), Dedup.toDoubleArray(col(embCol)).as("qv"))
-        .withColumn("qnrm", Dedup.l2norm(col("qv")))
-        .filter(col("qnrm") > 0.0) // cosine undefined for zero vectors
-        .withColumn("cen_id", explode(graft.functions.NativeExpressions
-          .topNCosineIds(col("qv"), col("qnrm"), cents, nProbe)))
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2), r.getLong(3)))
-        .toSeq
-      if (probeRows.nonEmpty)
-        emit(graft.operators.SimilarityQueries.probeListsPruned(
-          batch.sparkSession, tbl, probeRows, k), batchId)
+      emit(graft.operators.SimilarityQueries.probeListsPruned(
+        batch.sparkSession, tbl,
+        collectProbeRows(batch, idCol, embCol, cents, nProbe), k), batchId)
     }
   }
+
+  /** The shared per-batch probe-row collection of the persisted-index
+    * serving paths ([[annServeBucketed]], [[annServePq]]): cast, zero-norm
+    * filter (cosine is undefined there), nProbe nearest lists per query —
+    * ONE driver roundtrip yielding both the bucket-pruning literals and
+    * the broadcast probe relation. May be empty (a batch of only
+    * zero-norm queries): the serving read then returns an empty result,
+    * and `emit` still fires so batchId-keyed sinks see no holes. */
+  private def collectProbeRows(batch: DataFrame, idCol: String, embCol: String,
+      cents: Seq[(Long, Seq[Double], Double)], nProbe: Int):
+      Seq[(Long, Seq[Double], Double, Long)] =
+    batch
+      .select(col(idCol).as("query_id"), Dedup.toDoubleArray(col(embCol)).as("qv"))
+      .withColumn("qnrm", Dedup.l2norm(col("qv")))
+      .filter(col("qnrm") > 0.0)
+      .withColumn("cen_id", explode(graft.functions.NativeExpressions
+        .topNCosineIds(col("qv"), col("qnrm"), cents, nProbe)))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2), r.getLong(3)))
+      .toSeq
 
   /** Streaming INDEX MAINTENANCE: continuous vector ingest into the
     * persisted bucketed IVF list table — the write half of the serving
@@ -263,18 +274,10 @@ object StreamingDedup {
       emit: (DataFrame, Long) => Unit):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     queries.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      val probeRows = batch
-        .select(col(idCol).as("query_id"), Dedup.toDoubleArray(col(embCol)).as("qv"))
-        .withColumn("qnrm", Dedup.l2norm(col("qv")))
-        .filter(col("qnrm") > 0.0)
-        .withColumn("cen_id", explode(graft.functions.NativeExpressions
-          .topNCosineIds(col("qv"), col("qnrm"), cents, nProbe)))
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2), r.getLong(3)))
-        .toSeq
-      if (probeRows.nonEmpty)
-        emit(graft.operators.SimilarityQueries.probePqLists(
-          batch.sparkSession, tbl, codebook, m, probeRows, candidates, k), batchId)
+      emit(graft.operators.SimilarityQueries.probePqLists(
+        batch.sparkSession, tbl, codebook, m,
+        collectProbeRows(batch, idCol, embCol, cents, nProbe),
+        candidates, k), batchId)
     }
   }
 }
