@@ -18,14 +18,19 @@ object NativeKernels {
 
   private val P = 1000000007L
 
-  /** Rolling hash `acc := (acc*31 + charCodeUnit) mod 1e9+7`. */
+  /** Rolling hash `acc := (acc*31 + codePoint) mod 1e9+7`. CODE POINTS,
+    * not UTF-16 units: DuckDB's `unicode()` (the oracle's character
+    * value) and Spark's own string builtins are code-point-based, so a
+    * surrogate-pair character (emoji, rare CJK) must contribute ONE term
+    * to the fold on both engines. */
   def polyHash(u: UTF8String): Long = {
     val s = u.toString
     var acc = 0L
     var i = 0
     while (i < s.length) {
-      acc = (acc * 31L + s.charAt(i)) % P
-      i += 1
+      val cp = s.codePointAt(i)
+      acc = (acc * 31L + cp) % P
+      i += Character.charCount(cp)
     }
     acc
   }
@@ -46,8 +51,11 @@ object NativeKernels {
       if (i < n) {
         var acc = 0L
         while (i < n && !isWs(s.charAt(i))) {
-          acc = (acc * 31L + s.charAt(i)) % P
-          i += 1
+          // code points (see polyHash) — ws chars are always BMP, so the
+          // boundary scan can stay per-char
+          val cp = s.codePointAt(i)
+          acc = (acc * 31L + cp) % P
+          i += Character.charCount(cp)
         }
         out += acc
       }
@@ -454,12 +462,13 @@ object NativeKernels {
     * (whitespace can't be punct, so counting inside token runs only is
     * exact), subwords are `ceil(tokenLen/4)` per token (integer form —
     * exact for any length a string can have), stopword matches are exact
-    * case-sensitive string compares. `len` is UTF-16 units, equal to
-    * `length()`'s code-point count for the BMP/ASCII oracle corpus.
+    * case-sensitive string compares. All lengths are CODE POINTS —
+    * `length()`'s meaning on both engines, surrogate pairs counted once.
     */
   def textStats(u: UTF8String): ArrayData = {
     val s = u.toString
     val n = s.length
+    var nChars = 0L // CODE POINTS — what length() means on both engines
     var nPunct = 0L
     var nTok = 0L
     var sumTokLen = 0L
@@ -467,23 +476,25 @@ object NativeKernels {
     var nSub = 0L
     var i = 0
     while (i < n) {
-      while (i < n && isWs(s.charAt(i))) i += 1
+      while (i < n && isWs(s.charAt(i))) { i += 1; nChars += 1 }
       if (i < n) {
         val start = i
+        var tl = 0L // token length in code points
         while (i < n && !isWs(s.charAt(i))) {
-          val c = s.charAt(i)
-          if (!((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
-                (c >= '0' && c <= '9'))) nPunct += 1
-          i += 1
+          val cp = s.codePointAt(i)
+          if (!((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z') ||
+                (cp >= '0' && cp <= '9'))) nPunct += 1
+          i += Character.charCount(cp)
+          tl += 1
+          nChars += 1
         }
-        val tl = i - start
         nTok += 1
         sumTokLen += tl
         nSub += (tl + 3) / 4
         if (tl <= MaxStopLen && StopwordSet.contains(s.substring(start, i))) nStop += 1
       }
     }
-    ArrayData.toArrayData(Array(n.toLong, nTok, sumTokLen, nStop, nPunct, nSub))
+    ArrayData.toArrayData(Array(nChars, nTok, sumTokLen, nStop, nPunct, nSub))
   }
 
   /** Marker-token sets per language for [[langMarkerCounts]] — must stay
@@ -575,8 +586,9 @@ object NativeKernels {
     var acc = 0L
     var i = 0
     while (i < s.length) {
-      acc = (acc * 31L + s.charAt(i)) % P
-      i += 1
+      val cp = s.codePointAt(i) // code points, same fold as polyHash
+      acc = (acc * 31L + cp) % P
+      i += Character.charCount(cp)
     }
     acc
   }
@@ -592,7 +604,18 @@ object NativeKernels {
     */
   private def bpeApply(tok: String, ranks: java.util.HashMap[String, Integer],
                        pairs: Array[Array[String]]): Array[String] = {
-    var seg: Array[String] = Array.tabulate(tok.length)(i => String.valueOf(tok.charAt(i)))
+    // initial segmentation is per CODE POINT (DuckDB's tok[i] yields whole
+    // characters — a surrogate pair must start as ONE segment)
+    var seg: Array[String] = {
+      val b = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < tok.length) {
+        val cc = Character.charCount(tok.codePointAt(i))
+        b += tok.substring(i, i + cc)
+        i += cc
+      }
+      b.toArray
+    }
     var done = seg.length <= 1
     while (!done) {
       var best = Int.MaxValue

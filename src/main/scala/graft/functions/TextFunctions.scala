@@ -27,10 +27,13 @@ object TextFunctions {
   val HashMod = 1000000007L
   val HashBase = 31L
 
-  /** Whitespace tokenization. `split(trim(s), "\\s+")` — on an empty/blank
-    * string Spark yields `[""]`, so token-consumers guard with [[tokenCount]].
-    */
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
+  /** Whitespace-RUN tokenization: maximal non-whitespace runs, the
+    * kernels' definition. The raw `split(trim(s), "\\s+")` leaves ''
+    * artifacts on empty/blank strings and on leading/trailing NON-SPACE
+    * whitespace (trim strips spaces only) — filtered here so every
+    * token consumer, Column-based or kernel-based, sees the same list. */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => length(t) > 0)
 
   /** The fused one-pass stats vector `[len, nTokens, sumTokenLen, nStop,
     * nPunct, nSubwords]` ([[NativeExpressions.TextStats]]). The scalar

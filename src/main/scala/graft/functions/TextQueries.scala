@@ -81,13 +81,10 @@ object TextQueries {
     // idf); the fold order is ascending on both engines so doubles match
     // bit-for-bit.
     "text_lm_score" -> ((s, dir) => {
-      val toksExpr = when(length(trim(col("text"))) === 0,
-          array().cast("array<string>"))
-        .otherwise(split(trim(col("text")), "\\s+"))
       // persist: the tokenized corpus feeds the vocabulary branch AND the
-      // scoring branch — without it the split+guard runs twice per doc
+      // scoring branch — without it the split+filter runs twice per doc
       val base = graft.operators.Spread.ifNarrow(Tables.documents(s, dir), col("doc_id"))
-        .select(col("doc_id"), toksExpr.as("toks")).persist()
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks")).persist()
       val counts = base.select(explode(col("toks")).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
       val pmap = counts.crossJoin(broadcast(counts.agg(sum(col("cnt")).as("total"))))
@@ -119,7 +116,7 @@ object TextQueries {
     "text_inverted_index" -> ((s, dir) => {
       graft.operators.Spread.ifNarrow(Tables.documents(s, dir), col("doc_id"))
         .filter(length(trim(col("text"))) > 0)
-        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
         .groupBy(col("tok"))
         .agg(countDistinct(col("doc_id")).as("df"),
           count(lit(1)).as("tf_total"),
@@ -142,7 +139,11 @@ object TextQueries {
       s"list_transform(range(1, length($x)+1), i -> CAST(unicode($x[i]) AS BIGINT))), " +
       s"(a, c) -> (a*31 + c) % 1000000007)"
 
-  val sqlToks = "string_split_regex(trim(text), '\\s+')"
+  /** Whitespace-RUN tokens: `split_regex(trim(...))` leaves '' artifacts
+    * on leading/trailing NON-SPACE whitespace (trim strips spaces only);
+    * filtering them makes the token list exactly the maximal non-ws runs —
+    * the kernels' definition, and the only one that is encoding-stable. */
+  val sqlToks = "list_filter(string_split_regex(trim(text), '\\s+'), t9 -> t9 <> '')"
   val sqlNTok = s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($sqlToks) END"
 
   private def sqlMarkerScore(markers: Seq[String]): String = {
@@ -218,7 +219,7 @@ object TextQueries {
       "text_lm_score" ->
         s"""WITH tk AS (SELECT doc_id,
            |  CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-           |       ELSE string_split_regex(trim(text), '\\s+') END AS toks
+           |       ELSE list_filter(string_split_regex(trim(text), '\\s+'), t9 -> t9 <> '') END AS toks
            |  FROM documents),
            |e AS (SELECT doc_id, unnest(toks) AS tok FROM tk),
            |v AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM e GROUP BY tok),

@@ -377,7 +377,9 @@ object DedupQueries {
       s"list_transform(range(1, length($x)+1), $v -> CAST(unicode($x[$v]) AS BIGINT))), " +
       s"(a, c) -> (a*31 + c) % 1000000007)"
 
-  private val toks = "string_split_regex(trim(text), '\\s+')"
+  // whitespace-RUN tokens: '' artifacts from leading/trailing non-space
+  // whitespace are filtered, matching the kernels (see TextQueries.sqlToks)
+  private val toks = "list_filter(string_split_regex(trim(text), '\\s+'), t9 -> t9 <> '')"
   private val ntok = s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($toks) END"
 
   /** Per-token polyHash list of `text`. */
@@ -537,7 +539,7 @@ object DedupQueries {
 
     "text_top_tokens" ->
       """SELECT tok, COUNT(*) AS n
-        |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents)
+        |FROM (SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'), t9 -> t9 <> '')) AS tok FROM documents)
         |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin,
 
     "dedup_clusters" ->

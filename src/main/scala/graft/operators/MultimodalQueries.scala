@@ -6,10 +6,11 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** Driver-facing multimodal queries. Payloads are UTF-8 bytes of
-  * `documents.text` (pure ASCII — verified), so the DuckDB oracle can
-  * recompute the byte-level stub results from code points: the
-  * binary-column path (BinaryType payload → typed mapPartitions decode →
-  * Encoder output) is held to the same hash-exact gate as the SQL surface.
+  * `documents.text`; the DuckDB oracle expands each code point to its
+  * UTF-8 byte sequence, so the byte-level stub results are replayed
+  * exactly for ANY text (not just ASCII): the binary-column path
+  * (BinaryType payload → typed mapPartitions decode → Encoder output) is
+  * held to the same hash-exact gate as the SQL surface.
   */
 object MultimodalQueries {
 
@@ -36,9 +37,24 @@ object MultimodalQueries {
     })
   )
 
-  // byte-level twins over ASCII text: code point == byte
+  // byte-level twins: the engine decodes genuine UTF-8 payload BYTES, so
+  // the oracle expands each code point to its UTF-8 byte sequence (1-4
+  // bytes by range) instead of assuming ASCII's code-point==byte identity
   private val codes =
-    "list_transform(range(1, length(text)+1), ci -> CAST(unicode(text[ci]) AS BIGINT))"
+    "flatten(list_transform(range(1, length(text)+1), ci -> " +
+      "CASE WHEN unicode(text[ci]) < 128 THEN [CAST(unicode(text[ci]) AS BIGINT)] " +
+      "WHEN unicode(text[ci]) < 2048 THEN [" +
+        "CAST(192 + unicode(text[ci]) // 64 AS BIGINT), " +
+        "CAST(128 + unicode(text[ci]) % 64 AS BIGINT)] " +
+      "WHEN unicode(text[ci]) < 65536 THEN [" +
+        "CAST(224 + unicode(text[ci]) // 4096 AS BIGINT), " +
+        "CAST(128 + (unicode(text[ci]) // 64) % 64 AS BIGINT), " +
+        "CAST(128 + unicode(text[ci]) % 64 AS BIGINT)] " +
+      "ELSE [" +
+        "CAST(240 + unicode(text[ci]) // 262144 AS BIGINT), " +
+        "CAST(128 + (unicode(text[ci]) // 4096) % 64 AS BIGINT), " +
+        "CAST(128 + (unicode(text[ci]) // 64) % 64 AS BIGINT), " +
+        "CAST(128 + unicode(text[ci]) % 64 AS BIGINT)] END))"
   private def roll(l: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), $l), (a, x) -> (a*31 + x) % 1000000007)"
 
@@ -50,23 +66,20 @@ object MultimodalQueries {
          |  ${roll("list_transform(range(0, 16), b -> CAST(len(list_filter(cp, x -> x // 16 = b)) AS BIGINT))")} AS hist_hash
          |FROM c ORDER BY id""".stripMargin,
     "mm_frames" ->
-      s"""WITH f AS (
-         |  SELECT doc_id AS id, text,
-         |    unnest(range(0, CAST(ceil(strlen(text)/64.0) AS BIGINT))) AS frame_idx
-         |  FROM documents WHERE source = 'src0'),
-         |fc AS (SELECT id, frame_idx, substr(text, CAST(frame_idx*64+1 AS INT), 64) AS blk FROM f)
-         |SELECT id, frame_idx,
-         |  ${roll("list_transform(range(1, length(blk)+1), ci -> CAST(unicode(blk[ci]) AS BIGINT))")} AS frame_checksum
+      s"""WITH c AS (SELECT doc_id AS id, $codes AS b FROM documents WHERE source = 'src0'),
+         |f AS (SELECT id, b,
+         |  unnest(range(0, CAST(ceil(len(b)/64.0) AS BIGINT))) AS frame_idx FROM c),
+         |fc AS (SELECT id, frame_idx,
+         |  b[CAST(frame_idx*64+1 AS BIGINT):CAST(frame_idx*64+64 AS BIGINT)] AS blk FROM f)
+         |SELECT id, frame_idx, ${roll("blk")} AS frame_checksum
          |FROM fc ORDER BY id, frame_idx""".stripMargin,
     "mm_audio_windows" ->
-      s"""WITH f AS (
-         |  SELECT doc_id AS id, text,
-         |    unnest(range(0, CAST(ceil(strlen(text)/64.0) AS BIGINT))) AS chunk_idx
-         |  FROM documents WHERE source = 'src3'),
+      s"""WITH c AS (SELECT doc_id AS id, $codes AS b FROM documents WHERE source = 'src3'),
+         |f AS (SELECT id, b,
+         |  unnest(range(0, CAST(ceil(len(b)/64.0) AS BIGINT))) AS chunk_idx FROM c),
          |fc AS (SELECT id, chunk_idx, CAST(chunk_idx*64 AS BIGINT) AS start_byte,
-         |  substr(text, CAST(chunk_idx*64+1 AS INT), 96) AS blk FROM f)
-         |SELECT id, chunk_idx, start_byte,
-         |  ${roll("list_transform(range(1, length(blk)+1), ci -> CAST(unicode(blk[ci]) AS BIGINT))")} AS chunk_checksum
+         |  b[CAST(chunk_idx*64+1 AS BIGINT):CAST(chunk_idx*64+96 AS BIGINT)] AS blk FROM f)
+         |SELECT id, chunk_idx, start_byte, ${roll("blk")} AS chunk_checksum
          |FROM fc ORDER BY id, chunk_idx""".stripMargin,
     "mm_resized" ->
       """WITH m AS (SELECT doc_id AS id, 'fake/' || source AS mime,

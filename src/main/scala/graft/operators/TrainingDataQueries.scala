@@ -279,9 +279,7 @@ object TrainingDataQueries {
     // never exploded or re-assembled, zero data-sized shuffles in the
     // apply pass. Output pins the id sequence via the combine hash.
     "pipeline_tokenize" -> ((s, dir) => {
-      val toksExpr = when(length(trim(col("text"))) === 0,
-          array().cast("array<string>"))
-        .otherwise(split(trim(col("text")), "\\s+"))
+      val toksExpr = TextFunctions.tokens(col("text"))
       val base = docsSpread(s, dir).select(col("doc_id"), toksExpr.as("toks"))
       val vocab = base.select(col("doc_id"), explode(col("toks")).as("tok"))
         .groupBy(col("tok"))
@@ -313,9 +311,7 @@ object TrainingDataQueries {
     // compared surface stays scalar (piece count + ordered piece-hash
     // combine).
     "pipeline_bpe" -> ((s, dir) => {
-      val toksExpr = when(length(trim(col("text"))) === 0,
-          array().cast("array<string>"))
-        .otherwise(split(trim(col("text")), "\\s+"))
+      val toksExpr = TextFunctions.tokens(col("text"))
       val vocab = docsSpread(s, dir)
         .select(explode(toksExpr).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("w"))
@@ -651,7 +647,7 @@ object TrainingDataQueries {
     "pipeline_tokenize" ->
       s"""WITH tk AS (SELECT doc_id,
          |  CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-         |       ELSE string_split_regex(trim(text), '\\s+') END AS toks
+         |       ELSE list_filter(string_split_regex(trim(text), '\\s+'), t9 -> t9 <> '') END AS toks
          |  FROM documents),
          |e AS (SELECT doc_id, unnest(toks) AS tok FROM tk),
          |v AS (SELECT tok, count(DISTINCT doc_id) AS df FROM e GROUP BY tok),
@@ -695,7 +691,7 @@ object TrainingDataQueries {
       val mtFrom = (1 to BpeRounds).map(k => s"b$k").mkString(", ")
       s"""WITH RECURSIVE
          |tk AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-         |       ELSE string_split_regex(trim(text), '\\s+') END AS toks FROM documents),
+         |       ELSE list_filter(string_split_regex(trim(text), '\\s+'), t9 -> t9 <> '') END AS toks FROM documents),
          |e0 AS (SELECT unnest(toks) AS tok FROM tk),
          |hist AS (SELECT tok, count(*) AS w FROM e0 GROUP BY tok),
          |v0 AS (SELECT tok, w, list_transform(range(1, length(tok)+1), c0 -> tok[c0]) AS seg
@@ -782,7 +778,7 @@ object TrainingDataQueries {
          |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(dl) AS BIGINT) AS n_tokens_total FROM dl),
          |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
-         |  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+         |  FROM (SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\\s+'), t9 -> t9 <> '')) AS tok
          |        FROM documents)
          |  WHERE tok IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
          |  GROUP BY doc_id, tok),

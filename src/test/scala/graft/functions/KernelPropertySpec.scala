@@ -33,6 +33,33 @@ class KernelPropertySpec extends AnyFunSuite {
   private def naiveTokens(s: String): Seq[String] =
     s.split(s"[$Ws]+").filter(_.nonEmpty).toSeq
 
+  test("kernels fold CODE POINTS and tokenize whitespace RUNS (unicode/artifact edges)") {
+    import graft.functions.{NativeKernels => K}
+    def u(s: String) = UTF8String.fromString(s)
+    def naiveCp(s: String): Long =
+      s.codePoints().toArray.foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L)
+    // a supplementary character is ONE fold step with its code point —
+    // the oracle's unicode() semantics, not two UTF-16 surrogate units
+    assert(K.polyHash(u("🚀")) == 0x1F680L)
+    for (s <- Seq("café", "数据 处理", "a🚀b", "naïve résumé", "", "x"))
+      assert(K.polyHash(u(s)) == naiveCp(s), s)
+    // tokenization = maximal non-ws runs: no '' artifacts on leading/
+    // trailing non-space whitespace, per-token fold is code-point-based
+    val th = K.tokenHashes(u("\tfoo 🚀\n")).toLongArray()
+    assert(th.toSeq == Seq(naiveCp("foo"), 0x1F680L))
+    assert(K.tokenHashes(u("\n\t \n")).numElements() == 0)
+    // textStats lengths are code points: "café" is a 4-char token
+    val st = K.textStats(u("café 🚀")).toLongArray()
+    assert(st(0) == 6, st.mkString(","))  // total chars incl. the space
+    assert(st(1) == 2 && st(2) == 5, st.mkString(","))  // 2 tokens, len 4+1
+    // BPE segmentation starts per code point: an emoji is ONE segment
+    val b = K.bpeStats(u("🚀🚀 ab"),
+      new java.util.HashMap[String, Integer](), Array.empty[Array[String]])
+      .toLongArray()
+    assert(b(0) == 2, b.mkString(","))  // 2 tokens
+    assert(b(1) == 4, b.mkString(","))  // pieces: [🚀,🚀] + [a,b]
+  }
+
   test("textStats == naive reference on 2000 random strings") {
     val stop = Set("the", "a", "an", "of", "to", "and", "in", "is", "on", "for")
     for (_ <- 1 to 2000) {
