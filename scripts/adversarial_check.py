@@ -65,6 +65,12 @@ def build_fixture(dest: Path) -> None:
         n = random.randint(3, 60)
         add(i, " ".join(random.choice(vocab) for _ in range(n)),
             random.choice(["en", "fr", "de", "es", "zh"]))
+    # Deliberate exclusion: \x0B (vertical tab) is whitespace to Java's \s
+    # (the kernels) but NOT to DuckDB's RE2 \s — the one documented
+    # oracle-parity precondition (NativeKernels.isWs note). Enforce it here
+    # so the fixture never quietly blames the engine for RE2's dialect.
+    assert all("\x0b" not in r[1] for r in rows), \
+        "\\x0B is outside the oracle contract (RE2 \\s excludes it)"
     con.execute("CREATE TABLE docs(doc_id BIGINT, text VARCHAR, lang VARCHAR,"
                 " source VARCHAR, n_chars BIGINT)")
     con.executemany("INSERT INTO docs VALUES (?,?,?,?,?)", rows)

@@ -586,8 +586,13 @@ object Similarity {
     * pairwise percentile). The MaxValue default is the exact-within-
     * buckets mode for callers that need recall over cost. */
   def lshTopK(embeddings: DataFrame, queryPred: Column, k: Int,
-              numHashTables: Int = 4, bucketLength: Double = 4.0,
+              numHashTables: Int = 4, bucketLength: Double = 0.25,
               maxDist: Double = Double.MaxValue): DataFrame = {
+    // bucketLength is sized for the UNIT sphere the features live on: a
+    // random-unit-vector projection of a unit vector has std ~ 1/sqrt(dim)
+    // (~0.125 at 64-dim), so 0.25 ≈ 2σ buckets actually partition the
+    // corpus — the old 4.0 default put every vector in one or two buckets,
+    // silently degrading the join to all-pairs distance computation
     // hash UNIT vectors: on the unit sphere Euclidean distance is monotone
     // in cosine (d^2 = 2 - 2cos), so the join's distance bound is a real
     // cosine floor (cos >= 1 - maxDist^2/2) instead of a scale-dependent

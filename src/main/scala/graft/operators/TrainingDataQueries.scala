@@ -718,13 +718,7 @@ object TrainingDataQueries {
          |fl AS (SELECT doc_id, pos, unnest(list_transform(range(1, len(seg)+1), j -> {'j': j, 'pc': seg[j]})) AS w2 FROM pp),
          |hh AS (SELECT doc_id, pos, w2.j AS j, ${ph("w2.pc", "ci")} AS h FROM fl),
          |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pieces, list(h ORDER BY pos, j) AS hl FROM hh GROUP BY doc_id)
-         |SELECT tk.doc_id,
-         |  -- non-empty count: split_regex(trim(...)) leaves '' artifacts on
-         |  -- leading/trailing NON-SPACE whitespace (trim strips spaces
-         |  -- only); the engine kernel counts whitespace RUNS, which is the
-         |  -- correct token count — filter the artifacts instead of
-         |  -- replicating them
-         |  CAST(len(list_filter(tk.toks, t0 -> t0 <> '')) AS BIGINT) AS n_tokens,
+         |SELECT tk.doc_id, CAST(len(tk.toks) AS BIGINT) AS n_tokens,
          |  COALESCE(ag.n_pieces, 0) AS n_pieces,
          |  CASE WHEN ag.hl IS NULL THEN 0 ELSE ${DedupQueries.combineSql("ag.hl")} END AS pieces_hash
          |FROM tk LEFT JOIN ag ON tk.doc_id = ag.doc_id
