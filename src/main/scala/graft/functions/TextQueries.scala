@@ -152,8 +152,8 @@ object TextQueries {
   }
 
   private val stopIn = Stopwords.map(sw => s"'$sw'").mkString(", ")
-  private val nStop = s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(list_filter($sqlToks, t -> t IN ($stopIn))) END"
-  private val sumTokLen =
+  private[graft] val nStop = s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(list_filter($sqlToks, t -> t IN ($stopIn))) END"
+  private[graft] val sumTokLen =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform($sqlToks, t -> CAST(length(t) AS BIGINT))), (a, x) -> a + x)"
   private val meanTokLen =
     s"CASE WHEN ($sqlNTok) = 0 THEN 0.0 ELSE CAST($sumTokLen AS DOUBLE) / CAST($sqlNTok AS DOUBLE) END"

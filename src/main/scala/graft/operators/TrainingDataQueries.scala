@@ -454,6 +454,45 @@ object TrainingDataQueries {
         .orderBy("doc_id")
     }),
 
+    // The published Gopher quality rules (Rae et al. 2021) as per-doc
+    // flags — the rule-based pre-filter pass that precedes model-based
+    // scoring in every pretraining pipeline. Every flag is INTEGER
+    // arithmetic (cross-multiplied ratios: mean len in [3,10] ⟺
+    // 3n ≤ Σlen ≤ 10n; top-token ≤ 20% ⟺ 5·topf ≤ n), so the compared
+    // surface has no floats at all; both stats vectors come from the two
+    // fused one-pass kernels, evaluated once per row in-scan.
+    "text_gopher_filters" -> ((s, dir) => {
+      val st = NativeExpressions.textStats(col("text"))
+      val rep = NativeExpressions.repetitionStats(col("text"))
+      docsSpread(s, dir)
+        .select(col("doc_id"), st.as("st"), rep.as("r"))
+        .select(col("doc_id"),
+          (col("st")(1) >= 50 && col("st")(1) <= 100000).as("ok_count"),
+          (col("st")(1) > 0 && lit(3) * col("st")(1) <= col("st")(2)
+            && col("st")(2) <= lit(10) * col("st")(1)).as("ok_mean_len"),
+          (col("st")(3) >= 2).as("ok_stop"),
+          (col("st")(1) > 0 && lit(5) * col("r")(2) <= col("st")(1)).as("ok_rep"))
+        .withColumn("keep",
+          col("ok_count") && col("ok_mean_len") && col("ok_stop") && col("ok_rep"))
+        .orderBy("doc_id")
+    }),
+
+    // Power-of-2 length bucketing for batch shaping: docs in one bucket
+    // pad to within 2x of each other. bucket = bit length of n_tokens —
+    // INTEGER-exact on both engines via bin() (floor(log2(n)) drifts at
+    // power-of-2 boundaries in floating point). One map-side-combinable
+    // aggregation; membership pinned by the sorted-id combine hash.
+    "pipeline_length_buckets" -> ((s, dir) => {
+      docTokens(s, dir)
+        .withColumn("bucket", when(col("n_tokens") === 0, lit(0L))
+          .otherwise(length(bin(col("n_tokens"))).cast(LongType)))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+          NativeExpressions.polyCombine(sort_array(collect_list(col("doc_id"))))
+            .as("ids_hash"))
+        .orderBy("bucket")
+    }),
+
     // Deterministic stratified sample: the k docs per source with the
     // smallest consistent-hash values — group-wise uniform sampling that is
     // stable under reruns and corpus growth. Runs as the bounded top-k
@@ -552,6 +591,35 @@ object TrainingDataQueries {
          |       WHEN bucket < 95 THEN 'valid' ELSE 'test' END AS split,
          |  count(*) AS n_docs
          |FROM b GROUP BY source, 2 ORDER BY source, split""".stripMargin,
+
+    "text_gopher_filters" -> {
+      val ntok = graft.functions.TextQueries.sqlNTok
+      val sumTok = graft.functions.TextQueries.sumTokLen
+      val nStop = graft.functions.TextQueries.nStop
+      s"""WITH t AS ($thCte),
+         |tf AS (SELECT doc_id, CAST(CASE WHEN len(th) = 0 THEN 0 ELSE
+         |    list_max(list_transform(list_distinct(th),
+         |      x -> len(list_filter(th, y -> y = x)))) END AS BIGINT) AS topf FROM t),
+         |st AS (SELECT doc_id, CAST($ntok AS BIGINT) AS n,
+         |  CAST($sumTok AS BIGINT) AS sl, CAST($nStop AS BIGINT) AS ns FROM documents)
+         |SELECT st.doc_id,
+         |  n >= 50 AND n <= 100000 AS ok_count,
+         |  n > 0 AND 3*n <= sl AND sl <= 10*n AS ok_mean_len,
+         |  ns >= 2 AS ok_stop,
+         |  n > 0 AND 5*topf <= n AS ok_rep,
+         |  (n >= 50 AND n <= 100000) AND (n > 0 AND 3*n <= sl AND sl <= 10*n)
+         |    AND ns >= 2 AND (n > 0 AND 5*topf <= n) AS keep
+         |FROM st JOIN tf ON st.doc_id = tf.doc_id
+         |ORDER BY st.doc_id""".stripMargin
+    },
+
+    "pipeline_length_buckets" ->
+      s"""WITH t AS (SELECT doc_id, CAST($ntokSql AS BIGINT) AS n FROM documents),
+         |b AS (SELECT doc_id, n,
+         |  CASE WHEN n = 0 THEN 0 ELSE CAST(length(bin(n)) AS BIGINT) END AS bucket FROM t)
+         |SELECT bucket, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens,
+         |  ${DedupQueries.combineSql("list(doc_id ORDER BY doc_id)")} AS ids_hash
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "pipeline_shard" ->
       s"""WITH t AS (SELECT doc_id, CAST($ntokSql AS BIGINT) AS n_tokens FROM documents),
