@@ -57,11 +57,22 @@ def build_fixture(dest: Path) -> None:
     add(17, "a  b   c    d")
     add(18, "line1\nline2\nline1\nline2")
     add(19, "quote \"comma, comma\" 'single'")
+    # BPE merge-frequency TIES: 'ab' and 'ba' pairs occur equally often, so
+    # the learner's deterministic tie-break (count desc, pair asc) must
+    # agree cross-engine or the learned table forks
+    add(120, "abab baba abab baba abba baab")
+    add(121, "the a of and to is the a of and to is")   # stopword-only
+    add(122, "el la de que y los el la de que")         # es marker tokens
+    add(123, "de le shi wo zai you de le shi")          # langid overlap set
+    add(124, "join hash scan join hash scan join")      # BM25/CMS probe terms
+    add(125, "user125@example.com 10.0.0.255 u@v.w 1.2.3.4 end")  # PII-dense
+    add(126, "x" * 63 + " " + "y" * 65)                 # frame-boundary tokens
+    add(127, "🚀" * 70)                                 # emoji-only long doc
     random.seed(7)
     vocab = ["spark", "scan", "merge", "join", "filter", "group", "sort",
              "data", "query", "row", "table", "key", "hash", "part", "order",
              "fast", "slow", "small", "large", "cache"]
-    for i in range(20, 120):
+    for i in range(20, 120):  # ids 120-127 are the targeted edge docs above
         n = random.randint(3, 60)
         add(i, " ".join(random.choice(vocab) for _ in range(n)),
             random.choice(["en", "fr", "de", "es", "zh"]))
