@@ -167,6 +167,22 @@ object RelationalQueries {
         .orderBy(col("g_region"), col("g_nation"), col("r_name"), col("n_name"))
     }),
 
+    // CUBE completes the multi-dimensional-totals family next to rollup:
+    // all four grouping sets of (return flag, line status) in ONE pass —
+    // Catalyst plans an Expand (4x the input rows into one partial agg),
+    // which at 100 TB beats four separate scans+aggs as long as the
+    // grouping-set count stays small. Grouping ids disambiguate the NULLs.
+    "q_cube_pricing" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(dec("l_quantity")).cast(DoubleType).as("sum_qty"),
+          count(lit(1)).as("n_rows"),
+          grouping(col("l_returnflag")).cast(LongType).as("g_flag"),
+          grouping(col("l_linestatus")).cast(LongType).as("g_status"))
+        .orderBy(col("g_flag"), col("g_status"),
+          col("l_returnflag"), col("l_linestatus"))
+    }),
+
     // Histogram quantiles — the ONE-PASS, mergeable order-statistics path:
     // exact quantiles (q_quantiles) need a per-group sort, which at 100 TB
     // means shuffling every row; fixed-range bin counts are a plain
@@ -365,6 +381,15 @@ object RelationalQueries {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY g_region, g_nation, r_name, n_name""".stripMargin,
+    "q_cube_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_rows,
+        |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin,
     "q_quantile_hist" ->
       """WITH b AS (SELECT l_returnflag AS flag,
         |  LEAST(GREATEST(CAST(FLOOR(l_quantity - 1) AS BIGINT), 0), 49) AS bin
