@@ -30,10 +30,22 @@ object Bpe {
   /** `rounds` greedy merges over `vocab` = (token, occurrence count).
     * Throws if the pair space exhausts before `rounds` merges — the twin
     * unrolls exactly `rounds` rounds, so a short table must fail loudly,
-    * not silently desync. */
+    * not silently desync. Likewise throws on a token containing [[Sep]]:
+    * the separator must sit below every corpus character (pair keys and
+    * the twin's string_split both assume it), so a violation fails loudly
+    * instead of silently forking pair keys. */
   def learnMerges(vocab: Seq[(String, Long)], rounds: Int): Seq[(String, String)] = {
+    vocab.foreach { case (t, _) =>
+      require(t.indexOf(Sep.toInt) < 0,
+        "BPE vocabulary token contains the reserved separator U+0001 — " +
+          "pair keys would be ambiguous (Sep must sort below every corpus character)")
+    }
+    // initial segmentation is per CODE POINT (surrogate pairs stay whole),
+    // mirroring both the apply kernel (NativeKernels.bpeApply) and the
+    // twin's character indexing — per-UTF-16-unit segmentation would learn
+    // lone-surrogate merges the apply side can never match
     var segs: Array[(Array[String], Long)] =
-      vocab.map { case (t, w) => (t.map(_.toString).toArray, w) }.toArray
+      vocab.map { case (t, w) => (codePointSegments(t), w) }.toArray
     val merges = Seq.newBuilder[(String, String)]
     var k = 0
     while (k < rounds) {
@@ -47,7 +59,14 @@ object Bpe {
         }
       }
       require(counts.nonEmpty, s"BPE pair space exhausted after $k merges")
-      val best = counts.toSeq.minBy { case (key, c) => (-c, key) }._1
+      // ties broken by pair key ascending in UTF-8 BYTE order — DuckDB's
+      // binary collation — not Java's UTF-16 code-unit order (the two
+      // disagree when a supplementary char ties against [U+E000,U+FFFF])
+      var best: String = null
+      var bestC = Long.MinValue
+      counts.foreach { case (key, c) =>
+        if (c > bestC || (c == bestC && utf8Compare(key, best) < 0)) { best = key; bestC = c }
+      }
       val cut = best.indexOf(Sep.toInt)
       val (l, r) = (best.substring(0, cut), best.substring(cut + 1))
       merges += ((l, r))
@@ -55,6 +74,34 @@ object Bpe {
       k += 1
     }
     merges.result()
+  }
+
+  /** Token split into code-point segments (the same iteration
+    * NativeKernels.bpeApply uses). */
+  private[operators] def codePointSegments(t: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < t.length) {
+      val n = Character.charCount(t.codePointAt(i))
+      out += t.substring(i, i + n)
+      i += n
+    }
+    out.toArray
+  }
+
+  /** Lexicographic compare of the strings' UTF-8 encodings (unsigned
+    * bytes) — DuckDB's default binary collation for ORDER BY. */
+  private[operators] def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
   }
 
   /** Left-to-right non-overlapping merge of (l, r) in a segmentation —

@@ -33,16 +33,49 @@ object Spread {
     */
   def ifNarrow(df: DataFrame, key: Column): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    // key on the canonicalized plan OBJECT (structural equals/hashCode),
-    // not its hashCode — a 32-bit collision between two different base
-    // reads would silently reuse the wrong partition count
-    val cacheKey = (System.identityHashCode(df.sparkSession),
-      df.queryExecution.analyzed.canonicalized)
-    if (probeCache.size > 256) probeCache.clear() // bases are few; bound anyway
-    val n = probeCache.computeIfAbsent(cacheKey, _ => df.rdd.getNumPartitions)
+    val perSession = sessionProbes(df.sparkSession)
+    if (perSession.size > 256) perSession.clear() // bases are few; bound anyway
+    val n = perSession.computeIfAbsent(
+      planKey(df.queryExecution.analyzed.canonicalized), _ => df.rdd.getNumPartitions)
     if (n < target) df.repartition(key) else df
   }
 
-  private val probeCache = new java.util.concurrent.ConcurrentHashMap[
-    (Int, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), Int]()
+  /** Session-free fingerprint of a canonicalized plan. The canonical tree
+    * string alone is NOT enough — LogicalRelation renders as
+    * `Relation[cols] parquet` with no path, so two same-schema tables
+    * would collide — so every file-backed leaf contributes its root paths
+    * and schema. Deliberately a String, never the plan object: a
+    * LogicalRelation retains its HadoopFsRelation's SparkSession, and a
+    * plan-object key in the inner map would chain the weak session key
+    * strongly to itself (the classic WeakHashMap value→key pin). */
+  private def planKey(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): String = {
+    val leaves = plan.collectLeaves().map {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.mkString(",") + ":" + fs.schema.catalogString
+          case other => other.toString
+        }
+      case leaf => leaf.toString
+    }
+    plan.treeString + leaves.mkString("|")
+  }
+
+  private type PlanProbes = java.util.concurrent.ConcurrentHashMap[String, Int]
+
+  /** Per-session probe memos, keyed WEAKLY on the session (identity —
+    * SparkSession doesn't override equals): a long-lived driver cycling
+    * many sessions can't pin canonicalized plans of sessions that are
+    * gone, and one session's clear() never evicts another's hot entries.
+    * (Collections.synchronizedMap overrides computeIfAbsent with a
+    * synchronized variant, so the outer lookup is atomic.) */
+  private val probeCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, PlanProbes]())
+
+  private def sessionProbes(s: org.apache.spark.sql.SparkSession): PlanProbes =
+    probeCache.computeIfAbsent(s, _ => new PlanProbes())
+
+  /** Number of sessions currently holding probe memos (test hook). */
+  private[operators] def probeSessionCount: Int = probeCache.size
 }

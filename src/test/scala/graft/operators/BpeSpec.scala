@@ -18,6 +18,30 @@ class BpeSpec extends SparkSuite {
     assert(m(1) == (("a", "b")))
   }
 
+  test("learnMerges segments by code point — surrogate pairs never split") {
+    // U+1F600 is a surrogate pair in UTF-16; per-char segmentation would
+    // learn a lone-surrogate merge the apply kernel can never match
+    val emoji = "😀"
+    val m = Bpe.learnMerges(Seq((emoji + emoji, 3L)), 1)
+    assert(m.head == ((emoji, emoji)))
+  }
+
+  test("learnMerges breaks ties in UTF-8 byte order, not UTF-16 code-unit order") {
+    // U+10000 (UTF-8 F0 90 80 80, UTF-16 D800 DC00) vs U+E000 (UTF-8 EE 80
+    // 80, UTF-16 E000): Java String order puts U+10000 first (D800 < E000),
+    // DuckDB's binary collation puts U+E000 first (EE < F0)
+    val supp = new String(Character.toChars(0x10000))
+    val priv = "\uE000"
+    val m = Bpe.learnMerges(Seq(("a" + supp, 1L), ("a" + priv, 1L)), 1)
+    assert(m.head == (("a", priv)))
+  }
+
+  test("learnMerges rejects a vocabulary token containing the reserved separator") {
+    intercept[IllegalArgumentException] {
+      Bpe.learnMerges(Seq(("a\u0001b", 1L)), 1)
+    }
+  }
+
   test("learnMerges throws when the pair space exhausts before the requested rounds") {
     intercept[IllegalArgumentException] {
       Bpe.learnMerges(Seq(("ab", 1L)), 3) // one pair, then nothing

@@ -28,6 +28,32 @@ class SpreadGateSpec extends SparkSuite {
     assert(Spread.ifNarrow(wide, col("doc_id")) eq wide)
   }
 
+  test("probe memo is per-session and weak: dead sessions' plans get evicted") {
+    val docs = Tables.documents(spark, sf0001)
+    Spread.ifNarrow(docs, col("doc_id"))
+    val before = Spread.probeSessionCount
+    // a sibling session probes the same base: its memo is its own entry,
+    // never a cross-session reuse of (or eviction victim for) ours
+    var other = spark.newSession()
+    Spread.ifNarrow(other.read.parquet(s"$sf0001/documents.parquet"), col("doc_id"))
+    assert(Spread.probeSessionCount == before + 1)
+    // drop the strong references — the weak key must let the memo go.
+    // Running a query set `other` as the thread-local active session, so
+    // restore ours or the thread-local would pin it forever (exactly the
+    // long-lived-driver leak shape the weak map exists to survive).
+    other = null
+    org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (Spread.probeSessionCount > before && System.nanoTime() < deadline) {
+      System.gc()
+      Thread.sleep(100)
+    }
+    assert(Spread.probeSessionCount == before,
+      "closed session's probe memo was never evicted")
+    // the surviving session's memo still works (no wholesale clear)
+    assert(Spread.ifNarrow(docs, col("doc_id")) ne docs)
+  }
+
   test("similarity prepare over an already-parallel corpus plans ZERO shuffles") {
     import spark.implicits._
     val target = spark.sparkContext.defaultParallelism
