@@ -62,6 +62,7 @@ object SparkEntry {
     coreQueries ++ graft.functions.TextQueries.queries ++
       graft.operators.DedupQueries.queries ++
       graft.operators.TrainingDataQueries.queries ++
+      graft.operators.CurationPipeline.queries ++
       graft.operators.SimilarityQueries.queries ++
       graft.operators.RelationalQueries.queries ++
       graft.operators.MultimodalQueries.queries ++
@@ -256,6 +257,7 @@ object SparkEntry {
     coreOracles ++ graft.functions.TextQueries.oracles ++
       graft.operators.DedupQueries.oracles ++
       graft.operators.TrainingDataQueries.oracles ++
+      graft.operators.CurationPipeline.oracles ++
       graft.operators.SimilarityQueries.oracles ++
       graft.operators.RelationalQueries.oracles ++
       graft.operators.MultimodalQueries.oracles ++

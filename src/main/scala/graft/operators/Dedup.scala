@@ -250,9 +250,14 @@ object Dedup {
     * SHOULD be persisted by the caller (it feeds centroid selection,
     * assignment, and both pair sides). Returns (vec_id, cen_id, keep).
     */
-  def semanticDedup(corpus: DataFrame, nCentroids: Int, tau: Double): DataFrame = {
-    val assigned = Similarity.ivfAssign(corpus,
-      Similarity.centroids(corpus, nCentroids)).persist()
+  def semanticDedup(corpus: DataFrame, nCentroids: Int, tau: Double): DataFrame =
+    semanticDedupWith(corpus, Similarity.centroids(corpus, nCentroids), tau)
+
+  /** [[semanticDedup]] with a caller-supplied centroid set (cen_id, cv,
+    * cnrm) — the e2e curation chain derives centroids from the SURVIVOR
+    * set ([[Similarity.lowestIdCentroids]]), not the raw corpus. */
+  def semanticDedupWith(corpus: DataFrame, cents: DataFrame, tau: Double): DataFrame = {
+    val assigned = Similarity.ivfAssign(corpus, cents).persist()
     val a = assigned.select(col("cen_id"), col("vec_id").as("id_a"),
       col("v").as("v_a"), col("nrm").as("nrm_a"))
     val b = assigned.select(col("cen_id"), col("vec_id").as("id_b"),

@@ -111,6 +111,15 @@ object Similarity {
     corpus.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cen_id"), col("v").as("cv"), col("nrm").as("cnrm"))
 
+  /** Deterministic coarse centroids from a FILTERED corpus: the
+    * `nCentroids` lowest surviving vec_ids (a filtered set need not
+    * contain ids 0..n, so [[centroids]]' `vec_id < n` rule can come up
+    * short there). Sort+limit is driver-bounded — the set is collected by
+    * [[collectCentroids]] anyway. */
+  def lowestIdCentroids(corpus: DataFrame, nCentroids: Int): DataFrame =
+    corpus.orderBy(col("vec_id")).limit(nCentroids)
+      .select(col("vec_id").as("cen_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+
   /** Materialize a centroid set (cen_id, cv, cnrm) on the driver, ordered by
     * cen_id — the constant the assignment/probe kernels close over. A coarse
     * quantizer is small BY CONSTRUCTION (10²–10⁴ vectors independent of

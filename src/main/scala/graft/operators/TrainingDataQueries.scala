@@ -1,11 +1,34 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
 
 import graft.Tables
 import graft.functions.{NativeExpressions, TextFunctions}
+
+/** The published Gopher quality rules (Rae et al. 2021) as Column
+  * predicates over the engine's fused one-pass stats vectors
+  * (`st` = [[NativeExpressions.textStats]], `r` =
+  * [[NativeExpressions.repetitionStats]]). All INTEGER arithmetic
+  * (cross-multiplied ratios), so the compared surface has no floats.
+  * Shared by the standalone `text_gopher_filters` flags query and the
+  * e2e curation chain ([[CurationPipeline]]) — one rule set, no fork.
+  */
+object Gopher {
+  /** 50 <= token count <= 100k. */
+  def okCount(st: Column): Column = st(1) >= 50 && st(1) <= 100000
+  /** mean token length in [3, 10]  ⟺  3n <= Σlen <= 10n. */
+  def okMeanLen(st: Column): Column =
+    st(1) > 0 && lit(3) * st(1) <= st(2) && st(2) <= lit(10) * st(1)
+  /** at least 2 stopwords. */
+  def okStop(st: Column): Column = st(3) >= 2
+  /** top token <= 20% of tokens  ⟺  5·topf <= n. */
+  def okRep(st: Column, r: Column): Column = st(1) > 0 && lit(5) * r(2) <= st(1)
+  /** All four rules. */
+  def keep(st: Column, r: Column): Column =
+    okCount(st) && okMeanLen(st) && okStop(st) && okRep(st, r)
+}
 
 /** Round-3 training-data pipeline queries: sequence packing / chunking,
   * Bloom-filter membership, retrieval scoring, repetition quality, corpus
@@ -460,18 +483,19 @@ object TrainingDataQueries {
     // arithmetic (cross-multiplied ratios: mean len in [3,10] ⟺
     // 3n ≤ Σlen ≤ 10n; top-token ≤ 20% ⟺ 5·topf ≤ n), so the compared
     // surface has no floats at all; both stats vectors come from the two
-    // fused one-pass kernels, evaluated once per row in-scan.
+    // fused one-pass kernels, evaluated once per row in-scan. The rule
+    // set lives in [[Gopher]], shared with the e2e curation pipeline —
+    // the filter definition cannot fork between the standalone flags
+    // query and the composed chain.
     "text_gopher_filters" -> ((s, dir) => {
-      val st = NativeExpressions.textStats(col("text"))
-      val rep = NativeExpressions.repetitionStats(col("text"))
       docsSpread(s, dir)
-        .select(col("doc_id"), st.as("st"), rep.as("r"))
+        .select(col("doc_id"), NativeExpressions.textStats(col("text")).as("st"),
+          NativeExpressions.repetitionStats(col("text")).as("r"))
         .select(col("doc_id"),
-          (col("st")(1) >= 50 && col("st")(1) <= 100000).as("ok_count"),
-          (col("st")(1) > 0 && lit(3) * col("st")(1) <= col("st")(2)
-            && col("st")(2) <= lit(10) * col("st")(1)).as("ok_mean_len"),
-          (col("st")(3) >= 2).as("ok_stop"),
-          (col("st")(1) > 0 && lit(5) * col("r")(2) <= col("st")(1)).as("ok_rep"))
+          Gopher.okCount(col("st")).as("ok_count"),
+          Gopher.okMeanLen(col("st")).as("ok_mean_len"),
+          Gopher.okStop(col("st")).as("ok_stop"),
+          Gopher.okRep(col("st"), col("r")).as("ok_rep"))
         .withColumn("keep",
           col("ok_count") && col("ok_mean_len") && col("ok_stop") && col("ok_rep"))
         .orderBy("doc_id")
@@ -561,6 +585,26 @@ object TrainingDataQueries {
   private def cmsPosSql(h: String, j: String): String =
     s"((((1103515245*($j+1)+12345) % $P)*$h + (1103515245*($j+7)+54321) % $P) % $P) % $CmsWidth"
 
+  /** SQL twins of the [[Gopher]] rule set — CTE bodies + flag predicates,
+    * shared by the `text_gopher_filters` oracle and the e2e curation twin
+    * ([[CurationPipeline.oracles]]); one rule set, no fork. `tfCte`
+    * expects the `t` CTE ([[DedupQueries.thCte]]) in scope. */
+  private[operators] object GopherSql {
+    val tfCte: String =
+      s"""SELECT doc_id, CAST(CASE WHEN len(th) = 0 THEN 0 ELSE
+         |    list_max(list_transform(list_distinct(th),
+         |      x -> len(list_filter(th, y -> y = x)))) END AS BIGINT) AS topf FROM t""".stripMargin
+    val stCte: String =
+      s"SELECT doc_id, CAST($ntokSql AS BIGINT) AS n, " +
+        s"CAST(${graft.functions.TextQueries.sumTokLen} AS BIGINT) AS sl, " +
+        s"CAST(${graft.functions.TextQueries.nStop} AS BIGINT) AS ns FROM documents"
+    val okCount = "n >= 50 AND n <= 100000"
+    val okMeanLen = "n > 0 AND 3*n <= sl AND sl <= 10*n"
+    val okStop = "ns >= 2"
+    val okRep = "n > 0 AND 5*topf <= n"
+    val keep = s"($okCount) AND ($okMeanLen) AND $okStop AND ($okRep)"
+  }
+
   def oracles: Map[String, String] = Map(
     "pipeline_pack" ->
       s"""WITH t AS (SELECT doc_id, CAST($ntokSql AS BIGINT) AS n_tokens FROM documents),
@@ -592,26 +636,18 @@ object TrainingDataQueries {
          |  count(*) AS n_docs
          |FROM b GROUP BY source, 2 ORDER BY source, split""".stripMargin,
 
-    "text_gopher_filters" -> {
-      val ntok = graft.functions.TextQueries.sqlNTok
-      val sumTok = graft.functions.TextQueries.sumTokLen
-      val nStop = graft.functions.TextQueries.nStop
+    "text_gopher_filters" ->
       s"""WITH t AS ($thCte),
-         |tf AS (SELECT doc_id, CAST(CASE WHEN len(th) = 0 THEN 0 ELSE
-         |    list_max(list_transform(list_distinct(th),
-         |      x -> len(list_filter(th, y -> y = x)))) END AS BIGINT) AS topf FROM t),
-         |st AS (SELECT doc_id, CAST($ntok AS BIGINT) AS n,
-         |  CAST($sumTok AS BIGINT) AS sl, CAST($nStop AS BIGINT) AS ns FROM documents)
+         |tf AS (${GopherSql.tfCte}),
+         |st AS (${GopherSql.stCte})
          |SELECT st.doc_id,
-         |  n >= 50 AND n <= 100000 AS ok_count,
-         |  n > 0 AND 3*n <= sl AND sl <= 10*n AS ok_mean_len,
-         |  ns >= 2 AS ok_stop,
-         |  n > 0 AND 5*topf <= n AS ok_rep,
-         |  (n >= 50 AND n <= 100000) AND (n > 0 AND 3*n <= sl AND sl <= 10*n)
-         |    AND ns >= 2 AND (n > 0 AND 5*topf <= n) AS keep
+         |  ${GopherSql.okCount} AS ok_count,
+         |  ${GopherSql.okMeanLen} AS ok_mean_len,
+         |  ${GopherSql.okStop} AS ok_stop,
+         |  ${GopherSql.okRep} AS ok_rep,
+         |  ${GopherSql.keep} AS keep
          |FROM st JOIN tf ON st.doc_id = tf.doc_id
-         |ORDER BY st.doc_id""".stripMargin
-    },
+         |ORDER BY st.doc_id""".stripMargin,
 
     "pipeline_length_buckets" ->
       s"""WITH t AS (SELECT doc_id, CAST($ntokSql AS BIGINT) AS n FROM documents),
