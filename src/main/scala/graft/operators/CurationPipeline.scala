@@ -154,7 +154,14 @@ object CurationPipeline {
       // stage 2: paragraph dedup
       val pagg = paragraphAgg(q)
       val s2 = paragraphSurvivors(pagg).persist()
-      s2.select(col("doc_id"), col("n_paras"), col("n_dup"))
+      // stage 3: semantic dedup over the stage-2 survivors
+      val s3 = semanticSurvivors(q.join(s2.select("doc_id"), "doc_id"))
+      // stage 4: decontaminate vs the RAW eval slice
+      val s4 = decontaminate(q.join(s3, "doc_id"),
+        docs.filter(col("source") === "src19"))
+      s4.select(col("doc_id"), col("cen_id"))
+        .join(s2, "doc_id")
+        .select(col("doc_id"), col("n_paras"), col("n_dup"), col("cen_id"))
         .orderBy("doc_id")
     })
   )
@@ -186,10 +193,45 @@ object CurationPipeline {
        |s2 AS (SELECT doc_id, n_paras, n_dup FROM pagg WHERE 2*n_dup <= n_paras)""".stripMargin
   }
 
+  /** Stage 3+4 CTE chain (expects `t` and the [[stage12Ctes]] chain):
+    * hashing-trick embeddings of s2 survivors, survivor-derived centroids,
+    * IVF-list tau victims, then the eval-slice shingle gate. Mirrors the
+    * `dedup_semantic_text` and `pipeline_decontaminate` twins. */
+  private[operators] def stage34Ctes: String = {
+    import DedupQueries.{dotSql, normSql, shhSql}
+    s"""hv AS (SELECT t.doc_id AS vec_id, list_transform(range(0, $SemDim), b ->
+       |  CAST(len(list_filter(th, h -> h % $SemDim = b AND (h // $SemDim) % 2 = 1)) -
+       |       len(list_filter(th, h -> h % $SemDim = b AND (h // $SemDim) % 2 = 0)) AS DOUBLE)) AS v
+       |  FROM t WHERE t.doc_id IN (SELECT doc_id FROM s2)),
+       |nn AS (SELECT * FROM (SELECT vec_id, v, ${normSql("v")} AS nrm FROM hv) WHERE nrm > 0.0),
+       |cents AS (SELECT vec_id AS cen_id, v AS cv, nrm AS cnrm FROM nn ORDER BY vec_id LIMIT $SemCentroids),
+       |assigned AS (
+       |  SELECT vec_id, cen_id, v, nrm FROM (
+       |    SELECT nn.vec_id, cents.cen_id, nn.v, nn.nrm,
+       |      row_number() OVER (PARTITION BY nn.vec_id
+       |        ORDER BY ${dotSql("nn.v", "cents.cv")} / (nn.nrm * cents.cnrm) DESC, cents.cen_id) AS crn
+       |    FROM nn, cents) WHERE crn = 1),
+       |victims AS (SELECT DISTINCT b.vec_id
+       |  FROM assigned a JOIN assigned b ON a.cen_id = b.cen_id AND a.vec_id < b.vec_id
+       |  WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= $SemTau),
+       |s3 AS (SELECT vec_id AS doc_id, cen_id FROM assigned
+       |  WHERE vec_id NOT IN (SELECT vec_id FROM victims)),
+       |dsh AS (SELECT doc_id, source, ${shhSql(DecontNgram)} AS shh FROM t),
+       |ev AS (SELECT DISTINCT unnest(shh) AS sh FROM dsh WHERE source = 'src19'),
+       |contaminated AS (SELECT DISTINCT c.doc_id FROM
+       |  (SELECT doc_id, unnest(shh) AS sh FROM dsh
+       |   WHERE source <> 'src19' AND doc_id IN (SELECT doc_id FROM s3)) c JOIN ev USING (sh)),
+       |s4 AS (SELECT s3.doc_id, s3.cen_id FROM s3 JOIN dsh USING (doc_id)
+       |  WHERE dsh.source <> 'src19'
+       |    AND s3.doc_id NOT IN (SELECT doc_id FROM contaminated))""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
     "pipeline_e2e_curate" ->
       s"""WITH t AS ($thCte),
-         |$stage12Ctes
-         |SELECT doc_id, n_paras, n_dup FROM s2 ORDER BY doc_id""".stripMargin
+         |$stage12Ctes,
+         |$stage34Ctes
+         |SELECT s4.doc_id, s2.n_paras, s2.n_dup, s4.cen_id
+         |FROM s4 JOIN s2 USING (doc_id) ORDER BY doc_id""".stripMargin
   )
 }
