@@ -158,10 +158,34 @@ object CurationPipeline {
       val s3 = semanticSurvivors(q.join(s2.select("doc_id"), "doc_id"))
       // stage 4: decontaminate vs the RAW eval slice
       val s4 = decontaminate(q.join(s3, "doc_id"),
-        docs.filter(col("source") === "src19"))
-      s4.select(col("doc_id"), col("cen_id"))
+          docs.filter(col("source") === "src19"))
+        .persist() // feeds the BPE vocab collect AND the apply pass
+      // stage 5: BPE — merge table learned ON the survivors. An empty
+      // merge table means the survivor corpus itself is empty (every
+      // Gopher survivor has >= 50 tokens, so survivors => vocab => merges);
+      // emit the schema-correct empty frame instead of building a
+      // zero-merge kernel.
+      val merges = TrainingDataQueries.bpeMerges(s4)
+      val bp =
+        if (merges.isEmpty)
+          s4.select(col("doc_id"), col("cen_id"), lit(0L).as("n_tokens"),
+            lit(0L).as("n_pieces"), lit(0L).as("pieces_hash"))
+        else s4.select(col("doc_id"), col("cen_id"),
+            NativeExpressions.bpeStats(col("text"), merges).as("b"))
+          .select(col("doc_id"), col("cen_id"),
+            col("b").getItem(0).as("n_tokens"),
+            col("b").getItem(1).as("n_pieces"),
+            col("b").getItem(2).as("pieces_hash"))
+      // stage 6: pack the BPE piece counts (concat-and-cut in doc_id order)
+      val packed = Packing.packAssignments(bp, "doc_id", "n_pieces", PackTokens)
+      // stage 7: consistent-hash shard + final per-doc evidence row
+      packed
+        .withColumn("shard_id", pmod(TextFunctions.polyHash(
+          concat(lit("shard"), col("doc_id").cast(StringType))), lit(NShards)))
         .join(s2, "doc_id")
-        .select(col("doc_id"), col("n_paras"), col("n_dup"), col("cen_id"))
+        .select(col("doc_id"), col("n_paras"), col("n_dup"), col("cen_id"),
+          col("n_tokens"), col("n_pieces"), col("pieces_hash"),
+          col("pack_id"), col("pack_offset"), col("shard_id"))
         .orderBy("doc_id")
     })
   )
@@ -181,7 +205,7 @@ object CurationPipeline {
        |  WHERE ${TrainingDataQueries.GopherSql.keep}),
        |p0 AS (SELECT doc_id, th FROM t
        |  WHERE len(th) > 0 AND doc_id IN (SELECT doc_id FROM s1)),
-       |paras AS (SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pidx, u.h FROM (
+       |paras AS MATERIALIZED (SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pidx, u.h FROM (
        |  SELECT doc_id, unnest(list_transform(range(1, ((len(th) + ${w - 1}) // $w) + 1),
        |    i -> {'i': i, 'h': ${combineSql(s"th[(i-1)*$w+1:LEAST(i*$w, len(th))]")}})) AS u
        |  FROM p0)),
@@ -190,7 +214,7 @@ object CurationPipeline {
        |pagg AS (SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_paras,
        |    CAST(sum(CASE WHEN p.doc_id = c.c.d AND p.pidx = c.c.p THEN 0 ELSE 1 END) AS BIGINT) AS n_dup
        |  FROM paras p JOIN canon c USING (h) GROUP BY p.doc_id),
-       |s2 AS (SELECT doc_id, n_paras, n_dup FROM pagg WHERE 2*n_dup <= n_paras)""".stripMargin
+       |s2 AS MATERIALIZED (SELECT doc_id, n_paras, n_dup FROM pagg WHERE 2*n_dup <= n_paras)""".stripMargin
   }
 
   /** Stage 3+4 CTE chain (expects `t` and the [[stage12Ctes]] chain):
@@ -203,9 +227,9 @@ object CurationPipeline {
        |  CAST(len(list_filter(th, h -> h % $SemDim = b AND (h // $SemDim) % 2 = 1)) -
        |       len(list_filter(th, h -> h % $SemDim = b AND (h // $SemDim) % 2 = 0)) AS DOUBLE)) AS v
        |  FROM t WHERE t.doc_id IN (SELECT doc_id FROM s2)),
-       |nn AS (SELECT * FROM (SELECT vec_id, v, ${normSql("v")} AS nrm FROM hv) WHERE nrm > 0.0),
+       |nn AS MATERIALIZED (SELECT * FROM (SELECT vec_id, v, ${normSql("v")} AS nrm FROM hv) WHERE nrm > 0.0),
        |cents AS (SELECT vec_id AS cen_id, v AS cv, nrm AS cnrm FROM nn ORDER BY vec_id LIMIT $SemCentroids),
-       |assigned AS (
+       |assigned AS MATERIALIZED (
        |  SELECT vec_id, cen_id, v, nrm FROM (
        |    SELECT nn.vec_id, cents.cen_id, nn.v, nn.nrm,
        |      row_number() OVER (PARTITION BY nn.vec_id
@@ -214,24 +238,43 @@ object CurationPipeline {
        |victims AS (SELECT DISTINCT b.vec_id
        |  FROM assigned a JOIN assigned b ON a.cen_id = b.cen_id AND a.vec_id < b.vec_id
        |  WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= $SemTau),
-       |s3 AS (SELECT vec_id AS doc_id, cen_id FROM assigned
+       |s3 AS MATERIALIZED (SELECT vec_id AS doc_id, cen_id FROM assigned
        |  WHERE vec_id NOT IN (SELECT vec_id FROM victims)),
-       |dsh AS (SELECT doc_id, source, ${shhSql(DecontNgram)} AS shh FROM t),
+       |dsh AS MATERIALIZED (SELECT doc_id, source, ${shhSql(DecontNgram)} AS shh FROM t),
        |ev AS (SELECT DISTINCT unnest(shh) AS sh FROM dsh WHERE source = 'src19'),
        |contaminated AS (SELECT DISTINCT c.doc_id FROM
        |  (SELECT doc_id, unnest(shh) AS sh FROM dsh
        |   WHERE source <> 'src19' AND doc_id IN (SELECT doc_id FROM s3)) c JOIN ev USING (sh)),
-       |s4 AS (SELECT s3.doc_id, s3.cen_id FROM s3 JOIN dsh USING (doc_id)
+       |s4 AS MATERIALIZED (SELECT s3.doc_id, s3.cen_id FROM s3 JOIN dsh USING (doc_id)
        |  WHERE dsh.source <> 'src19'
        |    AND s3.doc_id NOT IN (SELECT doc_id FROM contaminated))""".stripMargin
   }
 
   def oracles: Map[String, String] = Map(
+    // Stages 5-7 on top of the survivor chain: the BPE twin chain
+    // ([[TrainingDataQueries.bpeChainCtes]]) learns on `surv`, then the
+    // pipeline_pack window prefix sum and the pipeline_shard hash rule.
     "pipeline_e2e_curate" ->
-      s"""WITH t AS ($thCte),
+      s"""WITH RECURSIVE t AS MATERIALIZED ($thCte),
          |$stage12Ctes,
-         |$stage34Ctes
-         |SELECT s4.doc_id, s2.n_paras, s2.n_dup, s4.cen_id
-         |FROM s4 JOIN s2 USING (doc_id) ORDER BY doc_id""".stripMargin
+         |$stage34Ctes,
+         |surv AS (SELECT d.doc_id, d.text FROM documents d
+         |  WHERE d.doc_id IN (SELECT doc_id FROM s4)),
+         |${TrainingDataQueries.bpeChainCtes("surv")},
+         |bp AS (SELECT tk.doc_id, CAST(len(tk.toks) AS BIGINT) AS n_tokens,
+         |  COALESCE(ag.n_pieces, 0) AS n_pieces,
+         |  CASE WHEN ag.hl IS NULL THEN 0 ELSE ${combineSql("ag.hl")} END AS pieces_hash
+         |  FROM tk LEFT JOIN ag ON tk.doc_id = ag.doc_id),
+         |pk AS (SELECT doc_id, n_tokens, n_pieces, pieces_hash,
+         |  CAST(COALESCE(SUM(n_pieces) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |  FROM bp)
+         |SELECT pk.doc_id, s2.n_paras, s2.n_dup, s4.cen_id,
+         |  pk.n_tokens, pk.n_pieces, pk.pieces_hash,
+         |  pk.cum_before // $PackTokens AS pack_id,
+         |  pk.cum_before % $PackTokens AS pack_offset,
+         |  ${ph("('shard' || CAST(pk.doc_id AS VARCHAR))", "si")} % $NShards AS shard_id
+         |FROM pk JOIN s2 USING (doc_id) JOIN s4 USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
   )
 }

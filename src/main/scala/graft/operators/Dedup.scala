@@ -257,7 +257,18 @@ object Dedup {
     * cnrm) — the e2e curation chain derives centroids from the SURVIVOR
     * set ([[Similarity.lowestIdCentroids]]), not the raw corpus. */
   def semanticDedupWith(corpus: DataFrame, cents: DataFrame, tau: Double): DataFrame = {
-    val assigned = Similarity.ivfAssign(corpus, cents).persist()
+    val collected = Similarity.collectCentroids(cents)
+    if (collected.isEmpty) {
+      // An empty SURVIVOR-derived centroid set means the corpus itself is
+      // empty (lowestIdCentroids of nothing): return the schema-correct
+      // empty result. Over a NON-empty corpus an empty centroid set would
+      // silently skip dedup — that is a caller bug, fail loud.
+      require(corpus.isEmpty,
+        "semanticDedupWith: empty centroid set over a non-empty corpus")
+      return corpus.select(col("vec_id"),
+        lit(null).cast(LongType).as("cen_id"), lit(true).as("keep"))
+    }
+    val assigned = Similarity.ivfAssignWith(corpus, collected).persist()
     val a = assigned.select(col("cen_id"), col("vec_id").as("id_a"),
       col("v").as("v_a"), col("nrm").as("nrm_a"))
     val b = assigned.select(col("cen_id"), col("vec_id").as("id_b"),

@@ -74,6 +74,26 @@ object TrainingDataQueries {
   private def docsSpread(s: SparkSession, dir: String): DataFrame =
     Spread.ifNarrow(Tables.documents(s, dir), col("doc_id"))
 
+  /** Learn the [[BpeRounds]]-merge BPE table from `docs`' token-frequency
+    * histogram (capped at [[BpeVocabCap]] — the driver collect stays
+    * constant-size at any corpus scale). Shared by `pipeline_bpe` and the
+    * e2e curation chain, which learns ON ITS SURVIVORS — one trainer, no
+    * fork. Tie-break on the token is Spark's UTF8String binary order ==
+    * DuckDB's binary collation. */
+  private[operators] def bpeMerges(docs: DataFrame): Seq[(String, String)] = {
+    val vocab = docs
+      .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("w"))
+      .orderBy(col("w").desc, col("tok")).limit(BpeVocabCap)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // empty corpus: nothing to learn AND nothing to apply to, so the empty
+    // table is exact (the twin's merge rounds devolve to no-ops the same
+    // way); a non-empty corpus that exhausts the pair space mid-round still
+    // fails loudly inside learnMerges (a short table would silently desync
+    // the unrolled twin)
+    if (vocab.isEmpty) Seq.empty else Bpe.learnMerges(vocab, BpeRounds)
+  }
+
   private def docTokens(s: SparkSession, dir: String): DataFrame =
     docsSpread(s, dir).select(col("doc_id"),
       TextFunctions.tokenCount(col("text")).cast(LongType).as("n_tokens"))
@@ -334,13 +354,7 @@ object TrainingDataQueries {
     // compared surface stays scalar (piece count + ordered piece-hash
     // combine).
     "pipeline_bpe" -> ((s, dir) => {
-      val toksExpr = TextFunctions.tokens(col("text"))
-      val vocab = docsSpread(s, dir)
-        .select(explode(toksExpr).as("tok"))
-        .groupBy(col("tok")).agg(count(lit(1)).as("w"))
-        .orderBy(col("w").desc, col("tok")).limit(BpeVocabCap)
-        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-      val merges = Bpe.learnMerges(vocab, BpeRounds)
+      val merges = bpeMerges(docsSpread(s, dir))
       docsSpread(s, dir)
         .select(col("doc_id"), NativeExpressions.bpeStats(col("text"), merges).as("b"))
         .select(col("doc_id"),
@@ -585,6 +599,64 @@ object TrainingDataQueries {
   private def cmsPosSql(h: String, j: String): String =
     s"((((1103515245*($j+1)+12345) % $P)*$h + (1103515245*($j+7)+54321) % $P) % $P) % $CmsWidth"
 
+  /** The unrolled-rounds BPE twin as a reusable CTE chain over `docsRel`
+    * (any relation exposing (doc_id, text)) — learning rounds (pair counts
+    * -> argmax pair -> fold-merge every segmentation), then the canonical
+    * rank-order apply as a per-token recursion (each step merges the
+    * present pair with the lowest rank; strictly decreasing segment count,
+    * so the final state per token is the min-length row). chr(1) is the
+    * pair-key separator (below every corpus char, so key order ==
+    * component order — mirrors [[Bpe.Sep]]). Contains the recursive `rec`
+    * CTE, so the enclosing query must open `WITH RECURSIVE`. Yields
+    * `tk (doc_id, toks)` and `ag (doc_id, n_pieces, hl)`; the caller
+    * left-joins them. Shared by the `pipeline_bpe` oracle and the e2e
+    * curation twin (which tokenizes its SURVIVORS) — one trainer twin,
+    * no fork. */
+  private[operators] def bpeChainCtes(docsRel: String): String = {
+    def fm(seg: String, l: String, r: String): String =
+      s"list_reduce(list_prepend(CAST([] AS VARCHAR[]), list_transform($seg, s0 -> [s0])), " +
+        s"(acc, x) -> CASE WHEN len(acc) > 0 AND acc[len(acc)] = $l AND x[1] = $r " +
+        s"THEN list_append(acc[1:len(acc)-1], $l || $r) ELSE list_concat(acc, x) END)"
+    val rounds = (1 to BpeRounds).map { k =>
+      s"pc$k AS (SELECT pr, sum(w) AS cnt FROM (" +
+        s"SELECT w, unnest(list_transform(range(1, len(seg)), i -> seg[i] || chr(1) || seg[i+1])) AS pr " +
+        s"FROM v${k - 1}) GROUP BY pr),\n" +
+        s"b$k AS MATERIALIZED (SELECT pr, string_split(pr, chr(1))[1] AS l, string_split(pr, chr(1))[2] AS r " +
+        s"FROM pc$k ORDER BY cnt DESC, pr LIMIT 1),\n" +
+        s"v$k AS MATERIALIZED (SELECT tok, w, ${fm("v.seg", "b.l", "b.r")} AS seg FROM v${k - 1} v, b$k b)"
+    }.mkString(",\n")
+    val mtList = (1 to BpeRounds).map(k => s"b$k.pr").mkString(", ")
+    val mtFrom = (1 to BpeRounds).map(k => s"b$k").mkString(", ")
+    s"""tk AS MATERIALIZED (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+       |       ELSE list_filter(string_split_regex(trim(text), '\\s+'), t9 -> t9 <> '') END AS toks FROM $docsRel),
+       |e0 AS (SELECT unnest(toks) AS tok FROM tk),
+       |hist AS MATERIALIZED (SELECT tok, count(*) AS w FROM e0 GROUP BY tok),
+       |v0 AS MATERIALIZED (SELECT tok, w, list_transform(range(1, length(tok)+1), c0 -> tok[c0]) AS seg
+       |       FROM hist QUALIFY row_number() OVER (ORDER BY w DESC, tok) <= $BpeVocabCap),
+       |$rounds,
+       |mt AS MATERIALIZED (SELECT [$mtList] AS mtl FROM $mtFrom),
+       |va AS MATERIALIZED (SELECT tok, list_transform(range(1, length(tok)+1), c1 -> tok[c1]) AS seg FROM hist),
+       |rec AS (
+       |  SELECT tok, seg FROM va
+       |  UNION ALL
+       |  SELECT tok, ${fm("seg",
+           "string_split(mtl[best], chr(1))[1]", "string_split(mtl[best], chr(1))[2]")} AS seg
+       |  FROM (
+       |    SELECT rec.tok, rec.seg, m.mtl,
+       |      list_min(list_filter(list_transform(range(1, len(rec.seg)), i ->
+       |        list_position(m.mtl, rec.seg[i] || chr(1) || rec.seg[i+1])), q0 -> q0 IS NOT NULL AND q0 > 0)) AS best
+       |    FROM rec, mt m)
+       |  WHERE best IS NOT NULL
+       |),
+       |fin AS (SELECT tok, seg FROM (
+       |  SELECT tok, seg, row_number() OVER (PARTITION BY tok ORDER BY len(seg)) AS rn FROM rec) WHERE rn = 1),
+       |eo AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)+1), i -> {'pos': i, 'tok': toks[i]})) AS u FROM tk),
+       |pp AS (SELECT eo.doc_id, eo.u.pos AS pos, f.seg AS seg FROM eo JOIN fin f ON eo.u.tok = f.tok),
+       |fl AS (SELECT doc_id, pos, unnest(list_transform(range(1, len(seg)+1), j -> {'j': j, 'pc': seg[j]})) AS w2 FROM pp),
+       |hh AS (SELECT doc_id, pos, w2.j AS j, ${ph("w2.pc", "ci")} AS h FROM fl),
+       |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pieces, list(h ORDER BY pos, j) AS hl FROM hh GROUP BY doc_id)""".stripMargin
+  }
+
   /** SQL twins of the [[Gopher]] rule set — CTE bodies + flag predicates,
     * shared by the `text_gopher_filters` oracle and the e2e curation twin
     * ([[CurationPipeline.oracles]]); one rule set, no fork. `tfCte`
@@ -771,63 +843,17 @@ object TrainingDataQueries {
          |FROM tk LEFT JOIN agg a ON tk.doc_id = a.doc_id
          |ORDER BY tk.doc_id""".stripMargin,
 
-    // Unrolled-rounds BPE twin: BpeRounds learning rounds as CTE blocks
-    // (pair counts -> argmax pair -> fold-merge every segmentation), then
-    // the canonical rank-order apply as a per-token recursion (each step
-    // merges the present pair with the lowest rank; strictly decreasing
-    // segment count, so the final state per token is the min-length row).
-    // chr(1) is the pair-key separator (below every corpus char, so key
-    // order == component order — mirrors Bpe.Sep).
-    "pipeline_bpe" -> {
-      def fm(seg: String, l: String, r: String): String =
-        s"list_reduce(list_prepend(CAST([] AS VARCHAR[]), list_transform($seg, s0 -> [s0])), " +
-          s"(acc, x) -> CASE WHEN len(acc) > 0 AND acc[len(acc)] = $l AND x[1] = $r " +
-          s"THEN list_append(acc[1:len(acc)-1], $l || $r) ELSE list_concat(acc, x) END)"
-      val rounds = (1 to BpeRounds).map { k =>
-        s"pc$k AS (SELECT pr, sum(w) AS cnt FROM (" +
-          s"SELECT w, unnest(list_transform(range(1, len(seg)), i -> seg[i] || chr(1) || seg[i+1])) AS pr " +
-          s"FROM v${k - 1}) GROUP BY pr),\n" +
-          s"b$k AS (SELECT pr, string_split(pr, chr(1))[1] AS l, string_split(pr, chr(1))[2] AS r " +
-          s"FROM pc$k ORDER BY cnt DESC, pr LIMIT 1),\n" +
-          s"v$k AS (SELECT tok, w, ${fm("v.seg", "b.l", "b.r")} AS seg FROM v${k - 1} v, b$k b)"
-      }.mkString(",\n")
-      val mtList = (1 to BpeRounds).map(k => s"b$k.pr").mkString(", ")
-      val mtFrom = (1 to BpeRounds).map(k => s"b$k").mkString(", ")
+    // Unrolled-rounds BPE twin ([[bpeChainCtes]]): BpeRounds learning
+    // rounds as CTE blocks, then the canonical rank-order apply as a
+    // per-token recursion.
+    "pipeline_bpe" ->
       s"""WITH RECURSIVE
-         |tk AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-         |       ELSE list_filter(string_split_regex(trim(text), '\\s+'), t9 -> t9 <> '') END AS toks FROM documents),
-         |e0 AS (SELECT unnest(toks) AS tok FROM tk),
-         |hist AS (SELECT tok, count(*) AS w FROM e0 GROUP BY tok),
-         |v0 AS (SELECT tok, w, list_transform(range(1, length(tok)+1), c0 -> tok[c0]) AS seg
-         |       FROM hist QUALIFY row_number() OVER (ORDER BY w DESC, tok) <= $BpeVocabCap),
-         |$rounds,
-         |mt AS (SELECT [$mtList] AS mtl FROM $mtFrom),
-         |va AS (SELECT tok, list_transform(range(1, length(tok)+1), c1 -> tok[c1]) AS seg FROM hist),
-         |rec AS (
-         |  SELECT tok, seg FROM va
-         |  UNION ALL
-         |  SELECT tok, ${fm("seg",
-             "string_split(mtl[best], chr(1))[1]", "string_split(mtl[best], chr(1))[2]")} AS seg
-         |  FROM (
-         |    SELECT rec.tok, rec.seg, m.mtl,
-         |      list_min(list_filter(list_transform(range(1, len(rec.seg)), i ->
-         |        list_position(m.mtl, rec.seg[i] || chr(1) || rec.seg[i+1])), q0 -> q0 IS NOT NULL AND q0 > 0)) AS best
-         |    FROM rec, mt m)
-         |  WHERE best IS NOT NULL
-         |),
-         |fin AS (SELECT tok, seg FROM (
-         |  SELECT tok, seg, row_number() OVER (PARTITION BY tok ORDER BY len(seg)) AS rn FROM rec) WHERE rn = 1),
-         |eo AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)+1), i -> {'pos': i, 'tok': toks[i]})) AS u FROM tk),
-         |pp AS (SELECT eo.doc_id, eo.u.pos AS pos, f.seg AS seg FROM eo JOIN fin f ON eo.u.tok = f.tok),
-         |fl AS (SELECT doc_id, pos, unnest(list_transform(range(1, len(seg)+1), j -> {'j': j, 'pc': seg[j]})) AS w2 FROM pp),
-         |hh AS (SELECT doc_id, pos, w2.j AS j, ${ph("w2.pc", "ci")} AS h FROM fl),
-         |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pieces, list(h ORDER BY pos, j) AS hl FROM hh GROUP BY doc_id)
+         |${bpeChainCtes("documents")}
          |SELECT tk.doc_id, CAST(len(tk.toks) AS BIGINT) AS n_tokens,
          |  COALESCE(ag.n_pieces, 0) AS n_pieces,
          |  CASE WHEN ag.hl IS NULL THEN 0 ELSE ${DedupQueries.combineSql("ag.hl")} END AS pieces_hash
          |FROM tk LEFT JOIN ag ON tk.doc_id = ag.doc_id
-         |ORDER BY tk.doc_id""".stripMargin
-    },
+         |ORDER BY tk.doc_id""".stripMargin,
 
     "text_cms_counts" -> {
       val values = CmsProbeTerms.map(t => s"('$t')").mkString(", ")

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSuite, Tables}
+
+/** Composition guard for the 7-stage `pipeline_e2e_curate` chain. The
+  * DuckDB oracle proves value equality; what it CANNOT prove is that the
+  * stages do anything — two engines agree perfectly on a pipeline whose
+  * every filter is vacuous. This spec pins, at fixture scale:
+  *   - every dropping stage drops at least one doc (and none drops all);
+  *   - the eval slice is gone from the output;
+  *   - the packing/shard invariants hold on the final rows.
+  */
+class E2eCurateSpec extends SparkSuite {
+  import CurationPipeline._
+
+  private lazy val docs = Spread.ifNarrow(Tables.documents(spark, sf0001), col("doc_id"))
+
+  test("each curation stage is non-vacuous at sf0.001") {
+    val n0 = docs.count()
+    val q = qualitySurvivors(docs).persist()
+    val n1 = q.count()
+    val s2 = paragraphSurvivors(paragraphAgg(q)).persist()
+    val n2 = s2.count()
+    val s3 = semanticSurvivors(q.join(s2.select("doc_id"), "doc_id")).persist()
+    val n3 = s3.count()
+    val s4 = decontaminate(q.join(s3, "doc_id"),
+      docs.filter(col("source") === "src19"))
+    val n4 = s4.count()
+    assert(n0 > n1 && n1 > n2 && n2 > n3 && n3 > n4,
+      s"some stage dropped nothing: $n0 -> $n1 -> $n2 -> $n3 -> $n4")
+    assert(n4 > 0, "the chain dropped everything — downstream stages untested")
+    // decontamination must catch CONTENT overlap beyond just the eval
+    // slice itself (the 8-gram variant catches zero at fixture scale —
+    // this pins that the 4-gram stage actually fires)
+    val nEval = q.join(s3, "doc_id").filter(col("source") === "src19").count()
+    assert(n3 - n4 > nEval, "no contaminated non-eval doc was dropped")
+    spark.catalog.clearCache()
+    graft.CheckpointUtil.releaseStragglers()
+  }
+
+  test("final rows: eval slice gone, pack and shard invariants hold") {
+    val out = graft.SparkEntry.queries("pipeline_e2e_curate")(spark, sf0001).persist()
+    val evalIds = docs.filter(col("source") === "src19").select("doc_id")
+    assert(out.join(evalIds, "doc_id").count() == 0L, "eval docs leaked into training output")
+    assert(out.filter(col("n_pieces") <= 0 || col("n_tokens") <= 0).count() == 0L,
+      "a surviving doc tokenized to nothing")
+    assert(out.filter(col("pack_offset") < 0 ||
+      col("pack_offset") >= TrainingDataQueries.PackTokens).count() == 0L)
+    assert(out.filter(col("shard_id") < 0 ||
+      col("shard_id") >= TrainingDataQueries.NShards).count() == 0L)
+    // concat-and-cut: pack_id must be non-decreasing in doc_id order and
+    // cover a contiguous range from 0
+    val packs = out.select(col("pack_id")).distinct().orderBy("pack_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(packs.head == 0L && packs == (0L until packs.length).toSeq,
+      s"pack ids not contiguous from 0: $packs")
+    spark.catalog.clearCache()
+    graft.CheckpointUtil.releaseStragglers()
+  }
+}
