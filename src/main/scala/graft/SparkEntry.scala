@@ -272,6 +272,36 @@ object SparkEntry {
   private def stubShiftSql(k: Int, delta: Double): String =
     s"LEAST(1.0, GREATEST(0.0, f0 + ($k * $delta)))"
 
+  /** The Traditional-loop unroll over an arbitrary base relation: `baseSql`
+    * must yield ($idCol, l0, f0) — seed ternary label and the stub's base
+    * score. Returns the UNORDERED final select (id, score, pu_final);
+    * callers append ORDER BY / extra columns. Shared by the embeddings
+    * oracle below and the pipeline-quality-model twin
+    * ([[graft.operators.CurationPipeline]]), so the loop's unroll logic
+    * cannot fork. */
+  private[graft] def traditionalStubUnroll(theta: Double, delta: Double, maxIters: Int,
+                                           baseSql: String, idCol: String): String = {
+    def s(k: Int) = stubShiftSql(k, delta)
+    var q = baseSql
+    for (m <- 1 to maxIters) {
+      val gate = if (m == 1) "" else s"WHEN n${m - 1} = 0 THEN l${m - 1} "
+      q = s"""SELECT *,
+             |  CASE ${gate}WHEN l${m - 1} = -1 THEN (CASE WHEN ${s(m - 1)} < $theta THEN 0 ELSE -1 END)
+             |       ELSE l${m - 1} END AS l$m
+             |FROM ($q)""".stripMargin
+      q = s"""SELECT *,
+             |  COUNT(CASE WHEN l${m - 1} = -1 AND l$m = 0 THEN 1 END) OVER () AS n$m
+             |FROM ($q)""".stripMargin
+    }
+    val scoreCase = (1 to maxIters)
+      .map(m => s"WHEN n$m = 0 THEN ${s(m - 1)}")
+      .mkString(" ")
+    s"""SELECT $idCol,
+       |  CASE $scoreCase ELSE ${s(maxIters)} END AS score,
+       |  CAST(l$maxIters AS INTEGER) AS pu_final
+       |FROM ($q)""".stripMargin
+  }
+
   /** DuckDB twin of the FULL Traditional PU loop (O16) under the shifting
     * stub: the loop unrolls into a LINEAR chain of nested subqueries — two
     * levels per iteration m: one computes the binarize rotation l_m, the
@@ -286,29 +316,11 @@ object SparkEntry {
     * a CTE formulation where level m references level m-1 several times
     * (gate + FROM + count) re-inlines the chain exponentially in DuckDB.
     */
-  private def traditionalStubSql(theta: Double, delta: Double, maxIters: Int): String = {
-    def s(k: Int) = stubShiftSql(k, delta)
-    var q = s"""SELECT vec_id, CASE WHEN ($puLabelSql) = 1 THEN 1 ELSE -1 END AS l0,
-               |       (vec_id % 97) / 96.0 AS f0
-               |FROM embeddings""".stripMargin
-    for (m <- 1 to maxIters) {
-      val gate = if (m == 1) "" else s"WHEN n${m - 1} = 0 THEN l${m - 1} "
-      q = s"""SELECT *,
-             |  CASE ${gate}WHEN l${m - 1} = -1 THEN (CASE WHEN ${s(m - 1)} < $theta THEN 0 ELSE -1 END)
-             |       ELSE l${m - 1} END AS l$m
-             |FROM ($q)""".stripMargin
-      q = s"""SELECT *,
-             |  COUNT(CASE WHEN l${m - 1} = -1 AND l$m = 0 THEN 1 END) OVER () AS n$m
-             |FROM ($q)""".stripMargin
-    }
-    val scoreCase = (1 to maxIters)
-      .map(m => s"WHEN n$m = 0 THEN ${s(m - 1)}")
-      .mkString(" ")
-    s"""SELECT vec_id,
-       |  CASE $scoreCase ELSE ${s(maxIters)} END AS score,
-       |  CAST(l$maxIters AS INTEGER) AS pu_final
-       |FROM ($q) ORDER BY vec_id""".stripMargin
-  }
+  private def traditionalStubSql(theta: Double, delta: Double, maxIters: Int): String =
+    traditionalStubUnroll(theta, delta, maxIters,
+      s"""SELECT vec_id, CASE WHEN ($puLabelSql) = 1 THEN 1 ELSE -1 END AS l0,
+         |       (vec_id % 97) / 96.0 AS f0
+         |FROM embeddings""".stripMargin, "vec_id") + " ORDER BY vec_id"
 
   /** DuckDB twin of the FULL PU-LEA / GradualReduction loop (O17) under the
     * shifting stub. Entry thresholding, then one unrolled do-while body per

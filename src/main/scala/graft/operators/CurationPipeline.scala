@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StringType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType}
 
 import graft.Tables
 import graft.functions.{NativeExpressions, TextFunctions}
@@ -141,10 +141,88 @@ object CurationPipeline {
   }
 
   // ------------------------------------------------------------------
+  // PU as the pipeline's quality model (the reference's whole purpose —
+  // Liu-2002 text PU classification — pointed at corpus curation):
+  // trusted-seed positives + in-scan text-stat features -> Traditional
+  // PU loop -> keep/drop score for every doc.
+  // ------------------------------------------------------------------
+
+  /** Trusted-seed PU label: Gopher-passing docs with even doc_id are the
+    * observed positives (heuristically-known-good seed — the weak-
+    * supervision setup of fastText/DataComp-style quality models); odd-id
+    * Gopher passers are the masked holdout the spec measures ranking on;
+    * everything else is unlabeled. */
+  private def puSeedLabel: Column = {
+    val st = NativeExpressions.textStats(col("text"))
+    val rep = NativeExpressions.repetitionStats(col("text"))
+    when(Gopher.keep(st, rep) && col("doc_id") % 2 === 0, 1).otherwise(0)
+  }
+
+  /** In-scan text-stat feature vector for the real-classifier arm:
+    * quality score, top-token/distinct-token ratios, bigram repetition,
+    * punctuation ratio, stopword ratio — all from the two fused kernels
+    * (the `text_repetition` formulations, evaluated once per row). */
+  private def statFeatures: Column = {
+    val st = NativeExpressions.textStats(col("text"))
+    val r = NativeExpressions.repetitionStats(col("text"))
+    val n = r(0).cast(DoubleType)
+    array(
+      TextFunctions.qualityScore(col("text")),
+      when(r(0) === 0L, 0.0).otherwise(r(2).cast(DoubleType) / n),
+      when(r(0) === 0L, 0.0).otherwise(r(1).cast(DoubleType) / n),
+      when(r(3) === 0L, 0.0)
+        .otherwise(lit(1.0) - r(4).cast(DoubleType) / r(3).cast(DoubleType)),
+      TextFunctions.punctRatio(col("text")),
+      when(st(1) === 0L, 0.0).otherwise(st(3).cast(DoubleType) / st(1).cast(DoubleType)))
+  }
+
+  /** PU base frame (doc_id, puLabel, features) with `features(0)` =
+    * quality score — under the shifting stub the whole loop is a closed
+    * form of (quality, refit count), so the COMPOSITION is hash-exact. */
+  private def puStubBase(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"),
+      puSeedLabel.as("puLabel"),
+      org.apache.spark.ml.functions.array_to_vector(
+        array(TextFunctions.qualityScore(col("text")))).as("features"))
+
+  // ------------------------------------------------------------------
   // The composed query
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // The full O16 Traditional loop as the corpus keep/drop decision,
+    // under the shifting stub (delta<0: every iteration converts a fresh
+    // quality band to reliable negatives) — hash-exact twin unrolls the
+    // loop over the SAME quality feature and seed rule.
+    "pu_pipeline_filter_stub" -> ((s, dir) => {
+      import graft.pu._
+      val stub = new ShiftingStubClassifier(-0.125)
+        .setLabelCol(ProbabilisticClassifierConfig.labelName)
+        .setFeaturesCol(ProbabilisticClassifierConfig.featuresName)
+      val out = new TraditionalPULearner(0.5, 3, stub)
+        .weight(puStubBase(s, dir), "puLabel", "features", "score")
+      // early exit returns before the rotate (curLabel); full runs rotate
+      // into prevLabel — same seam as pu_traditional_stub
+      val labelCol = if (out.columns.contains("curLabel")) "curLabel" else "prevLabel"
+      out.select(col("doc_id"), col("score"),
+          col(labelCol).cast(IntegerType).as("pu_final"))
+        .withColumn("keep", col("pu_final") === 1 || col("score") >= 0.5)
+        .orderBy("doc_id")
+    }),
+
+    // The production arm: real logistic regression over the in-scan stat
+    // features, same seed rule (rows-only — ML internals are not
+    // hash-replicable; PuPipelineFilterSpec pins the ranking quality).
+    "pu_pipeline_filter" -> ((s, dir) => {
+      import graft.pu._
+      val base = Tables.documents(s, dir).select(col("doc_id"),
+        puSeedLabel.as("puLabel"),
+        org.apache.spark.ml.functions.array_to_vector(statFeatures).as("features"))
+      val learner = TraditionalPULearnerConfig(0.5, 1, LogisticRegressionConfig()).build()
+      learner.weight(base, "puLabel", "features", "score")
+        .select(col("doc_id"), col("score")).orderBy("doc_id")
+    }),
 
     "pipeline_e2e_curate" -> ((s, dir) => {
       val docs = Spread.ifNarrow(Tables.documents(s, dir), col("doc_id"))
@@ -251,6 +329,26 @@ object CurationPipeline {
   }
 
   def oracles: Map[String, String] = Map(
+    // The Traditional loop unrolled ([[graft.SparkEntry.traditionalStubUnroll]])
+    // over base = (gopher seed label, quality score) — the same shared
+    // fragments as the e2e chain's stage-1 twin.
+    "pu_pipeline_filter_stub" -> {
+      val unroll = graft.SparkEntry.traditionalStubUnroll(
+        0.5, -0.125, 3, "SELECT * FROM base", "doc_id")
+      s"""WITH t AS ($thCte),
+         |tf AS (${TrainingDataQueries.GopherSql.tfCte}),
+         |st AS (${TrainingDataQueries.GopherSql.stCte}),
+         |qf AS (SELECT doc_id, ${graft.functions.TextQueries.quality} AS f0 FROM documents),
+         |base AS (SELECT st.doc_id,
+         |  CASE WHEN (${TrainingDataQueries.GopherSql.keep}) AND st.doc_id % 2 = 0
+         |       THEN 1 ELSE -1 END AS l0,
+         |  qf.f0 AS f0
+         |  FROM st JOIN tf USING (doc_id) JOIN qf USING (doc_id))
+         |SELECT doc_id, score, pu_final,
+         |  (pu_final = 1 OR score >= 0.5) AS keep
+         |FROM ($unroll) ORDER BY doc_id""".stripMargin
+    },
+
     // Stages 5-7 on top of the survivor chain: the BPE twin chain
     // ([[TrainingDataQueries.bpeChainCtes]]) learns on `surv`, then the
     // pipeline_pack window prefix sum and the pipeline_shard hash rule.
