@@ -68,6 +68,18 @@ def build_fixture(dest: Path) -> None:
     add(125, "user125@example.com 10.0.0.255 u@v.w 1.2.3.4 end")  # PII-dense
     add(126, "x" * 63 + " " + "y" * 65)                 # frame-boundary tokens
     add(127, "🚀" * 70)                                 # emoji-only long doc
+    # genuine multilingual paragraphs — the script-range langid arm must
+    # agree cross-engine on real CJK/Cyrillic/Arabic/Indic text (UTF-16
+    # units vs code points; BMP-only ranges are the parity invariant)
+    add(128, "数据处理引擎是分布式计算系统的核心组件之一", "zh")
+    add(129, "これはテストです データのエンジンをしらべます", "ja")
+    add(130, "이것은 데이터 처리 엔진의 테스트입니다", "ko")
+    add(131, "это тестовый документ для обработки данных", "ru")
+    add(132, "هذا اختبار لمحرك معالجة البيانات الموزعة", "ar")
+    add(133, "यह डेटा प्रोसेसिंग इंजन का परीक्षण है", "hi")
+    add(134, "นี่คือการทดสอบเอกสารสำหรับข้อมูล", "th")
+    add(135, "αυτό είναι ένα δοκιμαστικό έγγραφο", "el")
+    add(136, "the engine 处理 data 数据 mixed script", "en")  # mixed-script doc
     random.seed(7)
     vocab = ["spark", "scan", "merge", "join", "filter", "group", "sort",
              "data", "query", "row", "table", "key", "hash", "part", "order",

@@ -497,36 +497,93 @@ object NativeKernels {
     ArrayData.toArrayData(Array(nChars, nTok, sumTokLen, nStop, nPunct, nSub))
   }
 
-  /** Marker-token sets per language for [[langMarkerCounts]] — must stay
-    * identical to `TextFunctions.LangMarkers` (spec-pinned). */
-  private val MarkerSets: Array[java.util.HashSet[String]] = Array(
-    Seq("the", "a", "of", "and", "to", "is"),
-    Seq("el", "la", "de", "que", "y", "los"),
-    Seq("de", "le", "shi", "wo", "zai", "you")
-  ).map { words =>
-    val s = new java.util.HashSet[String]()
-    words.foreach(s.add)
-    s
-  }
-  private val MaxMarkerLen = 3
+  /** CANONICAL language-ID data (TextFunctions delegates here — one
+    * source, no kernel/Column fork). Two marker kinds:
+    *  - [[LangTokenMarkers]]: high-frequency stopword tokens for
+    *    whitespace-tokenized (Latin-script) languages — the classic
+    *    fastText-free langid shape;
+    *  - [[LangScriptRanges]]: BMP code-point ranges, counted PER
+    *    CHARACTER, for languages whose script identifies them (CJK has no
+    *    whitespace tokens to match). Flat (lo, hi) pairs. BMP-only is a
+    *    cross-engine invariant: the kernel iterates UTF-16 units and the
+    *    oracle code points — supplementary characters (surrogate pairs)
+    *    match NO range on either side, so counts agree.
+    */
+  val LangTokenMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los"),
+    "fr" -> Seq("le", "les", "des", "est", "une", "dans"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "it" -> Seq("il", "di", "che", "per", "con", "una"),
+    "pt" -> Seq("o", "os", "em", "uma", "não", "como"),
+    "nl" -> Seq("het", "een", "van", "en", "dat", "niet"),
+    "pl" -> Seq("i", "w", "na", "się", "jest", "nie"),
+    "sv" -> Seq("och", "att", "det", "som", "är", "på"),
+    "tr" -> Seq("bir", "ve", "bu", "için", "da", "ne"),
+    "id" -> Seq("yang", "dan", "di", "itu", "dengan", "untuk"),
+    "vi" -> Seq("của", "và", "các", "là", "có", "không"))
+  val LangScriptRanges: Seq[(String, Seq[(Int, Int)])] = Seq(
+    "zh" -> Seq((0x4E00, 0x9FFF)),                     // CJK Unified Ideographs
+    "ja" -> Seq((0x3040, 0x309F), (0x30A0, 0x30FF)),   // Hiragana + Katakana
+    "ko" -> Seq((0xAC00, 0xD7AF), (0x1100, 0x11FF)),   // Hangul syllables + Jamo
+    "ru" -> Seq((0x0400, 0x04FF)),                     // Cyrillic
+    "ar" -> Seq((0x0600, 0x06FF)),                     // Arabic
+    "he" -> Seq((0x0590, 0x05FF)),                     // Hebrew
+    "el" -> Seq((0x0370, 0x03FF)),                     // Greek
+    "hi" -> Seq((0x0900, 0x097F)),                     // Devanagari
+    "th" -> Seq((0x0E00, 0x0E7F)),                     // Thai
+    "bn" -> Seq((0x0980, 0x09FF)))                     // Bengali
+  /** All language codes, counts-array order: token langs then script
+    * langs. List order is the deterministic argmax tie order. */
+  val LangNames: Seq[String] = LangTokenMarkers.map(_._1) ++ LangScriptRanges.map(_._1)
 
-  /** Per-language marker-token hit counts in one tokenization pass — one
-    * count per `MarkerSets` entry, in order (a token in several languages'
-    * sets increments each, matching the per-language HOF filters). */
+  private val MarkerSets: Array[java.util.HashSet[String]] =
+    LangTokenMarkers.map { case (_, words) =>
+      val s = new java.util.HashSet[String]()
+      words.foreach(s.add)
+      s
+    }.toArray
+  private val MaxMarkerLen = LangTokenMarkers.flatMap(_._2).map(_.length).max
+  private val ScriptRangesFlat: Array[Array[Int]] =
+    LangScriptRanges.map(_._2.flatMap { case (lo, hi) => Seq(lo, hi) }.toArray).toArray
+  /** Lowest range start — chars below it (all of ASCII and Latin-1) skip
+    * the per-char script loop entirely. */
+  private val MinScriptLo = LangScriptRanges.flatMap(_._2).map(_._1).min
+
+  /** Per-language marker hit counts in one pass — token-marker counts (a
+    * token in several languages' sets increments each, matching the
+    * per-language HOF filters), then script-range CHARACTER counts, in
+    * [[LangNames]] order. */
   def langMarkerCounts(u: UTF8String): ArrayData = {
     val s = u.toString
     val n = s.length
-    val counts = new Array[Long](MarkerSets.length)
+    val nt = MarkerSets.length
+    val counts = new Array[Long](nt + ScriptRangesFlat.length)
     var i = 0
     while (i < n) {
       while (i < n && isWs(s.charAt(i))) i += 1
       if (i < n) {
         val start = i
-        while (i < n && !isWs(s.charAt(i))) i += 1
+        while (i < n && !isWs(s.charAt(i))) {
+          val c = s.charAt(i).toInt
+          if (c >= MinScriptLo) {
+            var l = 0
+            while (l < ScriptRangesFlat.length) {
+              val r = ScriptRangesFlat(l)
+              var k = 0
+              while (k < r.length) {
+                if (c >= r(k) && c <= r(k + 1)) counts(nt + l) += 1
+                k += 2
+              }
+              l += 1
+            }
+          }
+          i += 1
+        }
         if (i - start <= MaxMarkerLen) {
           val tok = s.substring(start, i)
           var l = 0
-          while (l < MarkerSets.length) {
+          while (l < nt) {
             if (MarkerSets(l).contains(tok)) counts(l) += 1
             l += 1
           }

@@ -202,42 +202,61 @@ object TextFunctions {
   // Language identification (marker-token heuristic)
   // --------------------------------------------------------------------
 
-  /** Marker-token lists per language — an n-gram/stopword-hit heuristic
-    * (the classic fastText-free langid shape: count language-specific
-    * high-frequency tokens, argmax with a deterministic tie order).
+  /** Marker-token lists per (Latin-script) language — an n-gram/stopword-
+    * hit heuristic (the classic fastText-free langid shape: count
+    * language-specific high-frequency tokens, argmax with a deterministic
+    * tie order). Canonical data lives in [[NativeKernels.LangTokenMarkers]]
+    * (the codegen kernel reads it too — one source, no fork).
     */
-  val LangMarkers: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "a", "of", "and", "to", "is"),
-    "es" -> Seq("el", "la", "de", "que", "y", "los"),
-    "zh" -> Seq("de", "le", "shi", "wo", "zai", "you"))
+  val LangMarkers: Seq[(String, Seq[String])] = NativeKernels.LangTokenMarkers
+
+  /** Script-range languages (CJK/Cyrillic/Arabic/…): BMP code-point
+    * ranges counted per CHARACTER — whitespace tokenization finds nothing
+    * to match in unsegmented scripts, the script itself is the signal.
+    * See [[NativeKernels.LangScriptRanges]] for the range table and the
+    * BMP-only cross-engine invariant. */
+  val LangScripts: Seq[(String, Seq[(Int, Int)])] = NativeKernels.LangScriptRanges
+
+  /** All predictable language codes in counts/tie order. */
+  val LangNames: Seq[String] = NativeKernels.LangNames
 
   def langMarkerScore(text: Column, markers: Seq[String]): Column =
     when(length(trim(text)) === 0, lit(0)).otherwise(
       size(filter(tokens(text), t => t.isInCollection(markers))))
 
-  /** Predicted language: argmax marker score, ties broken by list order
-    * ("en" wins ties, then "es"), "und" when no marker hits at all.
-    * The per-language counts come from ONE native tokenization pass
+  /** Per-character script-range hit count (HOF formulation — `split` by
+    * the empty pattern yields code points, and all ranges are BMP, so
+    * this matches the kernel's UTF-16 walk exactly; see the kernel note). */
+  private[functions] def scriptScoreHof(text: Column, ranges: Seq[(Int, Int)]): Column =
+    size(filter(split(text, ""), c =>
+      ranges.map { case (lo, hi) => ascii(c) >= lo && ascii(c) <= hi }
+        .reduce((a, b) => a || b)))
+
+  /** Predicted language: argmax over token-marker counts (Latin-script
+    * languages) and script-range character counts (CJK/Cyrillic/Arabic/…),
+    * ties broken by [[LangNames]] order, "und" when nothing hits. All
+    * counts come from ONE native pass
     * ([[NativeExpressions.LangMarkerCounts]], CSE'd like [[textStats]]);
     * the argmax/tie logic stays in Column space, bit-identical to the
-    * per-language HOF filters ([[langIdHof]], spec-pinned).
+    * per-language HOF formulations ([[langIdHof]], spec-pinned).
     */
   def langId(text: Column): Column = {
     val cts = NativeExpressions.langMarkerCounts(text)
-    val scores = LangMarkers.zipWithIndex.map { case ((lang, _), i) =>
+    val scores = LangNames.zipWithIndex.map { case (lang, i) =>
       lang -> cts.getItem(i)
     }
+    argmaxLang(scores)
+  }
+
+  private def argmaxLang(scores: Seq[(String, Column)]): Column = {
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     scores.reverse.foldLeft(lit("und")) { case (acc, (lang, s)) =>
       when(s === best && best > 0, lit(lang)).otherwise(acc)
     }
   }
 
-  private[functions] def langIdHof(text: Column): Column = {
-    val scores = LangMarkers.map { case (lang, ms) => lang -> langMarkerScore(text, ms) }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    scores.reverse.foldLeft(lit("und")) { case (acc, (lang, s)) =>
-      when(s === best && best > 0, lit(lang)).otherwise(acc)
-    }
-  }
+  private[functions] def langIdHof(text: Column): Column =
+    argmaxLang(
+      LangMarkers.map { case (lang, ms) => lang -> langMarkerScore(text, ms) } ++
+        LangScripts.map { case (lang, rs) => lang -> scriptScoreHof(text, rs) })
 }

@@ -172,8 +172,20 @@ object TextQueries {
   private[graft] val quality =
     s"($lenScore) * 0.4 + ($tokLenScore) * 0.2 + ($punctScore) * 0.2 + ($stopScore) * 0.2"
 
+  /** Per-character script-range hit count — DuckDB indexes strings by code
+    * point, the kernel walks UTF-16 units; BMP-only ranges make the two
+    * agree (supplementary chars match no range on either side). */
+  private def sqlScriptScore(ranges: Seq[(Int, Int)]): String = {
+    val cond = ranges
+      .map { case (lo, hi) => s"(unicode(text[c7]) BETWEEN $lo AND $hi)" }
+      .mkString(" OR ")
+    s"len(list_filter(range(1, length(text)+1), c7 -> $cond))"
+  }
+
   def oracles: Map[String, String] = {
-    val langScores = LangMarkers.map { case (lang, ms) => lang -> sqlMarkerScore(ms) }
+    val langScores =
+      LangMarkers.map { case (lang, ms) => lang -> sqlMarkerScore(ms) } ++
+        LangScripts.map { case (lang, rs) => lang -> sqlScriptScore(rs) }
     val best = s"greatest(${langScores.map(x => s"(${x._2})").mkString(", ")})"
     val langCase = langScores
       .map { case (lang, s) => s"WHEN ($s) = ($best) AND ($best) > 0 THEN '$lang'" }

@@ -78,15 +78,22 @@ class KernelPropertySpec extends AnyFunSuite {
   }
 
   test("langMarkerCounts == naive per-language filters on 2000 random strings") {
-    val sets = Seq(
-      Set("the", "a", "of", "and", "to", "is"),
-      Set("el", "la", "de", "que", "y", "los"),
-      Set("de", "le", "shi", "wo", "zai", "you"))
+    val sets = NativeKernels.LangTokenMarkers.map(_._2.toSet)
+    val scripts = NativeKernels.LangScriptRanges.map(_._2)
+    // mix genuine multi-script fragments into the random text so the
+    // script-range counting branch is actually exercised
+    val fragments = Seq("", "数据", "データ", "테스트", "данных", "بيانات",
+      "δοκιμή", "डेटा", "ทดสอบ", "🚀", "café")
     for (_ <- 1 to 2000) {
-      val s = randomText()
+      val s = randomText() + fragments(rnd.nextInt(fragments.length))
       val got = NativeKernels.langMarkerCounts(UTF8String.fromString(s)).toLongArray.toSeq
       val toks = naiveTokens(s)
-      val want = sets.map(set => toks.count(set).toLong)
+      // naive script model over CODE POINTS (all ranges are BMP, so this
+      // equals the kernel's UTF-16 walk — the documented invariant)
+      val cps = s.codePoints().toArray
+      val want = sets.map(set => toks.count(set).toLong) ++
+        scripts.map(rs => cps.count(c => rs.exists { case (lo, hi) =>
+          c >= lo && c <= hi }).toLong)
       assert(got == want, s"text=$s")
     }
   }

@@ -60,7 +60,14 @@ class NativeExpressionsSpec extends SparkSuite {
     import TextFunctions._
     val corpus = Tables.documents(spark, sf0001).select(col("text"))
       .unionAll(Seq("", "   ", "de", "the el de", "el la de que y los",
-        "no markers here at all", "de le shi wo zai you").toDF("text"))
+        "no markers here at all", "de le shi wo zai you",
+        // genuine scripts: CJK, kana, hangul, Cyrillic, Arabic, Greek,
+        // Devanagari, Thai, mixed-script, emoji (supplementary — no range)
+        "数据处理引擎是分布式计算系统的核心组件", "これはテストです",
+        "이것은 테스트입니다", "это тестовый документ",
+        "هذا اختبار للمحرك", "αυτό είναι ένα έγγραφο",
+        "यह एक परीक्षण है", "นี่คือการทดสอบ",
+        "the engine 处理 data 数据", "🚀🚀🚀").toDF("text"))
     val diff = corpus.select(
       langId(col("text")).as("native"), langIdHof(col("text")).as("hof"))
       .filter(col("native") =!= col("hof")).count()

@@ -26,7 +26,10 @@ class GraftExtensionsSpec extends SparkSuite {
     // 'the cat, sat!': len 13, 3 tokens, 11 token chars, 1 stopword, 2 punct,
     // 3 subwords (ceil(3/4)+ceil(4/4)+ceil(4/4))
     assert(row.getSeq[Long](0) == Seq(13L, 3L, 11L, 1L, 2L, 3L))
-    assert(row.getSeq[Long](1) == Seq(1L, 2L, 1L)) // 'de' hits es AND zh
+    // 'the' hits en; 'el' + 'de' hit es; nothing else (22 langs wide now —
+    // 12 token-marker + 10 script-range, all script counts 0 on ASCII)
+    assert(row.getSeq[Long](1) ==
+      Seq(1L, 2L) ++ Seq.fill(graft.functions.NativeKernels.LangNames.size - 2)(0L))
     assert(row.getSeq[Long](2).length == 2) // 4 tokens, width 3 → 2 shingles
     assert(row.getLong(3) == 3L) // single element: its low bits
     assert(row.getInt(4) == 2)
