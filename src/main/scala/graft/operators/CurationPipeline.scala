@@ -211,6 +211,62 @@ object CurationPipeline {
         .orderBy("doc_id")
     }),
 
+    // SEMANTIC eval-set decontamination — the catch the n-gram gates can
+    // never make: a paraphrased/reordered eval document shares no 8-token
+    // span with the eval slice (the exact pass catches ZERO docs at
+    // fixture scale) but its unigram profile is nearly identical, so the
+    // hashEmbed cosine flags it. Machinery is dedup_semantic_text's,
+    // pointed across corpus×eval: quantizer centroids come from the EVAL
+    // side (lists center on eval neighborhoods), assignment is the
+    // in-scan argmax kernel, and the tau check joins corpus rows to eval
+    // rows ONLY within a list — one shuffle on cen_id, never corpus×eval
+    // cross. Both flags are emitted so the semantic-only catches are
+    // visible in the compared surface.
+    "pipeline_decontaminate_semantic" -> ((s, dir) => {
+      val docs = Spread.ifNarrow(Tables.documents(s, dir), col("doc_id"))
+      val emb = docs.select(col("doc_id"), col("source"),
+          NativeExpressions.hashEmbed(col("text"), SemDim).as("v"))
+        .withColumn("nrm", Dedup.l2norm(col("v")))
+        .filter(col("nrm") > 0.0)
+        .persist() // feeds centroid collect, both assignment sides
+      val evalSide = emb.filter(col("source") === "src19")
+      val cents = Similarity.collectCentroids(Similarity.lowestIdCentroids(
+        evalSide.select(col("doc_id").as("vec_id"), col("v"), col("nrm")),
+        SemCentroids))
+      // an empty (or all-zero-norm) eval slice contaminates nothing — and
+      // the assignment kernel needs >= 1 centroid
+      val sem =
+        if (cents.isEmpty)
+          emb.select(col("doc_id")).where(lit(false)).withColumn("graft_sem", lit(true))
+        else {
+          val asgn = emb.withColumn("cen_id",
+            NativeExpressions.argMaxCosine(col("v"), col("nrm"), cents)).persist()
+          asgn.filter(col("source") =!= "src19")
+            .select(col("cen_id"), col("doc_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+            .join(asgn.filter(col("source") === "src19")
+              .select(col("cen_id"), col("v").as("ev"), col("nrm").as("enrm")), "cen_id")
+            .filter(Dedup.cosine(col("cv"), col("ev"), col("cnrm"), col("enrm")) >= SemTau)
+            .select(col("doc_id")).distinct()
+            .withColumn("graft_sem", lit(true))
+        }
+      // the exact 8-gram rule, for the side-by-side (pipeline_decontaminate)
+      val shh = TextFunctions.shingleHashes(col("text"), 8)
+      val evalShh = docs.filter(col("source") === "src19")
+        .select(explode(shh).as("sh")).distinct()
+      val exact = docs.filter(col("source") =!= "src19")
+        .select(col("doc_id"), explode(shh).as("sh"))
+        .join(broadcast(evalShh), Seq("sh"), "left_semi")
+        .select(col("doc_id")).distinct()
+        .withColumn("graft_exact", lit(true))
+      docs.filter(col("source") =!= "src19").select(col("doc_id"))
+        .join(broadcast(sem), Seq("doc_id"), "left")
+        .join(broadcast(exact), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("graft_sem"), lit(false)).as("semantic_contaminated"),
+          coalesce(col("graft_exact"), lit(false)).as("exact_contaminated"))
+        .orderBy("doc_id")
+    }),
+
     // The production arm: real logistic regression over the in-scan stat
     // features, same seed rule (rows-only — ML internals are not
     // hash-replicable; PuPipelineFilterSpec pins the ranking quality).
@@ -347,6 +403,40 @@ object CurationPipeline {
          |SELECT doc_id, score, pu_final,
          |  (pu_final = 1 OR score >= 0.5) AS keep
          |FROM ($unroll) ORDER BY doc_id""".stripMargin
+    },
+
+    // Same hv/nn/assignment formulation as the e2e stage-3 twin, with
+    // eval-derived centroids and a corpus×eval (never corpus×corpus) tau
+    // join; the exact arm is the pipeline_decontaminate rule verbatim.
+    "pipeline_decontaminate_semantic" -> {
+      import DedupQueries.{dotSql, normSql, shhSql}
+      s"""WITH t AS MATERIALIZED ($thCte),
+         |hv AS (SELECT doc_id, source, list_transform(range(0, $SemDim), b ->
+         |  CAST(len(list_filter(th, h -> h % $SemDim = b AND (h // $SemDim) % 2 = 1)) -
+         |       len(list_filter(th, h -> h % $SemDim = b AND (h // $SemDim) % 2 = 0)) AS DOUBLE)) AS v
+         |  FROM t),
+         |nn AS MATERIALIZED (SELECT * FROM
+         |  (SELECT doc_id, source, v, ${normSql("v")} AS nrm FROM hv) WHERE nrm > 0.0),
+         |cents AS (SELECT doc_id AS cen_id, v AS cv, nrm AS cnrm FROM nn
+         |  WHERE source = 'src19' ORDER BY doc_id LIMIT $SemCentroids),
+         |asgn AS MATERIALIZED (SELECT doc_id, source, v, nrm, cen_id FROM (
+         |  SELECT nn.doc_id, nn.source, nn.v, nn.nrm, cents.cen_id,
+         |    row_number() OVER (PARTITION BY nn.doc_id
+         |      ORDER BY ${dotSql("nn.v", "cents.cv")} / (nn.nrm * cents.cnrm) DESC, cents.cen_id) AS crn
+         |  FROM nn, cents) WHERE crn = 1),
+         |sem AS (SELECT DISTINCT c.doc_id FROM asgn c JOIN asgn e
+         |  ON c.cen_id = e.cen_id AND c.source <> 'src19' AND e.source = 'src19'
+         |  WHERE ${dotSql("c.v", "e.v")} / (c.nrm * e.nrm) >= $SemTau),
+         |dsh AS MATERIALIZED (SELECT doc_id, source, ${shhSql(8)} AS shh FROM t),
+         |evs AS (SELECT DISTINCT unnest(shh) AS sh FROM dsh WHERE source = 'src19'),
+         |ex AS (SELECT DISTINCT c2.doc_id FROM
+         |  (SELECT doc_id, unnest(shh) AS sh FROM dsh WHERE source <> 'src19') c2
+         |  JOIN evs USING (sh))
+         |SELECT d.doc_id,
+         |  d.doc_id IN (SELECT doc_id FROM sem) AS semantic_contaminated,
+         |  d.doc_id IN (SELECT doc_id FROM ex) AS exact_contaminated
+         |FROM documents d WHERE d.source <> 'src19'
+         |ORDER BY d.doc_id""".stripMargin
     },
 
     // Stages 5-7 on top of the survivor chain: the BPE twin chain
