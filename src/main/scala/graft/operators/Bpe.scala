@@ -90,18 +90,22 @@ object Bpe {
   }
 
   /** Lexicographic compare of the strings' UTF-8 encodings (unsigned
-    * bytes) — DuckDB's default binary collation for ORDER BY. */
+    * bytes) — DuckDB's default binary collation for ORDER BY. UTF-8
+    * unsigned-byte order equals code-point order, so this walks code
+    * points directly instead of materializing two byte arrays per call —
+    * this runs inside the per-round tie scan over the whole pair
+    * histogram, where the old per-compare allocations dominated. */
   private[operators] def utf8Compare(a: String, b: String): Int = {
-    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val n = math.min(x.length, y.length)
     var i = 0
-    while (i < n) {
-      val c = (x(i) & 0xff) - (y(i) & 0xff)
-      if (c != 0) return c
-      i += 1
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
     }
-    x.length - y.length
+    (a.length - i) - (b.length - j)
   }
 
   /** Left-to-right non-overlapping merge of (l, r) in a segmentation —

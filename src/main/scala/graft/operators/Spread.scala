@@ -48,7 +48,7 @@ object Spread {
     * LogicalRelation retains its HadoopFsRelation's SparkSession, and a
     * plan-object key in the inner map would chain the weak session key
     * strongly to itself (the classic WeakHashMap value→key pin). */
-  private def planKey(
+  private[operators] def planKey(
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): String = {
     val leaves = plan.collectLeaves().map {
       case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
@@ -57,7 +57,11 @@ object Spread {
             fs.location.rootPaths.mkString(",") + ":" + fs.schema.catalogString
           case other => other.toString
         }
-      case leaf => leaf.toString
+      // non-file leaves (LocalRelation, views over in-memory data) render
+      // WITHOUT their data — two same-schema LocalRelations would collide
+      // and silently reuse each other's partition count — so mix in the
+      // leaf's semanticHash (canonicalized equality, includes the data)
+      case leaf => leaf.toString + "#" + leaf.semanticHash()
     }
     plan.treeString + leaves.mkString("|")
   }

@@ -88,4 +88,36 @@ class BpeSpec extends SparkSuite {
       assert(r.getLong(2) >= r.getLong(1)) // n_pieces >= n_tokens
     }
   }
+
+  test("utf8Compare: allocation-free code-point walk == UTF-8 byte-array order") {
+    // the reference semantics the fast path must preserve exactly
+    def byteCompare(a: String, b: String): Int = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      x.length - y.length
+    }
+    val rnd = new scala.util.Random(777)
+    // alphabet straddling every UTF-8 width boundary and the UTF-16
+    // disagreement zone: ASCII, 2/3-byte BMP, U+E000 private use (3-byte,
+    // AFTER supplementary in UTF-16 order), supplementary (4-byte)
+    val cps = Array(0x41, 0x42, Bpe.Sep.toInt, 0x7F, 0x80, 0x7FF, 0x800,
+      0xE000, 0xFFFD, 0x10000, 0x10FFFF)
+    def randStr(): String = {
+      val sb = new java.lang.StringBuilder
+      (0 until rnd.nextInt(6)).foreach(_ => sb.appendCodePoint(cps(rnd.nextInt(cps.length))))
+      sb.toString
+    }
+    (0 until 20000).foreach { _ =>
+      val (a, b) = (randStr(), randStr())
+      assert(Integer.signum(Bpe.utf8Compare(a, b)) == Integer.signum(byteCompare(a, b)),
+        s"diverged on ${a.codePoints().toArray.toSeq} vs ${b.codePoints().toArray.toSeq}")
+    }
+  }
 }

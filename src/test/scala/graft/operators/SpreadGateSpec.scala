@@ -41,17 +41,41 @@ class SpreadGateSpec extends SparkSuite {
     // Running a query set `other` as the thread-local active session, so
     // restore ours or the thread-local would pin it forever (exactly the
     // long-lived-driver leak shape the weak map exists to survive).
+    // a sentinel that answers "did the JVM actually reclaim the session?"
+    // separately from "did the map let it go?" — gc() is advisory, so a
+    // still-reachable sentinel is an environmental cancel, not a leak fail
+    val sentinel = new java.lang.ref.WeakReference(other)
     other = null
     org.apache.spark.sql.SparkSession.setActiveSession(spark)
     val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-    while (Spread.probeSessionCount > before && System.nanoTime() < deadline) {
+    while (sentinel.get != null && System.nanoTime() < deadline) {
+      val pressure = new Array[Byte](16 << 20) // nudge the collector
+      pressure(0) = 1
       System.gc()
       Thread.sleep(100)
     }
+    if (sentinel.get != null)
+      cancel("JVM declined to reclaim the dead session within 30s — " +
+        "environmental, not a probe-memo leak")
     assert(Spread.probeSessionCount == before,
-      "closed session's probe memo was never evicted")
+      "session was reclaimed but its probe memo entry survived — the map pins it")
     // the surviving session's memo still works (no wholesale clear)
     assert(Spread.ifNarrow(docs, col("doc_id")) ne docs)
+  }
+
+  test("planKey: same-schema non-file leaves with different data never collide") {
+    import spark.implicits._
+    def key(df: org.apache.spark.sql.DataFrame): String =
+      Spread.planKey(df.queryExecution.analyzed.canonicalized)
+    val a = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val b = Seq((3L, "c"), (4L, "d")).toDF("id", "s")
+    // same schema, same canonical treeString — only the data differs; a
+    // collision here would silently reuse the wrong partition count the
+    // day a non-file leaf is gated
+    assert(key(a) != key(b))
+    // and identical data still HITS the memo (no over-discrimination)
+    val a2 = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    assert(key(a) == key(a2))
   }
 
   test("similarity prepare over an already-parallel corpus plans ZERO shuffles") {
