@@ -194,11 +194,18 @@ object SparkEntry {
       val base = puEmb(s, dir).select(col("vec_id"), col("puLabel"))
         .withColumn("score", stubScore)
       val prev = when(col("puLabel") === 1, 1).otherwise(-1)
+      // the relneg variant gets a prev label that is relNeg (0) for
+      // unlabeled rows and pos (1) for positives, so BOTH branches of the
+      // GradualReduction binarize run: positives keep their label, the
+      // relNeg band re-thresholds. (A constant lit(0) prev would be
+      // degenerate AND build the trivially-true `0 == 0` predicate Spark
+      // warns about in every log.)
+      val prevRelneg = when(col("puLabel") === 1, 1).otherwise(0)
       base
         .withColumn("cur_undef",
           PUExpressions.binarize(col("score"), prev, 0.5, PUExpressions.undefLabel))
         .withColumn("cur_relneg",
-          PUExpressions.binarize(col("score"), lit(0), 0.5, PUExpressions.relNegLabel))
+          PUExpressions.binarize(col("score"), prevRelneg, 0.5, PUExpressions.relNegLabel))
         .select("vec_id", "score", "cur_undef", "cur_relneg")
         .orderBy("vec_id")
     }),
@@ -399,7 +406,9 @@ object SparkEntry {
            |  CASE WHEN (CASE WHEN pu_label = 1 THEN 1 ELSE -1 END) = -1
            |       THEN (CASE WHEN score < 0.5 THEN 0 ELSE -1 END)
            |       ELSE (CASE WHEN pu_label = 1 THEN 1 ELSE -1 END) END AS cur_undef,
-           |  CASE WHEN score < 0.5 THEN 0 ELSE -1 END AS cur_relneg
+           |  CASE WHEN (CASE WHEN pu_label = 1 THEN 1 ELSE 0 END) = 0
+           |       THEN (CASE WHEN score < 0.5 THEN 0 ELSE -1 END)
+           |       ELSE (CASE WHEN pu_label = 1 THEN 1 ELSE 0 END) END AS cur_relneg
            |FROM base ORDER BY vec_id""".stripMargin,
       "pu_skeleton_metrics" ->
         s"""WITH base AS (

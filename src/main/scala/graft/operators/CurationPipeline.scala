@@ -219,9 +219,11 @@ object CurationPipeline {
     // pointed across corpus×eval: quantizer centroids come from the EVAL
     // side (lists center on eval neighborhoods), assignment is the
     // in-scan argmax kernel, and the tau check joins corpus rows to eval
-    // rows ONLY within a list — one shuffle on cen_id, never corpus×eval
-    // cross. Both flags are emitted so the semantic-only catches are
-    // visible in the compared surface.
+    // rows ONLY within a list — a BROADCAST join on cen_id (an eval set
+    // is a bounded artifact at any corpus scale), so the corpus crosses
+    // no wire: never corpus×eval cross, never a corpus shuffle. Both
+    // flags are emitted so the semantic-only catches are visible in the
+    // compared surface.
     "pipeline_decontaminate_semantic" -> ((s, dir) => {
       val docs = Spread.ifNarrow(Tables.documents(s, dir), col("doc_id"))
       val emb = docs.select(col("doc_id"), col("source"),
@@ -243,8 +245,12 @@ object CurationPipeline {
             NativeExpressions.argMaxCosine(col("v"), col("nrm"), cents)).persist()
           asgn.filter(col("source") =!= "src19")
             .select(col("cen_id"), col("doc_id"), col("v").as("cv"), col("nrm").as("cnrm"))
-            .join(asgn.filter(col("source") === "src19")
-              .select(col("cen_id"), col("v").as("ev"), col("nrm").as("enrm")), "cen_id")
+            // the eval side is small BY DEFINITION (an eval set is a
+            // bounded external artifact, thousands of rows at any corpus
+            // scale) — broadcast it and the corpus never shuffles on
+            // cen_id at all; the list key still scopes the tau pairs
+            .join(broadcast(asgn.filter(col("source") === "src19")
+              .select(col("cen_id"), col("v").as("ev"), col("nrm").as("enrm"))), "cen_id")
             .filter(Dedup.cosine(col("cv"), col("ev"), col("cnrm"), col("enrm")) >= SemTau)
             .select(col("doc_id")).distinct()
             .withColumn("graft_sem", lit(true))

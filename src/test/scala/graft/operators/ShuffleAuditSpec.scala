@@ -43,6 +43,12 @@ class ShuffleAuditSpec extends SparkSuite {
     // persisted shingle base referenced from three branches (eval distinct,
     // exact semi-join, probe side) — cached-plan text repeats as above
     "pipeline_decontaminate_bloom" -> 11,
+    // measured 10 in plan text, of which 5 are the ONE Spread repartition
+    // reprinted under every scan/cached-emb reference; runtime shuffles
+    // are the two distinct aggs (sem + eval shingles) and the final sort.
+    // The tau join itself is a BROADCAST hash join on cen_id (eval side
+    // bounded by definition) — the corpus never shuffles for it.
+    "pipeline_decontaminate_semantic" -> 12,
     "pipeline_bloom" -> 8, "dedup_srp_pairs" -> 8, "dedup_simhash_pairs" -> 8,
     "text_lm_score" -> 8, // persisted 2-branch base: plan text expands twice
     "text_hll_distinct" -> 7, "q_setop_nations" -> 7,
