@@ -1,0 +1,210 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.functions.NativeExpressions
+
+/** ANN at 100× the driver fixture: a SEEDED in-repo generator builds a
+  * 50k-vector clustered corpus (the 500-row `embeddings.parquet` barely
+  * exercises codebook quality or list pruning), and this suite pins
+  *
+  *   1. recall@10 >= 0.9 for the IVF tiers (deterministic first-N
+  *      quantizer, sample-trained k-means, trained IVF-PQ) against brute
+  *      force at that scale — codebooks must hold up when lists are ~780
+  *      vectors, not ~8;
+  *   2. serving cost is SUB-LINEAR in the corpus: a probe over the
+  *      persisted bucketed list table reads only the probed lists'
+  *      buckets — pinned in the RUNTIME row counts (scan numOutputRows)
+  *      and wall-clock, not just the plan text.
+  *
+  * Everything is hash-seeded (splitmix64 on ids) — no Random, no
+  * partition-count sensitivity: the corpus, the recall numbers, and the
+  * rows-read counts are exact-repeatable.
+  */
+class AnnStressSpec extends SparkSuite {
+  import AnnStressSpec.{Clusters, Dim, N, vecOf}
+
+  /** 50k vectors in 64 tight clusters (center draw uniform in [-1,1]^32,
+    * noise ±0.05): the shape trained quantizers exist for — Zipf-free but
+    * CLUSTERED, so first-N centroids, k-means centroids, and PQ codebooks
+    * all have real structure to find. cluster(id) = id % 64, so ids 0..63
+    * are one exemplar per cluster (and [[Similarity.centroids]]' first-N
+    * rule yields exactly one centroid per cluster). */
+  private lazy val corpus: DataFrame = {
+    val s = spark
+    import s.implicits._
+    s.range(0, N, 1, 8).map(id => (id, vecOf(id))).toDF("vec_id", "v")
+      .withColumn("nrm", Dedup.l2norm(col("v")))
+      .persist()
+  }
+
+  // ~50 queries spread across clusters (17 mod 64 walks all residues)
+  private val queryPred = col("vec_id") % 1000 === 17
+
+  private def ids(df: DataFrame): Map[Long, Set[Long]] =
+    df.select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+
+  private lazy val brute = ids(
+    Similarity.bruteForceTopK(corpus, corpus.filter(queryPred), 10))
+
+  private def recall(df: DataFrame): Double = {
+    val got = ids(df)
+    val per = brute.map { case (q, want) =>
+      got.getOrElse(q, Set.empty).intersect(want).size.toDouble / want.size }
+    per.sum / per.size
+  }
+
+  test("recall@10 pins hold at 50k: IVF, sampled k-means IVF, trained IVF-PQ") {
+    assert(brute.size >= 45, s"query fan-in ${brute.size}")
+    val rIvf = recall(Similarity.ivfTopK(corpus, queryPred, Clusters, 8, 10))
+    // quantizer trained on a 10% consistent-hash sample — the 100 TB
+    // regime: ~78 training points per centroid, corpus never fully read
+    val rKm = recall(Similarity.ivfTopKKMeans(
+      corpus, queryPred, Clusters, 8, 10, samplePct = 10))
+    val rIvfPq = recall(Similarity.ivfPqTopKTrained(
+      corpus, queryPred, Clusters, 8, 128, 16, 256, 10))
+    info(f"recall@10 at 50k: ivf=$rIvf%.3f kmeans10pct=$rKm%.3f ivfpq-trained=$rIvfPq%.3f")
+    assert(rIvf >= 0.9, f"ivf recall $rIvf%.3f")
+    assert(rKm >= 0.9, f"kmeans ivf recall $rKm%.3f")
+    assert(rIvfPq >= 0.9, f"trained ivfpq recall $rIvfPq%.3f")
+  }
+
+  /** Runtime FileSourceScan row counts of an executed plan (AQE unwrapped,
+    * subqueries included) — the "did the read actually prune" metric. */
+  private def scanRows(plan: SparkPlan): Long = {
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    def walk(p: SparkPlan): Long = p match {
+      // AQE wraps materialized stages in LEAF QueryStageExec nodes — the
+      // real operators hang off .plan / .executedPlan, not .children
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case f: FileSourceScanExec => f.metrics("numOutputRows").value
+      case n => n.children.map(walk).sum + n.subqueries.map(walk).sum
+    }
+    walk(plan)
+  }
+
+  test("bucketed serving is sub-linear: probed lists' buckets only, in rows AND time") {
+    // session-suffixed scratch names + stale-dir sweep (a crashed prior JVM
+    // leaves the warehouse dir behind with no catalog entry)
+    val app = spark.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+    val tbl = "graft_stress_ivf_lists_" + app
+    val tblC = "graft_stress_ivf_compact_" + app
+    val tblFlat = "graft_stress_ivf_flat_" + app
+    Seq("graft_stress_ivf_lists_", "graft_stress_ivf_compact_",
+        "graft_stress_ivf_flat_").foreach(p =>
+      graft.sources.Scratch.sweepStale(
+        graft.sources.Scratch.warehouseDir(spark), p,
+        exclude = Set(tbl, tblC, tblFlat)))
+    Seq(tbl, tblC, tblFlat).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val centSeq = Similarity.collectCentroids(Similarity.centroids(corpus, Clusters))
+    val assigned = Similarity.ivfAssignWith(corpus, centSeq)
+    val NBuckets = 64
+    graft.sources.Layouts.writeBucketed(assigned, tbl, "cen_id",
+      nBuckets = NBuckets, sortCols = Seq("cen_id", "vec_id"))
+    // the raw write leaves one file per (writer task x bucket); serving
+    // reads the COMPACTED table — one file per bucket, the production
+    // write -> compact -> serve lifecycle
+    graft.sources.Layouts.compactBucketed(spark, tbl, tblC, "cen_id",
+      nBuckets = NBuckets, sortCols = Seq("cen_id", "vec_id"))
+    // the UNCLUSTERED baseline: same rows, same 64-file granularity, but
+    // hashed by vec_id — every file spans the whole cen_id range, so
+    // neither bucket pruning nor parquet min/max stats can skip anything
+    // (what a layout WITHOUT the index investment costs at serve time)
+    assigned.repartition(NBuckets, col("vec_id"))
+      .write.format("parquet").saveAsTable(tblFlat)
+
+    // 4 queries x nProbe=4: at most 16 of 64 lists touched
+    val probeRows = corpus.filter(col("vec_id").isin(3L, 5003L, 10003L, 15003L))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+      .withColumn("cen_id",
+        explode(NativeExpressions.topNCosineIds(col("qv"), col("qnrm"), centSeq, 4)))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2), r.getLong(3)))
+      .toSeq
+    val probedLists = probeRows.map(_._4).distinct
+    assert(probedLists.size <= 16, s"probed ${probedLists.size} lists")
+
+    def serveOnce(t: String): (Long, Long, String) = {
+      val df = SimilarityQueries.probeListsPruned(spark, t, probeRows, 10)
+      val t0 = System.nanoTime()
+      val n = df.collect().length // execute THIS df so ITS scan metrics fill
+      val dt = System.nanoTime() - t0
+      assert(n == 4 * 10)
+      (scanRows(df.queryExecution.executedPlan), dt,
+        df.queryExecution.executedPlan.toString)
+    }
+    def minOf3(t: String): (Long, Long, String) =
+      (1 to 3).map(_ => serveOnce(t)).minBy(_._2)
+
+    val (prunedRows, prunedNs, prunedPlan) = minOf3(tblC)
+    // one file per partition for the flat read: a bucketed scan always
+    // schedules numBuckets tasks, while a tiny flat table coalesces into
+    // ~4 — at 100 TB the flat table is THOUSANDS of data-bearing tasks, so
+    // equal task granularity here is what keeps the local comparison
+    // honest (otherwise the measured delta is local task-launch overhead,
+    // which real clusters amortize, not scan work, which they don't)
+    val costKey = "spark.sql.files.openCostInBytes"
+    val prevCost = spark.conf.get(costKey)
+    val (fullRows, fullNs, _) = try {
+      spark.conf.set(costKey, (128L << 20).toString); minOf3(tblFlat)
+    } finally spark.conf.set(costKey, prevCost)
+
+    // the plan prunes...
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(prunedPlan)
+    assert(m.isDefined && m.get.group(1).toInt <= probedLists.size
+      && m.get.group(2).toInt == NBuckets, prunedPlan)
+    // ...and the RUNTIME rows/time agree: the full read decodes the whole
+    // corpus, the pruned read only the probed lists' buckets (~1/4 here;
+    // at 1000 lists probed-4 it is ~1/250 — that proportionality to the
+    // PROBE, not the corpus, is what "sub-linear serving" means)
+    info(f"serve rows: pruned=$prunedRows full=$fullRows; " +
+      f"time: pruned=${prunedNs / 1e6}%.0fms full=${fullNs / 1e6}%.0fms")
+    assert(fullRows >= (N * 0.9).toLong, s"full read saw $fullRows rows")
+    assert(prunedRows <= N / 2, s"pruned read saw $prunedRows rows")
+    assert(prunedRows <= probedLists.size.toLong * (2L * N / Clusters),
+      s"pruned rows $prunedRows exceed probed lists' plausible mass")
+    assert(prunedNs < fullNs,
+      f"pruned serve ${prunedNs / 1e6}%.0fms not faster than full ${fullNs / 1e6}%.0fms")
+    Seq(tbl, tblC, tblFlat).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+}
+
+/** Generator constants/functions live on the module (Serializable) so the
+  * Dataset map closure never captures the suite instance. */
+object AnnStressSpec extends Serializable {
+  val N = 50000
+  val Dim = 32
+  val Clusters = 64
+
+  /** splitmix64 — the same style of cheap deterministic mixer the engine's
+    * LCG hash family uses; good enough to decorrelate (cluster, coord) and
+    * (id, coord) draws. */
+  private def mix(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+  private def unif(h: Long): Double = (mix(h) >>> 11).toDouble / (1L << 53).toDouble
+
+  def vecOf(id: Long): Array[Double] = {
+    val c = id % Clusters
+    Array.tabulate(Dim) { j =>
+      val center = unif(c * 1000003L + j * 7919L) * 2.0 - 1.0
+      // ±0.3: intra-cluster neighbor structure PQ can actually rank
+      // (±0.05 noise makes in-cluster cosine spread smaller than any
+      // 128-code quantization cell — ADC degenerates to random-within-
+      // list, which is a property of a DEGENERATE corpus, not the tier);
+      // clusters stay far apart (inter-cluster cosine ~0, intra >= ~0.9)
+      val noise = (unif(id * 31L + j * 104729L + 987654321L) * 2.0 - 1.0) * 0.3
+      center + noise
+    }
+  }
+}
