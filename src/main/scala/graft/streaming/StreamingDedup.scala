@@ -222,25 +222,43 @@ object StreamingDedup {
     * small-files answer.
     */
   def ivfIngest(vectors: DataFrame, idCol: String, embCol: String, tbl: String,
-                cents: Seq[(Long, Seq[Double], Double)], nBuckets: Int):
+                cents: Seq[(Long, Seq[Double], Double)], nBuckets: Int,
+                codebook: Option[(Seq[Seq[Double]], Int)] = None):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     vectors.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      ivfIngestBatch(batch, batchId, idCol, embCol, tbl, cents, nBuckets)
+      ivfIngestBatch(batch, batchId, idCol, embCol, tbl, cents, nBuckets, codebook)
     }
   }
 
   /** The per-batch body of [[ivfIngest]], callable directly so a replayed
-    * batchId is testable without faking a stream failure. */
+    * batchId is testable without faking a stream failure.
+    *
+    * `codebook` = Some((pqCodebook, m)) additionally PQ-encodes each vector
+    * IN the same scan (`src_ivfpq_bucketed`'s column set), so the
+    * maintained table is directly serveable by [[annServePq]] — codes are
+    * a function of (v, constant codebook), so replay idempotence and the
+    * rebuild equivalence hold exactly as in the uncoded path. */
   private[graft] def ivfIngestBatch(batch: DataFrame, batchId: Long,
       idCol: String, embCol: String, tbl: String,
-      cents: Seq[(Long, Seq[Double], Double)], nBuckets: Int): Unit = {
+      cents: Seq[(Long, Seq[Double], Double)], nBuckets: Int,
+      codebook: Option[(Seq[Seq[Double]], Int)] = None): Unit = {
     val s = batch.sparkSession
     val prepared = batch
       .select(col(idCol).as("vec_id"), Dedup.toDoubleArray(col(embCol)).as("v"))
       .withColumn("nrm", Dedup.l2norm(col("v")))
       .filter(col("nrm") > 0.0)
-    val assigned = graft.operators.Similarity.ivfAssignWith(prepared, cents)
-      .withColumn("ingest_batch", lit(batchId))
+    // assignment + optional encode stay IN-SCAN (both close over plan
+    // constants); the select pins column order, which insertInto matches
+    // positionally across batches
+    val withCen = prepared.withColumn("cen_id",
+      graft.functions.NativeExpressions.argMaxCosine(col("v"), col("nrm"), cents))
+    val shaped = codebook match {
+      case Some((cb, m)) => withCen
+        .withColumn("codes", graft.functions.NativeExpressions.pqEncode(col("v"), cb, m))
+        .select(col("vec_id"), col("cen_id"), col("codes"), col("v"), col("nrm"))
+      case None => withCen.select(col("vec_id"), col("cen_id"), col("v"), col("nrm"))
+    }
+    val assigned = shaped.withColumn("ingest_batch", lit(batchId))
     if (!s.catalog.tableExists(tbl)) {
       assigned.write.partitionBy("ingest_batch")
         .bucketBy(nBuckets, "cen_id").sortBy("cen_id", "vec_id")
