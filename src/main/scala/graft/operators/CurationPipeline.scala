@@ -189,6 +189,51 @@ object CurationPipeline {
   // The composed query
   // ------------------------------------------------------------------
 
+  /** Stages 2-7 of the curation chain over stage-1 survivors `q` (document
+    * rows — `doc_id`/`text`/`source` at least). Shared by
+    * `pipeline_e2e_curate` (Gopher stage 1) and `pipeline_e2e_curate_pu`
+    * (Gopher AND the PU quality model) — one chain body, no fork. Returns
+    * the per-doc evidence frame ordered by doc_id. `docs` is the RAW corpus
+    * (stage 4 decontaminates against its unfiltered eval slice). */
+  private def stages2to7(docs: DataFrame, q: DataFrame): DataFrame = {
+    // stage 2: paragraph dedup
+    val pagg = paragraphAgg(q)
+    val s2 = paragraphSurvivors(pagg).persist()
+    // stage 3: semantic dedup over the stage-2 survivors
+    val s3 = semanticSurvivors(q.join(s2.select("doc_id"), "doc_id"))
+    // stage 4: decontaminate vs the RAW eval slice
+    val s4 = decontaminate(q.join(s3, "doc_id"),
+        docs.filter(col("source") === "src19"))
+      .persist() // feeds the BPE vocab collect AND the apply pass
+    // stage 5: BPE — merge table learned ON the survivors. An empty
+    // merge table means the survivor corpus itself is empty (every
+    // Gopher survivor has >= 50 tokens, so survivors => vocab => merges);
+    // emit the schema-correct empty frame instead of building a
+    // zero-merge kernel.
+    val merges = TrainingDataQueries.bpeMerges(s4)
+    val bp =
+      if (merges.isEmpty)
+        s4.select(col("doc_id"), col("cen_id"), lit(0L).as("n_tokens"),
+          lit(0L).as("n_pieces"), lit(0L).as("pieces_hash"))
+      else s4.select(col("doc_id"), col("cen_id"),
+          NativeExpressions.bpeStats(col("text"), merges).as("b"))
+        .select(col("doc_id"), col("cen_id"),
+          col("b").getItem(0).as("n_tokens"),
+          col("b").getItem(1).as("n_pieces"),
+          col("b").getItem(2).as("pieces_hash"))
+    // stage 6: pack the BPE piece counts (concat-and-cut in doc_id order)
+    val packed = Packing.packAssignments(bp, "doc_id", "n_pieces", PackTokens)
+    // stage 7: consistent-hash shard + final per-doc evidence row
+    packed
+      .withColumn("shard_id", pmod(TextFunctions.polyHash(
+        concat(lit("shard"), col("doc_id").cast(StringType))), lit(NShards)))
+      .join(s2, "doc_id")
+      .select(col("doc_id"), col("n_paras"), col("n_dup"), col("cen_id"),
+        col("n_tokens"), col("n_pieces"), col("pieces_hash"),
+        col("pack_id"), col("pack_offset"), col("shard_id"))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // The full O16 Traditional loop as the corpus keep/drop decision,
@@ -291,40 +336,43 @@ object CurationPipeline {
       // stage 1: quality — persisted: feeds paragraphs, embeddings, and
       // the survivor joins below
       val q = qualitySurvivors(docs).persist()
-      // stage 2: paragraph dedup
-      val pagg = paragraphAgg(q)
-      val s2 = paragraphSurvivors(pagg).persist()
-      // stage 3: semantic dedup over the stage-2 survivors
-      val s3 = semanticSurvivors(q.join(s2.select("doc_id"), "doc_id"))
-      // stage 4: decontaminate vs the RAW eval slice
-      val s4 = decontaminate(q.join(s3, "doc_id"),
-          docs.filter(col("source") === "src19"))
-        .persist() // feeds the BPE vocab collect AND the apply pass
-      // stage 5: BPE — merge table learned ON the survivors. An empty
-      // merge table means the survivor corpus itself is empty (every
-      // Gopher survivor has >= 50 tokens, so survivors => vocab => merges);
-      // emit the schema-correct empty frame instead of building a
-      // zero-merge kernel.
-      val merges = TrainingDataQueries.bpeMerges(s4)
-      val bp =
-        if (merges.isEmpty)
-          s4.select(col("doc_id"), col("cen_id"), lit(0L).as("n_tokens"),
-            lit(0L).as("n_pieces"), lit(0L).as("pieces_hash"))
-        else s4.select(col("doc_id"), col("cen_id"),
-            NativeExpressions.bpeStats(col("text"), merges).as("b"))
-          .select(col("doc_id"), col("cen_id"),
-            col("b").getItem(0).as("n_tokens"),
-            col("b").getItem(1).as("n_pieces"),
-            col("b").getItem(2).as("pieces_hash"))
-      // stage 6: pack the BPE piece counts (concat-and-cut in doc_id order)
-      val packed = Packing.packAssignments(bp, "doc_id", "n_pieces", PackTokens)
-      // stage 7: consistent-hash shard + final per-doc evidence row
-      packed
-        .withColumn("shard_id", pmod(TextFunctions.polyHash(
-          concat(lit("shard"), col("doc_id").cast(StringType))), lit(NShards)))
-        .join(s2, "doc_id")
-        .select(col("doc_id"), col("n_paras"), col("n_dup"), col("cen_id"),
-          col("n_tokens"), col("n_pieces"), col("pieces_hash"),
+      stages2to7(docs, q)
+    }),
+
+    // The chain with the REFERENCE'S ALGORITHM as its decision engine:
+    // stage 0 runs the full O16 Traditional PU loop (shifting stub, all 3
+    // iterations — the pu_pipeline_filter_stub model) over every document,
+    // and stage 1 keeps docs passing BOTH the Gopher rules AND the PU
+    // keep decision. Stages 2-7 are [[stages2to7]] verbatim; the final
+    // evidence row carries the model's score. Under the stub the loop is a
+    // closed form of (quality, refit count), so the WHOLE composition is
+    // hash-exact — the twin composes [[graft.SparkEntry.traditionalStubUnroll]]
+    // with the stage-2-7 CTEs. Scale shape: the PU stage adds one driver-side
+    // ML iteration (the reference's own loop,
+    // /root/reference/src/main/scala/ru/ispras/pu4spark/TraditionalPULearner.scala:30-76)
+    // whose per-iteration work is an in-scan score + one tiny metrics agg;
+    // the keep set joins back as a doc_id hash join.
+    "pipeline_e2e_curate_pu" -> ((s, dir) => {
+      import graft.pu._
+      val docs = Spread.ifNarrow(Tables.documents(s, dir), col("doc_id"))
+      // stage 0: the PU quality model (same learner wiring as
+      // pu_pipeline_filter_stub — one model definition, no fork)
+      val stub = new ShiftingStubClassifier(-0.125)
+        .setLabelCol(ProbabilisticClassifierConfig.labelName)
+        .setFeaturesCol(ProbabilisticClassifierConfig.featuresName)
+      val out = new TraditionalPULearner(0.5, 3, stub)
+        .weight(puStubBase(s, dir), "puLabel", "features", "score")
+      val labelCol = if (out.columns.contains("curLabel")) "curLabel" else "prevLabel"
+      val puKeep = out.select(col("doc_id"), col("score").as("pu_score"),
+          col(labelCol).cast(IntegerType).as("pu_final"))
+        .filter(col("pu_final") === 1 || col("pu_score") >= 0.5)
+        .select(col("doc_id"), col("pu_score"))
+      // stage 1: Gopher rules AND the model's keep decision
+      val q = qualitySurvivors(docs).join(puKeep, "doc_id").persist()
+      stages2to7(docs, q)
+        .join(puKeep, "doc_id")
+        .select(col("doc_id"), col("pu_score"), col("n_paras"), col("n_dup"),
+          col("cen_id"), col("n_tokens"), col("n_pieces"), col("pieces_hash"),
           col("pack_id"), col("pack_offset"), col("shard_id"))
         .orderBy("doc_id")
     })
@@ -337,12 +385,18 @@ object CurationPipeline {
   /** Survivor CTE chain through stage 2 (expects to follow `WITH` and the
     * `t` CTE of [[DedupQueries.thCte]]): s1 = Gopher survivors, pagg =
     * paragraph counts, s2 = paragraph survivors. */
-  private[operators] def stage12Ctes: String = {
+  private[operators] def stage12Ctes: String = stage12CtesWith("", "")
+
+  /** [[stage12Ctes]] with extension points for the PU-gated chain:
+    * `preS1` (extra CTEs, inserted after `st`, must NOT end with a comma)
+    * and `s1Extra` (an ` AND ...` conjunct appended to the s1 filter). */
+  private[operators] def stage12CtesWith(preS1: String, s1Extra: String): String = {
     val w = ParaWindow
+    val pre = if (preS1.isEmpty) "" else preS1 + ",\n"
     s"""tf AS (${TrainingDataQueries.GopherSql.tfCte}),
        |st AS (${TrainingDataQueries.GopherSql.stCte}),
-       |s1 AS (SELECT st.doc_id FROM st JOIN tf USING (doc_id)
-       |  WHERE ${TrainingDataQueries.GopherSql.keep}),
+       |${pre}s1 AS (SELECT st.doc_id FROM st JOIN tf USING (doc_id)
+       |  WHERE (${TrainingDataQueries.GopherSql.keep})$s1Extra),
        |p0 AS (SELECT doc_id, th FROM t
        |  WHERE len(th) > 0 AND doc_id IN (SELECT doc_id FROM s1)),
        |paras AS MATERIALIZED (SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pidx, u.h FROM (
@@ -443,6 +497,46 @@ object CurationPipeline {
          |  d.doc_id IN (SELECT doc_id FROM ex) AS exact_contaminated
          |FROM documents d WHERE d.source <> 'src19'
          |ORDER BY d.doc_id""".stripMargin
+    },
+
+    // The PU-gated chain: the Traditional-loop unroll
+    // ([[graft.SparkEntry.traditionalStubUnroll]], the pu_pipeline_filter_stub
+    // twin) becomes the `puk` keep set, conjoined into s1, then the SAME
+    // stage-2-7 CTEs as the plain chain — twin composition mirrors the
+    // Spark composition stage for stage.
+    "pipeline_e2e_curate_pu" -> {
+      val unroll = graft.SparkEntry.traditionalStubUnroll(
+        0.5, -0.125, 3, "SELECT * FROM base", "doc_id")
+      val preS1 =
+        s"""qf AS (SELECT doc_id, ${graft.functions.TextQueries.quality} AS f0 FROM documents),
+           |base AS (SELECT st.doc_id,
+           |  CASE WHEN (${TrainingDataQueries.GopherSql.keep}) AND st.doc_id % 2 = 0
+           |       THEN 1 ELSE -1 END AS l0,
+           |  qf.f0 AS f0
+           |  FROM st JOIN tf USING (doc_id) JOIN qf USING (doc_id)),
+           |puk AS MATERIALIZED (SELECT doc_id, score AS pu_score FROM ($unroll)
+           |  WHERE pu_final = 1 OR score >= 0.5)""".stripMargin
+      s"""WITH RECURSIVE t AS MATERIALIZED ($thCte),
+         |${stage12CtesWith(preS1, " AND st.doc_id IN (SELECT doc_id FROM puk)")},
+         |$stage34Ctes,
+         |surv AS (SELECT d.doc_id, d.text FROM documents d
+         |  WHERE d.doc_id IN (SELECT doc_id FROM s4)),
+         |${TrainingDataQueries.bpeChainCtes("surv")},
+         |bp AS (SELECT tk.doc_id, CAST(len(tk.toks) AS BIGINT) AS n_tokens,
+         |  COALESCE(ag.n_pieces, 0) AS n_pieces,
+         |  CASE WHEN ag.hl IS NULL THEN 0 ELSE ${combineSql("ag.hl")} END AS pieces_hash
+         |  FROM tk LEFT JOIN ag ON tk.doc_id = ag.doc_id),
+         |pk AS (SELECT doc_id, n_tokens, n_pieces, pieces_hash,
+         |  CAST(COALESCE(SUM(n_pieces) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |  FROM bp)
+         |SELECT pk.doc_id, puk.pu_score, s2.n_paras, s2.n_dup, s4.cen_id,
+         |  pk.n_tokens, pk.n_pieces, pk.pieces_hash,
+         |  pk.cum_before // $PackTokens AS pack_id,
+         |  pk.cum_before % $PackTokens AS pack_offset,
+         |  ${ph("('shard' || CAST(pk.doc_id AS VARCHAR))", "si")} % $NShards AS shard_id
+         |FROM pk JOIN s2 USING (doc_id) JOIN s4 USING (doc_id) JOIN puk USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
     },
 
     // Stages 5-7 on top of the survivor chain: the BPE twin chain
