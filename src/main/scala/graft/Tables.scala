@@ -16,24 +16,30 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Columns written as parquet TIMESTAMP(NANOS) by the generator. Spark 4
-    * rejects NANOS outright (PARQUET_TYPE_ILLEGAL) unless
-    * `spark.sql.legacy.parquet.nanosAsLong=true`, which surfaces them as
-    * LongType nanos-since-epoch; we convert to proper TimestampType here so
-    * the rest of the engine sees real timestamps.
+  /** Timestamp columns whose parquet physical type has varied across
+    * driver-generator versions: TIMESTAMP(NANOS) (surfaced as LongType
+    * nanos-since-epoch under `spark.sql.legacy.parquet.nanosAsLong=true` —
+    * Spark 4 rejects NANOS outright otherwise), and timestamp[us] with
+    * isAdjustedToUTC=false (surfaced as TIMESTAMP_NTZ). Functions like
+    * `unix_micros` only accept TIMESTAMP, so both flavors are normalized
+    * to TimestampType here — the session timezone is pinned UTC everywhere
+    * (Verify/Bench/localSession), making the NTZ→LTZ cast exact and
+    * engine-parity-safe (DuckDB reads the same field values).
     */
-  private val nanoTsColumns = Set("ts", "o_orderdate", "l_shipdate")
+  private val tsColumns = Set("ts", "o_orderdate", "l_shipdate")
 
   def load(spark: SparkSession, sfDir: String, table: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = spark.read.parquet(s"$sfDir/$table.parquet")
     raw.schema.fields.foldLeft(raw) { (df, f) =>
-      if (nanoTsColumns.contains(f.name) &&
-          f.dataType == org.apache.spark.sql.types.LongType)
+      if (tsColumns.contains(f.name) && f.dataType == LongType)
         // `div` = integer division. `/` would be DOUBLE division: epoch
         // nanos (~1.7e18) exceed double's 2^53 mantissa, silently
         // corrupting timestamps by hundreds of microseconds.
         df.withColumn(f.name, org.apache.spark.sql.functions
           .timestamp_micros(org.apache.spark.sql.functions.expr(s"${f.name} div 1000")))
+      else if (tsColumns.contains(f.name) && f.dataType == TimestampNTZType)
+        df.withColumn(f.name, df.col(f.name).cast(TimestampType))
       else df
     }
   }

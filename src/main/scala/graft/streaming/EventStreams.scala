@@ -167,17 +167,22 @@ object EventStreams {
       .dropDuplicatesWithinWatermark(Seq("event_id"))
 
   /** File-source streaming read of an events parquet file with the same
-    * nanos→timestamp normalization the batch loader applies. The file
+    * ts normalization the batch loader applies (legacy nanos-as-long and
+    * TIMESTAMP_NTZ generator flavors both → TimestampType; watermarks and
+    * `unix_micros` require TIMESTAMP — see [[graft.Tables.load]]). The file
     * stream source requires a directory base path, so we stream the parent
     * directory with a glob filter on the file name. */
   def readEventStream(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val schema = spark.read.parquet(path).schema
     val dir = path.substring(0, path.lastIndexOf('/'))
     val fileName = path.substring(path.lastIndexOf('/') + 1)
     val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", fileName).parquet(dir)
-    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+    if (schema("ts").dataType == LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000"))) // integer div: see Tables.load
+    else if (schema("ts").dataType == TimestampNTZType)
+      raw.withColumn("ts", col("ts").cast(TimestampType))
     else raw
   }
 }
