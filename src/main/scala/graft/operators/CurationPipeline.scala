@@ -185,6 +185,26 @@ object CurationPipeline {
       org.apache.spark.ml.functions.array_to_vector(
         array(TextFunctions.qualityScore(col("text")))).as("features"))
 
+  /** THE pipeline PU quality model: the full O16 Traditional loop (shifting
+    * stub, threshold 0.5, 3 iterations) over [[puStubBase]], one row per
+    * doc with (doc_id, score, pu_final). The single model definition behind
+    * `pu_pipeline_filter_stub` AND `pipeline_e2e_curate_pu` — a threshold
+    * or iteration change here moves both queries (and their twins compose
+    * the same [[graft.SparkEntry.traditionalStubUnroll]]). */
+  private def puStubScores(s: SparkSession, dir: String): DataFrame = {
+    import graft.pu._
+    val stub = new ShiftingStubClassifier(-0.125)
+      .setLabelCol(ProbabilisticClassifierConfig.labelName)
+      .setFeaturesCol(ProbabilisticClassifierConfig.featuresName)
+    val out = new TraditionalPULearner(0.5, 3, stub)
+      .weight(puStubBase(s, dir), "puLabel", "features", "score")
+    // early exit returns before the rotate (curLabel); full runs rotate
+    // into prevLabel — same seam as pu_traditional_stub
+    val labelCol = if (out.columns.contains("curLabel")) "curLabel" else "prevLabel"
+    out.select(col("doc_id"), col("score"),
+      col(labelCol).cast(IntegerType).as("pu_final"))
+  }
+
   // ------------------------------------------------------------------
   // The composed query
   // ------------------------------------------------------------------
@@ -195,7 +215,12 @@ object CurationPipeline {
     * (Gopher AND the PU quality model) — one chain body, no fork. Returns
     * the per-doc evidence frame ordered by doc_id. `docs` is the RAW corpus
     * (stage 4 decontaminates against its unfiltered eval slice). */
-  private def stages2to7(docs: DataFrame, q: DataFrame): DataFrame = {
+  /** Stages 2-4 (paragraph dedup → semantic dedup → decontamination) over
+    * stage-1 survivors `q`. Returns (s2 paragraph evidence, s4 survivors) —
+    * both persisted (each feeds at least two downstream consumers). Shared
+    * by [[stages2to7]] and the `pipeline_e2e_full` DAG tail — one survivor
+    * chain, no fork. */
+  private def stages2to4(docs: DataFrame, q: DataFrame): (DataFrame, DataFrame) = {
     // stage 2: paragraph dedup
     val pagg = paragraphAgg(q)
     val s2 = paragraphSurvivors(pagg).persist()
@@ -205,6 +230,11 @@ object CurationPipeline {
     val s4 = decontaminate(q.join(s3, "doc_id"),
         docs.filter(col("source") === "src19"))
       .persist() // feeds the BPE vocab collect AND the apply pass
+    (s2, s4)
+  }
+
+  private def stages2to7(docs: DataFrame, q: DataFrame): DataFrame = {
+    val (s2, s4) = stages2to4(docs, q)
     // stage 5: BPE — merge table learned ON the survivors. An empty
     // merge table means the survivor corpus itself is empty (every
     // Gopher survivor has >= 50 tokens, so survivors => vocab => merges);
@@ -241,17 +271,7 @@ object CurationPipeline {
     // quality band to reliable negatives) — hash-exact twin unrolls the
     // loop over the SAME quality feature and seed rule.
     "pu_pipeline_filter_stub" -> ((s, dir) => {
-      import graft.pu._
-      val stub = new ShiftingStubClassifier(-0.125)
-        .setLabelCol(ProbabilisticClassifierConfig.labelName)
-        .setFeaturesCol(ProbabilisticClassifierConfig.featuresName)
-      val out = new TraditionalPULearner(0.5, 3, stub)
-        .weight(puStubBase(s, dir), "puLabel", "features", "score")
-      // early exit returns before the rotate (curLabel); full runs rotate
-      // into prevLabel — same seam as pu_traditional_stub
-      val labelCol = if (out.columns.contains("curLabel")) "curLabel" else "prevLabel"
-      out.select(col("doc_id"), col("score"),
-          col(labelCol).cast(IntegerType).as("pu_final"))
+      puStubScores(s, dir)
         .withColumn("keep", col("pu_final") === 1 || col("score") >= 0.5)
         .orderBy("doc_id")
     }),
@@ -339,6 +359,75 @@ object CurationPipeline {
       stages2to7(docs, q)
     }),
 
+    // The COMPLETE curation DAG: the survivor chain (stages 1-4, shared
+    // with pipeline_e2e_curate — [[stages2to4]], no fork) continued through
+    // the corpus-assembly tail a real pretraining build runs after dedup:
+    //   5. per-domain quota — TopKAgg consistent-hash draw per source
+    //      (`pipeline_domain_cap` rule): k-bounded mergeable agg, only
+    //      (sources × cap) ids cross the shuffle, no per-domain window;
+    //   6. mix — per-source downsample rates + English upsample by row
+    //      replication (`pipeline_mix` rule), pure in-scan filter+explode;
+    //   7. split — train/valid/test by hash bucket (`pipeline_split` rule)
+    //      SALTED with 'split': the composition exposes what the standalone
+    //      passes can't — mix and split both drawing from the unsalted
+    //      doc_id hash would correlate (a rate-10 source's survivors all
+    //      have bucket < 10, i.e. 100% train), so the split draw salts its
+    //      key to stay independent of the mix draw;
+    //   8. pack manifest — concat-and-cut packing of the train split in
+    //      (doc_id, copy_id) order via one fused seq_key, then the per-pack
+    //      manifest row (`pipeline_pack`/`pipeline_pack_manifest` rules:
+    //      range exchange + broadcast offsets, one pack_id shuffle).
+    // Output: one manifest row per training pack; every upstream decision
+    // (survivor set, quota membership, mix survival+weights, split) is
+    // pinned through the manifest's counts and ordered key-list hash.
+    "pipeline_e2e_full" -> ((s, dir) => {
+      val docs = Spread.ifNarrow(Tables.documents(s, dir), col("doc_id"))
+      val q = qualitySurvivors(docs).persist()
+      val (_, s4) = stages2to4(docs, q)
+      // stage 5: per-domain quota over the survivors
+      val kept = s4
+        .withColumn("h", TextFunctions.polyHash(
+          concat(lit("cap"), col("doc_id").cast(StringType))))
+        .groupBy(col("source"))
+        .agg(TopKAgg.column(TrainingDataQueries.DomainCap,
+          -col("h").cast(DoubleType), col("doc_id")).as("tk"))
+        .select(explode(col("tk")).as("x"))
+        .select(col("x")("_2").as("doc_id"))
+      val capped = s4
+        .select(col("doc_id"), col("source"), col("lang"),
+          TextFunctions.tokenCount(col("text")).cast(LongType).as("n_tokens"))
+        .join(kept, "doc_id")
+      // stage 6: mix — downsample by source, upsample en by replication
+      val mixed = capped
+        .withColumn("rate",
+          when(col("source").isin("src0", "src1"), 10)
+            .when(col("source") === "src2", 50)
+            .otherwise(100))
+        .filter(pmod(TextFunctions.polyHash(col("doc_id").cast(StringType)),
+          lit(100)) < col("rate"))
+        .withColumn("weight", when(col("lang") === "en", 2).otherwise(1))
+        .select(col("doc_id"), col("n_tokens"),
+          explode(sequence(lit(1), col("weight"))).as("copy_id"))
+      // stage 7: split (salted — independent of the mix draw)
+      val train = mixed
+        .withColumn("bucket", pmod(TextFunctions.polyHash(
+          concat(lit("split"), col("doc_id").cast(StringType))), lit(100)))
+        .filter(col("bucket") < 90)
+        // one fused order key: copy_id <= 2, so *8 preserves
+        // (doc_id, copy_id) lexicographic order collision-free
+        .withColumn("seq_key", col("doc_id") * 8 + col("copy_id"))
+      // stage 8: pack the train split, emit the per-pack manifest
+      Packing.packAssignments(train, "seq_key", "n_tokens", PackTokens)
+        .groupBy(col("pack_id"))
+        .agg(count(lit(1)).as("n_seqs"),
+          sum(col("n_tokens")).as("tokens_started"),
+          min(col("seq_key")).as("first_key"),
+          max(col("seq_key")).as("last_key"),
+          NativeExpressions.polyCombine(sort_array(collect_list(col("seq_key"))))
+            .as("key_list_hash"))
+        .orderBy("pack_id")
+    }),
+
     // The chain with the REFERENCE'S ALGORITHM as its decision engine:
     // stage 0 runs the full O16 Traditional PU loop (shifting stub, all 3
     // iterations — the pu_pipeline_filter_stub model) over every document,
@@ -353,20 +442,16 @@ object CurationPipeline {
     // whose per-iteration work is an in-scan score + one tiny metrics agg;
     // the keep set joins back as a doc_id hash join.
     "pipeline_e2e_curate_pu" -> ((s, dir) => {
-      import graft.pu._
       val docs = Spread.ifNarrow(Tables.documents(s, dir), col("doc_id"))
-      // stage 0: the PU quality model (same learner wiring as
-      // pu_pipeline_filter_stub — one model definition, no fork)
-      val stub = new ShiftingStubClassifier(-0.125)
-        .setLabelCol(ProbabilisticClassifierConfig.labelName)
-        .setFeaturesCol(ProbabilisticClassifierConfig.featuresName)
-      val out = new TraditionalPULearner(0.5, 3, stub)
-        .weight(puStubBase(s, dir), "puLabel", "features", "score")
-      val labelCol = if (out.columns.contains("curLabel")) "curLabel" else "prevLabel"
-      val puKeep = out.select(col("doc_id"), col("score").as("pu_score"),
-          col(labelCol).cast(IntegerType).as("pu_final"))
-        .filter(col("pu_final") === 1 || col("pu_score") >= 0.5)
-        .select(col("doc_id"), col("pu_score"))
+      // stage 0: the PU quality model ([[puStubScores]] — the
+      // pu_pipeline_filter_stub model, one definition, no fork).
+      // persist: consumed by the stage-1 gate AND the final evidence join —
+      // unpersisted, the second join would re-run the whole PU scoring
+      // lineage (full-corpus quality scan + the loop's transform chain).
+      val puKeep = puStubScores(s, dir)
+        .filter(col("pu_final") === 1 || col("score") >= 0.5)
+        .select(col("doc_id"), col("score").as("pu_score"))
+        .persist()
       // stage 1: Gopher rules AND the model's keep decision
       val q = qualitySurvivors(docs).join(puKeep, "doc_id").persist()
       stages2to7(docs, q)
@@ -444,6 +529,32 @@ object CurationPipeline {
        |    AND s3.doc_id NOT IN (SELECT doc_id FROM contaminated))""".stripMargin
   }
 
+  /** Stage 5-7 twin tail (expects the `s2`/`s4` CTEs): BPE chain learned on
+    * the s4 survivors, the pack prefix-sum window, and the final per-doc
+    * evidence SELECT. Shared by both e2e oracles — `extraCol` (inserted
+    * after doc_id, e.g. `", puk.pu_score"`) and `extraJoin` (e.g.
+    * `" JOIN puk USING (doc_id)"`) extend the PU-gated variant, mirroring
+    * how [[stage12CtesWith]] parameterizes the head. */
+  private def stage57Sql(extraCol: String, extraJoin: String): String =
+    s"""surv AS (SELECT d.doc_id, d.text FROM documents d
+       |  WHERE d.doc_id IN (SELECT doc_id FROM s4)),
+       |${TrainingDataQueries.bpeChainCtes("surv")},
+       |bp AS (SELECT tk.doc_id, CAST(len(tk.toks) AS BIGINT) AS n_tokens,
+       |  COALESCE(ag.n_pieces, 0) AS n_pieces,
+       |  CASE WHEN ag.hl IS NULL THEN 0 ELSE ${combineSql("ag.hl")} END AS pieces_hash
+       |  FROM tk LEFT JOIN ag ON tk.doc_id = ag.doc_id),
+       |pk AS (SELECT doc_id, n_tokens, n_pieces, pieces_hash,
+       |  CAST(COALESCE(SUM(n_pieces) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+       |  FROM bp)
+       |SELECT pk.doc_id$extraCol, s2.n_paras, s2.n_dup, s4.cen_id,
+       |  pk.n_tokens, pk.n_pieces, pk.pieces_hash,
+       |  pk.cum_before // $PackTokens AS pack_id,
+       |  pk.cum_before % $PackTokens AS pack_offset,
+       |  ${ph("('shard' || CAST(pk.doc_id AS VARCHAR))", "si")} % $NShards AS shard_id
+       |FROM pk JOIN s2 USING (doc_id) JOIN s4 USING (doc_id)$extraJoin
+       |ORDER BY doc_id""".stripMargin
+
   def oracles: Map[String, String] = Map(
     // The Traditional loop unrolled ([[graft.SparkEntry.traditionalStubUnroll]])
     // over base = (gopher seed label, quality score) — the same shared
@@ -519,24 +630,7 @@ object CurationPipeline {
       s"""WITH RECURSIVE t AS MATERIALIZED ($thCte),
          |${stage12CtesWith(preS1, " AND st.doc_id IN (SELECT doc_id FROM puk)")},
          |$stage34Ctes,
-         |surv AS (SELECT d.doc_id, d.text FROM documents d
-         |  WHERE d.doc_id IN (SELECT doc_id FROM s4)),
-         |${TrainingDataQueries.bpeChainCtes("surv")},
-         |bp AS (SELECT tk.doc_id, CAST(len(tk.toks) AS BIGINT) AS n_tokens,
-         |  COALESCE(ag.n_pieces, 0) AS n_pieces,
-         |  CASE WHEN ag.hl IS NULL THEN 0 ELSE ${combineSql("ag.hl")} END AS pieces_hash
-         |  FROM tk LEFT JOIN ag ON tk.doc_id = ag.doc_id),
-         |pk AS (SELECT doc_id, n_tokens, n_pieces, pieces_hash,
-         |  CAST(COALESCE(SUM(n_pieces) OVER (ORDER BY doc_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
-         |  FROM bp)
-         |SELECT pk.doc_id, puk.pu_score, s2.n_paras, s2.n_dup, s4.cen_id,
-         |  pk.n_tokens, pk.n_pieces, pk.pieces_hash,
-         |  pk.cum_before // $PackTokens AS pack_id,
-         |  pk.cum_before % $PackTokens AS pack_offset,
-         |  ${ph("('shard' || CAST(pk.doc_id AS VARCHAR))", "si")} % $NShards AS shard_id
-         |FROM pk JOIN s2 USING (doc_id) JOIN s4 USING (doc_id) JOIN puk USING (doc_id)
-         |ORDER BY doc_id""".stripMargin
+         |${stage57Sql(", puk.pu_score", " JOIN puk USING (doc_id)")}""".stripMargin
     },
 
     // Stages 5-7 on top of the survivor chain: the BPE twin chain
@@ -546,23 +640,45 @@ object CurationPipeline {
       s"""WITH RECURSIVE t AS MATERIALIZED ($thCte),
          |$stage12Ctes,
          |$stage34Ctes,
-         |surv AS (SELECT d.doc_id, d.text FROM documents d
-         |  WHERE d.doc_id IN (SELECT doc_id FROM s4)),
-         |${TrainingDataQueries.bpeChainCtes("surv")},
-         |bp AS (SELECT tk.doc_id, CAST(len(tk.toks) AS BIGINT) AS n_tokens,
-         |  COALESCE(ag.n_pieces, 0) AS n_pieces,
-         |  CASE WHEN ag.hl IS NULL THEN 0 ELSE ${combineSql("ag.hl")} END AS pieces_hash
-         |  FROM tk LEFT JOIN ag ON tk.doc_id = ag.doc_id),
-         |pk AS (SELECT doc_id, n_tokens, n_pieces, pieces_hash,
-         |  CAST(COALESCE(SUM(n_pieces) OVER (ORDER BY doc_id
+         |${stage57Sql("", "")}""".stripMargin,
+
+    // The full-DAG twin: survivor chain CTEs (stages 1-4, shared), then the
+    // quota row_number rule (pipeline_domain_cap twin), the mix rate/weight
+    // rules (pipeline_mix twin), the SALTED split draw, and the
+    // pack/manifest prefix-sum window (pipeline_pack_manifest twin) over
+    // the fused seq_key order.
+    "pipeline_e2e_full" -> {
+      val ntok = graft.functions.TextQueries.sqlNTok
+      val cap = TrainingDataQueries.DomainCap
+      s"""WITH RECURSIVE t AS MATERIALIZED ($thCte),
+         |$stage12Ctes,
+         |$stage34Ctes,
+         |s4m AS (SELECT d.doc_id, d.source, d.lang, CAST($ntok AS BIGINT) AS n_tokens
+         |  FROM documents d WHERE d.doc_id IN (SELECT doc_id FROM s4)),
+         |caph AS (SELECT *, ${ph("('cap' || CAST(doc_id AS VARCHAR))", "ci")} AS h FROM s4m),
+         |capr AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+         |  FROM caph),
+         |mixk AS (SELECT *, CASE WHEN lang = 'en' THEN 2 ELSE 1 END AS w FROM
+         |  (SELECT doc_id, source, lang, n_tokens,
+         |    CASE WHEN source IN ('src0','src1') THEN 10
+         |         WHEN source = 'src2' THEN 50 ELSE 100 END AS rate
+         |   FROM capr WHERE rn <= $cap)
+         |  WHERE (${ph("CAST(doc_id AS VARCHAR)", "mi")}) % 100 < rate),
+         |mixe AS (SELECT doc_id, n_tokens, unnest(range(1, w + 1)) AS copy_id FROM mixk),
+         |tr AS (SELECT doc_id * 8 + copy_id AS seq_key, n_tokens FROM mixe
+         |  WHERE (${ph("('split' || CAST(doc_id AS VARCHAR))", "spi")}) % 100 < 90),
+         |cum AS (SELECT seq_key, n_tokens,
+         |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY seq_key
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
-         |  FROM bp)
-         |SELECT pk.doc_id, s2.n_paras, s2.n_dup, s4.cen_id,
-         |  pk.n_tokens, pk.n_pieces, pk.pieces_hash,
-         |  pk.cum_before // $PackTokens AS pack_id,
-         |  pk.cum_before % $PackTokens AS pack_offset,
-         |  ${ph("('shard' || CAST(pk.doc_id AS VARCHAR))", "si")} % $NShards AS shard_id
-         |FROM pk JOIN s2 USING (doc_id) JOIN s4 USING (doc_id)
-         |ORDER BY doc_id""".stripMargin
+         |  FROM tr),
+         |pks AS (SELECT seq_key, n_tokens, cum_before // $PackTokens AS pack_id FROM cum),
+         |g AS (SELECT pack_id, count(*) AS n_seqs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS tokens_started,
+         |  min(seq_key) AS first_key, max(seq_key) AS last_key,
+         |  list(seq_key ORDER BY seq_key) AS ks FROM pks GROUP BY pack_id)
+         |SELECT pack_id, n_seqs, tokens_started, first_key, last_key,
+         |  ${combineSql("ks")} AS key_list_hash
+         |FROM g ORDER BY pack_id""".stripMargin
+    }
   )
 }

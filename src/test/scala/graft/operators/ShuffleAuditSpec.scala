@@ -58,7 +58,15 @@ class ShuffleAuditSpec extends SparkSuite {
     // canonical agg + join-back on h, survivor aggs on doc_id, the pack
     // range exchange, semantic's cen_id); every stage-joining join is
     // broadcast. No extra exchanges vs the sum of the standalone stages.
-    "pipeline_e2e_curate" -> 23
+    "pipeline_e2e_curate" -> 23,
+    // same chain with the PU stage-0 gate: the PU scoring lineage joins in
+    // twice (stage-1 gate + final evidence), both persisted; measured 21 in
+    // plan text with the same cached-Spread reprinting as above
+    "pipeline_e2e_curate_pu" -> 23,
+    // survivor chain + quota/mix/split/pack tail: the tail adds the
+    // source-quota agg, the pack range exchange, and the manifest pack_id
+    // agg on top of the stage 1-4 set; same plan-text doubling as above
+    "pipeline_e2e_full" -> 25
   ).withDefaultValue(6)
 
   test("every query plan builds, and its shuffle count stays within the audited bound") {
