@@ -40,6 +40,65 @@ class E2eCurateSpec extends SparkSuite {
     graft.CheckpointUtil.releaseStragglers()
   }
 
+  test("incremental curation == full rebuild restricted to the batch, in-engine") {
+    // the DuckDB twin already proves this against the full-rebuild SQL;
+    // this pins the SAME equivalence engine-internally: the incremental
+    // query's survivors must equal the plain chain's stage-1-4 survivors
+    // (recomputed here on the union) restricted to batch ids
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val boundary = maxId * 4 / 5
+    val q = qualitySurvivors(docs).persist()
+    val s2 = paragraphAgg(q).persist()
+    val s2k = paragraphSurvivors(s2)
+    val s3 = semanticSurvivors(q.join(s2k.select("doc_id"), "doc_id"))
+    val s4 = decontaminate(q.join(s3, "doc_id"),
+      docs.filter(col("source") === "src19"))
+    val full = s4.join(s2, "doc_id")
+      .filter(col("doc_id") > boundary)
+      .select("doc_id", "n_paras", "n_dup", "cen_id")
+    val inc = graft.SparkEntry.queries("pipeline_e2e_incremental")(spark, sf0001)
+      .select("doc_id", "n_paras", "n_dup", "cen_id")
+    assert(inc.count() > 0, "no batch doc survived — equivalence vacuous")
+    assert(inc.exceptAll(full).count() == 0L && full.exceptAll(inc).count() == 0L,
+      "batch-then-increment != full rebuild on the union")
+    spark.catalog.clearCache()
+    graft.CheckpointUtil.releaseStragglers()
+  }
+
+  test("full-DAG tail (quota -> mix -> split -> pack) is non-vacuous and well-formed") {
+    val out = graft.SparkEntry.queries("pipeline_e2e_full")(spark, sf0001).persist()
+    assert(out.count() > 0, "no packs — tail dropped everything")
+    // packs are contiguous from 0
+    val packs = out.select("pack_id").orderBy("pack_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(packs.head == 0L && packs == (0L until packs.length).toSeq,
+      s"pack ids not contiguous from 0: $packs")
+    // recompute the survivor chain + tail at the sequence grain
+    val q = qualitySurvivors(docs).persist()
+    val s2k = paragraphSurvivors(paragraphAgg(q))
+    val s3 = semanticSurvivors(q.join(s2k.select("doc_id"), "doc_id"))
+    val s4 = decontaminate(q.join(s3, "doc_id"),
+      docs.filter(col("source") === "src19")).persist()
+    val tr = CurationPipeline.dagTrainSeqs(s4).persist()
+    val nSurv = s4.count()
+    val nTrainDocs = tr.select("doc_id").distinct().count()
+    val nSeqsExpected = tr.count()
+    // the tail DROPS docs (quota + mix + split each keep < 100%) ...
+    assert(nTrainDocs > 0 && nTrainDocs < nSurv,
+      s"tail dropped no docs: $nTrainDocs of $nSurv")
+    // ... and the mix REPLICATES at least one en doc
+    assert(nSeqsExpected > nTrainDocs,
+      s"no doc was upsampled: $nSeqsExpected seqs over $nTrainDocs docs")
+    // the manifest reconciles exactly with the sequence grain
+    val nSeqs = out.agg(sum(col("n_seqs"))).head().getLong(0)
+    val nToks = out.agg(sum(col("tokens_started"))).head().getLong(0)
+    val nToksExpected = tr.agg(sum(col("n_tokens"))).head().getLong(0)
+    assert(nSeqs == nSeqsExpected && nToks == nToksExpected,
+      s"manifest totals drifted: $nSeqs/$nSeqsExpected seqs, $nToks/$nToksExpected tokens")
+    spark.catalog.clearCache()
+    graft.CheckpointUtil.releaseStragglers()
+  }
+
   test("final rows: eval slice gone, pack and shard invariants hold") {
     val out = graft.SparkEntry.queries("pipeline_e2e_curate")(spark, sf0001).persist()
     val evalIds = docs.filter(col("source") === "src19").select("doc_id")
