@@ -139,12 +139,38 @@ object CurationPipeline {
       .select(col("vec_id").as("doc_id"), col("cen_id"))
   }
 
+  /** Exact-arm budget: broadcast the contaminated id set while it holds at
+    * most this many ids (8-byte ids → ~80 MB, the order of a sane
+    * broadcast budget). Beyond it the stage degrades to the Bloom gate. */
+  val DecontExactMax = 10L * 1000 * 1000
+
+  /** Bloom sizing for the degraded gate: 2^22 bits over the eval set's
+    * 4-gram shingles (an eval artifact is bounded — ~10k shingles at
+    * fixture scale → fill < 1%, per-probe FP < 1e-6, so at fixture scale
+    * the degraded arm is row-identical to the exact arm and the spec pins
+    * that). 512 KB broadcast regardless of CORPUS size. */
+  val DecontBloomBits = 1 << 22
+
   /** Stage 4: drop the eval slice itself and every doc sharing a
     * [[DecontNgram]]-token shingle with it. `evalDocs` is the RAW eval
     * slice (an eval set is an external artifact — it is not quality-
-    * filtered before being matched against). Broadcast semi-join inside
-    * the scan, corpus never shuffled (`pipeline_decontaminate` shape). */
-  def decontaminate(survDocs: DataFrame, evalDocs: DataFrame): DataFrame = {
+    * filtered before being matched against).
+    *
+    * Adaptive scale shape: while the contaminated id set fits the
+    * broadcast budget (`maxExactBroadcast`), the gate is EXACT — broadcast
+    * semi-join inside the scan, corpus never shuffled
+    * (`pipeline_decontaminate` shape). When it does not fit (a 4-token
+    * shingle gate at 100 TB can flag a large corpus fraction), the stage
+    * degrades to the `pipeline_decontaminate_bloom` shape: the EVAL side
+    * (bounded by definition) folds into one [[DecontBloomBits]]-bit Bloom
+    * sketch and every corpus shingle is probed with column arithmetic
+    * inside the scan — no contaminated set is ever materialized, nothing
+    * corpus-sized crosses the wire. Overestimate-only in the safe
+    * direction: a false positive drops a clean doc (lost data), never
+    * leaks a contaminated one. The size probe is a limit-bounded count —
+    * it never materializes more than `maxExactBroadcast + 1` ids. */
+  def decontaminate(survDocs: DataFrame, evalDocs: DataFrame,
+                    maxExactBroadcast: Long = DecontExactMax): DataFrame = {
     val shh = TextFunctions.shingleHashes(col("text"), DecontNgram)
     val evalShh = evalDocs.select(explode(shh).as("sh")).distinct()
     val train = survDocs.filter(col("source") =!= "src19")
@@ -152,7 +178,19 @@ object CurationPipeline {
       .select(col("doc_id"), explode(shh).as("sh"))
       .join(broadcast(evalShh), Seq("sh"), "left_semi")
       .select(col("doc_id")).distinct()
-    train.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+    val exactFits = contaminated
+      .limit(math.min(maxExactBroadcast, Int.MaxValue - 1L).toInt + 1)
+      .count() <= maxExactBroadcast
+    if (exactFits)
+      train.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+    else {
+      val bloom = evalShh.agg(new BloomFilterAgg(DecontBloomBits,
+        TrainingDataQueries.BloomK).column(col("sh")).as("bloom"))
+      train.crossJoin(broadcast(bloom))
+        .filter(!exists(shh, sh => BloomFilterAgg.mightContain(
+          col("bloom"), sh, DecontBloomBits, TrainingDataQueries.BloomK)))
+        .drop("bloom")
+    }
   }
 
   // ------------------------------------------------------------------

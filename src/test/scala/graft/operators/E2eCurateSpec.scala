@@ -99,6 +99,28 @@ class E2eCurateSpec extends SparkSuite {
     graft.CheckpointUtil.releaseStragglers()
   }
 
+  test("decontamination's Bloom degrade agrees with the exact arm at fixture scale") {
+    val q = qualitySurvivors(docs).persist()
+    val eval = docs.filter(col("source") === "src19")
+    val exact = CurationPipeline.decontaminate(q, eval)
+      .select("doc_id").persist()
+    // force the degrade: a zero budget can never fit the contaminated set
+    val bloomed = CurationPipeline.decontaminate(q, eval, 0L)
+      .select("doc_id").persist()
+    val nExact = exact.count()
+    assert(nExact > 0, "exact arm kept nothing — comparison vacuous")
+    // overestimate-only: the degraded arm may only drop MORE, never keep a
+    // doc the exact arm drops...
+    assert(bloomed.exceptAll(exact).count() == 0L,
+      "Bloom arm kept a doc the exact arm dropped — that's a leak")
+    // ...and at fixture scale the sized-for-purpose sketch drops nothing
+    // extra, so the arms are row-identical
+    assert(exact.exceptAll(bloomed).count() == 0L,
+      "Bloom false positive at fixture scale — resize DecontBloomBits")
+    spark.catalog.clearCache()
+    graft.CheckpointUtil.releaseStragglers()
+  }
+
   test("final rows: eval slice gone, pack and shard invariants hold") {
     val out = graft.SparkEntry.queries("pipeline_e2e_curate")(spark, sf0001).persist()
     val evalIds = docs.filter(col("source") === "src19").select("doc_id")
