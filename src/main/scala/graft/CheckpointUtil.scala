@@ -1,7 +1,5 @@
 package graft
 
-import scala.ref.WeakReference
-
 import org.apache.spark.sql.DataFrame
 
 /** Release helpers for iterative operators that roll generations of
@@ -22,43 +20,52 @@ import org.apache.spark.sql.DataFrame
   *    Only call when NO live generation's lineage can reach it anymore; a
   *    locally-checkpointed RDD cannot be recomputed after unpersisting.
   *
-  * Storage that outlives its loop (a returned result, the loop's last
-  * generations) is tracked here WEAKLY and freed by the driver harness
-  * BETWEEN queries via [[releaseStragglers]] — after the query's output is
-  * fully materialized — because `spark.catalog.clearCache()` never reaches
-  * checkpoint blocks (ADVICE r01). Weak references keep the registry from
-  * pinning DataFrames in processes that never drain it (tests, embedded
-  * callers): once a tracked df is unreachable, ContextCleaner can GC its
-  * blocks and the entry drops out here.
+  * Storage that outlives its builder (a returned result's caches, a loop's
+  * last generations, helper-scoped persists) is registered here by
+  * [[track]]/[[trackPersist]] and freed BETWEEN queries via
+  * [[releaseStragglers]] — after the query's output is fully materialized —
+  * because `spark.catalog.clearCache()` never reaches checkpoint blocks
+  * (ADVICE r01). References are STRONG: release must be deterministic (a
+  * round-9 weak-ref design raced the GC — a collected weak entry could
+  * never be unpersisted again, because the CacheManager's InMemoryRelation
+  * pins cached RDDs against ContextCleaner forever). The registry is the
+  * library caller's whole release story: materialize, then ONE
+  * releaseStragglers(). A caller that never drains leaks exactly what an
+  * unreleased cache always leaked — nothing more — and the registry itself
+  * only adds the Dataset handles. The driver harness (Verify/Bench) and
+  * every spec drain between queries.
   */
 object CheckpointUtil {
 
   private val stragglers =
-    scala.collection.mutable.ArrayBuffer.empty[WeakReference[DataFrame]]
+    scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
   /** Record a just-created localCheckpoint (or loop-surviving persist) df;
     * anything not explicitly released by its loop is freed at the next
     * [[releaseStragglers]]. */
   def track(df: DataFrame): DataFrame = synchronized {
-    if (stragglers.length > 64)
-      stragglers.filterInPlace(_.get.isDefined) // drop GC-cleared entries
-    stragglers += WeakReference(df)
+    stragglers += df
     df
   }
+
+  /** [[track]] for helper-scoped `persist()`s — same registry, named at
+    * the call site for the persist-vs-checkpoint release distinction
+    * documented above. */
+  def trackPersist(df: DataFrame): DataFrame = track(df)
 
   def releasePersist(df: DataFrame): Unit =
     df.unpersist(blocking = false)
 
   def releaseCheckpoint(df: DataFrame): Unit = {
-    synchronized { stragglers.filterInPlace(_.get.exists(_ ne df)) }
+    synchronized { stragglers.filterInPlace(_ ne df) }
     freeBlocks(df)
   }
 
-  /** Free every tracked df still alive. Call between queries, once the
-    * previous query's output is fully materialized. */
+  /** Free every tracked df. Call between queries, once the previous
+    * query's output is fully materialized. */
   def releaseStragglers(): Unit = {
     val pending = synchronized {
-      val p = stragglers.toList.flatMap(_.get)
+      val p = stragglers.toList
       stragglers.clear()
       p
     }

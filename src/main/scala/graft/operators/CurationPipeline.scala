@@ -78,10 +78,6 @@ object CurationPipeline {
     docs.filter(Gopher.keep(st, rep))
   }
 
-  /** Stage 2a: per-doc paragraph counts (doc_id, n_paras, n_dup) where a
-    * paragraph is a duplicate iff an earlier (doc_id, pidx) occurrence of
-    * its hash exists among `qdocs` — the `dedup_paragraph` canonical-
-    * occurrence rule, scoped to the stage's input corpus. */
   /** One (doc_id, pidx, h) row per [[ParaWindow]]-token paragraph of each
     * doc — the exploded frame behind [[paragraphAgg]] and the incremental
     * chain's corpus/batch paragraph states. */
@@ -91,10 +87,14 @@ object CurationPipeline {
         posexplode(NativeExpressions.windowHashes(col("text"), ParaWindow)))
       .select(col("doc_id"), col("pos").cast(LongType).as("pidx"), col("col").as("h"))
 
+  /** Stage 2a: per-doc paragraph counts (doc_id, n_paras, n_dup) where a
+    * paragraph is a duplicate iff an earlier (doc_id, pidx) occurrence of
+    * its hash exists among `qdocs` — the `dedup_paragraph` canonical-
+    * occurrence rule, scoped to the stage's input corpus. */
   def paragraphAgg(qdocs: DataFrame): DataFrame =
     // persist: the exploded paragraph set feeds the canonical agg AND the
     // join-back (same reasoning as dedup_paragraph)
-    paragraphAggOf(explodeParagraphs(qdocs).persist())
+    paragraphAggOf(graft.CheckpointUtil.trackPersist(explodeParagraphs(qdocs).persist()))
 
   /** [[paragraphAgg]] over an already-exploded (and persisted) paragraph
     * frame — the incremental chain reuses its corpus paras for the state
@@ -117,10 +117,6 @@ object CurationPipeline {
   def paragraphSurvivors(pagg: DataFrame): DataFrame =
     pagg.filter(lit(2) * col("n_dup") <= col("n_paras"))
 
-  /** Stage 3: semantic keep/drop over the survivors — hashing-trick
-    * embeddings, IVF lists from the [[SemCentroids]] lowest surviving ids,
-    * tau-similarity greedy-by-id within a list. Returns
-    * (doc_id, cen_id) for kept docs. */
   /** Hashing-trick embeddings (vec_id, v, nrm) of document rows, zero-norm
     * rows dropped — the frame [[semanticSurvivors]] and the incremental
     * chain's semantic states are built from. */
@@ -131,8 +127,12 @@ object CurationPipeline {
       .withColumn("nrm", Dedup.l2norm(col("v")))
       .filter(col("nrm") > 0.0)
 
+  /** Stage 3: semantic keep/drop over the survivors — hashing-trick
+    * embeddings, IVF lists from the [[SemCentroids]] lowest surviving ids,
+    * tau-similarity greedy-by-id within a list. Returns
+    * (doc_id, cen_id) for kept docs. */
   def semanticSurvivors(survDocs: DataFrame): DataFrame = {
-    val emb = embed(survDocs).persist()
+    val emb = graft.CheckpointUtil.trackPersist(embed(survDocs).persist())
     Dedup.semanticDedupWith(emb,
         Similarity.lowestIdCentroids(emb, SemCentroids), SemTau)
       .filter(col("keep"))
@@ -318,13 +318,13 @@ object CurationPipeline {
   private def stages2to4(docs: DataFrame, q: DataFrame): (DataFrame, DataFrame) = {
     // stage 2: paragraph dedup
     val pagg = paragraphAgg(q)
-    val s2 = paragraphSurvivors(pagg).persist()
+    val s2 = graft.CheckpointUtil.trackPersist(paragraphSurvivors(pagg).persist())
     // stage 3: semantic dedup over the stage-2 survivors
     val s3 = semanticSurvivors(q.join(s2.select("doc_id"), "doc_id"))
     // stage 4: decontaminate vs the RAW eval slice
-    val s4 = decontaminate(q.join(s3, "doc_id"),
+    val s4 = graft.CheckpointUtil.trackPersist(decontaminate(q.join(s3, "doc_id"),
         docs.filter(col("source") === "src19"))
-      .persist() // feeds the BPE vocab collect AND the apply pass
+      .persist()) // feeds the BPE vocab collect AND the apply pass
     (s2, s4)
   }
 
@@ -386,11 +386,11 @@ object CurationPipeline {
     // compared surface.
     "pipeline_decontaminate_semantic" -> ((s, dir) => {
       val docs = Spread.ifNarrow(Tables.documents(s, dir), col("doc_id"))
-      val emb = docs.select(col("doc_id"), col("source"),
+      val emb = graft.CheckpointUtil.trackPersist(docs.select(col("doc_id"), col("source"),
           NativeExpressions.hashEmbed(col("text"), SemDim).as("v"))
         .withColumn("nrm", Dedup.l2norm(col("v")))
         .filter(col("nrm") > 0.0)
-        .persist() // feeds centroid collect, both assignment sides
+        .persist()) // feeds centroid collect, both assignment sides
       val evalSide = emb.filter(col("source") === "src19")
       val cents = Similarity.collectCentroids(Similarity.lowestIdCentroids(
         evalSide.select(col("doc_id").as("vec_id"), col("v"), col("nrm")),
@@ -401,8 +401,8 @@ object CurationPipeline {
         if (cents.isEmpty)
           emb.select(col("doc_id")).where(lit(false)).withColumn("graft_sem", lit(true))
         else {
-          val asgn = emb.withColumn("cen_id",
-            NativeExpressions.argMaxCosine(col("v"), col("nrm"), cents)).persist()
+          val asgn = graft.CheckpointUtil.trackPersist(emb.withColumn("cen_id",
+            NativeExpressions.argMaxCosine(col("v"), col("nrm"), cents)).persist())
           asgn.filter(col("source") =!= "src19")
             .select(col("cen_id"), col("doc_id"), col("v").as("cv"), col("nrm").as("cnrm"))
             // the eval side is small BY DEFINITION (an eval set is a
@@ -450,7 +450,7 @@ object CurationPipeline {
       val docs = Spread.ifNarrow(Tables.documents(s, dir), col("doc_id"))
       // stage 1: quality — persisted: feeds paragraphs, embeddings, and
       // the survivor joins below
-      val q = qualitySurvivors(docs).persist()
+      val q = graft.CheckpointUtil.trackPersist(qualitySurvivors(docs).persist())
       stages2to7(docs, q)
     }),
 
@@ -477,7 +477,7 @@ object CurationPipeline {
     // pinned through the manifest's counts and ordered key-list hash.
     "pipeline_e2e_full" -> ((s, dir) => {
       val docs = Spread.ifNarrow(Tables.documents(s, dir), col("doc_id"))
-      val q = qualitySurvivors(docs).persist()
+      val q = graft.CheckpointUtil.trackPersist(qualitySurvivors(docs).persist())
       val (_, s4) = stages2to4(docs, q)
       // stages 5-7 ([[dagTrainSeqs]]), then pack + per-pack manifest
       Packing.packAssignments(dagTrainSeqs(s4), "seq_key", "n_tokens", PackTokens)
@@ -620,12 +620,13 @@ object CurationPipeline {
       // persist: consumed by the stage-1 gate AND the final evidence join —
       // unpersisted, the second join would re-run the whole PU scoring
       // lineage (full-corpus quality scan + the loop's transform chain).
-      val puKeep = puStubScores(s, dir)
+      val puKeep = graft.CheckpointUtil.trackPersist(puStubScores(s, dir)
         .filter(col("pu_final") === 1 || col("score") >= 0.5)
         .select(col("doc_id"), col("score").as("pu_score"))
-        .persist()
+        .persist())
       // stage 1: Gopher rules AND the model's keep decision
-      val q = qualitySurvivors(docs).join(puKeep, "doc_id").persist()
+      val q = graft.CheckpointUtil.trackPersist(
+        qualitySurvivors(docs).join(puKeep, "doc_id").persist())
       stages2to7(docs, q)
         .join(puKeep, "doc_id")
         .select(col("doc_id"), col("pu_score"), col("n_paras"), col("n_dup"),

@@ -268,7 +268,8 @@ object Dedup {
       return corpus.select(col("vec_id"),
         lit(null).cast(LongType).as("cen_id"), lit(true).as("keep"))
     }
-    val assigned = Similarity.ivfAssignWith(corpus, collected).persist()
+    val assigned = graft.CheckpointUtil.trackPersist(
+      Similarity.ivfAssignWith(corpus, collected).persist())
     val a = assigned.select(col("cen_id"), col("vec_id").as("id_a"),
       col("v").as("v_a"), col("nrm").as("nrm_a"))
     val b = assigned.select(col("cen_id"), col("vec_id").as("id_b"),
