@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Dedup at 100× the driver fixture — the mirror of [[AnnStressSpec]] for
+  * the dedup family: a SEEDED in-repo generator builds a 50k-document
+  * corpus with PLANTED duplicate structure (the 500-row fixture exercises
+  * correctness, not behavior at scale), and this suite pins, with runtime
+  * evidence rather than plan text:
+  *
+  *   1. MinHash banding finds every planted near-dup pair AND stays
+  *      near-planted in candidate volume — banding must prune the 1.25
+  *      BILLION possible pairs to the colliding few, or 100 TB dedup is
+  *      quadratic and dead on arrival;
+  *   2. paragraph dedup recovers the planted per-class duplicate counts
+  *      exactly (clone/near/paragraph-graft classes each have a closed-form
+  *      n_dup) over 200k paragraphs;
+  *   3. pointer-doubling connected components recovers exactly the planted
+  *      clusters in O(log diameter) rounds — the converged round count is
+  *      asserted, not assumed.
+  *
+  * Corpus shape: ids 0..49999, 80 tokens each from a 10k-word vocabulary,
+  * splitmix-seeded (no Random, no partition sensitivity — every count
+  * below is exact-repeatable). Planted structure per thousand-block:
+  * id%1000==0 is a LEADER; ==1,2 are exact clones of the leader; ==3 is a
+  * near-dup (last 5 of 80 tokens rewritten → shingle Jaccard ≈ 0.84);
+  * ==4 grafts the leader's first paragraph (20 tokens) onto unique text;
+  * everything else is unique. 50 blocks → 50 planted clusters.
+  */
+class DedupStressSpec extends SparkSuite {
+  import DedupStressSpec.{N, docOf}
+
+  private lazy val corpus: DataFrame = {
+    val s = spark
+    import s.implicits._
+    s.range(0, N, 1, 8).map(id => (id, docOf(id))).toDF("doc_id", "text")
+      .persist()
+  }
+
+  private val leaders = (0 until 50).map(_ * 1000L)
+
+  test("LSH banding finds all planted near-dups and prunes to near-planted volume at 50k docs") {
+    val d = corpus
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.shingleHashes(col("text"), 3).as("shh"))
+      .withColumn("bands", Dedup.bandHashes(Dedup.minhashSignature(col("shh"))))
+      .persist()
+    val cands = Dedup.lshCandidatePairs(
+      d.select("doc_id", "bands"), "doc_id", "bands").persist()
+    val nCands = cands.count()
+    // every planted >=0.5-Jaccard pair must be a candidate: per block the
+    // clones pair with the leader and each other (3 pairs) and the
+    // near-dup pairs with all three exact twins (3 pairs)
+    val verified = cands
+      .join(d.select(col("doc_id").as("id_a"), col("shh").as("shh_a")), "id_a")
+      .join(d.select(col("doc_id").as("id_b"), col("shh").as("shh_b")), "id_b")
+      .withColumn("j", Dedup.jaccard(col("shh_a"), col("shh_b")))
+      .filter(col("j") >= 0.5)
+      .select("id_a", "id_b").persist()
+    val nVerified = verified.count()
+    val planted = leaders.flatMap { l =>
+      val grp = Seq(l, l + 1, l + 2, l + 3)
+      for (a <- grp; b <- grp if a < b) yield (a, b)
+    }.toSet
+    val got = verified.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planted.subsetOf(got),
+      s"missing planted pairs: ${(planted -- got).take(5)} of ${planted.size}")
+    info(s"candidates=$nCands verified=$nVerified planted=${planted.size}")
+    // banding pruned 1.25e9 possible pairs to the colliding few: allow
+    // random band collisions but nothing remotely quadratic, and the
+    // verified set must not drown the planted structure in noise
+    assert(nCands < 10L * planted.size,
+      s"$nCands candidates — banding is not pruning")
+    assert(nVerified < 2L * planted.size,
+      s"$nVerified verified pairs — false structure beyond the planted clusters")
+    spark.catalog.clearCache()
+    graft.CheckpointUtil.releaseStragglers()
+  }
+
+  test("paragraph dedup recovers the planted per-class duplicate counts over 200k paragraphs") {
+    // 80 tokens / ParaWindow=20 → 4 paragraphs per doc, 200k total.
+    // Closed-form expectation per thousand-block: leader n_dup=0 (lowest
+    // id owns every canonical), clones n_dup=4 (all four paragraphs are
+    // re-occurrences), near-dup n_dup=3 (last paragraph rewritten),
+    // paragraph-graft n_dup=1 (first paragraph only) — and the ~49.8k
+    // unique docs collide on no 20-token window.
+    val pagg = CurationPipeline.paragraphAgg(corpus).persist()
+    val dupDocs = pagg.filter(col("n_dup") > 0)
+      .select(col("doc_id"), col("n_dup")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expected = leaders.flatMap { l =>
+      Seq(l + 1 -> 4L, l + 2 -> 4L, l + 3 -> 3L, l + 4 -> 1L)
+    }.toMap
+    // every planted doc must carry its exact closed-form count...
+    val planted = dupDocs.view.filterKeys(expected.contains).toMap
+    assert(planted == expected,
+      s"per-class n_dup drifted: ${(expected.toSet -- planted.toSet).take(5)}")
+    // ...and the only extras allowed are BIRTHDAY collisions of the
+    // paragraph hash itself: windowHashes lives in the mod-1e9+7 space
+    // (cross-engine oracle parity), so 200k paragraphs expect ~n²/2P ≈ 20
+    // false dup-pairs — each adds exactly one n_dup=1 doc (observed: 20,
+    // matching the birthday estimate exactly). THE SCALE
+    // LESSON this suite exists to surface: at 10¹⁰ paragraphs a 31-bit
+    // paragraph hash is structurally blind (≈ every paragraph collides);
+    // production-at-100TB widens the space (polyHash64 / double-hash
+    // combine), trading oracle replay for headroom.
+    val extras = dupDocs -- expected.keys
+    info(s"birthday-collision extras at 1e9+7 hash space: ${extras.size}")
+    assert(extras.size <= 40 && extras.values.forall(_ == 1L),
+      s"extras beyond the birthday budget: ${extras.take(8)}")
+    // and every doc kept its full paragraph count
+    assert(pagg.filter(col("n_paras") =!= 4).count() == 0L)
+    spark.catalog.clearCache()
+    graft.CheckpointUtil.releaseStragglers()
+  }
+
+  test("pointer-doubling CC recovers exactly the planted clusters, in logarithmic rounds") {
+    val d = corpus
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.shingleHashes(col("text"), 3).as("shh"))
+      .withColumn("bands", Dedup.bandHashes(Dedup.minhashSignature(col("shh"))))
+      .persist()
+    val cands = Dedup.lshCandidatePairs(
+      d.select("doc_id", "bands"), "doc_id", "bands")
+    val pairs = cands
+      .join(d.select(col("doc_id").as("id_a"), col("shh").as("shh_a")), "id_a")
+      .join(d.select(col("doc_id").as("id_b"), col("shh").as("shh_b")), "id_b")
+      .filter(Dedup.jaccard(col("shh_a"), col("shh_b")) >= 0.5)
+      .select("id_a", "id_b")
+    val (labels, iters) = Dedup.connectedComponentsWithStats(pairs)
+    val comps = labels.groupBy(col("canonical_id"))
+      .agg(sort_array(collect_list(col("id"))).as("members"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toMap
+    val expected = leaders.map(l => l -> Seq(l, l + 1, l + 2, l + 3)).toMap
+    assert(comps == expected,
+      s"cluster structure drifted (got ${comps.size} components)")
+    // pointer doubling: 4-member chains resolve in O(log) rounds — the
+    // fixpoint check costs one extra round beyond the work
+    info(s"cc converged in $iters rounds over ${comps.size} clusters")
+    assert(iters <= 4, s"cc took $iters rounds for diameter-3 clusters")
+    spark.catalog.clearCache()
+    graft.CheckpointUtil.releaseStragglers()
+  }
+}
+
+/** Generator on the module (Serializable) so Dataset closures never
+  * capture the suite instance — same pattern as [[AnnStressSpec]]. */
+object DedupStressSpec extends Serializable {
+  val N = 50000L
+  private val Vocab = 10000
+  private val Toks = 80
+
+  private def mix(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  // mix the seed BEFORE combining with the position: a single linear
+  // combination (seed*a + j*b) aliases whole windows whenever
+  // a*Δseed = b*Δj, and the outer mix preserves those collisions exactly
+  private def tok(seed: Long, j: Int): String =
+    "w" + java.lang.Math.floorMod(mix(mix(seed) + j * 7919L), Vocab.toLong)
+
+  /** Deterministic document text for `id` (see class doc for the planted
+    * classes). */
+  def docOf(id: Long): String = {
+    val role = id % 1000
+    val leader = id - role
+    role match {
+      case 1 | 2 => (0 until Toks).map(tok(leader, _)).mkString(" ")
+      case 3 =>
+        ((0 until Toks - 5).map(tok(leader, _)) ++
+          (Toks - 5 until Toks).map(tok(id, _))).mkString(" ")
+      case 4 =>
+        ((0 until 20).map(tok(leader, _)) ++
+          (20 until Toks).map(tok(id, _))).mkString(" ")
+      case _ => (0 until Toks).map(tok(id, _)).mkString(" ")
+    }
+  }
+}
