@@ -495,6 +495,22 @@ object NativeExpressions {
       defineCodeGen(ctx, ev, c => s"$Kernels.windowHashes($c, $w)")
   }
 
+  /** [[WindowHashes]] in the full 64-bit space (see
+    * [[NativeKernels.windowHashes64]]) — the production paragraph hash for
+    * corpora whose paragraph count approaches the mod-P birthday bound. */
+  case class WindowHashes64(child: Expression, w: Int) extends UnaryExpression {
+    require(w >= 1, s"window width must be >= 1, got $w")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def withNewChildInternal(newChild: Expression): WindowHashes64 =
+      copy(child = newChild)
+
+    override protected def nullSafeEval(input: Any): Any =
+      NativeKernels.windowHashes64(input.asInstanceOf[UTF8String], w)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Kernels.windowHashes64($c, $w)")
+  }
+
   /** One-pass subword (BPE) tokenization statistics over a constant merge
     * table (see [[NativeKernels.bpeStats]]): `[nTokens, nPieces,
     * piecesHash]`. The table — learned by [[graft.operators.Bpe
@@ -580,6 +596,8 @@ object NativeExpressions {
     GraftColumnBridge.column(BpeStats(GraftColumnBridge.expression(text), merges))
   def windowHashes(text: Column, w: Int): Column =
     GraftColumnBridge.column(WindowHashes(GraftColumnBridge.expression(text), w))
+  def windowHashes64(text: Column, w: Int): Column =
+    GraftColumnBridge.column(WindowHashes64(GraftColumnBridge.expression(text), w))
   def hashEmbed(text: Column, dim: Int): Column =
     GraftColumnBridge.column(HashEmbed(GraftColumnBridge.expression(text), dim))
 }

@@ -639,6 +639,37 @@ object NativeKernels {
     ArrayData.toArrayData(out)
   }
 
+  /** [[windowHashes]] in the FULL 64-bit space — the 100 TB production
+    * variant. The mod-P (1e9+7) window hash is kept for cross-engine
+    * oracle parity, but its birthday bound is structural at scale:
+    * n²/2P false dup-pairs means ~20 at 200k paragraphs (measured exactly
+    * by DedupStressSpec) and total blindness at 10¹⁰. Here each window
+    * accumulates with a golden-ratio odd multiplier over wrapping 64-bit
+    * arithmetic and is finalized with a splitmix-style avalanche, pushing
+    * the same bound to n²/2⁶⁵ (≈ 3 collisions at 10¹⁰ paragraphs). Not
+    * DuckDB-replicable (BIGINT overflow errors there, no wraparound) —
+    * spec-covered instead, contrast pinned against the 31-bit variant. */
+  def windowHashes64(u: UTF8String, w: Int): ArrayData = {
+    val th = tokenHashesArray(u.toString)
+    if (th.length == 0) return ArrayData.toArrayData(Array.empty[Long])
+    val m = (th.length + w - 1) / w
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var acc = 0L
+      var j = i * w
+      val end = math.min(j + w, th.length)
+      while (j < end) { acc = acc * 0x9E3779B97F4A7C15L + th(j); j += 1 }
+      // splitmix64 finalizer: avalanche the polynomial accumulator
+      acc += 0x9E3779B97F4A7C15L
+      acc = (acc ^ (acc >>> 30)) * 0xBF58476D1CE4E5B9L
+      acc = (acc ^ (acc >>> 27)) * 0x94D049BB133111EBL
+      out(i) = acc ^ (acc >>> 31)
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
   private def polyHashStr(s: String): Long = {
     var acc = 0L
     var i = 0

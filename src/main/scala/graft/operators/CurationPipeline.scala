@@ -80,21 +80,30 @@ object CurationPipeline {
 
   /** One (doc_id, pidx, h) row per [[ParaWindow]]-token paragraph of each
     * doc — the exploded frame behind [[paragraphAgg]] and the incremental
-    * chain's corpus/batch paragraph states. */
-  private def explodeParagraphs(qdocs: DataFrame): DataFrame =
+    * chain's corpus/batch paragraph states. `wide` selects the 64-bit
+    * production hash (see [[paragraphAgg]]). */
+  private def explodeParagraphs(qdocs: DataFrame, wide: Boolean = false): DataFrame =
     qdocs
-      .select(col("doc_id"),
-        posexplode(NativeExpressions.windowHashes(col("text"), ParaWindow)))
+      .select(col("doc_id"), posexplode(
+        if (wide) NativeExpressions.windowHashes64(col("text"), ParaWindow)
+        else NativeExpressions.windowHashes(col("text"), ParaWindow)))
       .select(col("doc_id"), col("pos").cast(LongType).as("pidx"), col("col").as("h"))
 
   /** Stage 2a: per-doc paragraph counts (doc_id, n_paras, n_dup) where a
     * paragraph is a duplicate iff an earlier (doc_id, pidx) occurrence of
     * its hash exists among `qdocs` — the `dedup_paragraph` canonical-
-    * occurrence rule, scoped to the stage's input corpus. */
-  def paragraphAgg(qdocs: DataFrame): DataFrame =
+    * occurrence rule, scoped to the stage's input corpus.
+    *
+    * `wide = true` switches the paragraph hash to the full 64-bit space
+    * ([[NativeExpressions.windowHashes64]]) — the 100 TB path: the mod-P
+    * default is oracle-replicable but its n²/2P birthday bound yields
+    * false dups from ~10⁵ paragraphs up (DedupStressSpec measures exactly
+    * the predicted 20 at 200k); the wide hash defers that to n ≈ 2³². */
+  def paragraphAgg(qdocs: DataFrame, wide: Boolean = false): DataFrame =
     // persist: the exploded paragraph set feeds the canonical agg AND the
     // join-back (same reasoning as dedup_paragraph)
-    paragraphAggOf(graft.CheckpointUtil.trackPersist(explodeParagraphs(qdocs).persist()))
+    paragraphAggOf(graft.CheckpointUtil.trackPersist(
+      explodeParagraphs(qdocs, wide).persist()))
 
   /** [[paragraphAgg]] over an already-exploded (and persisted) paragraph
     * frame — the incremental chain reuses its corpus paras for the state

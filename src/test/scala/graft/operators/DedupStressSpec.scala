@@ -113,6 +113,16 @@ class DedupStressSpec extends SparkSuite {
       s"extras beyond the birthday budget: ${extras.take(8)}")
     // and every doc kept its full paragraph count
     assert(pagg.filter(col("n_paras") =!= 4).count() == 0L)
+    // THE CONTRAST: the wide (64-bit) production hash over the SAME 200k
+    // paragraphs — birthday bound n²/2⁶⁵ ≈ 0, so the planted structure is
+    // recovered with ZERO extras where mod-P produced its predicted 20
+    val wide = CurationPipeline.paragraphAgg(corpus, wide = true)
+      .filter(col("n_dup") > 0)
+      .select(col("doc_id"), col("n_dup")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(wide == expected,
+      s"64-bit paragraph hash not collision-free at 200k: " +
+        s"extras=${(wide -- expected.keys).take(5)}")
     spark.catalog.clearCache()
     graft.CheckpointUtil.releaseStragglers()
   }
