@@ -22,6 +22,7 @@ object TimeOne {
       SparkEntry.queries(q)(spark, sf).write.format("noop").mode("overwrite").save()
       println(f"$q t=${(System.nanoTime() - t0) / 1e9}%.2f")
       spark.catalog.clearCache() // match Bench: no cross-run cache reuse
+      CheckpointUtil.releaseStragglers() // and no accumulating checkpoint blocks
     }
     spark.stop()
   }

@@ -183,16 +183,23 @@ object CurationPipeline {
     val shh = TextFunctions.shingleHashes(col("text"), DecontNgram)
     val evalShh = evalDocs.select(explode(shh).as("sh")).distinct()
     val train = survDocs.filter(col("source") =!= "src19")
-    val contaminated = train
+    // persisted (and registry-tracked): the size probe and the exact-arm
+    // broadcast both consume it — unpersisted, the whole corpus-side
+    // shingle semi-join would run twice (measured +2.7 s on the e2e chain
+    // at sf0.1). The limit bounds what the probe MATERIALIZES; on
+    // overflow the partial cache is released before the Bloom arm.
+    val contaminated = graft.CheckpointUtil.trackPersist(train
       .select(col("doc_id"), explode(shh).as("sh"))
       .join(broadcast(evalShh), Seq("sh"), "left_semi")
       .select(col("doc_id")).distinct()
+      .persist())
     val exactFits = contaminated
       .limit(math.min(maxExactBroadcast, Int.MaxValue - 1L).toInt + 1)
       .count() <= maxExactBroadcast
     if (exactFits)
       train.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
     else {
+      graft.CheckpointUtil.releasePersist(contaminated)
       val bloom = evalShh.agg(new BloomFilterAgg(DecontBloomBits,
         TrainingDataQueries.BloomK).column(col("sh")).as("bloom"))
       train.crossJoin(broadcast(bloom))
