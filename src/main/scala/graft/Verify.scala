@@ -21,6 +21,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failures = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -28,6 +29,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures += name -> String.valueOf(e.getMessage)
       }
       // queries persist() intermediates they fan out over; free them so
       // later ML fits don't run with storage pinned by dead caches.
@@ -51,6 +53,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Failure manifest: a query that throws leaves NO parquet dir, and the
+    // driver's compare simply omits it from CORRECTNESS — round 10 lost 5
+    // queries this way with nothing but a buried stderr line. The manifest
+    // makes the loss loud for anyone (builder or judge) reading outDir.
+    Files.writeString(Paths.get(s"$outDir/verify_failures.json"),
+      failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    if (failures.nonEmpty)
+      System.err.println(s"[verify] ${failures.size} queries FAILED: " +
+        failures.map(_._1).mkString(", "))
     spark.stop()
   }
 }
