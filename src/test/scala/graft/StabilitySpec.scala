@@ -23,7 +23,9 @@ class StabilitySpec extends SparkSuite {
     "dedup_paragraph",        // min(struct) canonical + ordered kept hash
     "pipeline_bpe",           // learned merge table folded into pieces hash
     "sim_topk_filtered",      // TopKAgg under a corpus predicate
-    "src_ivf_compact"         // write/compact/probe lifecycle end to end
+    "src_ivf_compact",        // write/compact/probe lifecycle end to end
+    "pipeline_e2e_full",      // quota TopKAgg + mix explode + prefix-sum pack + key-list hash
+    "pipeline_e2e_incremental"// checkpointed state frames + broadcast probes + victim union
   )
 
   test("order-sensitive hash-exact queries are byte-identical across reruns") {
