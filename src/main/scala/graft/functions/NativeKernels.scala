@@ -67,6 +67,30 @@ object NativeKernels {
   def tokenHashes(u: UTF8String): ArrayData =
     ArrayData.toArrayData(tokenHashesArray(u.toString))
 
+  /** [[tokenHashesArray]] in the FULL 64-bit space (wrapping golden-ratio
+    * accumulate, no mod): the token-level floor for [[windowHashes64]].
+    * Feeding the 64-bit window combine with mod-P token hashes would keep
+    * the collision floor at 31 bits — two tokens colliding mod P collide
+    * every window they appear in, regardless of the window hash's width. */
+  private def tokenHashes64Array(s: String): Array[Long] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && isWs(s.charAt(i))) i += 1
+      if (i < n) {
+        var acc = 0L
+        while (i < n && !isWs(s.charAt(i))) {
+          val cp = s.codePointAt(i)
+          acc = acc * 0x9E3779B97F4A7C15L + cp
+          i += Character.charCount(cp)
+        }
+        out += acc
+      }
+    }
+    out.toArray
+  }
+
   /** Sorted-distinct hashes of the word n-gram shingles of `text` — the
     * full per-document signature front-end (tokenize → per-token hash →
     * n-window base-31 combine → distinct → ascending sort) fused into one
@@ -648,9 +672,12 @@ object NativeKernels {
     * arithmetic and is finalized with a splitmix-style avalanche, pushing
     * the same bound to n²/2⁶⁵ (≈ 3 collisions at 10¹⁰ paragraphs). Not
     * DuckDB-replicable (BIGINT overflow errors there, no wraparound) —
-    * spec-covered instead, contrast pinned against the 31-bit variant. */
+    * spec-covered instead, contrast pinned against the 31-bit variant.
+    * Token hashes are ALSO widened ([[tokenHashes64Array]]): a mod-P token
+    * hash underneath would cap the whole window hash at the 31-bit
+    * collision floor. */
   def windowHashes64(u: UTF8String, w: Int): ArrayData = {
-    val th = tokenHashesArray(u.toString)
+    val th = tokenHashes64Array(u.toString)
     if (th.length == 0) return ArrayData.toArrayData(Array.empty[Long])
     val m = (th.length + w - 1) / w
     val out = new Array[Long](m)

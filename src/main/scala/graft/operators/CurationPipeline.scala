@@ -193,8 +193,14 @@ object CurationPipeline {
       .join(broadcast(evalShh), Seq("sh"), "left_semi")
       .select(col("doc_id")).distinct()
       .persist())
+    // the probe is Int-limited; a budget at/above Int.MaxValue could never
+    // be exceeded by it and would silently disable the degrade — refuse it
+    // (2^31 8-byte ids is already a ~17 GB broadcast, far past any sane
+    // budget)
+    require(maxExactBroadcast < Int.MaxValue,
+      s"maxExactBroadcast $maxExactBroadcast would defeat the size probe")
     val exactFits = contaminated
-      .limit(math.min(maxExactBroadcast, Int.MaxValue - 1L).toInt + 1)
+      .limit(maxExactBroadcast.toInt + 1)
       .count() <= maxExactBroadcast
     if (exactFits)
       train.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
@@ -203,8 +209,12 @@ object CurationPipeline {
       val bloom = evalShh.agg(new BloomFilterAgg(DecontBloomBits,
         TrainingDataQueries.BloomK).column(col("sh")).as("bloom"))
       train.crossJoin(broadcast(bloom))
-        .filter(!exists(shh, sh => BloomFilterAgg.mightContain(
-          col("bloom"), sh, DecontBloomBits, TrainingDataQueries.BloomK)))
+        // coalesce: NULL text → NULL shingles → NULL exists; the exact arm
+        // KEEPS such docs (no shingles → never contaminated), so the
+        // degraded arm must too — three-valued logic would drop them
+        .filter(coalesce(!exists(shh, sh => BloomFilterAgg.mightContain(
+          col("bloom"), sh, DecontBloomBits, TrainingDataQueries.BloomK)),
+          lit(true)))
         .drop("bloom")
     }
   }

@@ -76,7 +76,9 @@ class DedupStressSpec extends SparkSuite {
       s"$nCands candidates — banding is not pruning")
     assert(nVerified < 2L * planted.size,
       s"$nVerified verified pairs — false structure beyond the planted clusters")
-    spark.catalog.clearCache()
+    // targeted release: clearCache() would also evict the suite-shared
+    // corpus cache, forcing later tests to regenerate 50k docs per action
+    Seq(d, cands, verified).foreach(_.unpersist(blocking = false))
     graft.CheckpointUtil.releaseStragglers()
   }
 
@@ -123,7 +125,7 @@ class DedupStressSpec extends SparkSuite {
     assert(wide == expected,
       s"64-bit paragraph hash not collision-free at 200k: " +
         s"extras=${(wide -- expected.keys).take(5)}")
-    spark.catalog.clearCache()
+    pagg.unpersist(blocking = false)
     graft.CheckpointUtil.releaseStragglers()
   }
 
@@ -152,7 +154,7 @@ class DedupStressSpec extends SparkSuite {
     // fixpoint check costs one extra round beyond the work
     info(s"cc converged in $iters rounds over ${comps.size} clusters")
     assert(iters <= 4, s"cc took $iters rounds for diameter-3 clusters")
-    spark.catalog.clearCache()
+    d.unpersist(blocking = false)
     graft.CheckpointUtil.releaseStragglers()
   }
 }

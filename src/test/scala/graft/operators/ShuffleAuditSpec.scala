@@ -68,11 +68,14 @@ class ShuffleAuditSpec extends SparkSuite {
     // agg on top of the stage 1-4 set; same plan-text doubling as above
     "pipeline_e2e_full" -> 25,
     // state and batch frames are eagerly localCheckpoint'd (lineage-free
-    // standing state), so 12 is a REAL count, not plan-text reprints: the
-    // batch-side canonical/evidence aggs, the cen_id self-join's two
-    // sides, the victims union-distinct, decontamination's distincts, and
-    // the final sort — all batch-sized; the corpus crosses no wire
-    "pipeline_e2e_incremental" -> 14
+    // standing state), so most of the count is REAL: the batch-side
+    // canonical/evidence aggs, the cen_id self-join's two sides, the
+    // victims union-distinct, decontamination's distincts, and the final
+    // sort — all batch-sized; the corpus crosses no wire. Measured 20 in
+    // plan text, of which ~8 are the decontamination stage's persisted
+    // contaminated set reprinting its build lineage under the
+    // InMemoryRelation (runtime shuffles stay ~12)
+    "pipeline_e2e_incremental" -> 22
   ).withDefaultValue(6)
 
   test("every query plan builds, and its shuffle count stays within the audited bound") {
