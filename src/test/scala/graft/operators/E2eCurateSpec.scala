@@ -99,6 +99,46 @@ class E2eCurateSpec extends SparkSuite {
     graft.CheckpointUtil.releaseStragglers()
   }
 
+  test("incremental curation: every runtime shuffle is batch-sized — the corpus crosses no wire") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // the standing-corpus STATE build (inside the eager localCheckpoints)
+    // legitimately shuffles the corpus once — that work happens during
+    // query construction and is amortized state in production. What the
+    // final executed plan must prove is that the PER-BATCH work never
+    // shuffles anything corpus-sized.
+    val df = graft.SparkEntry.queries("pipeline_e2e_incremental")(spark, sf0001)
+    // collect, not a noop write: a write runs its own QueryExecution and
+    // leaves THIS df's plan metrics untouched (all-zero = vacuous pass)
+    assert(df.collect().nonEmpty)
+    def shuffles(p: SparkPlan): Seq[ShuffleExchangeExec] = p match {
+      case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+      case q: QueryStageExec => shuffles(q.plan)
+      case s: ShuffleExchangeExec =>
+        s +: (s.children.flatMap(shuffles) ++ s.subqueries.flatMap(shuffles))
+      case n => n.children.flatMap(shuffles) ++ n.subqueries.flatMap(shuffles)
+    }
+    val ex = shuffles(df.queryExecution.executedPlan)
+    assert(ex.nonEmpty, "no shuffles found — the walk went wrong, not the plan")
+    // corpus-sized would be >= the corpus's ~1,600 paragraph rows (400
+    // docs x 4); the batch's largest legitimate shuffle is its own
+    // paragraph set (~100 docs x 4 = 400 rows). Cap well between the two.
+    val rows = ex.map { s =>
+      val m = s.metrics.collectFirst {
+        case (k, v) if k.toLowerCase.contains("records") => v.value
+      }
+      assert(m.isDefined, s"no records metric on $s — key drift, fix the probe")
+      m.get
+    }
+    info(s"incremental runtime shuffles: ${rows.sorted.reverse.mkString(", ")} rows")
+    assert(rows.max > 0, "all shuffle metrics zero — the plan didn't execute")
+    assert(rows.max < 1000,
+      s"a corpus-sized shuffle appeared in the per-batch plan: ${rows.max} rows")
+    spark.catalog.clearCache()
+    graft.CheckpointUtil.releaseStragglers()
+  }
+
   test("decontamination's Bloom degrade agrees with the exact arm at fixture scale") {
     val q = qualitySurvivors(docs).persist()
     val eval = docs.filter(col("source") === "src19")
