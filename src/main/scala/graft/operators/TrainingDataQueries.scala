@@ -293,6 +293,32 @@ object TrainingDataQueries {
         .orderBy("doc_id")
     }),
 
+    // Corpus health report — the operational query every pipeline team
+    // runs before and after a curation pass: per-source doc/token/char
+    // volumes, Gopher pass counts, English share, and exact-dup
+    // visibility via distinct text fingerprints. ONE aggregation with
+    // map-side partials (count-distinct is the standard two-phase
+    // expansion); every stat is INTEGER arithmetic so the compared
+    // surface is float-free. At 100 TB this is the same single shuffle
+    // on source.
+    "pipeline_corpus_report" -> ((s, dir) => {
+      val st = NativeExpressions.textStats(col("text"))
+      val rep = NativeExpressions.repetitionStats(col("text"))
+      docsSpread(s, dir)
+        .select(col("source"), col("lang"), col("n_chars"),
+          TextFunctions.tokenCount(col("text")).cast(LongType).as("ntok"),
+          when(Gopher.keep(st, rep), 1L).otherwise(0L).as("gpass"),
+          TextFunctions.fingerprint(col("text")).as("fp"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ntok")).as("n_tokens"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("gpass")).as("n_gopher_pass"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+          countDistinct(col("fp")).as("n_distinct_texts"))
+        .orderBy("source")
+    }),
+
     // Corpus mixing: per-source consistent-hash downsampling rates (the
     // domain-reweighting step of a pretraining mix) + deterministic
     // upsampling of one language by row replication. The keep decision
@@ -808,6 +834,23 @@ object TrainingDataQueries {
          |  f.fp IN (SELECT fp FROM build) AS exact_seen
          |FROM f LEFT JOIN hits h ON f.doc_id = h.doc_id
          |ORDER BY f.doc_id""".stripMargin,
+
+    "pipeline_corpus_report" ->
+      s"""WITH t AS ($thCte),
+         |tf AS (${GopherSql.tfCte}),
+         |st AS (${GopherSql.stCte}),
+         |b AS (SELECT d.source, d.lang, d.n_chars, st.n AS ntok,
+         |  CASE WHEN (${GopherSql.keep}) THEN 1 ELSE 0 END AS gpass,
+         |  ${ph("text", "ci")} AS fp
+         |  FROM documents d JOIN st ON d.doc_id = st.doc_id
+         |  JOIN tf ON d.doc_id = tf.doc_id)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(sum(gpass) AS BIGINT) AS n_gopher_pass,
+         |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+         |  count(DISTINCT fp) AS n_distinct_texts
+         |FROM b GROUP BY source ORDER BY source""".stripMargin,
 
     "pipeline_mix" ->
       s"""WITH r AS (SELECT doc_id, source, lang,
