@@ -67,6 +67,10 @@ object TrainingDataQueries {
   val HllRegisters = 256
   /** Training-shard count for the deterministic global shuffle. */
   val NShards = 8
+  /** Per-source token budget for budgeted corpus assembly — fixture
+    * sources carry ~2-3k tokens, so the budget bites every source without
+    * emptying any. */
+  val TokenBudget = 2000L
   /** Per-source quota: ~25 docs/source in the fixture, so the cap bites
     * every source without emptying any. */
   val DomainCap = 20
@@ -291,6 +295,32 @@ object TrainingDataQueries {
             .as("maybe_seen"),
           coalesce(col("graft_seen"), lit(false)).as("exact_seen"))
         .orderBy("doc_id")
+    }),
+
+    // Token-budgeted corpus assembly — "take ~B tokens per source", the
+    // budget-first cousin of the doc-count quota (pipeline_domain_cap):
+    // docs are drawn in consistent-hash order (salted independently of
+    // every other draw in the engine) and kept while the source's
+    // cumulative token count is still under budget; the first
+    // budget-crossing doc is kept (greedy-until-budget), everything after
+    // is dropped. The hash order makes the draw rerun/growth-stable AND
+    // unbiased. One window partitioned by source: parallel across
+    // sources, per-source sort is the operation's inherent order; skew is
+    // bounded upstream (a capped domain is a bounded partition).
+    "pipeline_token_budget" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+      docsSpread(s, dir)
+        .select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).cast(LongType).as("n_tokens"),
+          TextFunctions.polyHash(
+            concat(lit("budget"), col("doc_id").cast(StringType))).as("h"))
+        .withColumn("cum_before",
+          coalesce(sum(col("n_tokens")).over(w.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)), lit(0L)))
+        .filter(col("cum_before") < TokenBudget)
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_before"))
+        .orderBy("source", "cum_before", "doc_id")
     }),
 
     // Corpus health report — the operational query every pipeline team
@@ -834,6 +864,17 @@ object TrainingDataQueries {
          |  f.fp IN (SELECT fp FROM build) AS exact_seen
          |FROM f LEFT JOIN hits h ON f.doc_id = h.doc_id
          |ORDER BY f.doc_id""".stripMargin,
+
+    "pipeline_token_budget" ->
+      s"""WITH b AS (SELECT doc_id, source, CAST($ntokSql AS BIGINT) AS n_tokens,
+         |  ${ph("('budget' || CAST(doc_id AS VARCHAR))", "bi")} AS h FROM documents),
+         |c AS (SELECT doc_id, source, n_tokens,
+         |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |  FROM b)
+         |SELECT doc_id, source, n_tokens, cum_before FROM c
+         |WHERE cum_before < $TokenBudget
+         |ORDER BY source, cum_before, doc_id""".stripMargin,
 
     "pipeline_corpus_report" ->
       s"""WITH t AS ($thCte),
