@@ -323,6 +323,50 @@ object TrainingDataQueries {
         .orderBy("source", "cum_before", "doc_id")
     }),
 
+    // Right-to-be-forgotten delete propagation — the lifecycle op a
+    // standing corpus must support: a bounded tombstone list is removed
+    // from the corpus AND propagated into the packed training artifact
+    // WITHOUT repacking the world. Packs are manifest-grain (a doc
+    // belongs to the pack its first token starts in, the
+    // pipeline_pack_manifest grain); a pack containing any tombstoned doc
+    // is dirty, its survivors are compacted into fresh packs appended
+    // after the current tail, clean packs are byte-identical untouched.
+    // At 100 TB the work is churn-proportional: the dirty-pack set and
+    // the repack assignment are both deletion-sized broadcasts, the
+    // standing layout is re-derived here only because the fixture has no
+    // persisted manifest (production reads it back), and the compaction
+    // prefix sum runs over affected survivors only.
+    "pipeline_delete_propagate" -> ((s, dir) => {
+      val packed = Packing
+        .packAssignments(docTokens(s, dir), "doc_id", "n_tokens", PackTokens)
+        .withColumn("is_del", pmod(TextFunctions.polyHash(
+          concat(lit("del"), col("doc_id").cast(StringType))), lit(41)) === 0)
+        .persist() // feeds the dirty set, the tail agg, and the status join
+      val dirty = packed.filter(col("is_del")).select(col("pack_id")).distinct()
+      val maxPack = packed.agg(max(col("pack_id")).as("max_pack"))
+      val repacked = Packing.packAssignments(
+          packed.join(broadcast(dirty), "pack_id")
+            .filter(!col("is_del")).select("doc_id", "n_tokens"),
+          "doc_id", "n_tokens", PackTokens)
+        .crossJoin(broadcast(maxPack))
+        .select(col("doc_id"),
+          (col("max_pack") + 1L + (col("cum_before") div PackTokens))
+            .as("new_pack"))
+      packed
+        .join(broadcast(dirty.withColumn("in_dirty", lit(true))),
+          Seq("pack_id"), "left")
+        .join(broadcast(repacked), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("is_del"), "deleted")
+            .when(coalesce(col("in_dirty"), lit(false)), "repacked")
+            .otherwise("kept").as("status"),
+          col("pack_id").as("old_pack_id"),
+          when(col("is_del"), -1L)
+            .otherwise(coalesce(col("new_pack"), col("pack_id")))
+            .as("new_pack_id"))
+        .orderBy("doc_id")
+    }),
+
     // Corpus health report — the operational query every pipeline team
     // runs before and after a curation pass: per-source doc/token/char
     // volumes, Gopher pass counts, English share, and exact-dup
@@ -875,6 +919,33 @@ object TrainingDataQueries {
          |SELECT doc_id, source, n_tokens, cum_before FROM c
          |WHERE cum_before < $TokenBudget
          |ORDER BY source, cum_before, doc_id""".stripMargin,
+
+    "pipeline_delete_propagate" ->
+      s"""WITH t AS (SELECT doc_id, CAST($ntokSql AS BIGINT) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |  FROM t),
+         |p AS (SELECT doc_id, n_tokens, cum_before // $PackTokens AS pack_id,
+         |  ${ph("('del' || CAST(doc_id AS VARCHAR))", "di")} % 41 = 0 AS is_del FROM c),
+         |dirty AS (SELECT DISTINCT pack_id FROM p WHERE is_del),
+         |mx AS (SELECT max(pack_id) AS m FROM p),
+         |aff AS (SELECT doc_id, n_tokens FROM p
+         |  WHERE pack_id IN (SELECT pack_id FROM dirty) AND NOT is_del),
+         |r AS (SELECT doc_id,
+         |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+         |  FROM aff),
+         |rp AS (SELECT doc_id, (SELECT m FROM mx) + 1 + cb // $PackTokens AS new_pack FROM r)
+         |SELECT p.doc_id,
+         |  CASE WHEN p.is_del THEN 'deleted'
+         |       WHEN p.pack_id IN (SELECT pack_id FROM dirty) THEN 'repacked'
+         |       ELSE 'kept' END AS status,
+         |  p.pack_id AS old_pack_id,
+         |  CASE WHEN p.is_del THEN CAST(-1 AS BIGINT)
+         |       ELSE COALESCE(rp.new_pack, p.pack_id) END AS new_pack_id
+         |FROM p LEFT JOIN rp ON p.doc_id = rp.doc_id
+         |ORDER BY p.doc_id""".stripMargin,
 
     "pipeline_corpus_report" ->
       s"""WITH t AS ($thCte),
