@@ -393,6 +393,44 @@ object TrainingDataQueries {
         .orderBy("source")
     }),
 
+    // Corpus snapshot diff — "what changed between yesterday's corpus and
+    // today's": added / removed / changed doc ids by content fingerprint.
+    // The two snapshots are simulated deterministically from the one
+    // fixture table (v1 lacks the 'add'-hash slice and carries a
+    // one-char-shorter revision of the 'chg'-hash slice; v2 lacks the
+    // 'rm'-hash slice). The diff itself is the production shape: each
+    // side's scan emits only (doc_id, fingerprint) — column-pruned — into
+    // ONE full-outer hash join on doc_id, and the output is
+    // churn-proportional (unchanged docs are filtered, never collected).
+    // At 100 TB both snapshots are bucketed on doc_id, making the join a
+    // zero-shuffle sort-merge; nothing here broadcasts a corpus-sized
+    // side.
+    "pipeline_corpus_diff" -> ((s, dir) => {
+      val d = docsSpread(s, dir).select(col("doc_id"), col("text"),
+        pmod(TextFunctions.polyHash(
+          concat(lit("add"), col("doc_id").cast(StringType))), lit(17)).as("ha"),
+        pmod(TextFunctions.polyHash(
+          concat(lit("rm"), col("doc_id").cast(StringType))), lit(19)).as("hr"),
+        pmod(TextFunctions.polyHash(
+          concat(lit("chg"), col("doc_id").cast(StringType))), lit(13)).as("hc"))
+      val v1 = d.filter(col("ha") =!= 3).select(col("doc_id"),
+        when(col("hc") === 1, TextFunctions.fingerprint(
+            expr("substring(text, 1, greatest(length(text) - 1, 0))")))
+          .otherwise(TextFunctions.fingerprint(col("text"))).as("old_fp"))
+      val v2 = d.filter(col("hr") =!= 5).select(col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("new_fp"))
+      v1.join(v2, Seq("doc_id"), "full_outer")
+        .withColumn("status",
+          when(col("old_fp").isNull, "added")
+            .when(col("new_fp").isNull, "removed")
+            .when(col("old_fp") =!= col("new_fp"), "changed"))
+        .filter(col("status").isNotNull)
+        .select(col("doc_id"), col("status"),
+          coalesce(col("old_fp"), lit(-1L)).as("old_fp"),
+          coalesce(col("new_fp"), lit(-1L)).as("new_fp"))
+        .orderBy("doc_id")
+    }),
+
     // Corpus mixing: per-source consistent-hash downsampling rates (the
     // domain-reweighting step of a pretraining mix) + deterministic
     // upsampling of one language by row replication. The keep decision
@@ -963,6 +1001,28 @@ object TrainingDataQueries {
          |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
          |  count(DISTINCT fp) AS n_distinct_texts
          |FROM b GROUP BY source ORDER BY source""".stripMargin,
+
+    "pipeline_corpus_diff" ->
+      s"""WITH d AS (SELECT doc_id, text,
+         |  ${ph("('add' || CAST(doc_id AS VARCHAR))", "ai")} % 17 AS ha,
+         |  ${ph("('rm' || CAST(doc_id AS VARCHAR))", "ri")} % 19 AS hr,
+         |  ${ph("('chg' || CAST(doc_id AS VARCHAR))", "xi")} % 13 AS hc
+         |  FROM documents),
+         |v1 AS (SELECT doc_id, CASE WHEN hc = 1
+         |    THEN ${ph("substr(text, 1, greatest(length(text) - 1, 0))", "ci")}
+         |    ELSE ${ph("text", "c1")} END AS old_fp
+         |  FROM d WHERE ha <> 3),
+         |v2 AS (SELECT doc_id, ${ph("text", "c2")} AS new_fp FROM d WHERE hr <> 5),
+         |j AS (SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id, v1.old_fp, v2.new_fp
+         |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+         |SELECT doc_id,
+         |  CASE WHEN old_fp IS NULL THEN 'added'
+         |       WHEN new_fp IS NULL THEN 'removed' ELSE 'changed' END AS status,
+         |  COALESCE(old_fp, CAST(-1 AS BIGINT)) AS old_fp,
+         |  COALESCE(new_fp, CAST(-1 AS BIGINT)) AS new_fp
+         |FROM j
+         |WHERE old_fp IS NULL OR new_fp IS NULL OR old_fp <> new_fp
+         |ORDER BY doc_id""".stripMargin,
 
     "pipeline_mix" ->
       s"""WITH r AS (SELECT doc_id, source, lang,
