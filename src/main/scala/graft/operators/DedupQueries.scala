@@ -219,6 +219,31 @@ object DedupQueries {
         .orderBy("cluster_id")
     }),
 
+    // Soft dedup — keep EVERY member of a near-dup cluster but downweight
+    // it so the whole cluster contributes one document's worth of
+    // training mass (the soft alternative to dropping: near-dup copies
+    // still carry signal, it is the repetition that hurts training).
+    // Cluster definition is [[nearDupClusters]] — the SAME >=0.5-Jaccard
+    // CC the hard keep/drop queries use, so soft and hard dedup cannot
+    // fork. weight_ppm = 1e6 div |cluster| keeps the compared surface
+    // integer-only. The cluster map is duplicate-proportional, so the
+    // corpus-side join is a broadcast: the corpus itself never shuffles
+    // to learn its weights.
+    "dedup_soft_weight" -> ((s, dir) => {
+      import Packing.DivOps
+      val members = nearDupClusters(s, dir) // (id, canonical_id)
+      val sized = members.join(
+        members.groupBy(col("canonical_id")).agg(count(lit(1)).as("n_members")),
+        "canonical_id")
+      docsSpread(s, dir).select(col("doc_id"))
+        .join(broadcast(sized), col("doc_id") === col("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("canonical_id"), col("doc_id")).as("cluster_id"),
+          coalesce(col("n_members"), lit(1L)).as("n_members"))
+        .withColumn("weight_ppm", lit(1000000L) div col("n_members"))
+        .orderBy("doc_id")
+    }),
+
     // Metadata-blocked n-gram (bigram) Jaccard: the "block by a cheap key,
     // verify only within blocks" pattern. Blocking trades recall for a
     // shuffle-on-block-key plan; the MinHash query above is the
@@ -557,6 +582,17 @@ object DedupQueries {
          |  count(*) OVER (PARTITION BY canonical_id) AS n_members FROM j)
          |SELECT canonical_id AS cluster_id, n_members, id AS rep_id, quality AS rep_quality
          |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+
+    "dedup_soft_weight" ->
+      s"""WITH RECURSIVE $reachCtes,
+         |cl AS (SELECT s AS id, least(s, min(d)) AS canonical_id FROM reach GROUP BY s),
+         |sz AS (SELECT canonical_id, count(*) AS n FROM cl GROUP BY canonical_id)
+         |SELECT d.doc_id, COALESCE(cl.canonical_id, d.doc_id) AS cluster_id,
+         |  COALESCE(sz.n, CAST(1 AS BIGINT)) AS n_members,
+         |  1000000 // COALESCE(sz.n, CAST(1 AS BIGINT)) AS weight_ppm
+         |FROM documents d LEFT JOIN cl ON d.doc_id = cl.id
+         |LEFT JOIN sz ON cl.canonical_id = sz.canonical_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH t0 AS ($thCte),
