@@ -393,6 +393,29 @@ object TrainingDataQueries {
         .orderBy("source")
     }),
 
+    // Curriculum ordering — emit the corpus in training order: highest-
+    // quality bin first (clean text before noisy), and WITHIN a bin a
+    // consistent-hash shuffle (salted independently of every other draw)
+    // so no upstream order leaks into the curriculum. The global position
+    // comes from the scale-path rank (range partition + broadcast
+    // offsets, PU.globalRankByScore) over the composite key
+    // bin·P + hash — there is no single-task global sort and no
+    // one-partition-per-bin window, so a web-scale bin orders in
+    // parallel. Bin = floor(quality·4): the ·4 is a power-of-two scale,
+    // so the double comparison stays bit-exact cross-engine.
+    "pipeline_curriculum" -> ((s, dir) => {
+      val binned = docsSpread(s, dir)
+        .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("q"))
+        .select(col("doc_id"),
+          least(floor(col("q") * 4).cast(LongType), lit(3L)).as("bin"))
+        .withColumn("key", col("bin") * lit(P) +
+          pmod(TextFunctions.polyHash(
+            concat(lit("cur"), col("doc_id").cast(StringType))), lit(P)))
+      graft.pu.PU.globalRankByScore(binned, "key", col("doc_id"), "curriculum_pos")
+        .select(col("doc_id"), col("bin"), col("curriculum_pos"))
+        .orderBy("curriculum_pos")
+    }),
+
     // Corpus snapshot diff — "what changed between yesterday's corpus and
     // today's": added / removed / changed doc ids by content fingerprint.
     // The two snapshots are simulated deterministically from the one
@@ -1001,6 +1024,17 @@ object TrainingDataQueries {
          |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
          |  count(DISTINCT fp) AS n_distinct_texts
          |FROM b GROUP BY source ORDER BY source""".stripMargin,
+
+    "pipeline_curriculum" ->
+      s"""WITH q AS (SELECT doc_id, ${graft.functions.TextQueries.quality} AS quality
+         |  FROM documents),
+         |b AS (SELECT doc_id,
+         |  least(CAST(floor(quality * 4) AS BIGINT), 3) AS bin FROM q),
+         |k AS (SELECT doc_id, bin,
+         |  bin * $P + ${ph("('cur' || CAST(doc_id AS VARCHAR))", "ui")} AS key FROM b)
+         |SELECT doc_id, bin,
+         |  row_number() OVER (ORDER BY key DESC, doc_id) AS curriculum_pos
+         |FROM k ORDER BY curriculum_pos""".stripMargin,
 
     "pipeline_corpus_diff" ->
       s"""WITH d AS (SELECT doc_id, text,
