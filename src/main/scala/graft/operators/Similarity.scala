@@ -253,6 +253,24 @@ object Similarity {
     * predicate lands on the bucketed list scan as an ordinary pushed
     * filter, compounding with bucket pruning. Deterministic end to end —
     * oracle-checkable like the unfiltered IVF tier. */
+  /** IVF RANGE search — every corpus vector with cosine >= `tau` of each
+    * query (self excluded), probed-lists-approximate exactly like
+    * [[ivfTopKWith]]. The radius variant matters when the consumer wants
+    * "ALL near matches" (dedup sweeps, recall-bounded retrieval), not a
+    * fixed k: there is no per-query selection state at all — the tau gate
+    * is a pure filter fused after the broadcast-probe join, so the plan
+    * is scan → broadcast hash join → filter, zero corpus shuffle, and
+    * the output is match-proportional. */
+  def ivfRangeSearch(corpus: DataFrame, queryPred: Column, nCentroids: Int,
+                     nProbe: Int, tau: Double): DataFrame = {
+    val centSeq = collectCentroids(centroids(corpus, nCentroids))
+    val assigned = ivfAssignWith(corpus, centSeq)
+    val probes = probesOf(corpus.filter(queryPred), centSeq, nProbe)
+    scoreCandidates(assigned.join(broadcast(probes), "cen_id"))
+      .filter(col("cos") >= tau)
+      .select(col("query_id"), col("vec_id"), col("cos"))
+  }
+
   def ivfTopKWhere(corpus: DataFrame, queryPred: Column, corpusPred: Column,
                    nCentroids: Int, nProbe: Int, k: Int): DataFrame = {
     val centSeq = collectCentroids(centroids(corpus, nCentroids))

@@ -39,6 +39,10 @@ object SimilarityQueries {
   val NCandidatesTrained = 48
   val NProbeTrained = 12
   val NCandidatesIvfPqTrained = 64
+  /** Range-search radius: cos >= 0.3 yields a handful of matches per query
+    * on the near-isotropic fixture — small enough that the gate sees the
+    * match-proportional output, non-empty for every query. */
+  val TauRange = 0.3
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // persist: the prepared corpus (cast + interpreted norm per row) feeds
@@ -52,6 +56,16 @@ object SimilarityQueries {
       val corpus = Similarity.prepare(Tables.embeddings(s, dir)).persist()
       Similarity.ivfTopK(corpus, col("vec_id") < NQueries, NCentroids, NProbe, K)
         .orderBy("query_id", "rank")
+    }),
+    // RANGE (radius) search: all matches with cosine >= TauRange, not a
+    // fixed top-k — the query shape of "find every near-duplicate above
+    // threshold". Same centroids/assign/probe machinery as sim_topk_ivf;
+    // the tau gate replaces the per-query selection state entirely.
+    "sim_range_search" -> ((s, dir) => {
+      val corpus = Similarity.prepare(Tables.embeddings(s, dir)).persist()
+      Similarity.ivfRangeSearch(corpus, col("vec_id") < NQueries,
+          NCentroids, NProbe, TauRange)
+        .orderBy("query_id", "vec_id")
     }),
     // Distributed ANN JOIN: the query side is 20% of the corpus — far past
     // what the collect-and-broadcast serving tiers allow — and stays a
@@ -382,8 +396,11 @@ object SimilarityQueries {
     // Shared IVF twin, parameterized by the centroid-set CTE: assign by
     // argmax cosine (ties to lowest cen_id), probe top-NProbe lists per
     // query, exact cosine within probed lists, per-query top-K.
-    def ivfOracle(centsSql: String, nQueries: Int = NQueries,
-                  qPred: Option[String] = None): String =
+    // WITH-chain up through the probed-candidate set `cand` — shared by
+    // the top-k twin (rank over cand) and the range twin (tau over cand),
+    // so the assign/probe definition cannot fork between them.
+    def ivfCandCtes(centsSql: String, nQueries: Int = NQueries,
+                    qPred: Option[String] = None): String =
       s"""WITH e AS ($e), nn AS ($n),
          |cents AS ($centsSql),
          |assigned AS (
@@ -404,7 +421,10 @@ object SimilarityQueries {
          |  SELECT p.query_id, a.vec_id,
          |    ${dotSql("p.qv", "a.v")} / (p.qnrm * a.nrm) AS cos
          |  FROM probes p JOIN assigned a ON p.cen_id = a.cen_id
-         |  WHERE a.vec_id <> p.query_id),
+         |  WHERE a.vec_id <> p.query_id)""".stripMargin
+    def ivfOracle(centsSql: String, nQueries: Int = NQueries,
+                  qPred: Option[String] = None): String =
+      s"""${ivfCandCtes(centsSql, nQueries, qPred)},
          |ranked AS (
          |  SELECT query_id, vec_id, cos,
          |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
@@ -427,6 +447,12 @@ object SimilarityQueries {
            |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
       "sim_topk_ivf" -> ivfOracle(
         s"SELECT vec_id AS cen_id, v AS cv, nrm AS cnrm FROM nn WHERE vec_id < $NCentroids"),
+      // radius variant: tau gate over the SAME probed-candidate set
+      "sim_range_search" ->
+        s"""${ivfCandCtes(
+               s"SELECT vec_id AS cen_id, v AS cv, nrm AS cnrm FROM nn WHERE vec_id < $NCentroids")}
+           |SELECT query_id, vec_id, cos FROM cand
+           |WHERE cos >= $TauRange ORDER BY query_id, vec_id""".stripMargin,
       // identical IVF semantics, distributed-join execution: only the
       // query-side predicate differs
       "sim_join_ivf" -> ivfOracle(

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, SparkSuite, Tables}
+
+/** `sim_range_search` semantics the hash-exact oracle can't state:
+  * consistency with the top-k tier (same probe set ⇒ every top-k hit above
+  * tau is a range hit and vice versa), the tau gate is exact on the probed
+  * candidates, and recall against brute force stays ANN-reasonable.
+  */
+class RangeSearchSpec extends SparkSuite {
+  import SimilarityQueries.{K, NQueries, TauRange}
+
+  private lazy val range =
+    SparkEntry.queries("sim_range_search")(spark, sf0001).persist()
+  private lazy val topk =
+    SparkEntry.queries("sim_topk_ivf")(spark, sf0001).persist()
+
+  test("non-empty, every score >= tau, no self matches") {
+    assert(range.count() > 0)
+    assert(range.filter(col("cos") < TauRange).count() == 0)
+    assert(range.filter(col("query_id") === col("vec_id")).count() == 0)
+  }
+
+  test("agrees with the top-k tier on the shared probe set") {
+    // every top-k hit with cos >= tau must be a range hit
+    val missing = topk.filter(col("cos") >= TauRange)
+      .select("query_id", "vec_id")
+      .join(range.select("query_id", "vec_id"),
+        Seq("query_id", "vec_id"), "left_anti")
+    assert(missing.count() == 0)
+    // and a range hit absent from top-k can only be rank-crowded-out:
+    // its query must have a FULL top-k list whose floor beats tau
+    val floor = topk.groupBy("query_id")
+      .agg(count(lit(1)).as("nk"), min("cos").as("kth"))
+    val bad = range.join(topk.select("query_id", "vec_id")
+        .withColumn("in_topk", lit(true)), Seq("query_id", "vec_id"), "left")
+      .filter(col("in_topk").isNull)
+      .join(floor, "query_id")
+      .filter(col("nk") < K || col("kth") < TauRange)
+    assert(bad.count() == 0)
+  }
+
+  test("range recall vs exact brute-force threshold search is >= 0.8") {
+    val corpus = Similarity.prepare(Tables.embeddings(spark, sf0001)).persist()
+    val q = corpus.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val exact = corpus.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", Dedup.cosine(col("qv"), col("v"), col("qnrm"), col("nrm")))
+      .filter(col("cos") >= TauRange)
+      .select("query_id", "vec_id")
+    val nExact = exact.count()
+    val hit = exact.join(range.select("query_id", "vec_id"),
+      Seq("query_id", "vec_id"), "left_semi").count()
+    assert(nExact > 0)
+    assert(hit.toDouble / nExact >= 0.8,
+      s"range recall $hit/$nExact below 0.8")
+  }
+}
