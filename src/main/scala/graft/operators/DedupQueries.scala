@@ -231,7 +231,9 @@ object DedupQueries {
     // to learn its weights.
     "dedup_soft_weight" -> ((s, dir) => {
       import Packing.DivOps
-      val members = nearDupClusters(s, dir) // (id, canonical_id)
+      // persist: the LSH->CC lineage would otherwise evaluate twice
+      // (once for the size agg, once for the member join)
+      val members = nearDupClusters(s, dir).persist() // (id, canonical_id)
       val sized = members.join(
         members.groupBy(col("canonical_id")).agg(count(lit(1)).as("n_members")),
         "canonical_id")
