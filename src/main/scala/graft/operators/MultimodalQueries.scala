@@ -29,6 +29,30 @@ object MultimodalQueries {
       Multimodal.chunkWindows(s, media(s, dir), "fake/src3").toDF()
         .orderBy("id", "chunk_idx")
     }),
+    // Payload-level exact dedup — the image-dedup step of a multimodal
+    // corpus: re-ingested copies (simulated: every 7th doc re-uploaded
+    // under a shifted id) are found by CONTENT signature, not by id or
+    // metadata. The dedup key is the decode pass's (n_bytes, checksum,
+    // hist_hash) — 24 bytes per payload cross the shuffle, the binary
+    // blobs themselves never leave their scan task; output is
+    // duplicate-proportional (singleton groups are filtered map-side of
+    // nothing — they simply don't survive the HAVING-style gate).
+    "mm_payload_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val reingested = Multimodal.mediaTable(
+        docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+          .withColumn("doc_id", col("doc_id") + 10000000L))
+      val feats = Multimodal.decodeFeatures(s,
+        Multimodal.mediaTable(docs).unionByName(reingested)).toDF()
+      feats.groupBy(col("n_bytes"), col("checksum"), col("hist_hash"))
+        .agg(count(lit(1)).as("n_copies"), min(col("id")).as("canonical_id"),
+          graft.functions.NativeExpressions.polyCombine(
+            sort_array(collect_list(col("id")))).as("ids_hash"))
+        .filter(col("n_copies") > 1)
+        .select(col("canonical_id"), col("n_copies"), col("ids_hash"),
+          col("n_bytes"), col("checksum"))
+        .orderBy("canonical_id")
+    }),
     "mm_resized" -> ((s, dir) => {
       Multimodal.resizeMeta(media(s, dir), maxDim = 256)
         .select(col("id"), col("resized.mime").as("mime"),
@@ -81,6 +105,20 @@ object MultimodalQueries {
          |  b[CAST(chunk_idx*64+1 AS BIGINT):CAST(chunk_idx*64+96 AS BIGINT)] AS blk FROM f)
          |SELECT id, chunk_idx, start_byte, ${roll("blk")} AS chunk_checksum
          |FROM fc ORDER BY id, chunk_idx""".stripMargin,
+    "mm_payload_dedup" ->
+      s"""WITH c AS (SELECT doc_id AS id, $codes AS cp FROM documents),
+         |u AS (SELECT id, cp FROM c
+         |  UNION ALL SELECT id + 10000000 AS id, cp FROM c WHERE id % 7 = 0),
+         |f AS (SELECT id, CAST(len(cp) AS BIGINT) AS n_bytes,
+         |  ${roll("cp")} AS checksum,
+         |  ${roll("list_transform(range(0, 16), b -> CAST(len(list_filter(cp, x -> x // 16 = b)) AS BIGINT))")} AS hist_hash
+         |  FROM u),
+         |g AS (SELECT n_bytes, checksum, hist_hash,
+         |  CAST(count(*) AS BIGINT) AS n_copies, min(id) AS canonical_id,
+         |  list(id ORDER BY id) AS ids
+         |  FROM f GROUP BY n_bytes, checksum, hist_hash)
+         |SELECT canonical_id, n_copies, ${roll("ids")} AS ids_hash, n_bytes, checksum
+         |FROM g WHERE n_copies > 1 ORDER BY canonical_id""".stripMargin,
     "mm_resized" ->
       """WITH m AS (SELECT doc_id AS id, 'fake/' || source AS mime,
         |  CAST(n_chars % 640 AS BIGINT) AS w, CAST(n_chars % 480 AS BIGINT) AS h

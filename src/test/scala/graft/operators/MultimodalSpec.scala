@@ -46,4 +46,21 @@ class MultimodalSpec extends SparkSuite {
       .select("id", "resized").queryExecution.optimizedPlan.toString
     assert(!plan.contains("encode("), s"payload not pruned:\n$plan")
   }
+
+  test("payload dedup: every re-ingested copy is caught, canonical is the original") {
+    val groups = graft.SparkEntry.queries("mm_payload_dedup")(spark, sf0001)
+      .persist()
+    assert(groups.count() > 0)
+    assert(groups.filter(col("n_copies") < 2).count() == 0)
+    // min-id canonical is always an ORIGINAL id, never a re-upload
+    assert(groups.filter(col("canonical_id") >= 10000000L).count() == 0)
+    // every simulated re-upload is a true content duplicate of its
+    // original, so the number of docs in dup groups is at least twice the
+    // re-uploaded count
+    val reups = Tables.documents(spark, sf0001)
+      .filter(pmod(col("doc_id"), lit(7)) === 0).count()
+    val dupDocs = groups.agg(sum("n_copies")).head.getLong(0)
+    assert(dupDocs >= 2 * reups,
+      s"expected >= ${2 * reups} docs in dup groups, got $dupDocs")
+  }
 }
