@@ -118,10 +118,14 @@ object TextQueries {
         .filter(length(trim(col("text"))) > 0)
         .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
         .groupBy(col("tok"))
-        .agg(countDistinct(col("doc_id")).as("df"),
-          count(lit(1)).as("tf_total"),
-          NativeExpressions.polyCombine(sort_array(collect_set(col("doc_id"))))
-            .as("postings_hash"))
+        // df = |postings set| — NOT a separate countDistinct, which would
+        // add a distinct-expand pass over the exploded token stream; the
+        // collect_set already holds exactly the distinct doc ids
+        .agg(count(lit(1)).as("tf_total"),
+          sort_array(collect_set(col("doc_id"))).as("postings"))
+        .select(col("tok"), size(col("postings")).cast("long").as("df"),
+          col("tf_total"),
+          NativeExpressions.polyCombine(col("postings")).as("postings_hash"))
         .orderBy(col("df").desc, col("tok"))
         .limit(50)
     })
