@@ -517,6 +517,35 @@ object CurationPipeline {
         .orderBy("pack_id")
     }),
 
+    // The DAG continued to its LAST step — the order the trainer actually
+    // consumes: the full survivor chain (stages 1-4) through quota → mix
+    // → split ([[dagTrainSeqs]], shared with pipeline_e2e_full — no
+    // fork), then the `pipeline_curriculum` rule over the train
+    // SEQUENCES: bin by the source document's quality (best bin first),
+    // hash-shuffle within a bin (salted on seq_key so replicated copies
+    // of one doc scatter instead of clumping), global position via the
+    // scale-path rank (range partition + broadcast offsets — no
+    // single-task sort). Output: one row per training sequence in
+    // training order.
+    "pipeline_e2e_train_order" -> ((s, dir) => {
+      val docs = Spread.ifNarrow(Tables.documents(s, dir), col("doc_id"))
+      val q = graft.CheckpointUtil.trackPersist(qualitySurvivors(docs).persist())
+      val (_, s4) = stages2to4(docs, q)
+      val P = TextFunctions.HashMod
+      val binned = dagTrainSeqs(s4)
+        .join(s4.select(col("doc_id"),
+          TextFunctions.qualityScore(col("text")).as("qual")), "doc_id")
+        .select(col("seq_key"), col("doc_id"), col("n_tokens"),
+          least(floor(col("qual") * 4).cast(LongType), lit(3L)).as("bin"))
+        .withColumn("key", col("bin") * lit(P) +
+          pmod(TextFunctions.polyHash(
+            concat(lit("cur"), col("seq_key").cast(StringType))), lit(P)))
+      graft.pu.PU.globalRankByScore(binned, "key", col("seq_key"), "train_pos")
+        .select(col("seq_key"), col("doc_id"), col("bin"), col("n_tokens"),
+          col("train_pos"))
+        .orderBy("train_pos")
+    }),
+
     // INCREMENTAL curation — the lifecycle a daily-ingest user actually
     // runs: curate a NEW batch of documents against EXISTING corpus state
     // without re-curating the corpus. The batch is the top ~20% of ids
@@ -754,6 +783,30 @@ object CurationPipeline {
        |FROM pk JOIN s2 USING (doc_id) JOIN s4 USING (doc_id)$extraJoin
        |ORDER BY doc_id""".stripMargin
 
+  /** DAG-tail twin CTEs (expects the stage 1-4 chain): per-domain quota →
+    * mix → salted train split, ending in `tr(seq_key, n_tokens)`. Shared
+    * by the `pipeline_e2e_full` manifest twin and the
+    * `pipeline_e2e_train_order` curriculum twin — one DAG-tail
+    * definition, no fork. */
+  private def dagSeqCtes: String = {
+    val ntok = graft.functions.TextQueries.sqlNTok
+    val cap = TrainingDataQueries.DomainCap
+    s"""s4m AS (SELECT d.doc_id, d.source, d.lang, CAST($ntok AS BIGINT) AS n_tokens
+       |  FROM documents d WHERE d.doc_id IN (SELECT doc_id FROM s4)),
+       |caph AS (SELECT *, ${ph("('cap' || CAST(doc_id AS VARCHAR))", "ci")} AS h FROM s4m),
+       |capr AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+       |  FROM caph),
+       |mixk AS (SELECT *, CASE WHEN lang = 'en' THEN 2 ELSE 1 END AS w FROM
+       |  (SELECT doc_id, source, lang, n_tokens,
+       |    CASE WHEN source IN ('src0','src1') THEN 10
+       |         WHEN source = 'src2' THEN 50 ELSE 100 END AS rate
+       |   FROM capr WHERE rn <= $cap)
+       |  WHERE (${ph("CAST(doc_id AS VARCHAR)", "mi")}) % 100 < rate),
+       |mixe AS (SELECT doc_id, n_tokens, unnest(range(1, w + 1)) AS copy_id FROM mixk),
+       |tr AS (SELECT doc_id * 8 + copy_id AS seq_key, n_tokens FROM mixe
+       |  WHERE (${ph("('split' || CAST(doc_id AS VARCHAR))", "spi")}) % 100 < 90)""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
     // The Traditional loop unrolled ([[graft.SparkEntry.traditionalStubUnroll]])
     // over base = (gopher seed label, quality score) — the same shared
@@ -858,26 +911,32 @@ object CurationPipeline {
     // rules (pipeline_mix twin), the SALTED split draw, and the
     // pack/manifest prefix-sum window (pipeline_pack_manifest twin) over
     // the fused seq_key order.
-    "pipeline_e2e_full" -> {
-      val ntok = graft.functions.TextQueries.sqlNTok
-      val cap = TrainingDataQueries.DomainCap
+    // The curriculum twin over the SAME DAG-tail `tr` sequences: quality
+    // bin from the source doc, salted hash order within bin, one global
+    // row_number — the pipeline_curriculum rule applied to sequences.
+    "pipeline_e2e_train_order" -> {
+      val P = graft.functions.TextFunctions.HashMod
       s"""WITH RECURSIVE t AS MATERIALIZED ($thCte),
          |$stage12Ctes,
          |$stage34Ctes,
-         |s4m AS (SELECT d.doc_id, d.source, d.lang, CAST($ntok AS BIGINT) AS n_tokens
-         |  FROM documents d WHERE d.doc_id IN (SELECT doc_id FROM s4)),
-         |caph AS (SELECT *, ${ph("('cap' || CAST(doc_id AS VARCHAR))", "ci")} AS h FROM s4m),
-         |capr AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
-         |  FROM caph),
-         |mixk AS (SELECT *, CASE WHEN lang = 'en' THEN 2 ELSE 1 END AS w FROM
-         |  (SELECT doc_id, source, lang, n_tokens,
-         |    CASE WHEN source IN ('src0','src1') THEN 10
-         |         WHEN source = 'src2' THEN 50 ELSE 100 END AS rate
-         |   FROM capr WHERE rn <= $cap)
-         |  WHERE (${ph("CAST(doc_id AS VARCHAR)", "mi")}) % 100 < rate),
-         |mixe AS (SELECT doc_id, n_tokens, unnest(range(1, w + 1)) AS copy_id FROM mixk),
-         |tr AS (SELECT doc_id * 8 + copy_id AS seq_key, n_tokens FROM mixe
-         |  WHERE (${ph("('split' || CAST(doc_id AS VARCHAR))", "spi")}) % 100 < 90),
+         |$dagSeqCtes,
+         |qf AS (SELECT doc_id, ${graft.functions.TextQueries.quality} AS qual
+         |  FROM documents),
+         |bnd AS (SELECT tr.seq_key, tr.seq_key // 8 AS doc_id, tr.n_tokens,
+         |  least(CAST(floor(qf.qual * 4) AS BIGINT), 3) AS bin
+         |  FROM tr JOIN qf ON tr.seq_key // 8 = qf.doc_id),
+         |k AS (SELECT *, bin * $P +
+         |  ${ph("('cur' || CAST(seq_key AS VARCHAR))", "ki")} AS key FROM bnd)
+         |SELECT seq_key, doc_id, bin, n_tokens,
+         |  CAST(row_number() OVER (ORDER BY key DESC, seq_key) AS BIGINT) AS train_pos
+         |FROM k ORDER BY train_pos""".stripMargin
+    },
+
+    "pipeline_e2e_full" -> {
+      s"""WITH RECURSIVE t AS MATERIALIZED ($thCte),
+         |$stage12Ctes,
+         |$stage34Ctes,
+         |$dagSeqCtes,
          |cum AS (SELECT seq_key, n_tokens,
          |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY seq_key
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before

@@ -161,6 +161,33 @@ class E2eCurateSpec extends SparkSuite {
     graft.CheckpointUtil.releaseStragglers()
   }
 
+  test("train order: a curriculum permutation over exactly the DAG's train sequences") {
+    val order = graft.SparkEntry.queries("pipeline_e2e_train_order")(spark, sf0001)
+      .persist()
+    val n = order.count()
+    assert(n > 0)
+    // a 1..n permutation
+    val agg = order.agg(min("train_pos"), max("train_pos"),
+      countDistinct("train_pos")).head
+    assert(agg.getLong(0) == 1L && agg.getLong(1) == n && agg.getLong(2) == n)
+    // best-quality-first: bin never increases along the training order
+    val w = org.apache.spark.sql.expressions.Window.orderBy("train_pos")
+    assert(order.withColumn("nb", lead(col("bin"), 1).over(w))
+      .filter(col("nb").isNotNull && col("nb") > col("bin")).count() == 0)
+    // sequence-count reconciliation with the manifest arm of the same DAG
+    val manifest = graft.SparkEntry.queries("pipeline_e2e_full")(spark, sf0001)
+    assert(manifest.agg(sum("n_seqs")).head.getLong(0) == n,
+      "train-order rows != manifest sequence count")
+    // every ordered sequence's doc survived the chain
+    val survivors = graft.SparkEntry.queries("pipeline_e2e_curate")(spark, sf0001)
+      .select("doc_id")
+    assert(order.select("doc_id").distinct()
+      .join(survivors, Seq("doc_id"), "left_anti").count() == 0,
+      "train order contains a non-survivor doc")
+    spark.catalog.clearCache()
+    graft.CheckpointUtil.releaseStragglers()
+  }
+
   test("final rows: eval slice gone, pack and shard invariants hold") {
     val out = graft.SparkEntry.queries("pipeline_e2e_curate")(spark, sf0001).persist()
     val evalIds = docs.filter(col("source") === "src19").select("doc_id")
