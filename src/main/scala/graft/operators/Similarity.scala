@@ -271,6 +271,23 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("cos"))
   }
 
+  /** Distributed RANGE join — the radius variant of [[ivfJoinTopK]]: the
+    * query side is a full relation (far past what the broadcast serving
+    * tiers allow) and stays distributed end to end; both sides meet in
+    * ONE shuffle-hash join on cen_id, and the tau gate replaces
+    * per-query selection state entirely. Output = every (query, corpus)
+    * pair with cosine >= tau within probed lists — the all-near-pairs
+    * sweep of a cross-corpus dedup pass. */
+  def ivfRangeJoin(corpus: DataFrame, queries: DataFrame, nCentroids: Int,
+                   nProbe: Int, tau: Double): DataFrame = {
+    val centSeq = collectCentroids(centroids(corpus, nCentroids))
+    val assigned = ivfAssignWith(corpus, centSeq)
+    val probes = probesOf(queries, centSeq, nProbe)
+    scoreCandidates(assigned.join(probes.hint("shuffle_hash"), "cen_id"))
+      .filter(col("cos") >= tau)
+      .select(col("query_id"), col("vec_id"), col("cos"))
+  }
+
   def ivfTopKWhere(corpus: DataFrame, queryPred: Column, corpusPred: Column,
                    nCentroids: Int, nProbe: Int, k: Int): DataFrame = {
     val centSeq = collectCentroids(centroids(corpus, nCentroids))

@@ -67,6 +67,16 @@ object SimilarityQueries {
           NCentroids, NProbe, TauRange)
         .orderBy("query_id", "vec_id")
     }),
+    // Distributed RANGE join: radius semantics at join scale — the query
+    // side is 20% of the corpus and stays a distributed relation; same
+    // cen_id shuffle-hash join as sim_join_ivf, tau gate instead of
+    // per-query top-k state.
+    "sim_range_join" -> ((s, dir) => {
+      val corpus = Similarity.prepare(Tables.embeddings(s, dir)).persist()
+      Similarity.ivfRangeJoin(corpus, corpus.filter(col("vec_id") % 5 === 2),
+          NCentroids, NProbe, TauRange)
+        .orderBy("query_id", "vec_id")
+    }),
     // Distributed ANN JOIN: the query side is 20% of the corpus — far past
     // what the collect-and-broadcast serving tiers allow — and stays a
     // distributed relation end to end; both sides meet in ONE shuffle-hash
@@ -451,6 +461,13 @@ object SimilarityQueries {
       "sim_range_search" ->
         s"""${ivfCandCtes(
                s"SELECT vec_id AS cen_id, v AS cv, nrm AS cnrm FROM nn WHERE vec_id < $NCentroids")}
+           |SELECT query_id, vec_id, cos FROM cand
+           |WHERE cos >= $TauRange ORDER BY query_id, vec_id""".stripMargin,
+      // the distributed radius join: same cand prefix, join-side qPred
+      "sim_range_join" ->
+        s"""${ivfCandCtes(
+               s"SELECT vec_id AS cen_id, v AS cv, nrm AS cnrm FROM nn WHERE vec_id < $NCentroids",
+               qPred = Some("vec_id % 5 = 2"))}
            |SELECT query_id, vec_id, cos FROM cand
            |WHERE cos >= $TauRange ORDER BY query_id, vec_id""".stripMargin,
       // identical IVF semantics, distributed-join execution: only the

@@ -42,6 +42,19 @@ class RangeSearchSpec extends SparkSuite {
     assert(bad.count() == 0)
   }
 
+  test("distributed range join agrees with the broadcast range path on shared queries") {
+    // sim_range_join's query side is vec_id % 5 == 2; sim_range_search's
+    // is vec_id < NQueries — query 2 and 7 are in both. On that overlap
+    // the two executions (broadcast probes vs shuffle-hash join) must be
+    // row-identical: one probe rule, one tau, two physical plans.
+    val join = SparkEntry.queries("sim_range_join")(spark, sf0001)
+      .filter(col("query_id") < NQueries)
+    val search = range.filter(col("query_id") % 5 === 2)
+    assert(join.count() > 0)
+    assert(join.exceptAll(search).count() == 0)
+    assert(search.exceptAll(join).count() == 0)
+  }
+
   test("range recall vs exact brute-force threshold search is >= 0.8") {
     val corpus = Similarity.prepare(Tables.embeddings(spark, sf0001)).persist()
     val q = corpus.filter(col("vec_id") < NQueries)
