@@ -183,6 +183,26 @@ object RelationalQueries {
           col("l_returnflag"), col("l_linestatus"))
     }),
 
+    // GROUPING SETS — the third multi-dimensional shape next to rollup
+    // and cube: exactly the named slices ((priority), (status), ()) and
+    // nothing else, the form a reporting layer uses when the full cube's
+    // cross products are waste. Same single-shuffle expand execution;
+    // grouping() flags disambiguate a NULL key from a rolled-up one, and
+    // sorting on the flags first keeps every null column constant within
+    // its sort group (no cross-engine null-ordering divergence).
+    "q_grouping_sets" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupingSets(
+          Seq(Seq(col("o_orderpriority")), Seq(col("o_orderstatus")), Seq()),
+          col("o_orderpriority"), col("o_orderstatus"))
+        .agg(sum(dec("o_totalprice")).cast(DoubleType).as("sum_price"),
+          count(lit(1)).as("n_orders"),
+          grouping(col("o_orderpriority")).cast(LongType).as("g_pri"),
+          grouping(col("o_orderstatus")).cast(LongType).as("g_st"))
+        .orderBy(col("g_pri"), col("g_st"),
+          col("o_orderpriority"), col("o_orderstatus"))
+    }),
+
     // Histogram quantiles — the ONE-PASS, mergeable order-statistics path:
     // exact quantiles (q_quantiles) need a per-group sort, which at 100 TB
     // means shuffling every row; fixed-range bin counts are a plain
@@ -390,6 +410,15 @@ object RelationalQueries {
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  COUNT(*) AS n_orders,
+        |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pri,
+        |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_st
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        |ORDER BY g_pri, g_st, o_orderpriority, o_orderstatus""".stripMargin,
     "q_quantile_hist" ->
       """WITH b AS (SELECT l_returnflag AS flag,
         |  LEAST(GREATEST(CAST(FLOOR(l_quantity - 1) AS BIGINT), 0), 49) AS bin
