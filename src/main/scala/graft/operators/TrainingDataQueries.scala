@@ -174,6 +174,41 @@ object TrainingDataQueries {
         .orderBy("doc_id")
     }),
 
+    // Span-level contamination FORENSICS — not just "which docs are
+    // contaminated" (pipeline_decontaminate's rule, same 8-gram family)
+    // but WHERE: per flagged doc, how many 8-gram positions hit the eval
+    // set and the first/last hit's 1-based token index — the evidence a
+    // curation team reads before deciding drop-vs-excise. POSITIONAL
+    // shingles (no distinct): a fold over each length-n token-hash slice,
+    // all in-scan column kernels; the eval side is the same bounded
+    // broadcast; output is contamination-proportional. n = 4, the e2e
+    // chain's dial ([[CurationPipeline.DecontNgram]]): 8-grams catch
+    // nothing at fixture scale, and a forensics query with no spans to
+    // report would be a vacuous gate.
+    "pipeline_decontaminate_spans" -> ((s, dir) => {
+      val n = CurationPipeline.DecontNgram
+      val th = TextFunctions.tokenHashes(col("text"))
+      val posSh = when(size(th) >= n,
+        transform(sequence(lit(1), size(th) - (n - 1)),
+          i => struct(i.cast(LongType).as("pos"),
+            aggregate(slice(th, i, lit(n)), lit(0L),
+              (a, h) => pmod(a * 31 + h, lit(P))).as("sh"))))
+        .otherwise(array().cast("array<struct<pos:bigint,sh:bigint>>"))
+      val ps = docsSpread(s, dir)
+        .select(col("doc_id"), col("source"), explode(posSh).as("u"))
+        .select(col("doc_id"), col("source"),
+          col("u.pos").as("pos"), col("u.sh").as("sh"))
+      val evalShh = docsSpread(s, dir).filter(col("source") === "src19")
+        .select(explode(TextFunctions.shingleHashes(col("text"), n)).as("sh"))
+        .distinct()
+      ps.filter(col("source") =!= "src19")
+        .join(broadcast(evalShh), Seq("sh"), "left_semi")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hits"),
+          min(col("pos")).as("first_hit"), max(col("pos")).as("last_hit"))
+        .orderBy("doc_id")
+    }),
+
     // Decontamination at the scale where the eval shingle set CANNOT
     // broadcast exactly: fold it into one mergeable Bloom sketch (8 KB
     // regardless of eval-set size — map-side partials, tiny over the wire)
@@ -917,6 +952,23 @@ object TrainingDataQueries {
          |c AS (SELECT doc_id, unnest(shh) AS sh FROM d WHERE source <> 'src19')
          |SELECT DISTINCT doc_id FROM c JOIN ev USING (sh)
          |ORDER BY doc_id""".stripMargin,
+
+    "pipeline_decontaminate_spans" -> {
+      val n = CurationPipeline.DecontNgram
+      s"""WITH t AS ($thCte),
+         |d AS (SELECT doc_id, source, ${DedupQueries.shhSql(n)} AS shh FROM t),
+         |ev AS (SELECT DISTINCT unnest(shh) AS sh FROM d WHERE source = 'src19'),
+         |ps AS (SELECT doc_id, u.pos, u.sh FROM (
+         |  SELECT doc_id, unnest(CASE WHEN len(th) < $n THEN []
+         |    ELSE list_transform(range(1, len(th) - ${n - 1} + 1), i ->
+         |      {'pos': CAST(i AS BIGINT),
+         |       'sh': ${DedupQueries.combineSql(s"th[i:i+${n - 1}]")}}) END) AS u
+         |  FROM t WHERE source <> 'src19'))
+         |SELECT doc_id, count(*) AS n_hits,
+         |  min(pos) AS first_hit, max(pos) AS last_hit
+         |FROM ps JOIN ev USING (sh)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
 
     "pipeline_decontaminate_bloom" -> {
       val n = 8
