@@ -209,6 +209,51 @@ object TrainingDataQueries {
         .orderBy("doc_id")
     }),
 
+    // Surgical decontamination — EXCISE the contaminated spans instead of
+    // dropping the document (the drop rule wastes every clean token of a
+    // long doc over one quoted benchmark question). Each hit shingle
+    // covers tokens [pos, pos+n-1]; overlapping windows merge by
+    // interval union, computed as an in-scan FOLD over the doc's sorted
+    // hit positions (4 for the first hit, min(4, gap) for each later
+    // one) — no per-doc window, no second shuffle past the hit agg.
+    // Output per flagged doc: tokens before / removed / after. The
+    // after-count is what survives into the packed corpus; clean docs
+    // pass untouched and are not re-emitted (contamination-proportional,
+    // like the spans report).
+    "pipeline_excise" -> ((s, dir) => {
+      val n = CurationPipeline.DecontNgram
+      val th = TextFunctions.tokenHashes(col("text"))
+      val posSh = when(size(th) >= n,
+        transform(sequence(lit(1), size(th) - (n - 1)),
+          i => struct(i.cast(LongType).as("pos"),
+            aggregate(slice(th, i, lit(n)), lit(0L),
+              (a, h) => pmod(a * 31 + h, lit(P))).as("sh"))))
+        .otherwise(array().cast("array<struct<pos:bigint,sh:bigint>>"))
+      val ps = docsSpread(s, dir)
+        .select(col("doc_id"), col("source"), explode(posSh).as("u"))
+        .select(col("doc_id"), col("source"),
+          col("u.pos").as("pos"), col("u.sh").as("sh"))
+      val evalShh = docsSpread(s, dir).filter(col("source") === "src19")
+        .select(explode(TextFunctions.shingleHashes(col("text"), n)).as("sh"))
+        .distinct()
+      val hits = ps.filter(col("source") =!= "src19")
+        .join(broadcast(evalShh), Seq("sh"), "left_semi")
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("pos"))).as("psorted"))
+        .withColumn("n_removed", aggregate(col("psorted"),
+          struct(lit(-1L).as("prev"), lit(0L).as("cov")),
+          (st, p) => struct(p.as("prev"),
+            (st("cov") + when(st("prev") < 0L, lit(n.toLong))
+              .otherwise(least(lit(n.toLong), p - st("prev")))).as("cov")),
+          st => st("cov")))
+      hits.join(docsSpread(s, dir).select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast(LongType).as("n_before")),
+          "doc_id")
+        .select(col("doc_id"), col("n_before"), col("n_removed"),
+          (col("n_before") - col("n_removed")).as("n_after"))
+        .orderBy("doc_id")
+    }),
+
     // Decontamination at the scale where the eval shingle set CANNOT
     // broadcast exactly: fold it into one mergeable Bloom sketch (8 KB
     // regardless of eval-set size — map-side partials, tiny over the wire)
@@ -968,6 +1013,30 @@ object TrainingDataQueries {
          |  min(pos) AS first_hit, max(pos) AS last_hit
          |FROM ps JOIN ev USING (sh)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    "pipeline_excise" -> {
+      val n = CurationPipeline.DecontNgram
+      s"""WITH t AS ($thCte),
+         |d AS (SELECT doc_id, source, ${DedupQueries.shhSql(n)} AS shh FROM t),
+         |ev AS (SELECT DISTINCT unnest(shh) AS sh FROM d WHERE source = 'src19'),
+         |ps AS (SELECT doc_id, u.pos, u.sh FROM (
+         |  SELECT doc_id, unnest(CASE WHEN len(th) < $n THEN []
+         |    ELSE list_transform(range(1, len(th) - ${n - 1} + 1), i ->
+         |      {'pos': CAST(i AS BIGINT),
+         |       'sh': ${DedupQueries.combineSql(s"th[i:i+${n - 1}]")}}) END) AS u
+         |  FROM t WHERE source <> 'src19')),
+         |h AS (SELECT doc_id, pos,
+         |  lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+         |  FROM ps JOIN ev USING (sh)),
+         |cov AS (SELECT doc_id, CAST(SUM(CASE WHEN prev IS NULL THEN $n
+         |    ELSE LEAST($n, pos - prev) END) AS BIGINT) AS n_removed
+         |  FROM h GROUP BY doc_id),
+         |nt AS (SELECT doc_id, CAST($ntokSql AS BIGINT) AS n_before FROM documents)
+         |SELECT cov.doc_id, nt.n_before, cov.n_removed,
+         |  nt.n_before - cov.n_removed AS n_after
+         |FROM cov JOIN nt USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
     },
 
     "pipeline_decontaminate_bloom" -> {

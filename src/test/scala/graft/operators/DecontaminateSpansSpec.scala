@@ -30,6 +30,19 @@ class DecontaminateSpansSpec extends SparkSuite {
     assert(flagged.exceptAll(spans.select("doc_id")).count() == 0)
   }
 
+  test("excision is interval-union-consistent with the span report") {
+    val ex = SparkEntry.queries("pipeline_excise")(spark, sf0001)
+    val joined = ex.join(spans, "doc_id").persist()
+    // same flagged set
+    assert(joined.count() == spans.count() && joined.count() == ex.count())
+    // union coverage bounds: 4 + (n_hits-1)·1 <= n_removed <= n_hits·4,
+    // and the removed mass never exceeds the doc
+    assert(joined.filter(col("n_removed") > col("n_hits") * n ||
+      col("n_removed") < col("n_hits") + (n - 1)).count() == 0)
+    assert(joined.filter(col("n_after") < 0 ||
+      col("n_before") - col("n_removed") =!= col("n_after")).count() == 0)
+  }
+
   test("positional evidence is consistent: ordered hits inside the token range") {
     assert(spans.filter(col("first_hit") < 1 ||
       col("first_hit") > col("last_hit")).count() == 0)
