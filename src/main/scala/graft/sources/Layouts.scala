@@ -105,4 +105,17 @@ object Layouts {
 
   def writeJsonLines(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
+
+  /** Parquet union read across file sets written under DIFFERENT schema
+    * versions (subdirectories of `path`): `mergeSchema` folds every
+    * footer's schema into one superset, columns absent in an older file
+    * read as null. This is the deliberate, bounded-cost form of schema
+    * evolution — merging reads every FOOTER once at planning (not the
+    * data), vs the default which trusts a single footer and silently
+    * drops newer columns. Additive evolution only: a type CHANGE for an
+    * existing column fails loudly at merge time instead of coercing.
+    */
+  def readParquetMerged(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true")
+      .option("recursiveFileLookup", "true").parquet(path)
 }

@@ -59,6 +59,29 @@ object SourceQueries {
         .orderBy("lang")
     }),
 
+    // Schema EVOLUTION roundtrip — the lakehouse reality of a standing
+    // corpus: half the docs were written by pipeline v1 (doc_id, source),
+    // half by v2 which ADDED a lang column; one merged read unions both
+    // vintages (mergeSchema folds the footers, v1 rows surface lang as
+    // null) and the aggregate proves nothing is lost or fabricated:
+    // per-source doc count, how many rows actually carry the new column,
+    // and an id checksum across both vintages.
+    "src_schema_evolution" -> ((s, dir) => {
+      val out = scratch(s, "graft_docs_evolution")
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("lang"))
+      docs.filter(col("doc_id") % 2 === 0).drop("lang")
+        .write.mode("overwrite").parquet(s"$out/v1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .write.mode("overwrite").parquet(s"$out/v2")
+      Layouts.readParquetMerged(s, out)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("lang").isNotNull, 1L).otherwise(0L)).as("n_with_lang"),
+          sum(col("doc_id")).as("sum_ids"))
+        .orderBy("source")
+    }),
+
     // CSV roundtrip with an EXPLICIT typed schema — no inference pass (at
     // scale inference is a full extra scan of the data, and inferred types
     // drift between runs), FAILFAST instead of PERMISSIVE's silent nulls.
@@ -90,6 +113,13 @@ object SourceQueries {
     "src_csv_schema" ->
       """SELECT source,
         |  COUNT(*) AS n_docs,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        |FROM documents
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "src_schema_evolution" ->
+      """SELECT source,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_lang,
         |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
         |FROM documents
         |GROUP BY source ORDER BY source""".stripMargin,

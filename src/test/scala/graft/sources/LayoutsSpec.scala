@@ -158,4 +158,26 @@ class LayoutsSpec extends SparkSuite {
     assert(back.agg(countDistinct("source")).head.getLong(0) ==
       docs.agg(countDistinct("source")).head.getLong(0))
   }
+
+  test("merged parquet read unions schema vintages; old-vintage rows null the new column") {
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("source"), col("lang"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_evo_").toString
+    docs.filter(col("doc_id") % 2 === 0).drop("lang")
+      .write.mode("overwrite").parquet(s"$dir/v1")
+    docs.filter(col("doc_id") % 2 === 1)
+      .write.mode("overwrite").parquet(s"$dir/v2")
+    val merged = Layouts.readParquetMerged(spark, dir)
+    assert(merged.schema.fieldNames.toSet == Set("doc_id", "source", "lang"))
+    assert(merged.count() == docs.count())
+    // exactly the v1 vintage reads null for the added column
+    assert(merged.filter(col("lang").isNull && col("doc_id") % 2 =!= 0).count() == 0)
+    assert(merged.filter(col("lang").isNull).count() ==
+      docs.filter(col("doc_id") % 2 === 0).count())
+    // and the DEFAULT single-footer read is exactly the hazard the merged
+    // read exists to avoid: depending on which footer wins, the new
+    // column may be silently absent — mergeSchema makes it deterministic
+    val defaultRead = spark.read.option("recursiveFileLookup", "true").parquet(dir)
+    assert(defaultRead.count() == docs.count())
+  }
 }
