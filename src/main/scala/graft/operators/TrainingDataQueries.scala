@@ -553,6 +553,33 @@ object TrainingDataQueries {
         .orderBy("doc_id", "copy_id")
     }),
 
+    // TEMPERATURE-flattened language mix — the multilingual rebalancing
+    // rule (sampling mass ∝ share^α, α = 1/2): head languages downsample
+    // by keep-rate sqrt(n_min/n_lang), the smallest language keeps
+    // everything, and the result flattens toward uniform WITHOUT
+    // replication. Unlike pipeline_mix's fixed per-source rates, the
+    // rates here are COMPUTED FROM the corpus itself: one tiny per-lang
+    // count aggregate broadcasts back as the rate table, the keep draw
+    // is the salted consistent hash (rerun/growth-stable), and sqrt +
+    // divide are correctly-rounded IEEE ops written as the identical
+    // tree on both engines, so even the derived rate is hash-exact.
+    "pipeline_mix_temperature" -> ((s, dir) => {
+      val counts = docsSpread(s, dir)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+      val rates = counts
+        .crossJoin(broadcast(counts.agg(min(col("n_lang")).as("n_min"))))
+        .select(col("lang"), col("n_lang"),
+          floor(lit(1000000.0) * sqrt(col("n_min").cast(DoubleType) /
+            col("n_lang").cast(DoubleType))).cast(LongType).as("rate_ppm"))
+      docsSpread(s, dir).select(col("doc_id"), col("lang"))
+        .join(broadcast(rates), "lang")
+        .filter(pmod(TextFunctions.polyHash(
+          concat(lit("temp"), col("doc_id").cast(StringType))), lit(1000000))
+          < col("rate_ppm"))
+        .select(col("doc_id"), col("lang"), col("n_lang"), col("rate_ppm"))
+        .orderBy("doc_id")
+    }),
+
     // Corpus tokenization to vocabulary ids — the convert-text-to-
     // training-tokens step: (1) build the vocabulary (df per term, ids
     // dense-ranked by df desc) with the SCALE-PATH global rank (range
@@ -1156,6 +1183,18 @@ object TrainingDataQueries {
          |SELECT doc_id, bin,
          |  row_number() OVER (ORDER BY key DESC, doc_id) AS curriculum_pos
          |FROM k ORDER BY curriculum_pos""".stripMargin,
+
+    "pipeline_mix_temperature" ->
+      s"""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang
+         |  FROM documents GROUP BY lang),
+         |mn AS (SELECT min(n_lang) AS n_min FROM c),
+         |r AS (SELECT lang, n_lang,
+         |  CAST(floor(1000000.0 * sqrt(CAST((SELECT n_min FROM mn) AS DOUBLE) /
+         |    CAST(n_lang AS DOUBLE))) AS BIGINT) AS rate_ppm FROM c)
+         |SELECT d.doc_id, d.lang, r.n_lang, r.rate_ppm
+         |FROM documents d JOIN r USING (lang)
+         |WHERE ${ph("('temp' || CAST(doc_id AS VARCHAR))", "ti")} % 1000000 < r.rate_ppm
+         |ORDER BY d.doc_id""".stripMargin,
 
     "pipeline_corpus_diff" ->
       s"""WITH d AS (SELECT doc_id, text,
