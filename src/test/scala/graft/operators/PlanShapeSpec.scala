@@ -153,4 +153,37 @@ class PlanShapeSpec extends SparkSuite
     assert(!plan.contains("Expand"), plan)
     assert("HashAggregate".r.findAllIn(plan).length >= 4, plan) // 2 stages x partial+final
   }
+
+  test("delete propagation: dirty-set and repack joins broadcast, corpus never sort-merges") {
+    val plan = executed("pipeline_delete_propagate")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("soft dedup: the cluster map broadcasts into the corpus scan") {
+    val plan = executed("dedup_soft_weight")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftOuter"), plan)
+  }
+
+  test("payload dedup: the shuffle carries feature scalars, never the binary payload") {
+    val opt = graft.SparkEntry.queries("mm_payload_dedup")(spark, sf0001)
+      .queryExecution.optimizedPlan.toString
+    // the Aggregate above the decode must group on the three feature
+    // columns; `data` may appear only below the deserializer, never in an
+    // aggregate or exchange output
+    val aggLines = opt.linesIterator.filter(_.contains("Aggregate")).toSeq
+    assert(aggLines.nonEmpty && aggLines.forall(!_.contains("data#")), opt.take(4000))
+  }
+
+  test("inverted index: no distinct-Expand; df comes from the collected postings") {
+    val plan = executed("text_inverted_index")
+    assert(!plan.contains("Expand"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("temperature mix: the derived rate table broadcasts; the corpus shuffles zero times") {
+    val plan = executed("pipeline_mix_temperature")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
 }
