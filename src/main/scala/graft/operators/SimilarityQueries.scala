@@ -39,6 +39,8 @@ object SimilarityQueries {
   val NCandidatesTrained = 48
   val NProbeTrained = 12
   val NCandidatesIvfPqTrained = 64
+  /** k-NN graph out-degree — small so the graph output stays 5·|V|. */
+  val KGraph = 5
   /** Range-search radius: cos >= 0.3 yields a handful of matches per query
     * on the near-isotropic fixture — small enough that the gate sees the
     * match-proportional output, non-empty for every query. */
@@ -66,6 +68,18 @@ object SimilarityQueries {
       Similarity.ivfRangeSearch(corpus, col("vec_id") < NQueries,
           NCentroids, NProbe, TauRange)
         .orderBy("query_id", "vec_id")
+    }),
+    // The k-NN GRAPH: every corpus vector's KGraph nearest neighbors —
+    // the canonical bulk-ANN workload (the input of graph-based dedup,
+    // clustering, and link-prediction passes). Query side == corpus:
+    // this is the regime where broadcast serving is impossible by
+    // construction, so the build IS sim_join_ivf's distributed shape —
+    // assignment and probe selection in-scan, ONE shuffle-hash join on
+    // cen_id, TopKAgg per node. KGraph = 5 bounds the output at 5·|V|.
+    "sim_knn_graph" -> ((s, dir) => {
+      val corpus = Similarity.prepare(Tables.embeddings(s, dir)).persist()
+      Similarity.ivfJoinTopK(corpus, corpus, NCentroids, NProbe, KGraph)
+        .orderBy("query_id", "rank")
     }),
     // Distributed RANGE join: radius semantics at join scale — the query
     // side is 20% of the corpus and stays a distributed relation; same
@@ -433,14 +447,14 @@ object SimilarityQueries {
          |  FROM probes p JOIN assigned a ON p.cen_id = a.cen_id
          |  WHERE a.vec_id <> p.query_id)""".stripMargin
     def ivfOracle(centsSql: String, nQueries: Int = NQueries,
-                  qPred: Option[String] = None): String =
+                  qPred: Option[String] = None, k: Int = K): String =
       s"""${ivfCandCtes(centsSql, nQueries, qPred)},
          |ranked AS (
          |  SELECT query_id, vec_id, cos,
          |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
          |  FROM cand)
          |SELECT query_id, rank, vec_id, cos FROM ranked
-         |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+         |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
     Map(
       "sim_topk_brute" ->
         s"""WITH e AS ($e), nn AS ($n),
@@ -463,6 +477,10 @@ object SimilarityQueries {
                s"SELECT vec_id AS cen_id, v AS cv, nrm AS cnrm FROM nn WHERE vec_id < $NCentroids")}
            |SELECT query_id, vec_id, cos FROM cand
            |WHERE cos >= $TauRange ORDER BY query_id, vec_id""".stripMargin,
+      // the k-NN graph: every vector is a query (no qPred restriction)
+      "sim_knn_graph" -> ivfOracle(
+        s"SELECT vec_id AS cen_id, v AS cv, nrm AS cnrm FROM nn WHERE vec_id < $NCentroids",
+        qPred = Some("TRUE"), k = KGraph),
       // the distributed radius join: same cand prefix, join-side qPred
       "sim_range_join" ->
         s"""${ivfCandCtes(

@@ -55,6 +55,19 @@ class RangeSearchSpec extends SparkSuite {
     assert(search.exceptAll(join).count() == 0)
   }
 
+  test("k-NN graph covers every node with exactly KGraph ranked neighbors") {
+    import SimilarityQueries.KGraph
+    val g = SparkEntry.queries("sim_knn_graph")(spark, sf0001).persist()
+    val nV = Similarity.prepare(Tables.embeddings(spark, sf0001)).count()
+    assert(g.select("query_id").distinct().count() == nV,
+      "a corpus vector is missing from its own k-NN graph")
+    assert(g.filter(col("rank") < 1 || col("rank") > KGraph).count() == 0)
+    val deg = g.groupBy("query_id").count()
+    assert(deg.filter(col("count") =!= KGraph).count() == 0,
+      "a node has fewer than KGraph neighbors — probed lists too sparse")
+    assert(g.filter(col("query_id") === col("vec_id")).count() == 0)
+  }
+
   test("range recall vs exact brute-force threshold search is >= 0.8") {
     val corpus = Similarity.prepare(Tables.embeddings(spark, sf0001)).persist()
     val q = corpus.filter(col("vec_id") < NQueries)
