@@ -41,6 +41,11 @@ object SimilarityQueries {
   val NCandidatesIvfPqTrained = 64
   /** k-NN graph out-degree — small so the graph output stays 5·|V|. */
   val KGraph = 5
+  /** Mutual-kNN clustering tau: on the near-isotropic fixture, 0.35 is
+    * the regime with real structure (dozens of components, largest ≈ 40
+    * nodes at sf0.001) — lower drowns in one giant component, higher
+    * strands everything. */
+  val KnnClusterTau = 0.35
   /** Range-search radius: cos >= 0.3 yields a handful of matches per query
     * on the near-isotropic fixture — small enough that the gate sees the
     * match-proportional output, non-empty for every query. */
@@ -80,6 +85,28 @@ object SimilarityQueries {
       val corpus = Similarity.prepare(Tables.embeddings(s, dir)).persist()
       Similarity.ivfJoinTopK(corpus, corpus, NCentroids, NProbe, KGraph)
         .orderBy("query_id", "rank")
+    }),
+    // Semantic CLUSTERING over the k-NN graph: mutual-kNN edges above
+    // KnnClusterTau, then pointer-doubling connected components — the
+    // degree-bounded (≤ KGraph per node) clustering a 100 TB semantic
+    // grouping pass runs, vs dedup_semantic's IVF-list tau pairs.
+    // Mutuality (edge kept iff BOTH endpoints rank each other) is the
+    // standard density filter: a hub cannot absorb its entire probed
+    // list, only the vectors that reciprocate. Edge set is a self
+    // left-semi join of the graph against its own reversal — graph-sized,
+    // never corpus².
+    "sim_cluster_knn" -> ((s, dir) => {
+      val corpus = Similarity.prepare(Tables.embeddings(s, dir)).persist()
+      val g = Similarity.ivfJoinTopK(corpus, corpus, NCentroids, NProbe, KGraph)
+        .filter(col("cos") >= KnnClusterTau)
+        .select(col("query_id").as("id_a"), col("vec_id").as("id_b"))
+        .persist() // feeds both sides of the mutuality semi-join
+      val mutual = g.join(
+        g.select(col("id_b").as("id_a"), col("id_a").as("id_b")),
+        Seq("id_a", "id_b"), "left_semi")
+      Dedup.connectedComponents(mutual)
+        .select(col("id"), col("canonical_id").as("cluster_id"))
+        .orderBy("id")
     }),
     // Distributed RANGE join: radius semantics at join scale — the query
     // side is 20% of the corpus and stays a distributed relation; same
@@ -477,6 +504,25 @@ object SimilarityQueries {
                s"SELECT vec_id AS cen_id, v AS cv, nrm AS cnrm FROM nn WHERE vec_id < $NCentroids")}
            |SELECT query_id, vec_id, cos FROM cand
            |WHERE cos >= $TauRange ORDER BY query_id, vec_id""".stripMargin,
+      // mutual-kNN clustering: knn cand prefix -> rank -> tau -> mutual
+      // -> recursive reachability, the generic CC twin
+      "sim_cluster_knn" -> {
+        val cands = ivfCandCtes(
+          s"SELECT vec_id AS cen_id, v AS cv, nrm AS cnrm FROM nn WHERE vec_id < $NCentroids",
+          qPred = Some("TRUE")).replaceFirst("WITH ", "WITH RECURSIVE ")
+        s"""$cands,
+           |rk AS (SELECT query_id, vec_id, cos,
+           |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+           |  FROM cand),
+           |e0 AS (SELECT query_id AS a, vec_id AS b FROM rk
+           |  WHERE rank <= $KGraph AND cos >= $KnnClusterTau),
+           |me AS (SELECT e0.a, e0.b FROM e0 JOIN e0 x ON e0.a = x.b AND e0.b = x.a),
+           |edges AS (SELECT a, b FROM me UNION SELECT b, a FROM me),
+           |reach AS (SELECT a AS s, b AS d FROM edges
+           |  UNION SELECT r.s, e.b AS d FROM reach r JOIN edges e ON r.d = e.a)
+           |SELECT s AS id, least(s, min(d)) AS cluster_id
+           |FROM reach GROUP BY s ORDER BY id""".stripMargin
+      },
       // the k-NN graph: every vector is a query (no qPred restriction)
       "sim_knn_graph" -> ivfOracle(
         s"SELECT vec_id AS cen_id, v AS cv, nrm AS cnrm FROM nn WHERE vec_id < $NCentroids",

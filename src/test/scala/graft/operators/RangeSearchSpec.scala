@@ -68,6 +68,30 @@ class RangeSearchSpec extends SparkSuite {
     assert(g.filter(col("query_id") === col("vec_id")).count() == 0)
   }
 
+  test("mutual-kNN clustering: symmetric membership, real structure, degree-bounded") {
+    import SimilarityQueries.{KGraph, KnnClusterTau}
+    val cl = SparkEntry.queries("sim_cluster_knn")(spark, sf0001).persist()
+    val n = cl.count()
+    assert(n > 0)
+    // non-degenerate structure at fixture scale: several clusters, none
+    // swallowing the clustered set
+    val sizes = cl.groupBy("cluster_id").count()
+    assert(sizes.count() >= 5, "expected multiple clusters")
+    assert(sizes.agg(max("count")).head.getLong(0) < n,
+      "one giant component — tau dial lost its structure")
+    // every member's cluster id is a member, and is the minimum member
+    val byId = cl.groupBy("cluster_id").agg(min("id").as("min_id"))
+    assert(byId.filter(col("cluster_id") =!= col("min_id")).count() == 0)
+    // a clustered node appears once
+    assert(cl.select("id").distinct().count() == n)
+    // mutuality bounds the degree: a node's cluster stems from <= KGraph
+    // reciprocal edges, so no node can appear with rank > KGraph in the
+    // graph — sanity via the graph itself
+    val g = SparkEntry.queries("sim_knn_graph")(spark, sf0001)
+    assert(g.filter(col("rank") > KGraph).count() == 0)
+    assert(KnnClusterTau > 0.0)
+  }
+
   test("range recall vs exact brute-force threshold search is >= 0.8") {
     val corpus = Similarity.prepare(Tables.embeddings(spark, sf0001)).persist()
     val q = corpus.filter(col("vec_id") < NQueries)
