@@ -107,9 +107,8 @@ object TextQueries {
 
     // Inverted-index build (term -> postings), the index side of
     // retrieval: explode to (token, doc) pairs — the one genuinely
-    // data-sized shuffle an index build needs — then one per-term
-    // aggregation (countDistinct plans as two partial-agg stages, no
-    // Expand). Postings stay a combine-hash scalar in the compared
+    // data-sized shuffle an index build needs — then ONE per-term
+    // aggregation. Postings stay a combine-hash scalar in the compared
     // surface: materializing full lists for stopword-like terms is the
     // classic skew trap at 100 TB (a real index would bucket postings by
     // doc-range; the df/tf stats and hash pin the same content).

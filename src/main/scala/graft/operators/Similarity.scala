@@ -238,21 +238,6 @@ object Similarity {
       scoreCandidates(assigned.join(probes.hint("shuffle_hash"), "cen_id")), k)
   }
 
-  /** FILTERED ANN: per-query top-k restricted to the corpus rows
-    * satisfying `corpusPred` — ONE index over the full corpus, the filter
-    * applied at query time (the "search English docs only" feature; the
-    * index is shared across every filter, so selectivity can vary per
-    * query without re-indexing). This is PRE-filtering: the predicate cuts
-    * candidates INSIDE the probed lists before scoring, so top-k is exact
-    * within the probed lists and never comes back short the way
-    * post-filtering a fixed-k result does. The centroid set and probe
-    * selection deliberately use the FULL corpus (queries and the quantizer
-    * are filter-independent); only the candidate side filters — per-row
-    * identical to filtering after assignment, but the kernel never runs
-    * for rows the predicate drops. In the persisted layout the same
-    * predicate lands on the bucketed list scan as an ordinary pushed
-    * filter, compounding with bucket pruning. Deterministic end to end —
-    * oracle-checkable like the unfiltered IVF tier. */
   /** IVF RANGE search — every corpus vector with cosine >= `tau` of each
     * query (self excluded), probed-lists-approximate exactly like
     * [[ivfTopKWith]]. The radius variant matters when the consumer wants
@@ -288,6 +273,21 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("cos"))
   }
 
+  /** FILTERED ANN: per-query top-k restricted to the corpus rows
+    * satisfying `corpusPred` — ONE index over the full corpus, the filter
+    * applied at query time (the "search English docs only" feature; the
+    * index is shared across every filter, so selectivity can vary per
+    * query without re-indexing). This is PRE-filtering: the predicate cuts
+    * candidates INSIDE the probed lists before scoring, so top-k is exact
+    * within the probed lists and never comes back short the way
+    * post-filtering a fixed-k result does. The centroid set and probe
+    * selection deliberately use the FULL corpus (queries and the quantizer
+    * are filter-independent); only the candidate side filters — per-row
+    * identical to filtering after assignment, but the kernel never runs
+    * for rows the predicate drops. In the persisted layout the same
+    * predicate lands on the bucketed list scan as an ordinary pushed
+    * filter, compounding with bucket pruning. Deterministic end to end —
+    * oracle-checkable like the unfiltered IVF tier. */
   def ivfTopKWhere(corpus: DataFrame, queryPred: Column, corpusPred: Column,
                    nCentroids: Int, nProbe: Int, k: Int): DataFrame = {
     val centSeq = collectCentroids(centroids(corpus, nCentroids))

@@ -98,6 +98,49 @@ object TrainingDataQueries {
     if (vocab.isEmpty) Seq.empty else Bpe.learnMerges(vocab, BpeRounds)
   }
 
+  /** Per-(doc_id, pos) eval-set hit rows: the 1-based token index of every
+    * POSITIONAL [[CurationPipeline.DecontNgram]]-shingle of a non-eval doc
+    * that appears in the eval slice's shingle set. The ONE hit definition
+    * behind both `pipeline_decontaminate_spans` (forensics) and
+    * `pipeline_excise` (removal) — the two can never disagree on what a
+    * hit is. All in-scan kernels; the eval side is a bounded broadcast. */
+  private def contaminationHits(s: SparkSession, dir: String): DataFrame = {
+    val n = CurationPipeline.DecontNgram
+    val th = TextFunctions.tokenHashes(col("text"))
+    val posSh = when(size(th) >= n,
+      transform(sequence(lit(1), size(th) - (n - 1)),
+        i => struct(i.cast(LongType).as("pos"),
+          aggregate(slice(th, i, lit(n)), lit(0L),
+            (a, h) => pmod(a * 31 + h, lit(P))).as("sh"))))
+      .otherwise(array().cast("array<struct<pos:bigint,sh:bigint>>"))
+    val ps = docsSpread(s, dir)
+      .select(col("doc_id"), col("source"), explode(posSh).as("u"))
+      .select(col("doc_id"), col("source"),
+        col("u.pos").as("pos"), col("u.sh").as("sh"))
+    val evalShh = docsSpread(s, dir).filter(col("source") === "src19")
+      .select(explode(TextFunctions.shingleHashes(col("text"), n)).as("sh"))
+      .distinct()
+    ps.filter(col("source") =!= "src19")
+      .join(broadcast(evalShh), Seq("sh"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+  }
+
+  /** Twin of [[contaminationHits]]: CTE chain ending in
+    * `hits(doc_id, pos)` — shared by the spans and excise oracles. */
+  private def contamHitCtes: String = {
+    val n = CurationPipeline.DecontNgram
+    s"""t AS ($thCte),
+       |d AS (SELECT doc_id, source, ${DedupQueries.shhSql(n)} AS shh FROM t),
+       |ev AS (SELECT DISTINCT unnest(shh) AS sh FROM d WHERE source = 'src19'),
+       |ps AS (SELECT doc_id, u.pos, u.sh FROM (
+       |  SELECT doc_id, unnest(CASE WHEN len(th) < $n THEN []
+       |    ELSE list_transform(range(1, len(th) - ${n - 1} + 1), i ->
+       |      {'pos': CAST(i AS BIGINT),
+       |       'sh': ${DedupQueries.combineSql(s"th[i:i+${n - 1}]")}}) END) AS u
+       |  FROM t WHERE source <> 'src19')),
+       |hits AS (SELECT doc_id, pos FROM ps JOIN ev USING (sh))""".stripMargin
+  }
+
   private def docTokens(s: SparkSession, dir: String): DataFrame =
     docsSpread(s, dir).select(col("doc_id"),
       TextFunctions.tokenCount(col("text")).cast(LongType).as("n_tokens"))
@@ -180,29 +223,14 @@ object TrainingDataQueries {
     // set and the first/last hit's 1-based token index — the evidence a
     // curation team reads before deciding drop-vs-excise. POSITIONAL
     // shingles (no distinct): a fold over each length-n token-hash slice,
-    // all in-scan column kernels; the eval side is the same bounded
-    // broadcast; output is contamination-proportional. n = 4, the e2e
-    // chain's dial ([[CurationPipeline.DecontNgram]]): 8-grams catch
+    // all in-scan column kernels ([[contaminationHits]] — shared with the
+    // excision pass, one hit definition); the eval side is the same
+    // bounded broadcast; output is contamination-proportional. n = 4, the
+    // e2e chain's dial ([[CurationPipeline.DecontNgram]]): 8-grams catch
     // nothing at fixture scale, and a forensics query with no spans to
     // report would be a vacuous gate.
     "pipeline_decontaminate_spans" -> ((s, dir) => {
-      val n = CurationPipeline.DecontNgram
-      val th = TextFunctions.tokenHashes(col("text"))
-      val posSh = when(size(th) >= n,
-        transform(sequence(lit(1), size(th) - (n - 1)),
-          i => struct(i.cast(LongType).as("pos"),
-            aggregate(slice(th, i, lit(n)), lit(0L),
-              (a, h) => pmod(a * 31 + h, lit(P))).as("sh"))))
-        .otherwise(array().cast("array<struct<pos:bigint,sh:bigint>>"))
-      val ps = docsSpread(s, dir)
-        .select(col("doc_id"), col("source"), explode(posSh).as("u"))
-        .select(col("doc_id"), col("source"),
-          col("u.pos").as("pos"), col("u.sh").as("sh"))
-      val evalShh = docsSpread(s, dir).filter(col("source") === "src19")
-        .select(explode(TextFunctions.shingleHashes(col("text"), n)).as("sh"))
-        .distinct()
-      ps.filter(col("source") =!= "src19")
-        .join(broadcast(evalShh), Seq("sh"), "left_semi")
+      contaminationHits(s, dir)
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_hits"),
           min(col("pos")).as("first_hit"), max(col("pos")).as("last_hit"))
@@ -212,32 +240,17 @@ object TrainingDataQueries {
     // Surgical decontamination — EXCISE the contaminated spans instead of
     // dropping the document (the drop rule wastes every clean token of a
     // long doc over one quoted benchmark question). Each hit shingle
-    // covers tokens [pos, pos+n-1]; overlapping windows merge by
-    // interval union, computed as an in-scan FOLD over the doc's sorted
-    // hit positions (4 for the first hit, min(4, gap) for each later
-    // one) — no per-doc window, no second shuffle past the hit agg.
-    // Output per flagged doc: tokens before / removed / after. The
-    // after-count is what survives into the packed corpus; clean docs
-    // pass untouched and are not re-emitted (contamination-proportional,
-    // like the spans report).
+    // ([[contaminationHits]], shared with the spans report) covers tokens
+    // [pos, pos+n-1]; overlapping windows merge by interval union,
+    // computed as an in-scan FOLD over the doc's sorted hit positions
+    // (4 for the first hit, min(4, gap) for each later one) — no per-doc
+    // window, no second shuffle past the hit agg. Output per flagged
+    // doc: tokens before / removed / after. The after-count is what
+    // survives into the packed corpus; clean docs pass untouched and are
+    // not re-emitted (contamination-proportional, like the spans report).
     "pipeline_excise" -> ((s, dir) => {
       val n = CurationPipeline.DecontNgram
-      val th = TextFunctions.tokenHashes(col("text"))
-      val posSh = when(size(th) >= n,
-        transform(sequence(lit(1), size(th) - (n - 1)),
-          i => struct(i.cast(LongType).as("pos"),
-            aggregate(slice(th, i, lit(n)), lit(0L),
-              (a, h) => pmod(a * 31 + h, lit(P))).as("sh"))))
-        .otherwise(array().cast("array<struct<pos:bigint,sh:bigint>>"))
-      val ps = docsSpread(s, dir)
-        .select(col("doc_id"), col("source"), explode(posSh).as("u"))
-        .select(col("doc_id"), col("source"),
-          col("u.pos").as("pos"), col("u.sh").as("sh"))
-      val evalShh = docsSpread(s, dir).filter(col("source") === "src19")
-        .select(explode(TextFunctions.shingleHashes(col("text"), n)).as("sh"))
-        .distinct()
-      val hits = ps.filter(col("source") =!= "src19")
-        .join(broadcast(evalShh), Seq("sh"), "left_semi")
+      val hits = contaminationHits(s, dir)
         .groupBy(col("doc_id"))
         .agg(sort_array(collect_list(col("pos"))).as("psorted"))
         .withColumn("n_removed", aggregate(col("psorted"),
@@ -429,9 +442,10 @@ object TrainingDataQueries {
             .filter(!col("is_del")).select("doc_id", "n_tokens"),
           "doc_id", "n_tokens", PackTokens)
         .crossJoin(broadcast(maxPack))
+        // pack_id IS packAssignments' concat-and-cut assignment — reuse
+        // it rather than re-deriving the div (one packing rule, no fork)
         .select(col("doc_id"),
-          (col("max_pack") + 1L + (col("cum_before") div PackTokens))
-            .as("new_pack"))
+          (col("max_pack") + 1L + col("pack_id")).as("new_pack"))
       packed
         .join(broadcast(dirty.withColumn("in_dirty", lit(true))),
           Seq("pack_id"), "left")
@@ -564,8 +578,12 @@ object TrainingDataQueries {
     // divide are correctly-rounded IEEE ops written as the identical
     // tree on both engines, so even the derived rate is hash-exact.
     "pipeline_mix_temperature" -> ((s, dir) => {
+      // persist: the tiny per-lang count frame feeds BOTH the min() agg
+      // and the rates projection — unpersisted, each branch re-scans the
+      // corpus (the dedup_soft_weight lesson)
       val counts = docsSpread(s, dir)
         .groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+        .persist()
       val rates = counts
         .crossJoin(broadcast(counts.agg(min(col("n_lang")).as("n_min"))))
         .select(col("lang"), col("n_lang"),
@@ -1025,37 +1043,19 @@ object TrainingDataQueries {
          |SELECT DISTINCT doc_id FROM c JOIN ev USING (sh)
          |ORDER BY doc_id""".stripMargin,
 
-    "pipeline_decontaminate_spans" -> {
-      val n = CurationPipeline.DecontNgram
-      s"""WITH t AS ($thCte),
-         |d AS (SELECT doc_id, source, ${DedupQueries.shhSql(n)} AS shh FROM t),
-         |ev AS (SELECT DISTINCT unnest(shh) AS sh FROM d WHERE source = 'src19'),
-         |ps AS (SELECT doc_id, u.pos, u.sh FROM (
-         |  SELECT doc_id, unnest(CASE WHEN len(th) < $n THEN []
-         |    ELSE list_transform(range(1, len(th) - ${n - 1} + 1), i ->
-         |      {'pos': CAST(i AS BIGINT),
-         |       'sh': ${DedupQueries.combineSql(s"th[i:i+${n - 1}]")}}) END) AS u
-         |  FROM t WHERE source <> 'src19'))
+    "pipeline_decontaminate_spans" ->
+      s"""WITH $contamHitCtes
          |SELECT doc_id, count(*) AS n_hits,
          |  min(pos) AS first_hit, max(pos) AS last_hit
-         |FROM ps JOIN ev USING (sh)
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
-    },
+         |FROM hits
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "pipeline_excise" -> {
       val n = CurationPipeline.DecontNgram
-      s"""WITH t AS ($thCte),
-         |d AS (SELECT doc_id, source, ${DedupQueries.shhSql(n)} AS shh FROM t),
-         |ev AS (SELECT DISTINCT unnest(shh) AS sh FROM d WHERE source = 'src19'),
-         |ps AS (SELECT doc_id, u.pos, u.sh FROM (
-         |  SELECT doc_id, unnest(CASE WHEN len(th) < $n THEN []
-         |    ELSE list_transform(range(1, len(th) - ${n - 1} + 1), i ->
-         |      {'pos': CAST(i AS BIGINT),
-         |       'sh': ${DedupQueries.combineSql(s"th[i:i+${n - 1}]")}}) END) AS u
-         |  FROM t WHERE source <> 'src19')),
+      s"""WITH $contamHitCtes,
          |h AS (SELECT doc_id, pos,
          |  lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
-         |  FROM ps JOIN ev USING (sh)),
+         |  FROM hits),
          |cov AS (SELECT doc_id, CAST(SUM(CASE WHEN prev IS NULL THEN $n
          |    ELSE LEAST($n, pos - prev) END) AS BIGINT) AS n_removed
          |  FROM h GROUP BY doc_id),
