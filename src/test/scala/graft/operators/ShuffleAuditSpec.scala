@@ -40,6 +40,22 @@ class ShuffleAuditSpec extends SparkSuite {
     // exchange over distinct cen_ids) on top of the join's two sides
     // (measured 12 in plan text; cached-corpus doubling as above)
     "sim_join_ivf_salted" -> 14,
+    // the k-NN graph is sim_join_ivf with query side == corpus: the same
+    // two cen_id join sides + TopKAgg partial exchange, persisted-corpus
+    // plan text doubled under AQE (measured 8; runtime shuffles 3-4)
+    "sim_knn_graph" -> 10,
+    // radius join: the two cen_id sides + the final sort; no TopKAgg
+    // state at all (measured 7 in plan text, cached doubling as above)
+    "sim_range_join" -> 9,
+    // mutual-kNN clustering: the graph's join sides + the mutuality
+    // semi-join + CC's bounded iteration exchanges over the (tiny) edge
+    // set (measured 13 in plan text; edge-set exchanges are
+    // dup-proportional, never corpus-sized)
+    "sim_cluster_knn" -> 15,
+    // the per-lang count agg + its cached reprint under both the min()
+    // and rates branches + the final sort (measured 7; the corpus itself
+    // shuffles zero times — the rate table broadcasts)
+    "pipeline_mix_temperature" -> 9,
     // persisted shingle base referenced from three branches (eval distinct,
     // exact semi-join, probe side) — cached-plan text repeats as above
     "pipeline_decontaminate_bloom" -> 11,
