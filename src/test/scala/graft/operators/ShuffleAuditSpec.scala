@@ -47,11 +47,6 @@ class ShuffleAuditSpec extends SparkSuite {
     // radius join: the two cen_id sides + the final sort; no TopKAgg
     // state at all (measured 7 in plan text, cached doubling as above)
     "sim_range_join" -> 9,
-    // mutual-kNN clustering: the graph's join sides + the mutuality
-    // semi-join + CC's bounded iteration exchanges over the (tiny) edge
-    // set (measured 13 in plan text; edge-set exchanges are
-    // dup-proportional, never corpus-sized)
-    "sim_cluster_knn" -> 15,
     // the per-lang count agg + its cached reprint under both the min()
     // and rates branches + the final sort (measured 7; the corpus itself
     // shuffles zero times — the rate table broadcasts)
