@@ -397,6 +397,28 @@ object CurationPipeline {
         .orderBy("doc_id")
     }),
 
+    // Score CALIBRATION of the PU quality model — the table a user reads
+    // before trusting the scores as a keep/drop dial: decile bins of the
+    // loop's final score vs (a) the trusted-seed positive fraction and
+    // (b) the loop's own final labels. A well-behaved PU ranking
+    // concentrates the seed positives in the top deciles; the table
+    // makes the threshold choice (and any decile inversion) visible.
+    // Same single model definition ([[puStubScores]]) — hash-exact via
+    // the unrolled twin; one tiny 10-row aggregate past the scoring.
+    "pu_calibration" -> ((s, dir) => {
+      puStubScores(s, dir)
+        .join(Tables.documents(s, dir).select(col("doc_id"),
+          when(puSeedLabel === 1, 1L).otherwise(0L).as("seed_pos")), "doc_id")
+        .withColumn("decile",
+          least(floor(col("score") * 10).cast(LongType), lit(9L)))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("seed_pos")).as("n_seed_pos"),
+          sum(when(col("pu_final") === 1, 1L).otherwise(0L)).as("n_final_pos"),
+          min(col("score")).as("min_score"), max(col("score")).as("max_score"))
+        .orderBy("decile")
+    }),
+
     // SEMANTIC eval-set decontamination — the catch the n-gram gates can
     // never make: a paraphrased/reordered eval document shares no 8-token
     // span with the eval slice (the exact pass catches ZERO docs at
@@ -826,6 +848,31 @@ object CurationPipeline {
          |SELECT doc_id, score, pu_final,
          |  (pu_final = 1 OR score >= 0.5) AS keep
          |FROM ($unroll) ORDER BY doc_id""".stripMargin
+    },
+
+    // calibration twin: the same base + unroll, then the decile aggregate
+    "pu_calibration" -> {
+      val unroll = graft.SparkEntry.traditionalStubUnroll(
+        0.5, -0.125, 3, "SELECT * FROM base", "doc_id")
+      s"""WITH t AS ($thCte),
+         |tf AS (${TrainingDataQueries.GopherSql.tfCte}),
+         |st AS (${TrainingDataQueries.GopherSql.stCte}),
+         |qf AS (SELECT doc_id, ${graft.functions.TextQueries.quality} AS f0 FROM documents),
+         |base AS (SELECT st.doc_id,
+         |  CASE WHEN (${TrainingDataQueries.GopherSql.keep}) AND st.doc_id % 2 = 0
+         |       THEN 1 ELSE -1 END AS l0,
+         |  qf.f0 AS f0
+         |  FROM st JOIN tf USING (doc_id) JOIN qf USING (doc_id)),
+         |sc AS (SELECT doc_id, score, pu_final FROM ($unroll)),
+         |j AS (SELECT sc.doc_id, sc.score, sc.pu_final,
+         |  CASE WHEN base.l0 = 1 THEN 1 ELSE 0 END AS seed_pos
+         |  FROM sc JOIN base USING (doc_id)),
+         |b AS (SELECT *, least(CAST(floor(score * 10) AS BIGINT), 9) AS decile FROM j)
+         |SELECT decile, count(*) AS n_docs,
+         |  CAST(sum(seed_pos) AS BIGINT) AS n_seed_pos,
+         |  CAST(sum(CASE WHEN pu_final = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_final_pos,
+         |  min(score) AS min_score, max(score) AS max_score
+         |FROM b GROUP BY decile ORDER BY decile""".stripMargin
     },
 
     // Same hv/nn/assignment formulation as the e2e stage-3 twin, with

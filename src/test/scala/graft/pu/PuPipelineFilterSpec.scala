@@ -29,4 +29,29 @@ class PuPipelineFilterSpec extends SparkSuite {
     spark.catalog.clearCache()
     graft.CheckpointUtil.releaseStragglers()
   }
+
+  test("calibration table: covers the corpus, deciles well-formed, seed mass ranks high") {
+    val cal = graft.SparkEntry.queries("pu_calibration")(spark, sf0001).persist()
+    val nDocs = graft.Tables.documents(spark, sf0001).count()
+    assert(cal.agg(sum("n_docs")).head.getLong(0) == nDocs)
+    // decile bin edges are honest: scores stay inside their bin
+    val badBin = cal.filter(
+      col("min_score") < col("decile") / 10.0 ||
+        (col("decile") < 9 && col("max_score") >= (col("decile") + 1) / 10.0))
+      .count()
+    assert(badBin == 0)
+    // ranking quality at the table's grain: the top half of the score
+    // range holds a strictly larger seed-positive RATE than the bottom
+    val top = cal.filter(col("decile") >= 5)
+      .agg(sum("n_seed_pos"), sum("n_docs")).head
+    val bot = cal.filter(col("decile") < 5)
+      .agg(sum("n_seed_pos"), sum("n_docs")).head
+    val topRate = top.getLong(0).toDouble / top.getLong(1)
+    val botRate = if (bot.getLong(1) == 0) 0.0
+      else bot.getLong(0).toDouble / bot.getLong(1)
+    assert(topRate > botRate,
+      s"seed positives do not concentrate in high deciles: $topRate <= $botRate")
+    spark.catalog.clearCache()
+    graft.CheckpointUtil.releaseStragglers()
+  }
 }
