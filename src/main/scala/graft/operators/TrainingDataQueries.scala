@@ -726,6 +726,36 @@ object TrainingDataQueries {
     // TakeOrdered. Zero data-sized shuffles end to end. The doc-frequency
     // idf is the log-free rational form (see the header note); the score
     // sum runs in fixed term order so IEEE evaluation matches the twin.
+    // Per-doc KEYWORD extraction — top-3 terms by tf·idf, the document-
+    // summarization primitive (tagging, clustering labels, index
+    // snippets). Two honest shuffles: (doc, tok) term frequencies and a
+    // doc-grain gather; the df side reuses the same exploded pairs, and
+    // the idf is the log-free rational form ([[Bm25]]'s reasoning: `ln`
+    // is the one op whose libm rounding differs across engines). Top-3
+    // selection is an in-scan array sort over each doc's bounded term
+    // set — no window, no per-doc row_number shuffle.
+    "text_keywords" -> ((s, dir) => {
+      val toks = docsSpread(s, dir)
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .persist() // feeds the tf aggregate AND the df aggregate
+      val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val df = toks.distinct().groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val nd = docsSpread(s, dir).agg(count(lit(1)).as("nd"))
+      val scored = tf.join(df, "tok").crossJoin(broadcast(nd))
+        .withColumn("score", col("tf").cast(DoubleType) *
+          ((col("nd").cast(DoubleType) - col("df").cast(DoubleType) + lit(0.5))
+            / (col("df").cast(DoubleType) + lit(0.5))))
+      scored.groupBy(col("doc_id"))
+        .agg(slice(array_sort(collect_list(
+          struct((-col("score")).as("ns"), col("tok").as("tok")))), 1, 3).as("top"))
+        .select(col("doc_id"),
+          col("top")(0)("tok").as("kw1"),
+          (-col("top")(0)("ns")).as("kw1_score"),
+          coalesce(col("top")(1)("tok"), lit("")).as("kw2"),
+          coalesce(col("top")(2)("tok"), lit("")).as("kw3"))
+        .orderBy("doc_id")
+    }),
+
     "text_bm25" -> ((s, dir) => {
       val base = docsSpread(s, dir).select(col("doc_id"),
         NativeExpressions.termCounts(col("text"), Bm25Terms).as("tf"),
@@ -1305,6 +1335,31 @@ object TrainingDataQueries {
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
         |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "text_keywords" -> {
+      val toks = graft.functions.TextQueries.sqlToks
+      s"""WITH tk AS (SELECT doc_id, unnest($toks) AS tok FROM documents
+         |  WHERE length(trim(text)) > 0),
+         |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+         |  FROM tk GROUP BY doc_id, tok),
+         |df AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |  FROM tk GROUP BY tok),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+         |sc AS (SELECT tf.doc_id, tf.tok,
+         |  CAST(tf.tf AS DOUBLE) *
+         |    ((CAST((SELECT nd FROM n) AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+         |      / (CAST(df.df AS DOUBLE) + 0.5)) AS score
+         |  FROM tf JOIN df USING (tok)),
+         |r AS (SELECT doc_id, tok, score,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rk
+         |  FROM sc)
+         |SELECT doc_id,
+         |  max(CASE WHEN rk = 1 THEN tok END) AS kw1,
+         |  max(CASE WHEN rk = 1 THEN score END) AS kw1_score,
+         |  COALESCE(max(CASE WHEN rk = 2 THEN tok END), '') AS kw2,
+         |  COALESCE(max(CASE WHEN rk = 3 THEN tok END), '') AS kw3
+         |FROM r WHERE rk <= 3 GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
 
     "text_bm25" ->
       s"""WITH dl AS (SELECT doc_id, CAST($ntokSql AS BIGINT) AS dl FROM documents),
