@@ -17,6 +17,10 @@ object MultimodalQueries {
   private def media(s: SparkSession, dir: String): DataFrame =
     Multimodal.mediaTable(Tables.documents(s, dir))
 
+  /** Shard byte budget: ~6 payloads per shard at fixture scale, so the
+    * cut logic (mid-payload straddle included) is actually exercised. */
+  val ShardBytes = 16384L
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_features" -> ((s, dir) => {
       Multimodal.decodeFeatures(s, media(s, dir)).toDF().orderBy("id")
@@ -52,6 +56,23 @@ object MultimodalQueries {
         .select(col("canonical_id"), col("n_copies"), col("ids_hash"),
           col("n_bytes"), col("checksum"))
         .orderBy("canonical_id")
+    }),
+    // Size-bounded SHARD assembly — the WebDataset/tar-shard builder step
+    // of a media corpus: payloads laid head-to-tail in id order and cut
+    // every ShardBytes (concat-and-cut on BYTES — `Packing`'s prefix-sum
+    // machinery, range partition + broadcast offsets, no single-task
+    // window), one manifest row per shard. Only (id, n_bytes) flows
+    // through the exchange; the payloads themselves would be written
+    // map-side by shard assignment, never shuffled for the plan.
+    "mm_shard_manifest" -> ((s, dir) => {
+      val feats = Multimodal.decodeFeatures(s, media(s, dir)).toDF()
+      Packing.packAssignments(feats.select(col("id"), col("n_bytes")),
+          "id", "n_bytes", ShardBytes)
+        .groupBy(col("pack_id").as("shard_id"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("n_bytes")).as("bytes_started"),
+          min(col("id")).as("first_id"), max(col("id")).as("last_id"))
+        .orderBy("shard_id")
     }),
     "mm_resized" -> ((s, dir) => {
       Multimodal.resizeMeta(media(s, dir), maxDim = 256)
@@ -119,6 +140,18 @@ object MultimodalQueries {
          |  FROM f GROUP BY n_bytes, checksum, hist_hash)
          |SELECT canonical_id, n_copies, ${roll("ids")} AS ids_hash, n_bytes, checksum
          |FROM g WHERE n_copies > 1 ORDER BY canonical_id""".stripMargin,
+    "mm_shard_manifest" ->
+      s"""WITH c AS (SELECT doc_id AS id, $codes AS cp FROM documents),
+         |f AS (SELECT id, CAST(len(cp) AS BIGINT) AS n_bytes FROM c),
+         |cum AS (SELECT id, n_bytes,
+         |  CAST(COALESCE(SUM(n_bytes) OVER (ORDER BY id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+         |  FROM f),
+         |p AS (SELECT id, n_bytes, cb // $ShardBytes AS shard_id FROM cum)
+         |SELECT shard_id, count(*) AS n_items,
+         |  CAST(sum(n_bytes) AS BIGINT) AS bytes_started,
+         |  min(id) AS first_id, max(id) AS last_id
+         |FROM p GROUP BY shard_id ORDER BY shard_id""".stripMargin,
     "mm_resized" ->
       """WITH m AS (SELECT doc_id AS id, 'fake/' || source AS mime,
         |  CAST(n_chars % 640 AS BIGINT) AS w, CAST(n_chars % 480 AS BIGINT) AS h

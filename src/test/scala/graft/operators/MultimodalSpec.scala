@@ -47,6 +47,20 @@ class MultimodalSpec extends SparkSuite {
     assert(!plan.contains("encode("), s"payload not pruned:\n$plan")
   }
 
+  test("shard manifest: contiguous shards, conservation of items and bytes") {
+    val m = graft.SparkEntry.queries("mm_shard_manifest")(spark, sf0001).persist()
+    val ids = m.select("shard_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids.nonEmpty && ids.head == 0L && ids == (0L until ids.length).toSeq)
+    val docs = Tables.documents(spark, sf0001)
+    assert(m.agg(sum("n_items")).head.getLong(0) == docs.count())
+    assert(m.agg(sum("bytes_started")).head.getLong(0) ==
+      docs.agg(sum(octet_length(col("text")))).head.getLong(0))
+    // id ranges of consecutive shards never interleave
+    val ranges = m.orderBy("shard_id")
+      .select("first_id", "last_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ranges.zip(ranges.tail).forall { case ((_, l1), (f2, _)) => f2 > l1 })
+  }
+
   test("payload dedup: every re-ingested copy is caught, canonical is the original") {
     val groups = graft.SparkEntry.queries("mm_payload_dedup")(spark, sf0001)
       .persist()
