@@ -277,6 +277,45 @@ object RelationalQueries {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // ntile quantile bucketing: spend quartiles per market segment — the
+    // window family's equal-frequency binning op (lag/lead/running/top
+    // cover navigation and ranking; ntile covers cohorting). Partitioned
+    // window: parallel across segments, the per-segment sort is the
+    // operation's inherent order.
+    "q_ntile_spend" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, dir)
+        .select(col("c_mktsegment"), col("c_custkey"),
+          ntile(4).over(w).cast(LongType).as("quartile"))
+        .groupBy(col("c_mktsegment"), col("quartile"))
+        .agg(count(lit(1)).as("n_customers"),
+          min(col("c_custkey")).as("first_cust"),
+          max(col("c_custkey")).as("last_cust"))
+        .orderBy("c_mktsegment", "quartile")
+    }),
+
+    // Correlated scalar subquery, decorrelated: parts priced above their
+    // OWN type's average ("above-average" per group). Written directly in
+    // the decorrelated form Catalyst would rewrite to — per-type avg agg
+    // (tiny: one row per type) broadcast back into the scan — because at
+    // 100 TB that IS the right plan: one aggregate pass + one broadcast
+    // join, never a per-row subquery. Decimal-cast avg for cross-engine
+    // exactness, double only at the final compare.
+    "q_above_avg_parts" -> ((s, dir) => {
+      val avgByType = Tables.part(s, dir)
+        .groupBy(col("p_type"))
+        .agg((sum(dec("p_retailprice")) / count(lit(1))).as("avg_price"))
+      Tables.part(s, dir)
+        .join(broadcast(avgByType), "p_type")
+        .filter(dec("p_retailprice") > col("avg_price"))
+        .groupBy(col("p_type"))
+        .agg(count(lit(1)).as("n_above"),
+          max(dec("p_retailprice")).cast(DoubleType).as("max_price"),
+          min(col("p_partkey")).as("first_part"))
+        .orderBy("p_type")
+    }),
+
     // Skew-safe distinct aggregation: COUNT(DISTINCT supplier) per flag as
     // TWO explicit partial-agg stages — groupBy(key, value) then
     // groupBy(key) — the shape that survives a hot key at 100 TB, where a
@@ -446,6 +485,25 @@ object RelationalQueries {
         |  COUNT(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_ntile_spend" ->
+      """WITH n AS (SELECT c_mktsegment, c_custkey,
+        |  CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+        |    ORDER BY c_acctbal, c_custkey) AS BIGINT) AS quartile
+        |  FROM customer)
+        |SELECT c_mktsegment, quartile, COUNT(*) AS n_customers,
+        |  min(c_custkey) AS first_cust, max(c_custkey) AS last_cust
+        |FROM n GROUP BY c_mktsegment, quartile
+        |ORDER BY c_mktsegment, quartile""".stripMargin,
+    "q_above_avg_parts" ->
+      """WITH a AS (SELECT p_type,
+        |  SUM(CAST(p_retailprice AS DECIMAL(18,2))) / COUNT(*) AS avg_price
+        |  FROM part GROUP BY p_type)
+        |SELECT p.p_type, COUNT(*) AS n_above,
+        |  CAST(MAX(CAST(p.p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price,
+        |  MIN(p.p_partkey) AS first_part
+        |FROM part p JOIN a ON p.p_type = a.p_type
+        |WHERE CAST(p.p_retailprice AS DECIMAL(18,2)) > a.avg_price
+        |GROUP BY p.p_type ORDER BY p.p_type""".stripMargin,
     "q_lag_lead" ->
       """SELECT o_custkey, o_orderkey,
         |  lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_price,

@@ -28,6 +28,25 @@ class GroupingSetsSpec extends SparkSuite {
     assert(grand.head.getAs[Long]("n_orders") == orders.count())
   }
 
+  test("ntile quartiles are equal-frequency within every segment (sizes differ by <= 1)") {
+    val n = SparkEntry.queries("q_ntile_spend")(spark, sf0001)
+    val spread = n.groupBy("c_mktsegment")
+      .agg((max("n_customers") - min("n_customers")).as("d"),
+        countDistinct("quartile").as("nq"))
+    assert(spread.count() > 0)
+    assert(spread.filter(col("d") > 1).count() == 0)
+    assert(spread.filter(col("nq") =!= 4).count() == 0)
+  }
+
+  test("above-average filter: strictly fewer survivors than members, never zero overall") {
+    val a = SparkEntry.queries("q_above_avg_parts")(spark, sf0001)
+    val sizes = Tables.part(spark, sf0001).groupBy("p_type").count()
+    val j = a.join(sizes, "p_type")
+    assert(j.count() > 0)
+    assert(j.filter(col("n_above") >= col("count")).count() == 0,
+      "a group where everything is above its own average")
+  }
+
   test("no cube cross-product rows: (pri, status) pairs never appear") {
     assert(out.filter(col("g_pri") === 0 && col("g_st") === 0).count() == 0)
     val nPri = Tables.orders(spark, sf0001)
