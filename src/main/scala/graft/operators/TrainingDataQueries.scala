@@ -735,11 +735,15 @@ object TrainingDataQueries {
     // selection is an in-scan array sort over each doc's bounded term
     // set — no window, no per-doc row_number shuffle.
     "text_keywords" -> ((s, dir) => {
-      val toks = docsSpread(s, dir)
+      // df derives FROM the tf grain (each (doc,tok) row is one distinct
+      // doc for tok) — same trick as the inverted index's postings-derived
+      // df: drops the separate distinct pass and its exchange entirely.
+      // persist: tf feeds the df aggregate AND the scoring join.
+      val tf = docsSpread(s, dir)
         .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
-        .persist() // feeds the tf aggregate AND the df aggregate
-      val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-      val df = toks.distinct().groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+        .persist()
+      val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       val nd = docsSpread(s, dir).agg(count(lit(1)).as("nd"))
       val scored = tf.join(df, "tok").crossJoin(broadcast(nd))
         .withColumn("score", col("tf").cast(DoubleType) *

@@ -62,6 +62,11 @@ class ShuffleAuditSpec extends SparkSuite {
     "pipeline_decontaminate_semantic" -> 12,
     "pipeline_bloom" -> 8, "dedup_srp_pairs" -> 8, "dedup_simhash_pairs" -> 8,
     "text_lm_score" -> 8, // persisted 2-branch base: plan text expands twice
+    // persisted (doc,tok) tf grain referenced twice (df agg + scoring
+    // join) — its agg exchange reprints under the InMemoryRelation;
+    // runtime shuffles are tf, df, the tok join side, the doc-grain
+    // gather, and the final sort (measured 7 in plan text)
+    "text_keywords" -> 9,
     "text_hll_distinct" -> 7, "q_setop_nations" -> 7,
     // the 7-stage composition: measured 21 in plan text, of which 16 are
     // ONE cached Spread repartition reprinted under every InMemoryRelation
