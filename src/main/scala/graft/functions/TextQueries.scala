@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType}
 
@@ -80,30 +80,7 @@ object TextQueries {
     // libm out of the compared surface (same reasoning as BM25's rational
     // idf); the fold order is ascending on both engines so doubles match
     // bit-for-bit.
-    "text_lm_score" -> ((s, dir) => {
-      // persist: the tokenized corpus feeds the vocabulary branch AND the
-      // scoring branch — without it the split+filter runs twice per doc
-      val base = graft.operators.Spread.ifNarrow(Tables.documents(s, dir), col("doc_id"))
-        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks")).persist()
-      val counts = base.select(explode(col("toks")).as("tok"))
-        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-      val pmap = counts.crossJoin(broadcast(counts.agg(sum(col("cnt")).as("total"))))
-        .select(col("tok"),
-          (col("cnt").cast("double") / col("total").cast("double")).as("p"))
-        .agg(map_from_entries(
-          array_sort(collect_list(struct(col("tok"), col("p"))))).as("pmap"))
-      base.crossJoin(broadcast(pmap))
-        .withColumn("ps", transform(col("toks"),
-          t => coalesce(element_at(col("pmap"), t), lit(0.0))))
-        .select(col("doc_id"),
-          size(col("toks")).cast(LongType).as("n_tokens"),
-          when(size(col("toks")) === 0, lit(0.0))
-            .otherwise(aggregate(col("ps"), lit(0.0), (a, x) => a + x)
-              / size(col("toks")).cast("double")).as("mean_p"),
-          when(size(col("toks")) === 0, lit(0.0))
-            .otherwise(array_min(col("ps"))).as("min_p"))
-        .orderBy("doc_id")
-    }),
+    "text_lm_score" -> ((s, dir) => lmScored(s, dir).orderBy("doc_id")),
 
     // Inverted-index build (term -> postings), the index side of
     // retrieval: explode to (token, doc) pairs — the one genuinely
@@ -146,6 +123,44 @@ object TextQueries {
     * on leading/trailing NON-SPACE whitespace (trim strips spaces only);
     * filtering them makes the token list exactly the maximal non-ws runs —
     * the kernels' definition, and the only one that is encoding-stable. */
+  /** Unigram-LM document scoring — the perplexity-proxy quality filter:
+    * corpus-estimated token probabilities (ONE tiny agg, broadcast back
+    * as a map), then a per-row sequential fold inside the scan. mean_p
+    * is the LM score (higher = more typical text), min_p flags documents
+    * hinging on the rarest token. The log-free probability form keeps
+    * libm out of the compared surface (same reasoning as BM25's rational
+    * idf); the fold order is ascending on both engines so doubles match
+    * bit-for-bit. Returns (doc_id, extra..., n_tokens, mean_p, min_p);
+    * `extra` columns are computed IN THE SAME corpus scan and carried
+    * through — the CCNet-style partition (`pipeline_lm_partition`) rides
+    * its language-ID kernel here instead of paying a second scan + join.
+    * Shared by `text_lm_score` — one score definition, no fork. */
+  private[graft] def lmScored(s: SparkSession, dir: String,
+                              extra: Seq[(String, Column)] = Nil): DataFrame = {
+    // persist: the tokenized corpus feeds the vocabulary branch AND the
+    // scoring branch — without it the split+filter runs twice per doc
+    val base = graft.operators.Spread.ifNarrow(Tables.documents(s, dir), col("doc_id"))
+      .select(col("doc_id") +: extra.map { case (n, c) => c.as(n) } :+
+        TextFunctions.tokens(col("text")).as("toks"): _*).persist()
+    val counts = base.select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val pmap = counts.crossJoin(broadcast(counts.agg(sum(col("cnt")).as("total"))))
+      .select(col("tok"),
+        (col("cnt").cast("double") / col("total").cast("double")).as("p"))
+      .agg(map_from_entries(
+        array_sort(collect_list(struct(col("tok"), col("p"))))).as("pmap"))
+    base.crossJoin(broadcast(pmap))
+      .withColumn("ps", transform(col("toks"),
+        t => coalesce(element_at(col("pmap"), t), lit(0.0))))
+      .select(col("doc_id") +: extra.map { case (n, _) => col(n) } :+
+        size(col("toks")).cast(LongType).as("n_tokens") :+
+        when(size(col("toks")) === 0, lit(0.0))
+          .otherwise(aggregate(col("ps"), lit(0.0), (a, x) => a + x)
+            / size(col("toks")).cast("double")).as("mean_p") :+
+        when(size(col("toks")) === 0, lit(0.0))
+          .otherwise(array_min(col("ps"))).as("min_p"): _*)
+  }
+
   val sqlToks = "list_filter(string_split_regex(trim(text), '\\s+'), t9 -> t9 <> '')"
   val sqlNTok = s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($sqlToks) END"
 
@@ -185,14 +200,46 @@ object TextQueries {
     s"len(list_filter(range(1, length(text)+1), c7 -> $cond))"
   }
 
-  def oracles: Map[String, String] = {
+  /** The langId kernel's DuckDB twin (argmax over marker/script scores,
+    * 'und' on all-zero) — also reused by the pipeline_lm_partition twin. */
+  private[graft] lazy val langCaseSql: String = {
     val langScores =
       LangMarkers.map { case (lang, ms) => lang -> sqlMarkerScore(ms) } ++
         LangScripts.map { case (lang, rs) => lang -> sqlScriptScore(rs) }
     val best = s"greatest(${langScores.map(x => s"(${x._2})").mkString(", ")})"
-    val langCase = langScores
+    langScores
       .map { case (lang, s) => s"WHEN ($s) = ($best) AND ($best) > 0 THEN '$lang'" }
       .mkString("CASE ", " ", " ELSE 'und' END")
+  }
+
+  /** Twin of [[lmScored]]: CTE chain (use inside WITH) ending in
+    * `lmscore(doc_id, n_tokens, mean_p, min_p)` — shared by the
+    * text_lm_score and pipeline_lm_partition oracles. */
+  private[graft] val lmScoreCtes: String =
+    s"""tk AS (SELECT doc_id,
+       |  CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+       |       ELSE list_filter(string_split_regex(trim(text), '\\s+'), t9 -> t9 <> '') END AS toks
+       |  FROM documents),
+       |e AS (SELECT doc_id, unnest(toks) AS tok FROM tk),
+       |v AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM e GROUP BY tok),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v),
+       |p AS (SELECT tok, CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS p
+       |  FROM v CROSS JOIN tot),
+       |eo AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)+1),
+       |    i -> {'pos': i, 'tok': toks[i]})) AS u FROM tk),
+       |ps AS (SELECT eo.doc_id, eo.u.pos AS pos, COALESCE(p.p, 0.0) AS p
+       |  FROM eo LEFT JOIN p ON eo.u.tok = p.tok),
+       |agg AS (SELECT doc_id, list(p ORDER BY pos) AS pl FROM ps GROUP BY doc_id),
+       |lmscore AS (SELECT tk.doc_id,
+       |  CAST(len(tk.toks) AS BIGINT) AS n_tokens,
+       |  CASE WHEN len(tk.toks) = 0 THEN 0.0
+       |       ELSE list_reduce(list_prepend(CAST(0.0 AS DOUBLE), a.pl),
+       |              (acc, x) -> acc + x) / CAST(len(tk.toks) AS DOUBLE) END AS mean_p,
+       |  CASE WHEN len(tk.toks) = 0 THEN 0.0 ELSE list_min(a.pl) END AS min_p
+       |FROM tk LEFT JOIN agg a ON tk.doc_id = a.doc_id)""".stripMargin
+
+  def oracles: Map[String, String] = {
+    val langCase = langCaseSql
 
     Map(
       "text_token_stats" ->
@@ -232,28 +279,9 @@ object TextQueries {
            |FROM r ORDER BY doc_id""".stripMargin
       },
       "text_lm_score" ->
-        s"""WITH tk AS (SELECT doc_id,
-           |  CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-           |       ELSE list_filter(string_split_regex(trim(text), '\\s+'), t9 -> t9 <> '') END AS toks
-           |  FROM documents),
-           |e AS (SELECT doc_id, unnest(toks) AS tok FROM tk),
-           |v AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM e GROUP BY tok),
-           |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v),
-           |p AS (SELECT tok, CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS p
-           |  FROM v CROSS JOIN tot),
-           |eo AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)+1),
-           |    i -> {'pos': i, 'tok': toks[i]})) AS u FROM tk),
-           |ps AS (SELECT eo.doc_id, eo.u.pos AS pos, COALESCE(p.p, 0.0) AS p
-           |  FROM eo LEFT JOIN p ON eo.u.tok = p.tok),
-           |agg AS (SELECT doc_id, list(p ORDER BY pos) AS pl FROM ps GROUP BY doc_id)
-           |SELECT tk.doc_id,
-           |  CAST(len(tk.toks) AS BIGINT) AS n_tokens,
-           |  CASE WHEN len(tk.toks) = 0 THEN 0.0
-           |       ELSE list_reduce(list_prepend(CAST(0.0 AS DOUBLE), a.pl),
-           |              (acc, x) -> acc + x) / CAST(len(tk.toks) AS DOUBLE) END AS mean_p,
-           |  CASE WHEN len(tk.toks) = 0 THEN 0.0 ELSE list_min(a.pl) END AS min_p
-           |FROM tk LEFT JOIN agg a ON tk.doc_id = a.doc_id
-           |ORDER BY tk.doc_id""".stripMargin,
+        s"""WITH $lmScoreCtes
+           |SELECT doc_id, n_tokens, mean_p, min_p FROM lmscore
+           |ORDER BY doc_id""".stripMargin,
       "text_inverted_index" ->
         s"""WITH e AS (SELECT doc_id, unnest($sqlToks) AS tok
            |  FROM documents WHERE length(trim(text)) > 0),

@@ -428,6 +428,18 @@ object DedupQueries {
   /** CTE producing (doc_id, source, th) — evaluate token hashes once. */
   private[operators] val thCte = s"SELECT doc_id, source, $tokenHashesSql AS th FROM documents"
 
+  /** [[thCte]] over an arbitrary relation exposing (doc_id, text) — for
+    * queries that tokenize an AUGMENTED text column. */
+  private[operators] def thCteFrom(rel: String): String =
+    s"SELECT doc_id, $tokenHashesSql AS th FROM $rel"
+
+  /** Non-overlapping `w`-token window hashes of `th` as a LIST in document
+    * order (mirrors NativeExpressions.windowHashes; the exploded form is
+    * the `paras` CTE of the dedup_paragraph oracle). */
+  private[operators] def windowListSql(w: Int): String =
+    s"list_transform(range(1, ((len(th) + ${w - 1}) // $w) + 1), i -> " +
+      s"${combineSql(s"th[(i-1)*$w+1:LEAST(i*$w, len(th))]")})"
+
   /** MinHash signature (list<bigint> length 16) from a shingle-hash list
     * expression. */
   private def sigSql(shh: String): String =

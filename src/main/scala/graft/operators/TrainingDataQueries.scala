@@ -74,6 +74,18 @@ object TrainingDataQueries {
   /** Per-source quota: ~25 docs/source in the fixture, so the cap bites
     * every source without emptying any. */
   val DomainCap = 20
+  /** Paragraph window for the boilerplate / in-doc passes — the same
+    * non-overlapping 20-token window as `dedup_paragraph` (the corpus has
+    * no paragraph breaks), so all three paragraph-grain passes agree on
+    * what a paragraph is. */
+  val ParaWindow = 20
+  /** Boilerplate document-frequency threshold: a paragraph appearing in at
+    * least this many DISTINCT docs is boilerplate and is removed from ALL
+    * of them (CCNet/C4-style), unlike `dedup_paragraph` which keeps the
+    * first occurrence. Fixture-audited: 6 / 4 window hashes cross the
+    * threshold at sf0.001 / sf0.01 — the drop path is exercised, not
+    * vacuous — while the 2-doc near-dup mass stays below it. */
+  val BoilerplateDf = 3
 
   private def docsSpread(s: SparkSession, dir: String): DataFrame =
     Spread.ifNarrow(Tables.documents(s, dir), col("doc_id"))
@@ -760,6 +772,99 @@ object TrainingDataQueries {
         .orderBy("doc_id")
     }),
 
+    // CCNet/C4-style BOILERPLATE removal: a paragraph (non-overlapping
+    // ParaWindow-token window, dedup_paragraph's definition) that appears
+    // in >= BoilerplateDf DISTINCT docs is dropped from EVERY doc — the
+    // pass that catches cookie banners / nav bars, which keep-first
+    // paragraph dedup deliberately keeps once. Plan: one in-scan window
+    // kernel, the (h, doc) grain agg and its h-grain rollup (the trick
+    // that avoids a distinct Expand), then the boilerplate set — tiny by
+    // definition of "frequent" — BROADCASTS back into the persisted
+    // paragraph set: the corpus never shuffles for the drop decision. At
+    // 100 TB an adversarially large boilerplate set degrades to the Bloom
+    // probe exactly like decontamination (CurationPipeline.decontaminate).
+    "pipeline_boilerplate" -> ((s, dir) => {
+      val w = ParaWindow
+      // persist: the exploded paragraph set feeds the frequency chain AND
+      // the drop join — without it the scan + kernel pass runs twice
+      val paras = docsSpread(s, dir)
+        .select(col("doc_id"),
+          posexplode(NativeExpressions.windowHashes(col("text"), w)))
+        .select(col("doc_id"), col("pos").cast(LongType).as("pidx"),
+          col("col").as("h"))
+        .persist()
+      val boiler = paras.groupBy(col("h"), col("doc_id"))
+        .agg(count(lit(1)).as("occ"))
+        .groupBy(col("h")).agg(count(lit(1)).as("nd"))
+        .filter(col("nd") >= BoilerplateDf)
+        .select(col("h"), lit(true).as("bp"))
+      paras.join(broadcast(boiler), Seq("h"), "left_outer")
+        .withColumn("kept", coalesce(col("bp"), lit(false)) === false)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_paras"),
+          sum(when(col("kept"), 0L).otherwise(1L)).as("n_boiler"),
+          NativeExpressions.polyCombine(
+            transform(array_sort(collect_list(when(col("kept"),
+              struct(col("pidx"), col("h"))))), e => e.getField("h")))
+            .as("kept_hash"))
+        .orderBy("doc_id")
+    }),
+
+    // IN-DOCUMENT repetition removal: later occurrences of a paragraph
+    // already seen EARLIER IN THE SAME DOC are dropped (the self-repetition
+    // half of paragraph hygiene; cross-doc policy is dedup_paragraph /
+    // pipeline_boilerplate). Entirely in-scan — window-hash kernel plus an
+    // array first-occurrence filter per row, ZERO data shuffles (the only
+    // exchange is the presentation sort). The fixture corpus has no
+    // in-doc repeats at this window, so a deterministic doubled banner is
+    // prepended to every 7th doc on BOTH engines (the text_pii pattern) —
+    // the drop path is exercised at every scale, not vacuously green.
+    "pipeline_indoc_dedup" -> ((s, dir) => {
+      val w = ParaWindow
+      val bannerTail = " " + (2 to w).map("b" + _).mkString(" ")
+      val banner = concat(lit("g"), col("doc_id").cast(StringType), lit(bannerTail))
+      val aug = when(col("doc_id") % 7 === 3,
+        concat(banner, lit(" "), banner, lit(" "), col("text")))
+        .otherwise(col("text"))
+      docsSpread(s, dir)
+        .withColumn("wh", NativeExpressions.windowHashes(aug, w))
+        .withColumn("kept", filter(col("wh"),
+          (h, i) => array_position(col("wh"), h) === (i + 1).cast(LongType)))
+        .select(col("doc_id"),
+          size(col("wh")).cast(LongType).as("n_paras"),
+          (size(col("wh")) - size(col("kept"))).cast(LongType).as("n_dup_indoc"),
+          NativeExpressions.polyCombine(col("kept")).as("kept_hash"))
+        .orderBy("doc_id")
+    }),
+
+    // CCNet-style per-LANGUAGE quality partition: every doc gets its
+    // language (langId kernel) and unigram-LM score in ONE corpus scan
+    // (TextQueries.lmScored carries the lang column through — no second
+    // scan, no doc_id join), then head/middle/tail terciles WITHIN each
+    // language by LM score. The per-lang rank uses NO per-lang window:
+    // one composite-order global rank (range partition + broadcast
+    // offsets, PU.globalRankByOrder over lang ASC, mean_p DESC, doc_id)
+    // and each language's rank falls out by subtracting the language's
+    // broadcast min-rank. Language cardinality is bounded (22 + und), so
+    // the stats join broadcasts; the corpus shuffles once (the range
+    // exchange) — the tercile assignment itself is map work.
+    "pipeline_lm_partition" -> ((s, dir) => {
+      val scored = graft.functions.TextQueries.lmScored(s, dir,
+        Seq("lang" -> TextFunctions.langId(col("text"))))
+        .select("doc_id", "lang", "mean_p")
+      val ranked = graft.pu.PU.globalRankByOrder(scored,
+        Seq(col("lang").asc, col("mean_p").desc, col("doc_id").asc), "grank")
+      val stats = ranked.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_lang"), min(col("grank")).as("g0"))
+      ranked.join(broadcast(stats), "lang")
+        .withColumn("lm_rank", col("grank") - col("g0") + lit(1L))
+        .withColumn("bucket",
+          element_at(lit(Array("head", "middle", "tail")),
+            ((col("lm_rank") - 1) * 3).div(col("n_lang")).cast("int") + 1))
+        .select(col("doc_id"), col("lang"), col("lm_rank"), col("bucket"))
+        .orderBy("doc_id")
+    }),
+
     "text_bm25" -> ((s, dir) => {
       val base = docsSpread(s, dir).select(col("doc_id"),
         NativeExpressions.termCounts(col("text"), Bm25Terms).as("tf"),
@@ -1364,6 +1469,59 @@ object TrainingDataQueries {
          |  COALESCE(max(CASE WHEN rk = 3 THEN tok END), '') AS kw3
          |FROM r WHERE rk <= 3 GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
+
+    "pipeline_boilerplate" -> {
+      val w = ParaWindow
+      s"""WITH t AS ($thCte),
+         |wl AS (SELECT doc_id, ${DedupQueries.windowListSql(w)} AS wl
+         |  FROM t WHERE len(th) > 0),
+         |paras AS (SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pidx, u.h FROM (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(wl) + 1),
+         |    i -> {'i': i, 'h': wl[i]})) AS u FROM wl)),
+         |boiler AS (SELECT h FROM (
+         |  SELECT h, count(DISTINCT doc_id) AS nd FROM paras GROUP BY h)
+         |  WHERE nd >= $BoilerplateDf),
+         |j AS (SELECT p.doc_id, p.pidx, p.h, (b.h IS NOT NULL) AS bp
+         |  FROM paras p LEFT JOIN boiler b ON p.h = b.h)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras,
+         |  CAST(sum(CASE WHEN bp THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+         |  CASE WHEN count(*) FILTER (WHERE NOT bp) = 0 THEN 0
+         |       ELSE ${DedupQueries.combineSql("list(h ORDER BY pidx) FILTER (WHERE NOT bp)")} END AS kept_hash
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    "pipeline_indoc_dedup" -> {
+      val w = ParaWindow
+      val bannerTail = " " + (2 to w).map("b" + _).mkString(" ")
+      val banner = s"'g' || CAST(doc_id AS VARCHAR) || ' ' || '${bannerTail.trim}'"
+      s"""WITH a0 AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 7 = 3
+         |       THEN $banner || ' ' || $banner || ' ' || text
+         |       ELSE text END AS text FROM documents),
+         |t AS (${DedupQueries.thCteFrom("a0")}),
+         |wl AS (SELECT doc_id, ${DedupQueries.windowListSql(w)} AS wl FROM t),
+         |k AS (SELECT doc_id, wl,
+         |  list_filter(wl, (h, i) -> list_position(wl, h) = i) AS kept FROM wl)
+         |SELECT doc_id, CAST(len(wl) AS BIGINT) AS n_paras,
+         |  CAST(len(wl) - len(kept) AS BIGINT) AS n_dup_indoc,
+         |  ${DedupQueries.combineSql("kept")} AS kept_hash
+         |FROM k ORDER BY doc_id""".stripMargin
+    },
+
+    "pipeline_lm_partition" ->
+      s"""WITH ${graft.functions.TextQueries.lmScoreCtes},
+         |lp AS (SELECT doc_id, ${graft.functions.TextQueries.langCaseSql} AS lang
+         |  FROM documents),
+         |j AS (SELECT l.doc_id, lp.lang, l.mean_p
+         |  FROM lmscore l JOIN lp USING (doc_id)),
+         |r AS (SELECT doc_id, lang, mean_p,
+         |  CAST(row_number() OVER (PARTITION BY lang
+         |    ORDER BY mean_p DESC, doc_id) AS BIGINT) AS lm_rank,
+         |  count(*) OVER (PARTITION BY lang) AS n FROM j)
+         |SELECT doc_id, lang, lm_rank,
+         |  CASE ((lm_rank - 1) * 3) // n WHEN 0 THEN 'head'
+         |       WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+         |FROM r ORDER BY doc_id""".stripMargin,
 
     "text_bm25" ->
       s"""WITH dl AS (SELECT doc_id, CAST($ntokSql AS BIGINT) AS dl FROM documents),

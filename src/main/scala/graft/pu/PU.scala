@@ -79,6 +79,15 @@ object PU {
     * `tieBreak` must be unique for a deterministic total order.
     */
   def globalRankByScore(df: DataFrame, scoreCol: String, tieBreak: Column,
+                        rankCol: String = "rank"): DataFrame =
+    globalRankByOrder(df, Seq(col(scoreCol).desc, tieBreak), rankCol)
+
+  /** [[globalRankByScore]] generalized to an arbitrary ordering column
+    * list (e.g. group-major composite orders like `lang ASC, score DESC,
+    * id ASC`, from which a per-group rank falls out by subtracting the
+    * group's broadcast min-rank). The order must be total — include a
+    * unique tie-break column — or ranks within ties are nondeterministic. */
+  def globalRankByOrder(df: DataFrame, order: Seq[Column],
                         rankCol: String = "rank"): DataFrame = {
     // Pin the range-partition id as a REAL column right after the
     // exchange: spark_partition_id() is physical, so re-evaluating it
@@ -94,8 +103,8 @@ object PU {
     // (Freed for non-harness callers when the df becomes unreachable —
     // weak registry — or at releaseStragglers.)
     val ordered = graft.CheckpointUtil.track(df
-      .repartitionByRange(col(scoreCol).desc, tieBreak)
-      .sortWithinPartitions(col(scoreCol).desc, tieBreak)
+      .repartitionByRange(order: _*)
+      .sortWithinPartitions(order: _*)
       .withColumn("graft_pid", spark_partition_id())
       .localCheckpoint(true))
     val sizes = ordered

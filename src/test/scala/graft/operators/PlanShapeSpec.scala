@@ -186,4 +186,23 @@ class PlanShapeSpec extends SparkSuite
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("boilerplate: the frequent-hash set broadcasts back; no distinct-Expand") {
+    val plan = executed("pipeline_boilerplate")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // the (h, doc) -> h two-step rollup, never a planner distinct-Expand
+    assert(!plan.contains("Expand"), plan)
+  }
+
+  test("in-doc dedup is map-only: the sole exchange is the presentation sort") {
+    val plan = graft.SparkEntry.queries("pipeline_indoc_dedup")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).size -
+      "BroadcastExchange".r.findAllIn(plan).size
+    // one rangepartitioning exchange for the ORDER BY; Spread's gate adds
+    // at most one scan-side repartition on the single-row-group fixture
+    assert(exchanges <= 2, plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"), plan)
+  }
 }
