@@ -82,7 +82,7 @@ object CurationPipeline {
     * doc — the exploded frame behind [[paragraphAgg]] and the incremental
     * chain's corpus/batch paragraph states. `wide` selects the 64-bit
     * production hash (see [[paragraphAgg]]). */
-  private def explodeParagraphs(qdocs: DataFrame, wide: Boolean = false): DataFrame =
+  private[graft] def explodeParagraphs(qdocs: DataFrame, wide: Boolean = false): DataFrame =
     qdocs
       .select(col("doc_id"), posexplode(
         if (wide) NativeExpressions.windowHashes64(col("text"), ParaWindow)
@@ -108,7 +108,7 @@ object CurationPipeline {
   /** [[paragraphAgg]] over an already-exploded (and persisted) paragraph
     * frame — the incremental chain reuses its corpus paras for the state
     * probe as well. */
-  private def paragraphAggOf(paras: DataFrame): DataFrame = {
+  private[graft] def paragraphAggOf(paras: DataFrame): DataFrame = {
     val canon = paras.groupBy(col("h"))
       .agg(min(struct(col("doc_id"), col("pidx"))).as("c"))
       .select(col("h"), col("c").getField("doc_id").as("c_doc"),
@@ -129,7 +129,7 @@ object CurationPipeline {
   /** Hashing-trick embeddings (vec_id, v, nrm) of document rows, zero-norm
     * rows dropped — the frame [[semanticSurvivors]] and the incremental
     * chain's semantic states are built from. */
-  private def embed(survDocs: DataFrame): DataFrame =
+  private[graft] def embed(survDocs: DataFrame): DataFrame =
     survDocs
       .select(col("doc_id").as("vec_id"),
         NativeExpressions.hashEmbed(col("text"), SemDim).as("v"))
