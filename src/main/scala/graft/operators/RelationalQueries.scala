@@ -277,6 +277,29 @@ object RelationalQueries {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // RANGE-frame trailing window — the frame type the rows-frame family
+    // (running/avg3) can't express: "events in the last HOUR", a
+    // time-width frame whose row count varies per row. One hash exchange
+    // on user_id; Spark evaluates the moving frame with two sliding
+    // bounds over each partition's sort (linear, never re-scans the
+    // hour), which is the per-entity time-window shape at any scale.
+    // Money sums in exact integer cents (round(value*100): 2-decimal
+    // doubles never land on .5, so HALF_UP vs half-away never diverges);
+    // timestamps compared as epoch micros, never as raw timestamp cols.
+    "q_trailing_window" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          round(col("value") * 100).cast(LongType).as("cents"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      ev.withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("spend_1h_cents", sum(col("cents")).over(w))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("n_1h"), col("spend_1h_cents"))
+        .orderBy("event_id")
+    }),
+
     // ntile quantile bucketing: spend quartiles per market segment — the
     // window family's equal-frequency binning op (lag/lead/running/top
     // cover navigation and ranking; ntile covers cohorting). Partitioned
@@ -509,6 +532,16 @@ object RelationalQueries {
         |  lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_price,
         |  lead(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS next_price
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_trailing_window" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |  CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        |SELECT event_id, user_id, ts_us,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_1h,
+        |  CAST(sum(cents) OVER w AS BIGINT) AS spend_1h_cents
+        |FROM ev
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "q_distinct_twophase" ->
       """SELECT l_returnflag,
         |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
