@@ -41,6 +41,25 @@ class RankStressSpec extends SparkSuite {
     assert(joined.filter(col("cum") =!= col("want")).count() == 0)
   }
 
+  test("globalRankByOrder composite (group ASC, score DESC) at 1M rows == per-group row_number") {
+    // the pipeline_lm_partition shape: group-major total order, per-group
+    // rank recovered by subtracting the group's min rank — 23 skewed
+    // groups (one holds ~39% of rows via the val skew), rank must come
+    // out exactly row_number() OVER (PARTITION BY grp ORDER BY ...)
+    val grouped = big.withColumn("grp", pmod(col("val"), lit(23)))
+    val ranked = graft.pu.PU.globalRankByOrder(grouped,
+      Seq(col("grp").asc, col("val").desc, col("id").asc), "grank")
+    val stats = ranked.groupBy("grp").agg(min(col("grank")).as("g0"))
+    val got = ranked.join(broadcast(stats), "grp")
+      .withColumn("grp_rank", col("grank") - col("g0") + lit(1L))
+    val want = grouped.withColumn("want", row_number().over(
+      Window.partitionBy(col("grp")).orderBy(col("val").desc, col("id"))).cast("long"))
+    val joined = got.select(col("id"), col("grp_rank"))
+      .join(want.select(col("id"), col("want")), "id")
+    assert(joined.count() == N)
+    assert(joined.filter(col("grp_rank") =!= col("want")).count() == 0)
+  }
+
   test("globalRankByScore at 1M rows == row_number, with millions of score ties") {
     // score has only 1000 distinct values -> ~1000-way ties per value;
     // the unique tiebreak must produce a clean permutation anyway
