@@ -79,6 +79,14 @@ object TrainingDataQueries {
     * no paragraph breaks), so all three paragraph-grain passes agree on
     * what a paragraph is. */
   val ParaWindow = 20
+  /** Corpus-internal substring-dedup shingle width. Production-scale
+    * substring dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better") uses ~50-token spans; the fixture dial is 8
+    * — the same width as the decontamination family's production n-gram —
+    * audited non-vacuous at every scale (24 / 24 / 244 docs carry
+    * repeated spans at sf0.001/0.01/0.1) while staying above the
+    * short-n-gram noise floor of the 31-token fixture vocabulary. */
+  val SubstrNgram = 8
   /** Boilerplate document-frequency threshold: a paragraph appearing in at
     * least this many DISTINCT docs is boilerplate and is removed from ALL
     * of them (CCNet/C4-style), unlike `dedup_paragraph` which keeps the
@@ -110,6 +118,27 @@ object TrainingDataQueries {
     if (vocab.isEmpty) Seq.empty else Bpe.learnMerges(vocab, BpeRounds)
   }
 
+  /** Every POSITIONAL `n`-shingle of every document: (doc_id, source,
+    * pos, sh) where `pos` is the 1-based token index of the shingle's
+    * first token and `sh` the base-31 hash of its n token hashes — an
+    * in-scan fold over each length-n token-hash slice, no distinct, no
+    * shuffle. The shared grain under the eval-set hit passes
+    * ([[contaminationHits]]) and the corpus-internal repeated-span pass
+    * ([[repeatedSpanHits]]). */
+  private def positionalShingles(s: SparkSession, dir: String, n: Int): DataFrame = {
+    val th = TextFunctions.tokenHashes(col("text"))
+    val posSh = when(size(th) >= n,
+      transform(sequence(lit(1), size(th) - (n - 1)),
+        i => struct(i.cast(LongType).as("pos"),
+          aggregate(slice(th, i, lit(n)), lit(0L),
+            (a, h) => pmod(a * 31 + h, lit(P))).as("sh"))))
+      .otherwise(array().cast("array<struct<pos:bigint,sh:bigint>>"))
+    docsSpread(s, dir)
+      .select(col("doc_id"), col("source"), explode(posSh).as("u"))
+      .select(col("doc_id"), col("source"),
+        col("u.pos").as("pos"), col("u.sh").as("sh"))
+  }
+
   /** Per-(doc_id, pos) eval-set hit rows: the 1-based token index of every
     * POSITIONAL [[CurationPipeline.DecontNgram]]-shingle of a non-eval doc
     * that appears in the eval slice's shingle set. The ONE hit definition
@@ -118,17 +147,7 @@ object TrainingDataQueries {
     * hit is. All in-scan kernels; the eval side is a bounded broadcast. */
   private def contaminationHits(s: SparkSession, dir: String): DataFrame = {
     val n = CurationPipeline.DecontNgram
-    val th = TextFunctions.tokenHashes(col("text"))
-    val posSh = when(size(th) >= n,
-      transform(sequence(lit(1), size(th) - (n - 1)),
-        i => struct(i.cast(LongType).as("pos"),
-          aggregate(slice(th, i, lit(n)), lit(0L),
-            (a, h) => pmod(a * 31 + h, lit(P))).as("sh"))))
-      .otherwise(array().cast("array<struct<pos:bigint,sh:bigint>>"))
-    val ps = docsSpread(s, dir)
-      .select(col("doc_id"), col("source"), explode(posSh).as("u"))
-      .select(col("doc_id"), col("source"),
-        col("u.pos").as("pos"), col("u.sh").as("sh"))
+    val ps = positionalShingles(s, dir, n)
     val evalShh = docsSpread(s, dir).filter(col("source") === "src19")
       .select(explode(TextFunctions.shingleHashes(col("text"), n)).as("sh"))
       .distinct()
@@ -136,6 +155,85 @@ object TrainingDataQueries {
       .join(broadcast(evalShh), Seq("sh"), "left_semi")
       .select(col("doc_id"), col("pos"))
   }
+
+  /** Per-(doc_id, pos) CORPUS-INTERNAL repeated-span hit rows (the
+    * Lee-et-al-2022 substring-dedup hit set, shingle-approximated): a
+    * position is a hit when its [[SubstrNgram]]-shingle occurs in at
+    * least one OTHER document and this doc is not the span's owner
+    * (owner = min doc_id — keep-first, drop-later semantics, same
+    * canonical rule as `dedup_exact`/`dedup_paragraph`).
+    *
+    * Scale shape: the shingle-grain groupBy is the one unavoidable
+    * shuffle of any global substring dedup — (sh, doc_id, pos) triples,
+    * 24 bytes per corpus token, no text on the wire. "Repeated across
+    * docs" is decided by `min(doc_id) <> max(doc_id)` — no
+    * count-distinct Expand pass. The surviving ownership table is
+    * duplicate-proportional (repeated shingles only) → broadcast back
+    * into a second scan's positional stream; like the decontamination
+    * family, the corpus is scanned twice rather than persisting the
+    * token-grain exploded form (which is larger than the corpus). At
+    * 100 TB, if boilerplate pushes the ownership table past the
+    * broadcast budget, this join degrades to the same shuffle-hash join
+    * on sh that the first pass already paid — the adaptive pattern
+    * pipeline_decontaminate_bloom documents. */
+  private def repeatedSpanHits(s: SparkSession, dir: String): DataFrame = {
+    val ps = positionalShingles(s, dir, SubstrNgram)
+      .select(col("doc_id"), col("pos"), col("sh"))
+    val owners = ps.groupBy(col("sh"))
+      .agg(min(col("doc_id")).as("own"), max(col("doc_id")).as("mx"))
+      .filter(col("own") =!= col("mx"))
+      .select(col("sh"), col("own"))
+    ps.join(broadcast(owners), Seq("sh"))
+      .filter(col("doc_id") =!= col("own"))
+      .select(col("doc_id"), col("pos"))
+  }
+
+  /** Interval-union coverage of the `n`-token windows at `hits`'
+    * (doc_id, pos) rows → (doc_id, n_removed): one hit agg, then an
+    * in-scan fold over each doc's sorted positions (n tokens for the
+    * first hit, min(n, gap) for each later one) — no per-doc window, no
+    * second shuffle past the agg. Shared by the eval-set excision
+    * (`pipeline_excise`) and the corpus-internal substring excision
+    * (`dedup_substring_excise`) so the two passes cannot disagree on
+    * what "covered" means. */
+  private def excisedCoverage(hits: DataFrame, n: Int): DataFrame =
+    hits.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("psorted"))
+      .withColumn("n_removed", aggregate(col("psorted"),
+        struct(lit(-1L).as("prev"), lit(0L).as("cov")),
+        (st, p) => struct(p.as("prev"),
+          (st("cov") + when(st("prev") < 0L, lit(n.toLong))
+            .otherwise(least(lit(n.toLong), p - st("prev")))).as("cov")),
+        st => st("cov")))
+      .select(col("doc_id"), col("n_removed"))
+
+  /** Twin of [[repeatedSpanHits]]: CTE chain ending in `hits(doc_id, pos)`
+    * — shared by the substring spans and excise oracles, mirroring how
+    * [[contamHitCtes]] backs the decontamination pair. */
+  private def substrHitCtes: String = {
+    val n = SubstrNgram
+    s"""t AS ($thCte),
+       |ps AS (SELECT doc_id, u.pos AS pos, u.sh AS sh FROM (
+       |  SELECT doc_id, unnest(CASE WHEN len(th) < $n THEN []
+       |    ELSE list_transform(range(1, len(th) - ${n - 1} + 1), i ->
+       |      {'pos': CAST(i AS BIGINT),
+       |       'sh': ${DedupQueries.combineSql(s"th[i:i+${n - 1}]")}}) END) AS u
+       |  FROM t)),
+       |o AS (SELECT sh, min(doc_id) AS own FROM ps GROUP BY sh
+       |  HAVING min(doc_id) <> max(doc_id)),
+       |hits AS (SELECT ps.doc_id, ps.pos FROM ps JOIN o USING (sh)
+       |  WHERE ps.doc_id <> o.own)""".stripMargin
+  }
+
+  /** Twin of [[excisedCoverage]] (expects a `hits(doc_id, pos)` CTE in
+    * scope): lag-window interval union ending in `cov(doc_id, n_removed)`. */
+  private def coverageCtes(n: Int): String =
+    s"""h AS (SELECT doc_id, pos,
+       |  lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+       |  FROM hits),
+       |cov AS (SELECT doc_id, CAST(SUM(CASE WHEN prev IS NULL THEN $n
+       |    ELSE LEAST($n, pos - prev) END) AS BIGINT) AS n_removed
+       |  FROM h GROUP BY doc_id)""".stripMargin
 
   /** Twin of [[contaminationHits]]: CTE chain ending in
     * `hits(doc_id, pos)` — shared by the spans and excise oracles. */
@@ -261,17 +359,40 @@ object TrainingDataQueries {
     // survives into the packed corpus; clean docs pass untouched and are
     // not re-emitted (contamination-proportional, like the spans report).
     "pipeline_excise" -> ((s, dir) => {
-      val n = CurationPipeline.DecontNgram
-      val hits = contaminationHits(s, dir)
+      excisedCoverage(contaminationHits(s, dir), CurationPipeline.DecontNgram)
+        .join(docsSpread(s, dir).select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast(LongType).as("n_before")),
+          "doc_id")
+        .select(col("doc_id"), col("n_before"), col("n_removed"),
+          (col("n_before") - col("n_removed")).as("n_after"))
+        .orderBy("doc_id")
+    }),
+
+    // Corpus-INTERNAL repeated-substring forensics (the decontamination
+    // family's machinery turned inward — Lee et al. 2022 substring dedup,
+    // shingle-approximated): per document that repeats another document's
+    // spans, how many [[SubstrNgram]]-shingle positions are repeats, the
+    // first/last repeated position, and how many distinct docs own the
+    // spans it repeats. Hit definition is [[repeatedSpanHits]] (one
+    // shingle-grain shuffle + duplicate-proportional broadcast back);
+    // output is duplication-proportional.
+    "dedup_substring_spans" -> ((s, dir) => {
+      repeatedSpanHits(s, dir)
         .groupBy(col("doc_id"))
-        .agg(sort_array(collect_list(col("pos"))).as("psorted"))
-        .withColumn("n_removed", aggregate(col("psorted"),
-          struct(lit(-1L).as("prev"), lit(0L).as("cov")),
-          (st, p) => struct(p.as("prev"),
-            (st("cov") + when(st("prev") < 0L, lit(n.toLong))
-              .otherwise(least(lit(n.toLong), p - st("prev")))).as("cov")),
-          st => st("cov")))
-      hits.join(docsSpread(s, dir).select(col("doc_id"),
+        .agg(count(lit(1)).as("n_hits"),
+          min(col("pos")).as("first_hit"), max(col("pos")).as("last_hit"))
+        .orderBy("doc_id")
+    }),
+
+    // Surgical substring DEDUP — excise every repeated span from every
+    // non-owner doc (the owner keeps its copy; interval-union coverage,
+    // [[excisedCoverage]] — the same fold as pipeline_excise, so
+    // "covered" cannot mean two things). The remove-later/keep-first rule
+    // at span grain: what global exact/near dedup does to whole documents,
+    // applied to the token ranges the cheaper passes cannot see.
+    "dedup_substring_excise" -> ((s, dir) => {
+      excisedCoverage(repeatedSpanHits(s, dir), SubstrNgram)
+        .join(docsSpread(s, dir).select(col("doc_id"),
           TextFunctions.tokenCount(col("text")).cast(LongType).as("n_before")),
           "doc_id")
         .select(col("doc_id"), col("n_before"), col("n_removed"),
@@ -1189,21 +1310,30 @@ object TrainingDataQueries {
          |FROM hits
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    "pipeline_excise" -> {
-      val n = CurationPipeline.DecontNgram
+    "pipeline_excise" ->
       s"""WITH $contamHitCtes,
-         |h AS (SELECT doc_id, pos,
-         |  lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
-         |  FROM hits),
-         |cov AS (SELECT doc_id, CAST(SUM(CASE WHEN prev IS NULL THEN $n
-         |    ELSE LEAST($n, pos - prev) END) AS BIGINT) AS n_removed
-         |  FROM h GROUP BY doc_id),
+         |${coverageCtes(CurationPipeline.DecontNgram)},
          |nt AS (SELECT doc_id, CAST($ntokSql AS BIGINT) AS n_before FROM documents)
          |SELECT cov.doc_id, nt.n_before, cov.n_removed,
          |  nt.n_before - cov.n_removed AS n_after
          |FROM cov JOIN nt USING (doc_id)
-         |ORDER BY doc_id""".stripMargin
-    },
+         |ORDER BY doc_id""".stripMargin,
+
+    "dedup_substring_spans" ->
+      s"""WITH $substrHitCtes
+         |SELECT doc_id, count(*) AS n_hits,
+         |  min(pos) AS first_hit, max(pos) AS last_hit
+         |FROM hits
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "dedup_substring_excise" ->
+      s"""WITH $substrHitCtes,
+         |${coverageCtes(SubstrNgram)},
+         |nt AS (SELECT doc_id, CAST($ntokSql AS BIGINT) AS n_before FROM documents)
+         |SELECT cov.doc_id, nt.n_before, cov.n_removed,
+         |  nt.n_before - cov.n_removed AS n_after
+         |FROM cov JOIN nt USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "pipeline_decontaminate_bloom" -> {
       val n = 8
