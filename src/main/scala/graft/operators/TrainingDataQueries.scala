@@ -52,6 +52,13 @@ object TrainingDataQueries {
   /** Pack budget (tokens per training sequence) and chunk width. */
   val PackTokens = 2048L
   val ChunkTokens = 64
+  /** Shelf-packing budget — deliberately smaller than [[PackTokens]]:
+    * whole-document packing is only non-trivial when several docs compete
+    * for one sequence, and at the fixture's 10-99-token docs a 256-token
+    * shelf yields 134 packs over 20 size classes with 381 docs landing in
+    * a later pack of their class (the capacity-split path is exercised,
+    * not vacuous). Production dial: the model's context length. */
+  val ShelfTokens = 256L
   /** Bloom sizing: 512 bits × 3 probes over ~125 build fingerprints →
     * ~52% fill, ~14% false-positive rate at sf0.01 — deliberately small so
     * the false-positive path is actually exercised by the gate. */
@@ -293,6 +300,38 @@ object TrainingDataQueries {
     "pipeline_chunks" -> ((s, dir) => {
       Packing.chunks(docTokens(s, dir), "doc_id", "n_tokens", ChunkTokens)
         .orderBy("doc_id", "chunk_id")
+    }),
+
+    // Whole-document SHELF packing — the padding-aware alternative to
+    // concat-and-cut: no document is ever split across sequences
+    // (attention never crosses a doc boundary), at the price of padding.
+    // Deterministic shelf rule: a doc of n tokens joins size class
+    // k = ShelfTokens div n; within its class, docs pack k-per-sequence
+    // in doc_id order, and capacity holds by construction (k docs, each
+    // <= ShelfTokens/k tokens). The per-class row number is the
+    // scale-path composite rank (range partition + broadcast offsets
+    // over (size_class, doc_id), PU.globalRankByOrder) minus the class's
+    // min rank from a tiny broadcast agg — no per-class window, so a
+    // web-scale class packs in parallel. Output is pack-grain:
+    // fill/padding accounting plus the portable membership hash.
+    "pipeline_pack_shelf" -> ((s, dir) => {
+      val classed = docTokens(s, dir)
+        .filter(col("n_tokens") > 0 && col("n_tokens") <= ShelfTokens)
+        .withColumn("size_class", lit(ShelfTokens).div(col("n_tokens")))
+      val ranked = graft.pu.PU.globalRankByOrder(classed,
+        Seq(col("size_class"), col("doc_id")), "grank")
+      val classStart = ranked.groupBy(col("size_class"))
+        .agg(min(col("grank")).as("cstart"))
+      ranked.join(broadcast(classStart), "size_class")
+        .withColumn("pack_seq",
+          (col("grank") - col("cstart")).div(col("size_class")))
+        .groupBy(col("size_class"), col("pack_seq"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("tokens_used"),
+          (lit(ShelfTokens) - sum(col("n_tokens"))).as("padding"),
+          NativeExpressions.polyCombine(
+            sort_array(collect_list(col("doc_id")))).as("docs_hash"))
+        .orderBy("size_class", "pack_seq")
     }),
 
     // Deterministic train/validation/test split: a doc's split depends
@@ -1244,6 +1283,19 @@ object TrainingDataQueries {
          |SELECT doc_id, n_tokens, CAST(chunk_id AS BIGINT) AS chunk_id,
          |  CAST(LEAST($ChunkTokens, n_tokens - $ChunkTokens * chunk_id) AS BIGINT) AS chunk_len
          |FROM e ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "pipeline_pack_shelf" ->
+      s"""WITH t AS (SELECT doc_id, CAST($ntokSql AS BIGINT) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, n_tokens, $ShelfTokens // n_tokens AS size_class
+         |  FROM t WHERE n_tokens > 0 AND n_tokens <= $ShelfTokens),
+         |r AS (SELECT doc_id, n_tokens, size_class,
+         |  row_number() OVER (PARTITION BY size_class ORDER BY doc_id) - 1 AS rn FROM c)
+         |SELECT size_class, rn // size_class AS pack_seq, count(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS tokens_used,
+         |  $ShelfTokens - CAST(SUM(n_tokens) AS BIGINT) AS padding,
+         |  ${DedupQueries.combineSql("list(doc_id ORDER BY doc_id)")} AS docs_hash
+         |FROM r GROUP BY size_class, pack_seq
+         |ORDER BY size_class, pack_seq""".stripMargin,
 
     "pipeline_split" ->
       s"""WITH b AS (SELECT source,
