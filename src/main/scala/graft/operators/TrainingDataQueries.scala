@@ -94,6 +94,12 @@ object TrainingDataQueries {
     * repeated spans at sf0.001/0.01/0.1) while staying above the
     * short-n-gram noise floor of the 31-token fixture vocabulary. */
   val SubstrNgram = 8
+  /** DSIR hashed-feature bucket count. Production DSIR (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling") hashes
+    * n-grams into ~10k buckets; 64 keeps every bucket populated by the
+    * 31-token fixture vocabulary's ~900 distinct bigrams so the ratio
+    * table has no dead entries. */
+  val DsirBuckets = 64
   /** Boilerplate document-frequency threshold: a paragraph appearing in at
     * least this many DISTINCT docs is boilerplate and is removed from ALL
     * of them (CCNet/C4-style), unlike `dedup_paragraph` which keeps the
@@ -680,6 +686,49 @@ object TrainingDataQueries {
       graft.pu.PU.globalRankByScore(binned, "key", col("doc_id"), "curriculum_pos")
         .select(col("doc_id"), col("bin"), col("curriculum_pos"))
         .orderBy("curriculum_pos")
+    }),
+
+    // DSIR-style importance weights (Xie et al. 2023): score every raw doc
+    // by how target-like its hashed-bigram profile is, where the target
+    // distribution comes from the held-out src19 slice. Per-bucket
+    // smoothed ratios (nt+1)/(nr+1) from ONE feature-grain agg whose
+    // result is [[DsirBuckets]] rows — a constant-size driver collect at
+    // any corpus scale (the BPE-vocab-cap pattern) — folded back through
+    // the scan as a literal lookup array: each doc's score is the
+    // IN-ORDER fold of its bigram-bucket ratios (the identical IEEE
+    // addition tree on both engines — no log, the one libm op whose
+    // rounding differs cross-engine; monotone-equivalent to DSIR's
+    // log-ratio sum for ranking within a fixed doc length). The keep rule
+    // is rank-based (top quartile by score, scale-path global rank) —
+    // comparisons only, no cross-partition float accumulation.
+    "pipeline_dsir_weights" -> ((s, dir) => {
+      val fs = positionalShingles(s, dir, 2)
+        .withColumn("f", pmod(col("sh"), lit(DsirBuckets.toLong)))
+      val counts = fs.groupBy(col("f")).agg(
+          sum(when(col("source") === "src19", 1L).otherwise(0L)).as("nt"),
+          sum(when(col("source") =!= "src19", 1L).otherwise(0L)).as("nr"))
+        .collect()
+      val ratio = Array.fill(DsirBuckets)(1.0)
+      counts.foreach { r => ratio(r.getLong(0).toInt) =
+        (r.getLong(1) + 1).toDouble / (r.getLong(2) + 1).toDouble }
+      val ratioLit = array(ratio.toSeq.map(lit): _*)
+      val th = TextFunctions.tokenHashes(col("text"))
+      val fb = when(size(th) >= 2,
+        transform(sequence(lit(1), size(th) - 1),
+          i => pmod(aggregate(slice(th, i, lit(2)), lit(0L),
+            (a, h) => pmod(a * 31 + h, lit(P))), lit(DsirBuckets.toLong))))
+        .otherwise(array().cast("array<bigint>"))
+      val scored = docsSpread(s, dir).filter(col("source") =!= "src19")
+        .select(col("doc_id"), fb.as("fb"))
+        .select(col("doc_id"), size(col("fb")).cast(LongType).as("n_feats"),
+          aggregate(col("fb"), lit(0.0),
+            (a, b) => a + element_at(ratioLit, (b + 1).cast("int"))).as("score"))
+      val total = scored.count()
+      graft.pu.PU.globalRankByScore(scored, "score", col("doc_id"), "dsir_rank")
+        .withColumn("keep", col("dsir_rank") * 4 <= lit(total))
+        .select(col("doc_id"), col("n_feats"), col("score"),
+          col("dsir_rank"), col("keep"))
+        .orderBy("doc_id")
     }),
 
     // Corpus snapshot diff — "what changed between yesterday's corpus and
@@ -1504,6 +1553,29 @@ object TrainingDataQueries {
          |SELECT doc_id, bin,
          |  row_number() OVER (ORDER BY key DESC, doc_id) AS curriculum_pos
          |FROM k ORDER BY curriculum_pos""".stripMargin,
+
+    "pipeline_dsir_weights" ->
+      s"""WITH t AS ($thCte),
+         |d AS (SELECT doc_id, source, CASE WHEN len(th) < 2 THEN CAST([] AS BIGINT[])
+         |  ELSE list_transform(range(1, len(th)), i ->
+         |    CAST(${DedupQueries.combineSql("th[i:i+1]")} % $DsirBuckets AS BIGINT)) END AS fb
+         |  FROM t),
+         |fs AS (SELECT doc_id, source, unnest(fb) AS f FROM d),
+         |c AS (SELECT f, SUM(CASE WHEN source = 'src19' THEN 1 ELSE 0 END) AS nt,
+         |  SUM(CASE WHEN source <> 'src19' THEN 1 ELSE 0 END) AS nr FROM fs GROUP BY f),
+         |dense AS (SELECT CAST(r.range AS BIGINT) AS f,
+         |  CAST(COALESCE(c.nt, 0) + 1 AS DOUBLE) / (COALESCE(c.nr, 0) + 1) AS ratio
+         |  FROM range(0, $DsirBuckets) r LEFT JOIN c ON c.f = r.range),
+         |rl AS (SELECT list(ratio ORDER BY f) AS rr FROM dense),
+         |sc AS (SELECT doc_id, CAST(len(fb) AS BIGINT) AS n_feats,
+         |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(fb, b -> rr[b+1])),
+         |    (a, x) -> a + x) AS score
+         |  FROM d CROSS JOIN rl WHERE source <> 'src19'),
+         |n AS (SELECT count(*) AS total FROM sc),
+         |r2 AS (SELECT doc_id, n_feats, score,
+         |  row_number() OVER (ORDER BY score DESC, doc_id) AS dsir_rank FROM sc)
+         |SELECT doc_id, n_feats, score, dsir_rank, dsir_rank * 4 <= n.total AS keep
+         |FROM r2 CROSS JOIN n ORDER BY doc_id""".stripMargin,
 
     "pipeline_mix_temperature" ->
       s"""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang
