@@ -27,7 +27,43 @@ object RelationalQueries {
 
   private def dec(c: String) = col(c).cast(DecimalType(18, 2))
 
+  /** Runtime-filter Bloom sizing: 2^18 bits × 3 probes stays a 32 KB
+    * broadcast while holding the false-positive rate low for the ~3k
+    * (sf0.01) to ~30k (sf0.1) urgent-order keys. */
+  val JoinBloomBits = 1 << 18
+  val JoinBloomK = 3
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Runtime-filter join: revenue of urgent orders by order status. The
+    // dim side (a ~20% slice of orders) outgrows broadcast at real scale,
+    // so the join is pinned shuffle-hash — but the FACT side is
+    // prefiltered IN-SCAN by a mergeable Bloom built from the dim keys
+    // (map-side partials fold to one 32 KB bitmap; the probe is pure
+    // column arithmetic inside the scan's codegen), so ~80% of lineitem
+    // never enters the exchange. False positives only add wasted shuffle
+    // rows — the exact join removes them — so the result is identical to
+    // the plain join, which IS the oracle.
+    "q_bloom_join" -> ((s, dir) => {
+      val urgent = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      val bloom = urgent.agg(new BloomFilterAgg(JoinBloomBits, JoinBloomK)
+        .column(col("o_orderkey")).as("bloom"))
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .crossJoin(broadcast(bloom))
+        .filter(BloomFilterAgg.mightContain(col("bloom"), col("l_orderkey"),
+          JoinBloomBits, JoinBloomK))
+        .drop("bloom")
+        .join(urgent.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          sum(dec("l_extendedprice") * (lit(BigDecimal(1)).cast(DecimalType(18, 2)) - dec("l_discount")))
+            .cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("o_orderstatus"))
+    }),
 
     // 5-way join: revenue by nation; dims broadcast, facts shuffle on keys.
     "q_join_revenue_by_nation" -> ((s, dir) => {
@@ -395,6 +431,15 @@ object RelationalQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_bloom_join" ->
+      """SELECT o_orderstatus,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     "q_join_revenue_by_nation" ->
       """SELECT r_name, n_name,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,

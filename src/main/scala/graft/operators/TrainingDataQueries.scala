@@ -74,6 +74,8 @@ object TrainingDataQueries {
   val HllRegisters = 256
   /** Training-shard count for the deterministic global shuffle. */
   val NShards = 8
+  /** Epoch count for the multi-epoch training order. */
+  val NEpochs = 3
   /** Per-source token budget for budgeted corpus assembly — fixture
     * sources carry ~2-3k tokens, so the budget bites every source without
     * emptying any. */
@@ -686,6 +688,38 @@ object TrainingDataQueries {
       graft.pu.PU.globalRankByScore(binned, "key", col("doc_id"), "curriculum_pos")
         .select(col("doc_id"), col("bin"), col("curriculum_pos"))
         .orderBy("curriculum_pos")
+    }),
+
+    // Multi-EPOCH training order — what a data loader replays across
+    // [[NEpochs]] passes: every doc appears once per epoch, each epoch's
+    // order is an independent hash permutation (no random(): rerun-,
+    // growth- and partitioning-stable, and epoch orders don't correlate
+    // with each other or with any upstream draw). The draw is the
+    // universal-hash family (a_e·x + b_e mod P, per-epoch coefficients —
+    // the Bloom/CMS probe family), NOT the char-fold poly hash: a char
+    // fold over a shared prefix + numeric suffix is nearly MONOTONE in
+    // the suffix, which would replay the same near-identity order every
+    // epoch (caught by EpochShuffleSpec). doc_id is reduced mod P before
+    // the multiply so the product stays under 2^63 at any corpus scale.
+    // Positions come from ONE composite scale-path rank over
+    // (epoch, pos_h, doc_id) — epoch-major, so per-epoch position is rank
+    // minus epoch·N with no per-epoch window; at 100 TB this is exactly
+    // one range exchange for ALL epochs.
+    "pipeline_epoch_shuffle" -> ((s, dir) => {
+      val docs = docsSpread(s, dir).select(col("doc_id"))
+      val total = docs.count()
+      val a = pmod(lit(1103515245L) * (col("epoch") + 1) + 12345L, lit(P))
+      val b = pmod(lit(1103515245L) * (col("epoch") + 7) + 54321L, lit(P))
+      val keyed = docs
+        .select(col("doc_id"),
+          explode(sequence(lit(0L), lit(NEpochs - 1L))).as("epoch"))
+        .withColumn("pos_h",
+          pmod(a * pmod(col("doc_id") + 1, lit(P)) + b, lit(P)))
+      graft.pu.PU.globalRankByOrder(keyed,
+          Seq(col("epoch"), col("pos_h"), col("doc_id")), "grank")
+        .withColumn("epoch_pos", col("grank") - col("epoch") * lit(total))
+        .select(col("doc_id"), col("epoch"), col("epoch_pos"))
+        .orderBy("epoch", "epoch_pos")
     }),
 
     // DSIR-style importance weights (Xie et al. 2023): score every raw doc
@@ -1553,6 +1587,17 @@ object TrainingDataQueries {
          |SELECT doc_id, bin,
          |  row_number() OVER (ORDER BY key DESC, doc_id) AS curriculum_pos
          |FROM k ORDER BY curriculum_pos""".stripMargin,
+
+    "pipeline_epoch_shuffle" ->
+      s"""WITH e AS (SELECT doc_id, CAST(epoch AS BIGINT) AS epoch FROM documents,
+         |  (SELECT unnest(range(0, $NEpochs)) AS epoch)),
+         |k AS (SELECT doc_id, epoch,
+         |  (((1103515245*(epoch+1)+12345) % $P) * ((doc_id+1) % $P)
+         |    + (1103515245*(epoch+7)+54321) % $P) % $P AS pos_h
+         |  FROM e)
+         |SELECT doc_id, epoch,
+         |  row_number() OVER (PARTITION BY epoch ORDER BY pos_h, doc_id) AS epoch_pos
+         |FROM k ORDER BY epoch, epoch_pos""".stripMargin,
 
     "pipeline_dsir_weights" ->
       s"""WITH t AS ($thCte),
