@@ -2,8 +2,10 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 import graft.Tables
+import graft.functions.TextFunctions
 
 /** Driver-facing multimodal queries. Payloads are UTF-8 bytes of
   * `documents.text`; the DuckDB oracle expands each code point to its
@@ -79,6 +81,36 @@ object MultimodalQueries {
         .select(col("id"), col("resized.mime").as("mime"),
           col("resized.width").as("width"), col("resized.height").as("height"))
         .orderBy("id")
+    }),
+    // Interleaved multimodal SEQUENCE assembly — the packing step of a
+    // text+image training mix: every doc contributes its text tokens;
+    // illustrated docs (deterministic stand-in rule: doc_id % 3 == 0)
+    // additionally spend one <image> placeholder token plus
+    // ceil(w/16)·ceil(h/16) vision patches, with w/h read from the media
+    // METADATA struct — the payload bytes are never touched, so the whole
+    // budget computation is column arithmetic in the scan. Sequences are
+    // concat-and-cut on the combined token+patch cost (Packing's
+    // prefix-sum machinery: range partition + broadcast offsets, one
+    // exchange, no single-task window).
+    "mm_interleave" -> ((s, dir) => {
+      import Packing.DivOps
+      val costed = Tables.documents(s, dir).select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast(LongType).as("n_tokens"),
+          (col("n_chars") % 640).as("w"), (col("n_chars") % 480).as("h"),
+          (pmod(col("doc_id"), lit(3)) === 0).as("has_image"))
+        .withColumn("n_patches", when(col("has_image"),
+          ((col("w") + 15) div 16L) * ((col("h") + 15) div 16L))
+          .otherwise(lit(0L)))
+        .select(col("doc_id"),
+          when(col("has_image"), "text+image").otherwise("text").as("modality"),
+          col("n_tokens"), col("n_patches"),
+          (col("n_tokens") + col("n_patches") +
+            when(col("has_image"), 1L).otherwise(0L)).as("n_total"))
+      Packing.packAssignments(costed, "doc_id", "n_total",
+          TrainingDataQueries.PackTokens)
+        .select(col("doc_id"), col("modality"), col("n_tokens"),
+          col("n_patches"), col("n_total"), col("pack_id"), col("pack_offset"))
+        .orderBy("doc_id")
     })
   )
 
@@ -162,6 +194,27 @@ object MultimodalQueries {
         |SELECT id, mime,
         |  CAST(floor(CAST(w AS DOUBLE) * scale) AS INT) AS width,
         |  CAST(floor(CAST(h AS DOUBLE) * scale) AS INT) AS height
-        |FROM sc ORDER BY id""".stripMargin
+        |FROM sc ORDER BY id""".stripMargin,
+    "mm_interleave" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  CAST(${graft.functions.TextQueries.sqlNTok} AS BIGINT) AS n_tokens,
+         |  CAST(n_chars % 640 AS BIGINT) AS w, CAST(n_chars % 480 AS BIGINT) AS h,
+         |  doc_id % 3 = 0 AS has_image FROM documents),
+         |c AS (SELECT doc_id,
+         |  CASE WHEN has_image THEN 'text+image' ELSE 'text' END AS modality,
+         |  n_tokens,
+         |  CASE WHEN has_image THEN ((w + 15) // 16) * ((h + 15) // 16)
+         |    ELSE 0 END AS n_patches,
+         |  has_image FROM t),
+         |u AS (SELECT doc_id, modality, n_tokens, n_patches,
+         |  n_tokens + n_patches + CASE WHEN has_image THEN 1 ELSE 0 END AS n_total
+         |  FROM c),
+         |p AS (SELECT *, CAST(COALESCE(SUM(n_total) OVER (ORDER BY doc_id
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |  FROM u)
+         |SELECT doc_id, modality, n_tokens, n_patches, n_total,
+         |  cum_before // ${TrainingDataQueries.PackTokens} AS pack_id,
+         |  cum_before % ${TrainingDataQueries.PackTokens} AS pack_offset
+         |FROM p ORDER BY doc_id""".stripMargin
   )
 }

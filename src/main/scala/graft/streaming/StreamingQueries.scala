@@ -58,6 +58,37 @@ object StreamingQueries {
       graft.operators.AsOfJoin.asOf(purchases, clicks, Seq("user_id"),
           "p_us", "c_us", Seq("click_id", "c_us"))
         .orderBy("purchase_id")
+    }),
+    // Ordered event FUNNEL: per user, the first view, the first click
+    // at-or-after that view, and the first purchase at-or-after that
+    // click — the conversion staircase every event-analytics engine
+    // ships. Expressed as a min-chain of filtered user-grain aggs (view
+    // min → click min gated on it → purchase min gated on that): every
+    // stage shuffles only on user_id (co-partitioned end to end under
+    // AQE), each later stage's input is funnel-survivor-proportional,
+    // and there is no per-user window or event-list collection — an
+    // unbounded user history never materializes anywhere. -1 sentinels
+    // instead of NULLs keep the stage columns hash-portable.
+    "q_funnel" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("t_view"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("us") >= col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("t_click"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("us") >= col("t_click"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("t_purchase"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .select(col("user_id"),
+          (lit(1L) + when(col("t_click").isNotNull, 1L).otherwise(0L)
+            + when(col("t_purchase").isNotNull, 1L).otherwise(0L))
+            .as("stages_completed"),
+          col("t_view"),
+          coalesce(col("t_click"), lit(-1L)).as("t_click"),
+          coalesce(col("t_purchase"), lit(-1L)).as("t_purchase"))
+        .orderBy("user_id")
     })
   )
 
@@ -106,6 +137,22 @@ object StreamingQueries {
          |      FROM events WHERE event_type = 'click' GROUP BY 1, 2)
          |SELECT p.user_id, p.purchase_id, p.p_us, c.click_id, c.c_us
          |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.c_us <= p.p_us
-         |ORDER BY purchase_id""".stripMargin
+         |ORDER BY purchase_id""".stripMargin,
+    "q_funnel" ->
+      s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+         |v AS (SELECT user_id, min(us) AS t_view FROM e
+         |  WHERE event_type = 'view' GROUP BY user_id),
+         |c AS (SELECT e.user_id, min(us) AS t_click FROM e JOIN v USING (user_id)
+         |  WHERE event_type = 'click' AND us >= t_view GROUP BY e.user_id),
+         |p AS (SELECT e.user_id, min(us) AS t_purchase FROM e JOIN c USING (user_id)
+         |  WHERE event_type = 'purchase' AND us >= t_click GROUP BY e.user_id)
+         |SELECT v.user_id,
+         |  CAST(1 + CASE WHEN c.t_click IS NOT NULL THEN 1 ELSE 0 END
+         |    + CASE WHEN p.t_purchase IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stages_completed,
+         |  v.t_view,
+         |  COALESCE(c.t_click, -1) AS t_click,
+         |  COALESCE(p.t_purchase, -1) AS t_purchase
+         |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+         |ORDER BY user_id""".stripMargin
   )
 }
