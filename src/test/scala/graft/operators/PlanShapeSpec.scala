@@ -205,4 +205,38 @@ class PlanShapeSpec extends SparkSuite
     assert(exchanges <= 2, plan)
     assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("substring dedup: the ownership table broadcasts back into the positional stream") {
+    val plan = executed("dedup_substring_spans")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // min/max stands in for count-distinct: no Expand pass anywhere
+    assert(!plan.contains("Expand"), plan)
+  }
+
+  test("DSIR scoring: no per-doc window; the ratio lookup is a scan-side literal") {
+    val plan = executed("pipeline_dsir_weights")
+    // ranking is the range-partition path, never a one-partition Window
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("shelf packing and epoch shuffle rank without a Window operator") {
+    assert(!executed("pipeline_pack_shelf").contains("Window"))
+    assert(!executed("pipeline_epoch_shuffle").contains("Window"))
+  }
+
+  test("interleave packs from metadata only: no binary column past the scan") {
+    val opt = graft.SparkEntry.queries("mm_interleave")(spark, sf0001)
+      .queryExecution.optimizedPlan.toString
+    assert(!opt.contains("data#"), opt.take(4000))
+    val plan = executed("mm_interleave")
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("funnel: user-grain aggs only — no Window, no event-list aggregation") {
+    val plan = executed("q_funnel")
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("collect_list"), plan)
+  }
 }
