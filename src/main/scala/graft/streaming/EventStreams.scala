@@ -112,6 +112,132 @@ object EventStreams {
       }
   }
 
+  /** Funnel completion window: click and purchase must land within this
+    * of the first view for the conversion to count. The bound is what
+    * makes a STREAMING funnel possible at all — without it a
+    * one-stage-deep user's funnel can never seal (a qualifying click may
+    * arrive arbitrarily far in the future), so state would be unbounded
+    * and emission undecidable. Batch `q_funnel` stays unwindowed (the
+    * whole-history view a backfill computes); the windowed pair below is
+    * the stream-vs-batch-pinned semantics. */
+  val FunnelWindowMicros: Long = 2L * 3600000000L
+
+  /** Windowed-funnel batch twin: first view, first click in
+    * [t_view, t_view + window], first purchase in [t_click, t_view +
+    * window] — the same min-chain of user-grain filtered aggs as the
+    * driver's `q_funnel`, with the completion window added. -1 sentinels
+    * for missing stages. */
+  def funnelBatchWindowed(events: DataFrame): DataFrame = {
+    val e = events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("t_view"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id")
+      .filter(col("us") >= col("t_view") &&
+        col("us") <= col("t_view") + FunnelWindowMicros)
+      .groupBy(col("user_id")).agg(min(col("us")).as("t_click"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c.join(v, "user_id"), "user_id")
+      .filter(col("us") >= col("t_click") &&
+        col("us") <= col("t_view") + FunnelWindowMicros)
+      .groupBy(col("user_id")).agg(min(col("us")).as("t_purchase"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select(col("user_id"),
+        (lit(1L) + when(col("t_click").isNotNull, 1L).otherwise(0L)
+          + when(col("t_purchase").isNotNull, 1L).otherwise(0L))
+          .as("stages_completed"),
+        col("t_view"),
+        coalesce(col("t_click"), lit(-1L)).as("t_click"),
+        coalesce(col("t_purchase"), lit(-1L)).as("t_purchase"))
+  }
+
+  case class FunnelResult(user_id: Long, stages_completed: Long,
+                          t_view: Long, t_click: Long, t_purchase: Long)
+  /** Per-user funnel state: min view time (Long.MaxValue = none yet,
+    * Long.MinValue = sealed-and-emitted tombstone) and the pruned
+    * candidate click/purchase times. The tombstone is what keeps the
+    * stream equal to the whole-history batch twin: a user converts ONCE
+    * (the batch min-chain anchors on the globally first view), so events
+    * after the seal must not restart the funnel. A retention-bounded
+    * deployment would expire tombstones with a second timeout; the
+    * fixture parity test needs them held. */
+  case class FunnelState(tv: Long, clicks: Seq[Long], purchases: Seq[Long])
+
+  /** Streaming windowed funnel. A user's funnel seals — emits exactly one
+    * [[FunnelResult]] and drops its state — when the watermark passes
+    * `t_view + FunnelWindowMicros`: from then on no acceptable event can
+    * lower t_view (any future ts ≥ watermark > t_view) or land inside the
+    * completion window. Out-of-order safety is by candidate buffering
+    * with a proven prune: a buffered click/purchase can matter only if it
+    * can still be ≥ the FINAL t_view, and t_view_final ≥ min(current tv,
+    * watermark) — so anything below that bound drops. A user with no view
+    * yet keeps only candidates ≥ watermark (a future view ≥ watermark can
+    * only make later events eligible); if none remain, the state is
+    * removed entirely. State is therefore bounded by the watermark delay
+    * plus the funnel window — indefinitely runnable. */
+  def funnelStream(events: Dataset[Event]): Dataset[FunnelResult] = {
+    import events.sparkSession.implicits._
+    val W = FunnelWindowMicros
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelResult](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, newEvents: Iterator[Event], state: GroupState[FunnelState]) =>
+          val prev = state.getOption.getOrElse(
+            FunnelState(Long.MaxValue, Vector.empty, Vector.empty))
+          if (prev.tv == Long.MinValue) {
+            // sealed: this user already emitted its one result
+            newEvents.foreach(_ => ())
+            Iterator.empty
+          } else {
+          var tv = prev.tv
+          var clicks = prev.clicks.toVector
+          var purchases = prev.purchases.toVector
+          newEvents.foreach { e =>
+            val us = tsMicros(e.ts)
+            e.event_type match {
+              case "view"     => if (us < tv) tv = us
+              case "click"    => clicks :+= us
+              case "purchase" => purchases :+= us
+              case _          =>
+            }
+          }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // prune: below min(tv, wm) can never be inside the final window;
+          // above tv + W (tv only decreases) can never re-enter it
+          val lo = math.min(tv, wmUs)
+          clicks = clicks.filter(c => c >= lo && (tv == Long.MaxValue || c <= tv + W))
+          purchases = purchases.filter(p => p >= lo && (tv == Long.MaxValue || p <= tv + W))
+          if (tv != Long.MaxValue && wmUs > tv + W) {
+            // sealed: compute the min-chain, emit once, leave a tombstone
+            state.update(FunnelState(Long.MinValue, Vector.empty, Vector.empty))
+            val tc = clicks.filter(c => c >= tv && c <= tv + W)
+              .minOption.getOrElse(-1L)
+            val tp = if (tc < 0) -1L
+              else purchases.filter(p => p >= tc && p <= tv + W)
+                .minOption.getOrElse(-1L)
+            val stages = 1L + (if (tc >= 0) 1L else 0L) + (if (tp >= 0) 1L else 0L)
+            Iterator.single(FunnelResult(userId, stages, tv, tc, tp))
+          } else if (tv == Long.MaxValue && clicks.isEmpty && purchases.isEmpty) {
+            // no view and nothing a future view could still use
+            state.remove()
+            Iterator.empty
+          } else {
+            state.update(FunnelState(tv, clicks, purchases))
+            // fire when the watermark passes the seal point (views pending)
+            // or keep riding the watermark while only candidates are held
+            val target = if (tv != Long.MaxValue) (tv + W) / 1000L + 1L
+                         else state.getCurrentWatermarkMs() + 1L
+            state.setTimeoutTimestamp(
+              math.max(target, state.getCurrentWatermarkMs() + 1L))
+            Iterator.empty
+          }
+          }
+      }
+  }
+
   /** Attribution lookback window: a purchase is attributed to the same
     * user's clicks in the preceding hour. */
   val AttributionWindowMicros: Long = 3600000000L

@@ -89,6 +89,14 @@ object StreamingQueries {
           coalesce(col("t_click"), lit(-1L)).as("t_click"),
           coalesce(col("t_purchase"), lit(-1L)).as("t_purchase"))
         .orderBy("user_id")
+    }),
+    // The WINDOWED funnel (stages must complete within
+    // EventStreams.FunnelWindowMicros of the first view) — the semantics
+    // the streaming funnel can actually seal on (FunnelStreamSpec pins
+    // funnelStream == this twin); same min-chain shape as q_funnel.
+    "q_funnel_windowed" -> ((s, dir) => {
+      EventStreams.funnelBatchWindowed(Tables.events(s, dir))
+        .orderBy("user_id")
     })
   )
 
@@ -146,6 +154,27 @@ object StreamingQueries {
          |  WHERE event_type = 'click' AND us >= t_view GROUP BY e.user_id),
          |p AS (SELECT e.user_id, min(us) AS t_purchase FROM e JOIN c USING (user_id)
          |  WHERE event_type = 'purchase' AND us >= t_click GROUP BY e.user_id)
+         |SELECT v.user_id,
+         |  CAST(1 + CASE WHEN c.t_click IS NOT NULL THEN 1 ELSE 0 END
+         |    + CASE WHEN p.t_purchase IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stages_completed,
+         |  v.t_view,
+         |  COALESCE(c.t_click, -1) AS t_click,
+         |  COALESCE(p.t_purchase, -1) AS t_purchase
+         |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+         |ORDER BY user_id""".stripMargin,
+    "q_funnel_windowed" ->
+      s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+         |v AS (SELECT user_id, min(us) AS t_view FROM e
+         |  WHERE event_type = 'view' GROUP BY user_id),
+         |c AS (SELECT e.user_id, min(us) AS t_click FROM e JOIN v USING (user_id)
+         |  WHERE event_type = 'click' AND us >= t_view
+         |    AND us <= t_view + ${EventStreams.FunnelWindowMicros}
+         |  GROUP BY e.user_id),
+         |p AS (SELECT e.user_id, min(us) AS t_purchase
+         |  FROM e JOIN c USING (user_id) JOIN v USING (user_id)
+         |  WHERE event_type = 'purchase' AND us >= t_click
+         |    AND us <= t_view + ${EventStreams.FunnelWindowMicros}
+         |  GROUP BY e.user_id)
          |SELECT v.user_id,
          |  CAST(1 + CASE WHEN c.t_click IS NOT NULL THEN 1 ELSE 0 END
          |    + CASE WHEN p.t_purchase IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stages_completed,
