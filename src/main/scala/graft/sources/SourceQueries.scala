@@ -14,6 +14,12 @@ import graft.Tables
   */
 object SourceQueries {
 
+  /** Integer division (SQL `div`) — `/` on longs is double division. */
+  private implicit class DivOps(val c: org.apache.spark.sql.Column) {
+    def div(d: Long): org.apache.spark.sql.Column =
+      call_function("div", c, lit(d))
+  }
+
   private def scratch(s: SparkSession, name: String): String = {
     val tmp = System.getProperty("java.io.tmpdir")
     // reclaim prior runs' leaked copies before writing this run's; never
@@ -99,8 +105,47 @@ object SourceQueries {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
         .orderBy("source")
+    }),
+
+    // Z-ORDER clustering — the multi-dimensional data-skipping layout
+    // (Delta/Iceberg OPTIMIZE ZORDER) Spark has no native operator for:
+    // orders sorted by the bit-interleaved key of (custkey, order day),
+    // both range-normalized to 10 bits from a 3-long bounds agg (a
+    // constant-size driver collect at any scale). Writing in zkey order
+    // makes every file/row-group a small rectangle in (customer, time)
+    // space, so min/max stats prune scans filtered on EITHER dimension —
+    // the locality the emitted per-bucket bounds table exhibits directly
+    // (and ZOrderSpec quantifies against a one-dimensional sort). The
+    // rank is the scale-path range-partition rank: the sort that would
+    // feed the writer, no single-task pass.
+    "src_zorder" -> ((s, dir) => {
+      val ord = Tables.orders(s, dir).select(col("o_orderkey"),
+        col("o_custkey").as("x"),
+        (unix_micros(col("o_orderdate")) div 86400000000L).as("day"))
+      val b = ord.agg(max(col("x")).as("xmax"), min(col("day")).as("dmin"),
+        max(col("day")).as("dmax")).head
+      val (xmax, dmin, dmax) = (b.getLong(0), b.getLong(1), b.getLong(2))
+      val keyed = ord
+        .withColumn("xb", (col("x") * 1024L) div (xmax + 1))
+        .withColumn("yb", ((col("day") - dmin) * 1024L) div (dmax - dmin + 1))
+        .withColumn("zkey", (0 until 10).map { i =>
+          shiftleft(shiftright(col("xb"), i).bitwiseAND(lit(1L)), 2 * i) +
+            shiftleft(shiftright(col("yb"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+        }.reduce(_ + _))
+      graft.pu.PU.globalRankByOrder(keyed,
+          Seq(col("zkey"), col("o_orderkey")), "zrank")
+        .withColumn("bucket", (col("zrank") - 1) div ZBucketRows)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("xb")).as("x_lo"), max(col("xb")).as("x_hi"),
+          min(col("yb")).as("y_lo"), max(col("yb")).as("y_hi"))
+        .orderBy("bucket")
     })
   )
+
+  /** Rows per Z-order "file" in the bucket-bounds table — the stand-in
+    * for a parquet row group whose min/max stats drive skipping. */
+  val ZBucketRows = 256L
 
   def oracles: Map[String, String] = Map(
     "src_partition_prune" ->
@@ -128,6 +173,25 @@ object SourceQueries {
         |  COUNT(*) AS n_docs,
         |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
         |FROM documents
-        |GROUP BY lang ORDER BY lang""".stripMargin
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "src_zorder" -> {
+      val zterms = (0 until 10).map(i =>
+        s"((xb // ${1L << i}) % 2) * ${1L << (2 * i)} + " +
+          s"((yb // ${1L << i}) % 2) * ${1L << (2 * i + 1)}")
+        .mkString(" + ")
+      s"""WITH o AS (SELECT o_orderkey, o_custkey AS x,
+         |  epoch_us(o_orderdate) // 86400000000 AS day FROM orders),
+         |b AS (SELECT max(x) AS xmax, min(day) AS dmin, max(day) AS dmax FROM o),
+         |k AS (SELECT o_orderkey,
+         |  (x * 1024) // (xmax + 1) AS xb,
+         |  ((day - dmin) * 1024) // (dmax - dmin + 1) AS yb
+         |  FROM o CROSS JOIN b),
+         |z AS (SELECT o_orderkey, xb, yb, $zterms AS zkey FROM k),
+         |r AS (SELECT xb, yb,
+         |  row_number() OVER (ORDER BY zkey, o_orderkey) AS zrank FROM z)
+         |SELECT (zrank - 1) // $ZBucketRows AS bucket, count(*) AS n_rows,
+         |  min(xb) AS x_lo, max(xb) AS x_hi, min(yb) AS y_lo, max(yb) AS y_hi
+         |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin
+    }
   )
 }
