@@ -107,6 +107,46 @@ object SourceQueries {
         .orderBy("source")
     }),
 
+    // Small-file COMPACTION — the table-maintenance pass every long-lived
+    // lake table needs: an ingest-shaped layout (32 hash directories, one
+    // tiny file each — the "too many small files" state that drowns a
+    // 100 TB scan in open() calls and planner splits) rewritten into
+    // record-bounded files (coalesced write, maxRecordsPerFile). Both
+    // layouts are REAL writes; file counts come from listing the actual
+    // artifacts, and both phases re-read their layout so the accounting
+    // row proves the rewrite lost nothing. Deterministic end to end: the
+    // small layout's file count is the partition-directory count, the
+    // compacted one is ceil(rows / CompactRecordsPerFile).
+    "src_compact_files" -> ((s, dir) => {
+      import graft.functions.NativeExpressions
+      val smallOut = scratch(s, "graft_small_files")
+      val compactOut = scratch(s, "graft_compacted")
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), pmod(col("doc_id"), lit(32)).as("bucket"))
+      Layouts.writePartitioned(docs, smallOut, "bucket")
+      val small = Layouts.readPartitioned(s, smallOut)
+      small.coalesce(1)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", CompactRecordsPerFile)
+        .parquet(compactOut)
+      val compacted = s.read.parquet(compactOut)
+      def listParquet(p: String): Long =
+        new java.io.File(p).listFiles((_, n) => n.endsWith(".parquet"))
+          .map(_ => 1L).sum
+      def smallFiles: Long = new java.io.File(smallOut)
+        .listFiles((f, n) => n.startsWith("bucket=")).map(d =>
+          d.listFiles((_, n) => n.endsWith(".parquet")).length.toLong).sum
+      def phaseRow(phase: String, df: DataFrame, nFiles: Long): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"),
+            NativeExpressions.polyCombine(
+              sort_array(collect_list(col("doc_id")))).as("ids_hash"))
+          .select(lit(phase).as("phase"), lit(nFiles).as("n_files"),
+            col("n_rows"), col("ids_hash"))
+      phaseRow("compacted", compacted, listParquet(compactOut))
+        .unionByName(phaseRow("small", small, smallFiles))
+        .orderBy("phase")
+    }),
+
     // Z-ORDER clustering — the multi-dimensional data-skipping layout
     // (Delta/Iceberg OPTIMIZE ZORDER) Spark has no native operator for:
     // orders sorted by the bit-interleaved key of (custkey, order day),
@@ -147,6 +187,10 @@ object SourceQueries {
     * for a parquet row group whose min/max stats drive skipping. */
   val ZBucketRows = 256L
 
+  /** Record cap per compacted file — sized so the fixture compacts 32
+    * small files into a deterministic handful (ceil(n_docs / cap)). */
+  val CompactRecordsPerFile = 200L
+
   def oracles: Map[String, String] = Map(
     "src_partition_prune" ->
       """SELECT event_type,
@@ -174,6 +218,19 @@ object SourceQueries {
         |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
         |FROM documents
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "src_compact_files" ->
+      s"""WITH h AS (SELECT count(*) AS n,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), list(doc_id ORDER BY doc_id)),
+         |    (a, x) -> (a*31 + x) % 1000000007) AS ids_hash
+         |  FROM documents),
+         |f AS (SELECT count(DISTINCT doc_id % 32) AS small_files FROM documents)
+         |SELECT 'compacted' AS phase,
+         |  CAST((n + ${CompactRecordsPerFile - 1}) // $CompactRecordsPerFile AS BIGINT) AS n_files,
+         |  n AS n_rows, ids_hash FROM h
+         |UNION ALL
+         |SELECT 'small' AS phase, CAST(small_files AS BIGINT) AS n_files,
+         |  n AS n_rows, ids_hash FROM h CROSS JOIN f
+         |ORDER BY phase""".stripMargin,
     "src_zorder" -> {
       val zterms = (0 until 10).map(i =>
         s"((xb // ${1L << i}) % 2) * ${1L << (2 * i)} + " +
