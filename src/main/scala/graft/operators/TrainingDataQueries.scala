@@ -133,14 +133,15 @@ object TrainingDataQueries {
     if (vocab.isEmpty) Seq.empty else Bpe.learnMerges(vocab, BpeRounds)
   }
 
-  /** Every POSITIONAL `n`-shingle of every document: (doc_id, source,
-    * pos, sh) where `pos` is the 1-based token index of the shingle's
-    * first token and `sh` the base-31 hash of its n token hashes — an
-    * in-scan fold over each length-n token-hash slice, no distinct, no
-    * shuffle. The shared grain under the eval-set hit passes
-    * ([[contaminationHits]]) and the corpus-internal repeated-span pass
-    * ([[repeatedSpanHits]]). */
-  private def positionalShingles(s: SparkSession, dir: String, n: Int): DataFrame = {
+  /** Every POSITIONAL `n`-shingle of every document in `docs` (must
+    * expose doc_id, source, text): (doc_id, source, pos, sh) where `pos`
+    * is the 1-based token index of the shingle's first token and `sh`
+    * the base-31 hash of its n token hashes — an in-scan fold over each
+    * length-n token-hash slice, no distinct, no shuffle. The shared
+    * grain under the eval-set hit passes ([[contaminationHits]]), the
+    * corpus-internal repeated-span pass ([[repeatedSpanHits]]), and the
+    * DSIR feature stream. */
+  private def positionalShingles(docs: DataFrame, n: Int): DataFrame = {
     val th = TextFunctions.tokenHashes(col("text"))
     val posSh = when(size(th) >= n,
       transform(sequence(lit(1), size(th) - (n - 1)),
@@ -148,7 +149,7 @@ object TrainingDataQueries {
           aggregate(slice(th, i, lit(n)), lit(0L),
             (a, h) => pmod(a * 31 + h, lit(P))).as("sh"))))
       .otherwise(array().cast("array<struct<pos:bigint,sh:bigint>>"))
-    docsSpread(s, dir)
+    docs
       .select(col("doc_id"), col("source"), explode(posSh).as("u"))
       .select(col("doc_id"), col("source"),
         col("u.pos").as("pos"), col("u.sh").as("sh"))
@@ -162,7 +163,7 @@ object TrainingDataQueries {
     * hit is. All in-scan kernels; the eval side is a bounded broadcast. */
   private def contaminationHits(s: SparkSession, dir: String): DataFrame = {
     val n = CurationPipeline.DecontNgram
-    val ps = positionalShingles(s, dir, n)
+    val ps = positionalShingles(docsSpread(s, dir), n)
     val evalShh = docsSpread(s, dir).filter(col("source") === "src19")
       .select(explode(TextFunctions.shingleHashes(col("text"), n)).as("sh"))
       .distinct()
@@ -191,8 +192,8 @@ object TrainingDataQueries {
     * broadcast budget, this join degrades to the same shuffle-hash join
     * on sh that the first pass already paid — the adaptive pattern
     * pipeline_decontaminate_bloom documents. */
-  private def repeatedSpanHits(s: SparkSession, dir: String): DataFrame = {
-    val ps = positionalShingles(s, dir, SubstrNgram)
+  private def repeatedSpanHits(docs: DataFrame): DataFrame = {
+    val ps = positionalShingles(docs, SubstrNgram)
       .select(col("doc_id"), col("pos"), col("sh"))
     val owners = ps.groupBy(col("sh"))
       .agg(min(col("doc_id")).as("own"), max(col("doc_id")).as("mx"))
@@ -222,23 +223,112 @@ object TrainingDataQueries {
         st => st("cov")))
       .select(col("doc_id"), col("n_removed"))
 
+  /** The DSIR scoring/ranking table (doc_id, n_feats, score, dsir_rank,
+    * keep) — ONE model definition behind `pipeline_dsir_weights` and the
+    * surgical composition. See the query's comment for the design. */
+  private def dsirRanked(s: SparkSession, dir: String): DataFrame = {
+    val fs = positionalShingles(docsSpread(s, dir), 2)
+      .withColumn("f", pmod(col("sh"), lit(DsirBuckets.toLong)))
+    val counts = fs.groupBy(col("f")).agg(
+        sum(when(col("source") === "src19", 1L).otherwise(0L)).as("nt"),
+        sum(when(col("source") =!= "src19", 1L).otherwise(0L)).as("nr"))
+      .collect()
+    val ratio = Array.fill(DsirBuckets)(1.0)
+    counts.foreach { r => ratio(r.getLong(0).toInt) =
+      (r.getLong(1) + 1).toDouble / (r.getLong(2) + 1).toDouble }
+    val ratioLit = array(ratio.toSeq.map(lit): _*)
+    val th = TextFunctions.tokenHashes(col("text"))
+    val fb = when(size(th) >= 2,
+      transform(sequence(lit(1), size(th) - 1),
+        i => pmod(aggregate(slice(th, i, lit(2)), lit(0L),
+          (a, h) => pmod(a * 31 + h, lit(P))), lit(DsirBuckets.toLong))))
+      .otherwise(array().cast("array<bigint>"))
+    val scored = docsSpread(s, dir).filter(col("source") =!= "src19")
+      .select(col("doc_id"), fb.as("fb"))
+      .select(col("doc_id"), size(col("fb")).cast(LongType).as("n_feats"),
+        aggregate(col("fb"), lit(0.0),
+          (a, b) => a + element_at(ratioLit, (b + 1).cast("int"))).as("score"))
+    val total = scored.count()
+    graft.pu.PU.globalRankByScore(scored, "score", col("doc_id"), "dsir_rank")
+      .withColumn("keep", col("dsir_rank") * 4 <= lit(total))
+      .select(col("doc_id"), col("n_feats"), col("score"),
+        col("dsir_rank"), col("keep"))
+  }
+
+  /** Shelf-pack assignment at DOC grain over `costs` (doc_id, n_tokens):
+    * adds size_class and pack_seq (see `pipeline_pack_shelf` for the
+    * rule) — shared by the standalone pack query and the surgical
+    * composition. */
+  private def shelfPack(costs: DataFrame): DataFrame = {
+    val classed = costs
+      .filter(col("n_tokens") > 0 && col("n_tokens") <= ShelfTokens)
+      .withColumn("size_class", lit(ShelfTokens).div(col("n_tokens")))
+    val ranked = graft.pu.PU.globalRankByOrder(classed,
+      Seq(col("size_class"), col("doc_id")), "grank")
+    val classStart = ranked.groupBy(col("size_class"))
+      .agg(min(col("grank")).as("cstart"))
+    ranked.join(broadcast(classStart), "size_class")
+      .withColumn("pack_seq",
+        (col("grank") - col("cstart")).div(col("size_class")))
+  }
+
   /** Twin of [[repeatedSpanHits]]: CTE chain ending in `hits(doc_id, pos)`
     * — shared by the substring spans and excise oracles, mirroring how
     * [[contamHitCtes]] backs the decontamination pair. */
-  private def substrHitCtes: String = {
+  private def substrHitCtes: String =
+    s"t AS ($thCte),\n" + substrPsCtes("")
+
+  /** The ps/o/hits chain of [[substrHitCtes]] with an optional scope
+    * clause on the positional stream (` WHERE ...` against `t`) — the
+    * surgical composition re-resolves span ownership among its survivor
+    * corpus through exactly this chain. */
+  private def substrPsCtes(fromWhere: String): String = {
     val n = SubstrNgram
-    s"""t AS ($thCte),
-       |ps AS (SELECT doc_id, u.pos AS pos, u.sh AS sh FROM (
+    s"""ps AS (SELECT doc_id, u.pos AS pos, u.sh AS sh FROM (
        |  SELECT doc_id, unnest(CASE WHEN len(th) < $n THEN []
        |    ELSE list_transform(range(1, len(th) - ${n - 1} + 1), i ->
        |      {'pos': CAST(i AS BIGINT),
        |       'sh': ${DedupQueries.combineSql(s"th[i:i+${n - 1}]")}}) END) AS u
-       |  FROM t)),
+       |  FROM t$fromWhere)),
        |o AS (SELECT sh, min(doc_id) AS own FROM ps GROUP BY sh
        |  HAVING min(doc_id) <> max(doc_id)),
        |hits AS (SELECT ps.doc_id, ps.pos FROM ps JOIN o USING (sh)
        |  WHERE ps.doc_id <> o.own)""".stripMargin
   }
+
+  /** Twin of [[dsirRanked]] (expects `t` = [[thCte]] in scope): the
+    * feature → count → dense-ratio → score → rank chain ending in
+    * `n(total)` and `r2(doc_id, n_feats, score, dsir_rank)` — shared by
+    * the standalone weights oracle and the surgical composition. */
+  private def dsirCtes: String =
+    s"""d AS (SELECT doc_id, source, CASE WHEN len(th) < 2 THEN CAST([] AS BIGINT[])
+       |  ELSE list_transform(range(1, len(th)), i ->
+       |    CAST(${DedupQueries.combineSql("th[i:i+1]")} % $DsirBuckets AS BIGINT)) END AS fb
+       |  FROM t),
+       |fs AS (SELECT doc_id, source, unnest(fb) AS f FROM d),
+       |c AS (SELECT f, SUM(CASE WHEN source = 'src19' THEN 1 ELSE 0 END) AS nt,
+       |  SUM(CASE WHEN source <> 'src19' THEN 1 ELSE 0 END) AS nr FROM fs GROUP BY f),
+       |dense AS (SELECT CAST(r.range AS BIGINT) AS f,
+       |  CAST(COALESCE(c.nt, 0) + 1 AS DOUBLE) / (COALESCE(c.nr, 0) + 1) AS ratio
+       |  FROM range(0, $DsirBuckets) r LEFT JOIN c ON c.f = r.range),
+       |rl AS (SELECT list(ratio ORDER BY f) AS rr FROM dense),
+       |sc AS (SELECT doc_id, CAST(len(fb) AS BIGINT) AS n_feats,
+       |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(fb, b -> rr[b+1])),
+       |    (a, x) -> a + x) AS score
+       |  FROM d CROSS JOIN rl WHERE source <> 'src19'),
+       |n AS (SELECT count(*) AS total FROM sc),
+       |r2 AS (SELECT doc_id, n_feats, score,
+       |  row_number() OVER (ORDER BY score DESC, doc_id) AS dsir_rank FROM sc)""".stripMargin
+
+  /** Twin of [[shelfPack]] over `srcRel` (doc_id, n_tokens): size-class
+    * assignment + per-class row number, ending in
+    * `r3(doc_id, n_tokens, size_class, rn)`. */
+  private def shelfRankCtes(srcRel: String): String =
+    s"""c2 AS (SELECT doc_id, n_tokens, $ShelfTokens // n_tokens AS size_class
+       |  FROM $srcRel WHERE n_tokens > 0 AND n_tokens <= $ShelfTokens),
+       |r3 AS (SELECT doc_id, n_tokens, size_class,
+       |  row_number() OVER (PARTITION BY size_class ORDER BY doc_id) - 1 AS rn
+       |  FROM c2)""".stripMargin
 
   /** Twin of [[excisedCoverage]] (expects a `hits(doc_id, pos)` CTE in
     * scope): lag-window interval union ending in `cov(doc_id, n_removed)`. */
@@ -323,16 +413,7 @@ object TrainingDataQueries {
     // web-scale class packs in parallel. Output is pack-grain:
     // fill/padding accounting plus the portable membership hash.
     "pipeline_pack_shelf" -> ((s, dir) => {
-      val classed = docTokens(s, dir)
-        .filter(col("n_tokens") > 0 && col("n_tokens") <= ShelfTokens)
-        .withColumn("size_class", lit(ShelfTokens).div(col("n_tokens")))
-      val ranked = graft.pu.PU.globalRankByOrder(classed,
-        Seq(col("size_class"), col("doc_id")), "grank")
-      val classStart = ranked.groupBy(col("size_class"))
-        .agg(min(col("grank")).as("cstart"))
-      ranked.join(broadcast(classStart), "size_class")
-        .withColumn("pack_seq",
-          (col("grank") - col("cstart")).div(col("size_class")))
+      shelfPack(docTokens(s, dir))
         .groupBy(col("size_class"), col("pack_seq"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("tokens_used"),
@@ -424,7 +505,7 @@ object TrainingDataQueries {
     // shingle-grain shuffle + duplicate-proportional broadcast back);
     // output is duplication-proportional.
     "dedup_substring_spans" -> ((s, dir) => {
-      repeatedSpanHits(s, dir)
+      repeatedSpanHits(docsSpread(s, dir))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_hits"),
           min(col("pos")).as("first_hit"), max(col("pos")).as("last_hit"))
@@ -438,7 +519,7 @@ object TrainingDataQueries {
     // at span grain: what global exact/near dedup does to whole documents,
     // applied to the token ranges the cheaper passes cannot see.
     "dedup_substring_excise" -> ((s, dir) => {
-      excisedCoverage(repeatedSpanHits(s, dir), SubstrNgram)
+      excisedCoverage(repeatedSpanHits(docsSpread(s, dir)), SubstrNgram)
         .join(docsSpread(s, dir).select(col("doc_id"),
           TextFunctions.tokenCount(col("text")).cast(LongType).as("n_before")),
           "doc_id")
@@ -736,32 +817,42 @@ object TrainingDataQueries {
     // is rank-based (top quartile by score, scale-path global rank) —
     // comparisons only, no cross-partition float accumulation.
     "pipeline_dsir_weights" -> ((s, dir) => {
-      val fs = positionalShingles(s, dir, 2)
-        .withColumn("f", pmod(col("sh"), lit(DsirBuckets.toLong)))
-      val counts = fs.groupBy(col("f")).agg(
-          sum(when(col("source") === "src19", 1L).otherwise(0L)).as("nt"),
-          sum(when(col("source") =!= "src19", 1L).otherwise(0L)).as("nr"))
-        .collect()
-      val ratio = Array.fill(DsirBuckets)(1.0)
-      counts.foreach { r => ratio(r.getLong(0).toInt) =
-        (r.getLong(1) + 1).toDouble / (r.getLong(2) + 1).toDouble }
-      val ratioLit = array(ratio.toSeq.map(lit): _*)
-      val th = TextFunctions.tokenHashes(col("text"))
-      val fb = when(size(th) >= 2,
-        transform(sequence(lit(1), size(th) - 1),
-          i => pmod(aggregate(slice(th, i, lit(2)), lit(0L),
-            (a, h) => pmod(a * 31 + h, lit(P))), lit(DsirBuckets.toLong))))
-        .otherwise(array().cast("array<bigint>"))
-      val scored = docsSpread(s, dir).filter(col("source") =!= "src19")
-        .select(col("doc_id"), fb.as("fb"))
-        .select(col("doc_id"), size(col("fb")).cast(LongType).as("n_feats"),
-          aggregate(col("fb"), lit(0.0),
-            (a, b) => a + element_at(ratioLit, (b + 1).cast("int"))).as("score"))
-      val total = scored.count()
-      graft.pu.PU.globalRankByScore(scored, "score", col("doc_id"), "dsir_rank")
-        .withColumn("keep", col("dsir_rank") * 4 <= lit(total))
-        .select(col("doc_id"), col("n_feats"), col("score"),
-          col("dsir_rank"), col("keep"))
+      dsirRanked(s, dir).orderBy("doc_id")
+    }),
+
+    // SURGICAL curation composition — the session's new operators chained
+    // into one pass: Gopher quality gate ∧ DSIR target-likeness keep
+    // (scores trained ONCE on the full corpus — [[dsirRanked]], the
+    // standalone query's exact model, no fork), then corpus-internal
+    // repeated-substring EXCISION scoped to the survivor corpus
+    // (ownership re-resolved among survivors: a dropped doc cannot own a
+    // span), then whole-document SHELF packing on the post-excision token
+    // mass. Per-stage scale shapes are the standalones': one
+    // constant-size ratio collect, one shingle-grain shuffle +
+    // duplicate-proportional broadcast, one composite range exchange.
+    "pipeline_e2e_surgical" -> ((s, dir) => {
+      // stage 1+2: quality ∧ importance gates
+      val keep = dsirRanked(s, dir).filter(col("keep"))
+        .select(col("doc_id"), col("dsir_rank"))
+      val surv = graft.CheckpointUtil.trackPersist(
+        CurationPipeline.qualitySurvivors(docsSpread(s, dir))
+          .join(keep, "doc_id").persist())
+      // stage 3: surgical substring excision within the survivor corpus
+      val cov = excisedCoverage(repeatedSpanHits(surv), SubstrNgram)
+      val after = graft.CheckpointUtil.trackPersist(surv
+        .select(col("doc_id"), col("dsir_rank"),
+          TextFunctions.tokenCount(col("text")).cast(LongType).as("n_before"))
+        .join(cov, Seq("doc_id"), "left")
+        .withColumn("n_removed", coalesce(col("n_removed"), lit(0L)))
+        .withColumn("n_after", col("n_before") - col("n_removed"))
+        .persist())
+      // stage 4: shelf-pack the surviving token mass (docs excised to
+      // zero tokens drop here, like any empty doc)
+      shelfPack(after.select(col("doc_id"), col("n_after").as("n_tokens")))
+        .select(col("doc_id"), col("size_class"), col("pack_seq"))
+        .join(after, "doc_id")
+        .select(col("doc_id"), col("n_before"), col("n_removed"),
+          col("n_after"), col("dsir_rank"), col("size_class"), col("pack_seq"))
         .orderBy("doc_id")
     }),
 
@@ -1369,15 +1460,12 @@ object TrainingDataQueries {
 
     "pipeline_pack_shelf" ->
       s"""WITH t AS (SELECT doc_id, CAST($ntokSql AS BIGINT) AS n_tokens FROM documents),
-         |c AS (SELECT doc_id, n_tokens, $ShelfTokens // n_tokens AS size_class
-         |  FROM t WHERE n_tokens > 0 AND n_tokens <= $ShelfTokens),
-         |r AS (SELECT doc_id, n_tokens, size_class,
-         |  row_number() OVER (PARTITION BY size_class ORDER BY doc_id) - 1 AS rn FROM c)
+         |${shelfRankCtes("t")}
          |SELECT size_class, rn // size_class AS pack_seq, count(*) AS n_docs,
          |  CAST(SUM(n_tokens) AS BIGINT) AS tokens_used,
          |  $ShelfTokens - CAST(SUM(n_tokens) AS BIGINT) AS padding,
          |  ${DedupQueries.combineSql("list(doc_id ORDER BY doc_id)")} AS docs_hash
-         |FROM r GROUP BY size_class, pack_seq
+         |FROM r3 GROUP BY size_class, pack_seq
          |ORDER BY size_class, pack_seq""".stripMargin,
 
     "pipeline_split" ->
@@ -1601,26 +1689,35 @@ object TrainingDataQueries {
 
     "pipeline_dsir_weights" ->
       s"""WITH t AS ($thCte),
-         |d AS (SELECT doc_id, source, CASE WHEN len(th) < 2 THEN CAST([] AS BIGINT[])
-         |  ELSE list_transform(range(1, len(th)), i ->
-         |    CAST(${DedupQueries.combineSql("th[i:i+1]")} % $DsirBuckets AS BIGINT)) END AS fb
-         |  FROM t),
-         |fs AS (SELECT doc_id, source, unnest(fb) AS f FROM d),
-         |c AS (SELECT f, SUM(CASE WHEN source = 'src19' THEN 1 ELSE 0 END) AS nt,
-         |  SUM(CASE WHEN source <> 'src19' THEN 1 ELSE 0 END) AS nr FROM fs GROUP BY f),
-         |dense AS (SELECT CAST(r.range AS BIGINT) AS f,
-         |  CAST(COALESCE(c.nt, 0) + 1 AS DOUBLE) / (COALESCE(c.nr, 0) + 1) AS ratio
-         |  FROM range(0, $DsirBuckets) r LEFT JOIN c ON c.f = r.range),
-         |rl AS (SELECT list(ratio ORDER BY f) AS rr FROM dense),
-         |sc AS (SELECT doc_id, CAST(len(fb) AS BIGINT) AS n_feats,
-         |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(fb, b -> rr[b+1])),
-         |    (a, x) -> a + x) AS score
-         |  FROM d CROSS JOIN rl WHERE source <> 'src19'),
-         |n AS (SELECT count(*) AS total FROM sc),
-         |r2 AS (SELECT doc_id, n_feats, score,
-         |  row_number() OVER (ORDER BY score DESC, doc_id) AS dsir_rank FROM sc)
+         |$dsirCtes
          |SELECT doc_id, n_feats, score, dsir_rank, dsir_rank * 4 <= n.total AS keep
          |FROM r2 CROSS JOIN n ORDER BY doc_id""".stripMargin,
+
+    "pipeline_e2e_surgical" ->
+      s"""WITH t AS ($thCte),
+         |tf AS (${GopherSql.tfCte}),
+         |st AS (${GopherSql.stCte}),
+         |s1 AS (SELECT st.doc_id FROM st JOIN tf USING (doc_id)
+         |  WHERE (${GopherSql.keep})),
+         |$dsirCtes,
+         |surv AS (SELECT r2.doc_id, r2.dsir_rank FROM r2 CROSS JOIN n
+         |  WHERE r2.dsir_rank * 4 <= n.total
+         |    AND r2.doc_id IN (SELECT doc_id FROM s1)),
+         |${substrPsCtes(" WHERE doc_id IN (SELECT doc_id FROM surv)")},
+         |${coverageCtes(SubstrNgram)},
+         |nb AS (SELECT surv.doc_id, surv.dsir_rank, CAST($ntokSql AS BIGINT) AS n_before
+         |  FROM documents JOIN surv ON documents.doc_id = surv.doc_id),
+         |aft AS (SELECT nb.doc_id, nb.dsir_rank, nb.n_before,
+         |  COALESCE(cov.n_removed, 0) AS n_removed,
+         |  nb.n_before - COALESCE(cov.n_removed, 0) AS n_after
+         |  FROM nb LEFT JOIN cov USING (doc_id)),
+         |sh2 AS (SELECT doc_id, n_after AS n_tokens FROM aft),
+         |${shelfRankCtes("sh2")}
+         |SELECT aft.doc_id, aft.n_before, aft.n_removed, aft.n_after,
+         |  aft.dsir_rank, r3.size_class,
+         |  CAST(r3.rn // r3.size_class AS BIGINT) AS pack_seq
+         |FROM r3 JOIN aft USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "pipeline_mix_temperature" ->
       s"""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang
