@@ -192,7 +192,7 @@ object TrainingDataQueries {
     * broadcast budget, this join degrades to the same shuffle-hash join
     * on sh that the first pass already paid — the adaptive pattern
     * pipeline_decontaminate_bloom documents. */
-  private def repeatedSpanHits(docs: DataFrame): DataFrame = {
+  private[operators] def repeatedSpanHits(docs: DataFrame): DataFrame = {
     val ps = positionalShingles(docs, SubstrNgram)
       .select(col("doc_id"), col("pos"), col("sh"))
     val owners = ps.groupBy(col("sh"))
@@ -212,7 +212,7 @@ object TrainingDataQueries {
     * (`pipeline_excise`) and the corpus-internal substring excision
     * (`dedup_substring_excise`) so the two passes cannot disagree on
     * what "covered" means. */
-  private def excisedCoverage(hits: DataFrame, n: Int): DataFrame =
+  private[operators] def excisedCoverage(hits: DataFrame, n: Int): DataFrame =
     hits.groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("pos"))).as("psorted"))
       .withColumn("n_removed", aggregate(col("psorted"),

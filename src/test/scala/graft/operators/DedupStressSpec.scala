@@ -157,6 +157,41 @@ class DedupStressSpec extends SparkSuite {
     d.unpersist(blocking = false)
     graft.CheckpointUtil.releaseStragglers()
   }
+
+  test("substring-span dedup recovers planted coverage at 50k docs, within the mod-P birthday excess") {
+    // the corpus yields ~3.65M distinct 8-gram shingles; in the mod-P
+    // (1e9+7) hash space that predicts ~6.7k colliding pairs (n²/2P) →
+    // ~23% of docs carry at least one spuriously-shared shingle. Planted
+    // structure must come through exactly where full coverage makes the
+    // value collision-proof, and the spurious breadth must stay inside
+    // ~2× the prediction — the same measured evidence as the paragraph
+    // pass that the 100 TB path needs the 64-bit hash space.
+    val docs = corpus.withColumn("source", lit("s"))
+    val cov = TrainingDataQueries.excisedCoverage(
+        TrainingDataQueries.repeatedSpanHits(docs),
+        TrainingDataQueries.SubstrNgram)
+      .withColumn("role", col("doc_id") % 1000)
+      .persist()
+    // exact clones: every window repeats the leader's → full 80-token
+    // cover (spurious extras cannot exceed an already-full union)
+    assert(cov.filter(col("role").isin(1, 2)).count() == 100)
+    assert(cov.filter(col("role").isin(1, 2) && col("n_removed") =!= 80)
+      .count() == 0)
+    // near-dups: the 75-token planted prefix at least, the doc at most
+    assert(cov.filter(col("role") === 3).count() == 50)
+    assert(cov.filter(col("role") === 3 &&
+      (col("n_removed") < 75 || col("n_removed") > 80)).count() == 0)
+    // paragraph grafts: the 20-token planted span at least
+    assert(cov.filter(col("role") === 4).count() == 50)
+    assert(cov.filter(col("role") === 4 && col("n_removed") < 20).count() == 0)
+    // spurious breadth: unique docs (and leaders) hit only by hash
+    // collisions — bounded by twice the birthday prediction
+    val spurious = cov.filter(!col("role").isin(1, 2, 3, 4)).count()
+    info(s"spurious-hit docs: $spurious (predicted ~11.5k)")
+    assert(spurious < 23000, s"spurious-hit docs: $spurious")
+    cov.unpersist(blocking = false)
+    graft.CheckpointUtil.releaseStragglers()
+  }
 }
 
 /** Generator on the module (Serializable) so Dataset closures never
