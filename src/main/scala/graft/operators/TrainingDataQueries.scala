@@ -820,6 +820,52 @@ object TrainingDataQueries {
       dsirRanked(s, dir).orderBy("doc_id")
     }),
 
+    // INCREMENTAL substring dedup — the daily-ingest arm of the span
+    // pass: excise a new batch (top ~20% of ids, the incremental chain's
+    // batch rule) against STANDING corpus state without touching the
+    // corpus. The state is the corpus's distinct shingle set, computed
+    // once and materialized (eager localCheckpoint — the production
+    // artifact a deployment persists); every batch position whose shingle
+    // exists in the state is a hit outright (the owner lives in the
+    // corpus — every corpus id precedes every batch id), and shingles the
+    // corpus has never seen resolve ownership among the batch alone.
+    // Those two hit sets partition the full-rebuild hit set EXACTLY, so
+    // the oracle is the whole-corpus pass restricted to batch ids — the
+    // hash-exact compare IS the batch-then-increment == full-rebuild
+    // proof. Corpus cost: one scan to build state, then zero (no corpus
+    // shuffle on any batch's account); state broadcast degrades to the
+    // Bloom probe (overestimate-only = extra excision, the safe
+    // direction) when it outgrows the broadcast budget.
+    "dedup_substring_incremental" -> ((s, dir) => {
+      val docs = docsSpread(s, dir)
+      val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+      val boundary = maxId * 4 / 5
+      val corpus = docs.filter(col("doc_id") <= boundary)
+      val batch = docs.filter(col("doc_id") > boundary)
+      val corpusShh = graft.CheckpointUtil.track(
+        positionalShingles(corpus, SubstrNgram).select(col("sh")).distinct()
+          .localCheckpoint(true))
+      val psB = positionalShingles(batch, SubstrNgram)
+        .select(col("doc_id"), col("pos"), col("sh"))
+      val corpusHits = psB.join(broadcast(corpusShh), Seq("sh"), "left_semi")
+        .select(col("doc_id"), col("pos"))
+      val batchOnly = psB.join(broadcast(corpusShh), Seq("sh"), "left_anti")
+      val owners = batchOnly.groupBy(col("sh"))
+        .agg(min(col("doc_id")).as("own"), max(col("doc_id")).as("mx"))
+        .filter(col("own") =!= col("mx"))
+        .select(col("sh"), col("own"))
+      val batchHits = batchOnly.join(broadcast(owners), Seq("sh"))
+        .filter(col("doc_id") =!= col("own"))
+        .select(col("doc_id"), col("pos"))
+      excisedCoverage(corpusHits.unionByName(batchHits), SubstrNgram)
+        .join(batch.select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast(LongType).as("n_before")),
+          "doc_id")
+        .select(col("doc_id"), col("n_before"), col("n_removed"),
+          (col("n_before") - col("n_removed")).as("n_after"))
+        .orderBy("doc_id")
+    }),
+
     // SURGICAL curation composition — the session's new operators chained
     // into one pass: Gopher quality gate ∧ DSIR target-likeness keep
     // (scores trained ONCE on the full corpus — [[dsirRanked]], the
@@ -1556,6 +1602,18 @@ object TrainingDataQueries {
          |SELECT cov.doc_id, nt.n_before, cov.n_removed,
          |  nt.n_before - cov.n_removed AS n_after
          |FROM cov JOIN nt USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    // full rebuild restricted to batch ids — the equivalence proof
+    "dedup_substring_incremental" ->
+      s"""WITH $substrHitCtes,
+         |bd AS (SELECT max(doc_id) * 4 // 5 AS boundary FROM documents),
+         |${coverageCtes(SubstrNgram)},
+         |nt AS (SELECT doc_id, CAST($ntokSql AS BIGINT) AS n_before FROM documents)
+         |SELECT cov.doc_id, nt.n_before, cov.n_removed,
+         |  nt.n_before - cov.n_removed AS n_after
+         |FROM cov JOIN nt USING (doc_id) CROSS JOIN bd
+         |WHERE cov.doc_id > bd.boundary
          |ORDER BY doc_id""".stripMargin,
 
     "pipeline_decontaminate_bloom" -> {
