@@ -334,6 +334,29 @@ object SimilarityQueries {
       graft.sources.Layouts.compactBucketed(s, tbl, compacted, "cen_id",
         nBuckets = 16, sortCols = Seq("cen_id", "vec_id"))
       probeBucketed(s, compacted, corpus, centSeq)
+    }),
+
+    // Per-dimension FIXED-POINT moment aggregates — the normalization
+    // statistics (mean/variance per dim) every embedding pipeline
+    // computes before standardizing, made REPRODUCIBLE: float summation
+    // order varies with partitioning, so a double-sum mean differs
+    // run-to-run at scale; scaling each value by 2^20 (a pure exponent
+    // shift — exact on doubles) and flooring to integer units makes the
+    // sums associative longs — the same answer on any partitioning, any
+    // engine (that's also what makes the oracle hash-exact). Downstream
+    // mean = sum_u / (n << 20). At sums beyond 2^63 (≳1e9 rows/dim at
+    // this value range) sum_u2 escalates to DECIMAL(38,0) — same
+    // determinism, wider lane. One posexplode + one 64-group agg.
+    "sim_dim_stats" -> ((s, dir) => {
+      val u = floor(col("v").cast("double") * lit(1048576.0)).cast("long")
+      Tables.embeddings(s, dir)
+        .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("dim").cast("long").as("dim"), u.as("u"))
+        .groupBy(col("dim"))
+        .agg(count(lit(1)).as("n"), sum(col("u")).as("sum_u"),
+          sum(col("u") * col("u")).as("sum_u2"),
+          min(col("u")).as("min_u"), max(col("u")).as("max_u"))
+        .orderBy("dim")
     })
   )
 
@@ -683,7 +706,17 @@ object SimilarityQueries {
       // serving roundtrip (src_ivfpq_bucketed — row-identical by
       // construction) at the serving regime's NQueriesServe.
       "sim_topk_ivfpq" -> ivfPqOracle(NQueries),
-      "src_ivfpq_bucketed" -> ivfPqOracle(NQueriesServe)
+      "src_ivfpq_bucketed" -> ivfPqOracle(NQueriesServe),
+      "sim_dim_stats" ->
+        s"""WITH u AS (SELECT x.d AS dim,
+           |  CAST(floor(CAST(x.v AS DOUBLE) * 1048576.0) AS BIGINT) AS u FROM (
+           |  SELECT unnest(list_transform(range(1, len(embedding) + 1),
+           |    i -> {'d': CAST(i - 1 AS BIGINT), 'v': embedding[i]})) AS x
+           |  FROM embeddings))
+           |SELECT dim, count(*) AS n, CAST(SUM(u) AS BIGINT) AS sum_u,
+           |  CAST(SUM(u * u) AS BIGINT) AS sum_u2,
+           |  min(u) AS min_u, max(u) AS max_u
+           |FROM u GROUP BY dim ORDER BY dim""".stripMargin
     )
   }
 
