@@ -90,6 +90,36 @@ object StreamingQueries {
           coalesce(col("t_purchase"), lit(-1L)).as("t_purchase"))
         .orderBy("user_id")
     }),
+    // RESAMPLE + FORWARD-FILL — the time-series regularization every
+    // metrics/feature pipeline needs: each user's irregular event stream
+    // sampled onto a daily grid spanning the user's own activity window,
+    // each grid point carrying the user's most recent observation
+    // at-or-before it. Grid bounds are per-user aggregates (one shuffle);
+    // the fill is the as-of composition (tag + union + one forward-fill
+    // window) — ONE more shuffle on user_id and a merge-scan sort,
+    // independent of how many events each grid point skips over. Grid
+    // days are integer epoch-day arithmetic so the twin is exact; the
+    // observation at a duplicate (user, ts) is the max-event_id row (the
+    // as-of uniqueness contract).
+    "q_resample_ffill" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("e_us"), col("value"))
+      val obs = ev.groupBy(col("user_id"), col("e_us"))
+        .agg(max_by(col("value"), col("event_id")).as("obs_value"))
+      val grid = ev.groupBy(col("user_id"))
+        .agg(call_function("div", min(col("e_us")), lit(86400000000L)).as("d0"),
+          call_function("div", max(col("e_us")), lit(86400000000L)).as("d1"))
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"))).as("day"))
+        .withColumn("grid_us", (col("day") + 1) * 86400000000L - 1)
+      graft.operators.AsOfJoin.asOf(grid, obs, Seq("user_id"),
+          "grid_us", "e_us", Seq("obs_value", "e_us"))
+        .select(col("user_id"), col("day"), col("obs_value"),
+          coalesce(col("e_us"), lit(-1L)).as("obs_us"))
+        .orderBy("user_id", "day")
+    }),
+
     // The WINDOWED funnel (stages must complete within
     // EventStreams.FunnelWindowMicros of the first view) — the semantics
     // the streaming funnel can actually seal on (FunnelStreamSpec pins
@@ -162,6 +192,20 @@ object StreamingQueries {
          |  COALESCE(p.t_purchase, -1) AS t_purchase
          |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
          |ORDER BY user_id""".stripMargin,
+    "q_resample_ffill" ->
+      s"""WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS e_us, value FROM events),
+         |obs AS (SELECT user_id, e_us, arg_max(value, event_id) AS obs_value
+         |  FROM ev GROUP BY user_id, e_us),
+         |b AS (SELECT user_id, min(e_us) // 86400000000 AS d0,
+         |  max(e_us) // 86400000000 AS d1 FROM ev GROUP BY user_id),
+         |grid AS (SELECT user_id, CAST(u AS BIGINT) AS day,
+         |  (CAST(u AS BIGINT) + 1) * 86400000000 - 1 AS grid_us
+         |  FROM (SELECT user_id, unnest(range(d0, d1 + 1)) AS u FROM b))
+         |SELECT grid.user_id, grid.day, obs.obs_value,
+         |  COALESCE(obs.e_us, -1) AS obs_us
+         |FROM grid ASOF LEFT JOIN obs
+         |  ON grid.user_id = obs.user_id AND obs.e_us <= grid.grid_us
+         |ORDER BY grid.user_id, day""".stripMargin,
     "q_funnel_windowed" ->
       s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
          |v AS (SELECT user_id, min(us) AS t_view FROM e
