@@ -357,8 +357,51 @@ object SimilarityQueries {
           sum(col("u") * col("u")).as("sum_u2"),
           min(col("u")).as("min_u"), max(col("u")).as("max_u"))
         .orderBy("dim")
+    }),
+
+    // Distributed PCA POWER ITERATION — the dominant principal direction
+    // of the embedding corpus (the whitening/top-component-removal step
+    // of embedding-based curation), computed covariance-free:
+    // v ← normalize(Xᵀ(Xv)), [[PcaIters]] rounds, each ONE corpus scan
+    // (per-row dot y=⟨x,v⟩ is in-scan column arithmetic) plus one
+    // 64-group agg whose per-element contributions floor(y·x_j·2^20) to
+    // integer units — associative longs, so the iterate is IDENTICAL on
+    // any partitioning (a raw float mat-vec drifts with task order and
+    // can never be oracle-compared). The 64 sums collect to the driver
+    // (constant-size), normalize in a fixed fold order, and re-enter the
+    // next scan as literals — no gram matrix, no per-row state, nothing
+    // driver-side that grows with the corpus.
+    "sim_pca_power" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir).select(col("embedding"))
+      var v = Array.fill(64)(0.125)
+      var su = Array.fill(64)(0L)
+      for (_ <- 0 until PcaIters) {
+        val vLit = array(v.toSeq.map(lit): _*)
+        val y = aggregate(
+          zip_with(col("embedding"), vLit, (e, w) => e.cast("double") * w),
+          lit(0.0), (a, x) => a + x)
+        val sums = emb.select(y.as("y"), posexplode(col("embedding")).as(Seq("j", "e")))
+          .select(col("j"),
+            floor(col("y") * col("e").cast("double") * 1048576.0)
+              .cast("long").as("u"))
+          .groupBy(col("j")).agg(sum(col("u")).as("su"))
+          .collect()
+        su = Array.fill(64)(0L)
+        sums.foreach(r => su(r.getInt(0)) = r.getLong(1))
+        val z = su.map(_.toDouble / 1048576.0)
+        val norm = math.sqrt(z.foldLeft(0.0)((a, x) => a + x * x))
+        v = z.map(_ / norm)
+      }
+      (0 until 64).map(j => (j.toLong, v(j), su(j)))
+        .toDF("dim", "v", "z_units")
+        .orderBy("dim")
     })
   )
+
+  /** Power-iteration rounds — enough for a stable dominant direction on
+    * the near-isotropic fixture while keeping the unrolled twin legible. */
+  val PcaIters = 4
 
   private def scratchTable(s: SparkSession, name: String): String = {
     // dead sessions' scratch tables are plain warehouse directories (the
@@ -707,6 +750,33 @@ object SimilarityQueries {
       // construction) at the serving regime's NQueriesServe.
       "sim_topk_ivfpq" -> ivfPqOracle(NQueries),
       "src_ivfpq_bucketed" -> ivfPqOracle(NQueriesServe),
+      "sim_pca_power" -> {
+        // unrolled PcaIters-round twin: same fixed-point mat-vec, same
+        // driver-fold normalization order, so every double is bit-equal
+        def iter(k: Int): String =
+          s"""y$k AS (SELECT embedding,
+             |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             |    list_transform(range(1, 65), j -> CAST(embedding[j] AS DOUBLE) * v[j])),
+             |    (a, x) -> a + x) AS y FROM embeddings CROSS JOIN v${k - 1}),
+             |u$k AS (SELECT x.j AS j,
+             |  CAST(floor(y * x.e * 1048576.0) AS BIGINT) AS u FROM (
+             |  SELECT y, unnest(list_transform(range(1, 65),
+             |    j -> {'j': CAST(j AS BIGINT), 'e': CAST(embedding[j] AS DOUBLE)})) AS x
+             |  FROM y$k)),
+             |s$k AS (SELECT j, CAST(SUM(u) AS BIGINT) AS su FROM u$k GROUP BY j),
+             |z$k AS (SELECT list(CAST(su AS DOUBLE) / 1048576.0 ORDER BY j) AS z FROM s$k),
+             |n$k AS (SELECT sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             |  list_transform(z, x -> x * x)), (a, x) -> a + x)) AS nrm FROM z$k),
+             |v$k AS (SELECT list_transform(z, x -> x / nrm) AS v FROM z$k CROSS JOIN n$k)""".stripMargin
+        val body = (1 to PcaIters).map(iter).mkString(",\n")
+        s"""WITH v0 AS (SELECT list_transform(range(0, 64),
+           |  i -> CAST(0.125 AS DOUBLE)) AS v),
+           |$body
+           |SELECT CAST(s$PcaIters.j - 1 AS BIGINT) AS dim,
+           |  v$PcaIters.v[s$PcaIters.j] AS v, s$PcaIters.su AS z_units
+           |FROM s$PcaIters CROSS JOIN v$PcaIters
+           |ORDER BY dim""".stripMargin
+      },
       "sim_dim_stats" ->
         s"""WITH u AS (SELECT x.d AS dim,
            |  CAST(floor(CAST(x.v AS DOUBLE) * 1048576.0) AS BIGINT) AS u FROM (

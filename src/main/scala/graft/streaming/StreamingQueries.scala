@@ -90,6 +90,29 @@ object StreamingQueries {
           coalesce(col("t_purchase"), lit(-1L)).as("t_purchase"))
         .orderBy("user_id")
     }),
+    // COHORT RETENTION — the week-over-week activity matrix: users
+    // grouped by first-active week (their cohort), each later week's
+    // surviving actives counted at the (cohort, offset) grain. No
+    // count-distinct Expand anywhere: activity dedups to (user, week)
+    // grain in one agg, cohorts are a second user-grain agg on the SAME
+    // key (co-partitioned join, no extra exchange under AQE), and the
+    // final matrix is a tiny rollup. Offset 0 carries the cohort size.
+    "q_retention_cohorts" -> ((s, dir) => {
+      val weeks = Tables.events(s, dir)
+        .select(col("user_id"),
+          call_function("div", unix_micros(col("ts")), lit(604800000000L))
+            .as("week"))
+        .groupBy(col("user_id"), col("week")).agg(count(lit(1)).as("_n"))
+        .select(col("user_id"), col("week"))
+      val cohorts = weeks.groupBy(col("user_id"))
+        .agg(min(col("week")).as("cohort_week"))
+      weeks.join(cohorts, "user_id")
+        .groupBy(col("cohort_week"),
+          (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
     // RESAMPLE + FORWARD-FILL — the time-series regularization every
     // metrics/feature pipeline needs: each user's irregular event stream
     // sampled onto a daily grid spanning the user's own activity window,
@@ -192,6 +215,15 @@ object StreamingQueries {
          |  COALESCE(p.t_purchase, -1) AS t_purchase
          |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
          |ORDER BY user_id""".stripMargin,
+    "q_retention_cohorts" ->
+      s"""WITH w AS (SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week
+         |  FROM events),
+         |c AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY user_id)
+         |SELECT c.cohort_week, w.week - c.cohort_week AS week_offset,
+         |  count(*) AS n_users
+         |FROM w JOIN c USING (user_id)
+         |GROUP BY c.cohort_week, week_offset
+         |ORDER BY cohort_week, week_offset""".stripMargin,
     "q_resample_ffill" ->
       s"""WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS e_us, value FROM events),
          |obs AS (SELECT user_id, e_us, arg_max(value, event_id) AS obs_value
