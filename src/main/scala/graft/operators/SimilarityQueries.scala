@@ -373,35 +373,98 @@ object SimilarityQueries {
     // driver-side that grows with the corpus.
     "sim_pca_power" -> ((s, dir) => {
       import s.implicits._
-      val emb = Tables.embeddings(s, dir).select(col("embedding"))
-      var v = Array.fill(64)(0.125)
-      var su = Array.fill(64)(0L)
-      for (_ <- 0 until PcaIters) {
-        val vLit = array(v.toSeq.map(lit): _*)
-        val y = aggregate(
-          zip_with(col("embedding"), vLit, (e, w) => e.cast("double") * w),
-          lit(0.0), (a, x) => a + x)
-        val sums = emb.select(y.as("y"), posexplode(col("embedding")).as(Seq("j", "e")))
-          .select(col("j"),
-            floor(col("y") * col("e").cast("double") * 1048576.0)
-              .cast("long").as("u"))
-          .groupBy(col("j")).agg(sum(col("u")).as("su"))
-          .collect()
-        su = Array.fill(64)(0L)
-        sums.foreach(r => su(r.getInt(0)) = r.getLong(1))
-        val z = su.map(_.toDouble / 1048576.0)
-        val norm = math.sqrt(z.foldLeft(0.0)((a, x) => a + x * x))
-        v = z.map(_ / norm)
-      }
+      val (v, su) = pcaDirection(s, dir)
       (0 until 64).map(j => (j.toLong, v(j), su(j)))
         .toDF("dim", "v", "z_units")
         .orderBy("dim")
+    }),
+
+    // TOP-COMPONENT REMOVAL — the whitening step that follows the power
+    // iteration (Mu & Arora-style post-processing before embedding
+    // dedup/similarity): every vector's projection onto the dominant
+    // direction subtracted, x' = x − ⟨x,v⟩v. Per row this is pure in-scan
+    // column arithmetic over the broadcast literal v — no cross-row float
+    // accumulation anywhere, so the emitted doubles (projection, norm²
+    // before/after) are bit-reproducible and the twin compares them
+    // exactly. One scan, zero shuffles past the presentation sort.
+    "sim_whiten_topdrop" -> ((s, dir) => {
+      val (v, _) = pcaDirection(s, dir)
+      val vLit = array(v.toSeq.map(lit): _*)
+      val y = aggregate(
+        zip_with(col("embedding"), vLit, (e, w) => e.cast("double") * w),
+        lit(0.0), (a, x) => a + x)
+      val nb = aggregate(
+        transform(col("embedding"), e => e.cast("double") * e.cast("double")),
+        lit(0.0), (a, x) => a + x)
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"), y.as("y"), nb.as("norm2_before"))
+        .select(col("vec_id"), col("y"), col("norm2_before"),
+          aggregate(
+            zip_with(col("embedding"), vLit, (e, w) => {
+              val d = e.cast("double") - col("y") * w
+              d * d
+            }),
+            lit(0.0), (a, x) => a + x).as("norm2_after"))
+        .orderBy("vec_id")
     })
   )
+
+  /** The shared power-iteration loop: [[PcaIters]] rounds of the
+    * fixed-point mat-vec (see `sim_pca_power`), returning the final unit
+    * direction and the last round's integer sums. */
+  private def pcaDirection(s: SparkSession, dir: String): (Array[Double], Array[Long]) = {
+    val emb = Tables.embeddings(s, dir).select(col("embedding"))
+    var v = Array.fill(64)(0.125)
+    var su = Array.fill(64)(0L)
+    for (_ <- 0 until PcaIters) {
+      val vLit = array(v.toSeq.map(lit): _*)
+      val y = aggregate(
+        zip_with(col("embedding"), vLit, (e, w) => e.cast("double") * w),
+        lit(0.0), (a, x) => a + x)
+      val sums = emb.select(y.as("y"), posexplode(col("embedding")).as(Seq("j", "e")))
+        .select(col("j"),
+          floor(col("y") * col("e").cast("double") * 1048576.0)
+            .cast("long").as("u"))
+        .groupBy(col("j")).agg(sum(col("u")).as("su"))
+        .collect()
+      su = Array.fill(64)(0L)
+      sums.foreach(r => su(r.getInt(0)) = r.getLong(1))
+      val z = su.map(_.toDouble / 1048576.0)
+      val norm = math.sqrt(z.foldLeft(0.0)((a, x) => a + x * x))
+      v = z.map(_ / norm)
+    }
+    (v, su)
+  }
 
   /** Power-iteration rounds — enough for a stable dominant direction on
     * the near-isotropic fixture while keeping the unrolled twin legible. */
   val PcaIters = 4
+
+  /** Unrolled [[PcaIters]]-round power-iteration twin (fixed-point
+    * mat-vec, driver-fold normalization order — every double bit-equal),
+    * ending in `s$PcaIters` (integer sums) and `v$PcaIters` (the unit
+    * direction). Shared by the `sim_pca_power` and `sim_whiten_topdrop`
+    * oracles so the direction definition cannot fork. */
+  private def pcaCtes: String = {
+    def iter(k: Int): String =
+      s"""y$k AS (SELECT embedding,
+         |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list_transform(range(1, 65), j -> CAST(embedding[j] AS DOUBLE) * v[j])),
+         |    (a, x) -> a + x) AS y FROM embeddings CROSS JOIN v${k - 1}),
+         |u$k AS (SELECT x.j AS j,
+         |  CAST(floor(y * x.e * 1048576.0) AS BIGINT) AS u FROM (
+         |  SELECT y, unnest(list_transform(range(1, 65),
+         |    j -> {'j': CAST(j AS BIGINT), 'e': CAST(embedding[j] AS DOUBLE)})) AS x
+         |  FROM y$k)),
+         |s$k AS (SELECT j, CAST(SUM(u) AS BIGINT) AS su FROM u$k GROUP BY j),
+         |z$k AS (SELECT list(CAST(su AS DOUBLE) / 1048576.0 ORDER BY j) AS z FROM s$k),
+         |n$k AS (SELECT sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |  list_transform(z, x -> x * x)), (a, x) -> a + x)) AS nrm FROM z$k),
+         |v$k AS (SELECT list_transform(z, x -> x / nrm) AS v FROM z$k CROSS JOIN n$k)""".stripMargin
+    s"""v0 AS (SELECT list_transform(range(0, 64),
+       |  i -> CAST(0.125 AS DOUBLE)) AS v),
+       |${(1 to PcaIters).map(iter).mkString(",\n")}""".stripMargin
+  }
 
   private def scratchTable(s: SparkSession, name: String): String = {
     // dead sessions' scratch tables are plain warehouse directories (the
@@ -750,33 +813,30 @@ object SimilarityQueries {
       // construction) at the serving regime's NQueriesServe.
       "sim_topk_ivfpq" -> ivfPqOracle(NQueries),
       "src_ivfpq_bucketed" -> ivfPqOracle(NQueriesServe),
-      "sim_pca_power" -> {
-        // unrolled PcaIters-round twin: same fixed-point mat-vec, same
-        // driver-fold normalization order, so every double is bit-equal
-        def iter(k: Int): String =
-          s"""y$k AS (SELECT embedding,
-             |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
-             |    list_transform(range(1, 65), j -> CAST(embedding[j] AS DOUBLE) * v[j])),
-             |    (a, x) -> a + x) AS y FROM embeddings CROSS JOIN v${k - 1}),
-             |u$k AS (SELECT x.j AS j,
-             |  CAST(floor(y * x.e * 1048576.0) AS BIGINT) AS u FROM (
-             |  SELECT y, unnest(list_transform(range(1, 65),
-             |    j -> {'j': CAST(j AS BIGINT), 'e': CAST(embedding[j] AS DOUBLE)})) AS x
-             |  FROM y$k)),
-             |s$k AS (SELECT j, CAST(SUM(u) AS BIGINT) AS su FROM u$k GROUP BY j),
-             |z$k AS (SELECT list(CAST(su AS DOUBLE) / 1048576.0 ORDER BY j) AS z FROM s$k),
-             |n$k AS (SELECT sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-             |  list_transform(z, x -> x * x)), (a, x) -> a + x)) AS nrm FROM z$k),
-             |v$k AS (SELECT list_transform(z, x -> x / nrm) AS v FROM z$k CROSS JOIN n$k)""".stripMargin
-        val body = (1 to PcaIters).map(iter).mkString(",\n")
-        s"""WITH v0 AS (SELECT list_transform(range(0, 64),
-           |  i -> CAST(0.125 AS DOUBLE)) AS v),
-           |$body
+      "sim_pca_power" ->
+        s"""WITH $pcaCtes
            |SELECT CAST(s$PcaIters.j - 1 AS BIGINT) AS dim,
            |  v$PcaIters.v[s$PcaIters.j] AS v, s$PcaIters.su AS z_units
            |FROM s$PcaIters CROSS JOIN v$PcaIters
-           |ORDER BY dim""".stripMargin
-      },
+           |ORDER BY dim""".stripMargin,
+      "sim_whiten_topdrop" ->
+        s"""WITH $pcaCtes,
+           |w AS (SELECT vec_id, embedding, v,
+           |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |    list_transform(range(1, 65), j -> CAST(embedding[j] AS DOUBLE) * v[j])),
+           |    (a, x) -> a + x) AS y
+           |  FROM embeddings CROSS JOIN v$PcaIters)
+           |SELECT vec_id, y,
+           |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |    list_transform(range(1, 65),
+           |      j -> CAST(embedding[j] AS DOUBLE) * CAST(embedding[j] AS DOUBLE))),
+           |    (a, x) -> a + x) AS norm2_before,
+           |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |    list_transform(range(1, 65),
+           |      j -> (CAST(embedding[j] AS DOUBLE) - y * v[j]) *
+           |           (CAST(embedding[j] AS DOUBLE) - y * v[j]))),
+           |    (a, x) -> a + x) AS norm2_after
+           |FROM w ORDER BY vec_id""".stripMargin,
       "sim_dim_stats" ->
         s"""WITH u AS (SELECT x.d AS dim,
            |  CAST(floor(CAST(x.v AS DOUBLE) * 1048576.0) AS BIGINT) AS u FROM (

@@ -31,4 +31,16 @@ class PcaPowerSpec extends SparkSuite {
     assert(rayV >= 0.95 * axis,
       s"Rayleigh(v)=$rayV must approach/beat the best axis ($axis)")
   }
+
+  test("whitening removes exactly the projected mass (Pythagoras per row)") {
+    val w = SparkEntry.queries("sim_whiten_topdrop")(spark, sf001).persist()
+    assert(w.count() == Tables.embeddings(spark, sf001).count())
+    // ||x'||² = ||x||² − ⟨x,v⟩² for unit v, up to fp rounding
+    assert(w.filter(abs(col("norm2_after") -
+      (col("norm2_before") - col("y") * col("y"))) > 1e-9).count() == 0)
+    assert(w.filter(col("norm2_after") > col("norm2_before") + 1e-12).count() == 0)
+    // the removal must be non-vacuous: some vectors project substantially
+    assert(w.filter(col("y") * col("y") > col("norm2_before") * 0.01).count() > 0)
+    w.unpersist()
+  }
 }
