@@ -1042,6 +1042,27 @@ object TrainingDataQueries {
         .orderBy("doc_id")
     }),
 
+    // TOKENIZER FERTILITY report — the QA table a tokenizer change ships
+    // with: per source, how many BPE pieces the corpus's own learned
+    // merge table spends per whitespace token (fertility, in ppm so the
+    // compared surface stays integer-exact). One fused in-scan kernel
+    // per doc (the pipeline_bpe stats), one source-grain agg; the merge
+    // table is the same [[bpeMerges]] artifact every other BPE pass
+    // uses, so the report can never describe a different tokenizer.
+    "pipeline_tokenizer_report" -> ((s, dir) => {
+      val merges = bpeMerges(docsSpread(s, dir))
+      docsSpread(s, dir)
+        .select(col("source"), NativeExpressions.bpeStats(col("text"), merges).as("b"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("b").getItem(0)).as("n_tokens"),
+          sum(col("b").getItem(1)).as("n_pieces"))
+        .withColumn("fertility_ppm",
+          when(col("n_tokens") === 0, -1L).otherwise(
+            call_function("div", col("n_pieces") * 1000000L, col("n_tokens"))))
+        .orderBy("source")
+    }),
+
     // Token-frequency estimation via a Count-Min sketch: ONE
     // depth×width-long sketch summarizes the whole corpus's token
     // frequencies (map-side partial sketches, elementwise-sum merge —
@@ -1856,6 +1877,22 @@ object TrainingDataQueries {
          |  CASE WHEN ag.hl IS NULL THEN 0 ELSE ${DedupQueries.combineSql("ag.hl")} END AS pieces_hash
          |FROM tk LEFT JOIN ag ON tk.doc_id = ag.doc_id
          |ORDER BY tk.doc_id""".stripMargin,
+
+    "pipeline_tokenizer_report" ->
+      s"""WITH RECURSIVE
+         |${bpeChainCtes("documents")},
+         |j AS (SELECT tk.doc_id, documents.source,
+         |  CAST(len(tk.toks) AS BIGINT) AS n_tokens,
+         |  COALESCE(ag.n_pieces, 0) AS n_pieces
+         |  FROM tk LEFT JOIN ag ON tk.doc_id = ag.doc_id
+         |  JOIN documents ON documents.doc_id = tk.doc_id)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(n_pieces) AS BIGINT) AS n_pieces,
+         |  CASE WHEN CAST(SUM(n_tokens) AS BIGINT) = 0 THEN -1
+         |    ELSE (CAST(SUM(n_pieces) AS BIGINT) * 1000000)
+         |      // CAST(SUM(n_tokens) AS BIGINT) END AS fertility_ppm
+         |FROM j GROUP BY source ORDER BY source""".stripMargin,
 
     "text_cms_counts" -> {
       val values = CmsProbeTerms.map(t => s"('$t')").mkString(", ")
