@@ -83,6 +83,19 @@ class ShuffleAuditSpec extends SparkSuite {
     // source-quota agg, the pack range exchange, and the manifest pack_id
     // agg on top of the stage 1-4 set; same plan-text doubling as above
     "pipeline_e2e_full" -> 25,
+    // Gopher∧DSIR → survivor-scoped excision → shelf composition:
+    // measured 18 in plan text — the persisted surv/after frames reprint
+    // their build lineage (incl. the DSIR rank's range exchange and the
+    // 64-bucket count agg) under each InMemoryRelation reference, as in
+    // the sibling chains. Runtime shuffles are the stage set by design:
+    // DSIR's feature agg + rank exchange, the survivor shingle-ownership
+    // agg (its broadcast-back is exchange-free), the coverage agg, the
+    // shelf rank exchange + class-minimum agg, and the final sort.
+    "pipeline_e2e_surgical" -> 20,
+    // three user-grain stage aggs + their join sides + the final sort
+    // (measured 7); each later stage's input is funnel-survivor-
+    // proportional, and all shuffles share the user_id key
+    "q_funnel_windowed" -> 9,
     // state and batch frames are eagerly localCheckpoint'd (lineage-free
     // standing state), so most of the count is REAL: the batch-side
     // canonical/evidence aggs, the cen_id self-join's two sides, the
