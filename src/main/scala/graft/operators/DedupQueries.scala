@@ -191,6 +191,23 @@ object DedupQueries {
         .limit(20)
     }),
 
+    // Top corpus BIGRAMS — the n-gram head every LM/collocation analysis
+    // starts from: string-pair counts at the (token, next-token) grain,
+    // one map-side-combined shuffle, top-20 via sort+limit
+    // (TakeOrderedAndProject, never a global sort).
+    "text_top_bigrams" -> ((s, dir) => {
+      val toks = graft.functions.TextFunctions.tokens(col("text"))
+      val bigrams = when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+        .otherwise(array().cast("array<string>"))
+      docsSpread(s, dir)
+        .select(explode(bigrams).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(20)
+    }),
+
     // Canonical cluster ids over the >=0.5-Jaccard near-dup graph:
     // LSH candidates -> verified pairs -> connected components. The keep/
     // drop decision of a 100 TB dedup pass (keep canonical_id, drop rest).
@@ -580,6 +597,14 @@ object DedupQueries {
       """SELECT tok, COUNT(*) AS n
         |FROM (SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'), t9 -> t9 <> '')) AS tok FROM documents)
         |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin,
+
+    "text_top_bigrams" ->
+      s"""SELECT bigram, COUNT(*) AS n
+         |FROM (SELECT unnest(CASE WHEN len(tk) < 2 THEN CAST([] AS VARCHAR[])
+         |  ELSE list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) END) AS bigram
+         |  FROM (SELECT list_filter(string_split_regex(trim(text), '\\s+'), t9 -> t9 <> '') AS tk
+         |        FROM documents))
+         |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
 
     "dedup_clusters" ->
       s"""WITH RECURSIVE $reachCtes

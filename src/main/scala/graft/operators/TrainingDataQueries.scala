@@ -455,6 +455,35 @@ object TrainingDataQueries {
         .orderBy("doc_id")
     }),
 
+    // MULTI-SUITE decontamination report — "which benchmark leaked into
+    // which document": both held-out suites' shingle sets probed in ONE
+    // pass over the corpus (eval pairs (sh, suite) broadcast into the
+    // exploded scan; per-(doc, suite) dedup is contamination-
+    // proportional), per-doc boolean flags per suite. The per-suite
+    // attribution is what a leak postmortem needs — the single-suite
+    // pass can only say "contaminated". n = the e2e chain's
+    // [[CurationPipeline.DecontNgram]] dial (both suites catch real
+    // overlap at fixture scale: 31 and 23 docs at sf0.01).
+    "pipeline_decontaminate_multi" -> ((s, dir) => {
+      val n = CurationPipeline.DecontNgram
+      val suites = Seq("src18", "src19")
+      val withShh = docsSpread(s, dir)
+        .select(col("doc_id"), col("source"),
+          TextFunctions.shingleHashes(col("text"), n).as("shh"))
+      val evalPairs = suites.map { su =>
+        withShh.filter(col("source") === su)
+          .select(lit(su).as("suite"), explode(col("shh")).as("sh")).distinct()
+      }.reduce(_ unionByName _)
+      withShh.filter(!col("source").isin(suites: _*))
+        .select(col("doc_id"), explode(col("shh")).as("sh"))
+        .join(broadcast(evalPairs), Seq("sh"))
+        .select(col("doc_id"), col("suite")).distinct()
+        .groupBy(col("doc_id"))
+        .agg((sum(when(col("suite") === "src18", 1L).otherwise(0L)) > 0).as("hit_src18"),
+          (sum(when(col("suite") === "src19", 1L).otherwise(0L)) > 0).as("hit_src19"))
+        .orderBy("doc_id")
+    }),
+
     // Span-level contamination FORENSICS — not just "which docs are
     // contaminated" (pipeline_decontaminate's rule, same 8-gram family)
     // but WHERE: per flagged doc, how many 8-gram positions hit the eval
@@ -1592,6 +1621,21 @@ object TrainingDataQueries {
          |c AS (SELECT doc_id, unnest(shh) AS sh FROM d WHERE source <> 'src19')
          |SELECT DISTINCT doc_id FROM c JOIN ev USING (sh)
          |ORDER BY doc_id""".stripMargin,
+
+    "pipeline_decontaminate_multi" -> {
+      val n = CurationPipeline.DecontNgram
+      s"""WITH t AS ($thCte),
+         |d AS (SELECT doc_id, source, ${DedupQueries.shhSql(n)} AS shh FROM t),
+         |ev AS (SELECT DISTINCT 'src18' AS suite, unnest(shh) AS sh FROM d WHERE source = 'src18'
+         |  UNION SELECT DISTINCT 'src19' AS suite, unnest(shh) AS sh FROM d WHERE source = 'src19'),
+         |c AS (SELECT doc_id, unnest(shh) AS sh FROM d
+         |  WHERE source NOT IN ('src18', 'src19')),
+         |h AS (SELECT DISTINCT doc_id, suite FROM c JOIN ev USING (sh))
+         |SELECT doc_id,
+         |  SUM(CASE WHEN suite = 'src18' THEN 1 ELSE 0 END) > 0 AS hit_src18,
+         |  SUM(CASE WHEN suite = 'src19' THEN 1 ELSE 0 END) > 0 AS hit_src19
+         |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
 
     "pipeline_decontaminate_spans" ->
       s"""WITH $contamHitCtes
