@@ -107,6 +107,46 @@ object SourceQueries {
         .orderBy("source")
     }),
 
+    // SNAPSHOT-POINTER atomic swap — the minimal table-format
+    // transaction (what Delta/Iceberg commit logs reduce to): immutable
+    // version directories plus one tiny pointer file naming the current
+    // snapshot, swapped by write-temp-then-rename (atomic on a POSIX
+    // dir; an object store would use a conditional put). Readers opening
+    // mid-swap see EITHER v1 or v2, never a mix, and v1 stays readable
+    // after the swap (time travel for free). The query commits v1,
+    // swaps to v2 (a deterministic delete batch: doc_id % 10 == 7
+    // dropped), and emits the accounting for v1, v2, and a read THROUGH
+    // the pointer — which must equal v2 row-for-row.
+    "src_snapshot_swap" -> ((s, dir) => {
+      import graft.functions.NativeExpressions
+      val root = scratch(s, "graft_snapshots")
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      docs.write.mode("overwrite").parquet(s"$root/v1")
+      val pointer = new java.io.File(root, "CURRENT")
+      def commit(version: String): Unit = {
+        val tmp = new java.io.File(root, s".CURRENT.$version.tmp")
+        java.nio.file.Files.writeString(tmp.toPath, version)
+        java.nio.file.Files.move(tmp.toPath, pointer.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      commit("v1")
+      docs.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+        .write.mode("overwrite").parquet(s"$root/v2")
+      commit("v2")
+      val current = java.nio.file.Files.readString(pointer.toPath).trim
+      def snap(name: String, path: String) =
+        s.read.parquet(path)
+          .agg(count(lit(1)).as("n_docs"),
+            NativeExpressions.polyCombine(
+              sort_array(collect_list(col("doc_id")))).as("ids_hash"))
+          .select(lit(name).as("snapshot"), col("n_docs"), col("ids_hash"))
+      snap("current", s"$root/$current")
+        .unionByName(snap("v1", s"$root/v1"))
+        .unionByName(snap("v2", s"$root/v2"))
+        .orderBy("snapshot")
+    }),
+
     // Small-file COMPACTION — the table-maintenance pass every long-lived
     // lake table needs: an ingest-shaped layout (32 hash directories, one
     // tiny file each — the "too many small files" state that drowns a
@@ -218,6 +258,19 @@ object SourceQueries {
         |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
         |FROM documents
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "src_snapshot_swap" ->
+      s"""WITH full_h AS (SELECT count(*) AS n,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), list(doc_id ORDER BY doc_id)),
+         |    (a, x) -> (a*31 + x) % 1000000007) AS h FROM documents),
+         |v2_h AS (SELECT count(*) AS n,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), list(doc_id ORDER BY doc_id)),
+         |    (a, x) -> (a*31 + x) % 1000000007) AS h
+         |  FROM documents WHERE doc_id % 10 <> 7)
+         |SELECT 'current' AS snapshot, CAST(n AS BIGINT) AS n_docs, h AS ids_hash FROM v2_h
+         |UNION ALL SELECT 'v1', CAST(n AS BIGINT), h FROM full_h
+         |UNION ALL SELECT 'v2', CAST(n AS BIGINT), h FROM v2_h
+         |ORDER BY snapshot""".stripMargin,
+
     "src_compact_files" ->
       s"""WITH h AS (SELECT count(*) AS n,
          |  list_reduce(list_prepend(CAST(0 AS BIGINT), list(doc_id ORDER BY doc_id)),
