@@ -359,6 +359,32 @@ object SimilarityQueries {
         .orderBy("dim")
     }),
 
+    // IVF index HEALTH report — the table an ANN operator reads to decide
+    // when to retrain or split lists: per list, member count (balance),
+    // fixed-point mean-cosine-to-centroid inputs (coherence — a drifting
+    // list shows falling cosine mass), and the id range. Assignment is
+    // the same in-scan argmax kernel as every IVF tier; the per-member
+    // cosine to its OWN centroid comes from a broadcast join against the
+    // 16-row centroid frame, floored to 2^20 units so the per-list sums
+    // are associative longs (reproducible on any partitioning).
+    "sim_ivf_health" -> ((s, dir) => {
+      val corpus = Similarity.prepare(Tables.embeddings(s, dir))
+      val centsDf = Similarity.lowestIdCentroids(corpus, NCentroids)
+      val assigned = Similarity.ivfAssignWith(corpus,
+        Similarity.collectCentroids(centsDf))
+      assigned.join(broadcast(centsDf), "cen_id")
+        .withColumn("cu", floor(
+          Dedup.cosine(col("v"), col("cv"), col("nrm"), col("cnrm"))
+            * lit(1048576.0)).cast("long"))
+        .groupBy(col("cen_id"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(col("cu")).as("sum_cos_units"),
+          min(col("cu")).as("min_cos_units"),
+          min(col("vec_id")).as("first_member"),
+          max(col("vec_id")).as("last_member"))
+        .orderBy("cen_id")
+    }),
+
     // Distributed PCA POWER ITERATION — the dominant principal direction
     // of the embedding corpus (the whitening/top-component-removal step
     // of embedding-based curation), computed covariance-free:
@@ -813,6 +839,25 @@ object SimilarityQueries {
       // construction) at the serving regime's NQueriesServe.
       "sim_topk_ivfpq" -> ivfPqOracle(NQueries),
       "src_ivfpq_bucketed" -> ivfPqOracle(NQueriesServe),
+      "sim_ivf_health" ->
+        s"""WITH e AS ($e), nn AS ($n),
+           |cents AS (SELECT vec_id AS cen_id, v AS cv, nrm AS cnrm FROM nn
+           |  ORDER BY vec_id LIMIT $NCentroids),
+           |assigned AS (
+           |  SELECT vec_id, cen_id, v, nrm FROM (
+           |    SELECT nn.vec_id, cents.cen_id, nn.v, nn.nrm,
+           |      row_number() OVER (PARTITION BY nn.vec_id
+           |        ORDER BY ${dotSql("nn.v", "cents.cv")} / (nn.nrm * cents.cnrm) DESC, cents.cen_id) AS crn
+           |    FROM nn, cents) WHERE crn = 1),
+           |j AS (SELECT a.cen_id, a.vec_id,
+           |  CAST(floor(${dotSql("a.v", "cents.cv")} / (a.nrm * cents.cnrm)
+           |    * 1048576.0) AS BIGINT) AS cu
+           |  FROM assigned a JOIN cents USING (cen_id))
+           |SELECT cen_id, count(*) AS n_members,
+           |  CAST(SUM(cu) AS BIGINT) AS sum_cos_units,
+           |  min(cu) AS min_cos_units,
+           |  min(vec_id) AS first_member, max(vec_id) AS last_member
+           |FROM j GROUP BY cen_id ORDER BY cen_id""".stripMargin,
       "sim_pca_power" ->
         s"""WITH $pcaCtes
            |SELECT CAST(s$PcaIters.j - 1 AS BIGINT) AS dim,
