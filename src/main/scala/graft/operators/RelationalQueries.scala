@@ -65,6 +65,34 @@ object RelationalQueries {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // EXACT global median without a global sort — the two-pass order-
+    // statistic shape that scales: pass 1 histograms values into ~1000
+    // bounded buckets (one map-side-combined agg, constant-size driver
+    // collect), the driver locates the bucket containing rank
+    // k = ceil(N/2); pass 2 touches ONLY that bucket (pushed filter) and
+    // takes its (k - preceding)-th smallest via sort+limit over a
+    // bucket-sized slice. An exact median over 100 TB costs two scans
+    // and never sorts more than one bucket; the approx-percentile path
+    // (q_quantiles) trades this exactness for one pass.
+    "q_exact_median" -> ((s, dir) => {
+      import s.implicits._
+      val x = Tables.lineitem(s, dir).select(col("l_extendedprice").as("x"))
+      val bucket = floor(col("x") / 100.0).cast(LongType)
+      val hist = x.groupBy(bucket.as("b")).agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+      val n = hist.map(_._2).sum
+      val k = (n + 1) / 2
+      var cum = 0L
+      val (target, before) = hist.collectFirst {
+        case (b, c) if { val hit = cum + c >= k; if (!hit) cum += c; hit } =>
+          (b, cum)
+      }.get
+      val med = x.filter(bucket === target)
+        .orderBy("x").limit((k - before).toInt)
+        .agg(max(col("x"))).head.getDouble(0)
+      Seq((n, med)).toDF("n", "median")
+    }),
+
     // 5-way join: revenue by nation; dims broadcast, facts shuffle on keys.
     "q_join_revenue_by_nation" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
@@ -431,6 +459,10 @@ object RelationalQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_exact_median" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  quantile_disc(l_extendedprice, 0.5) AS median
+        |FROM lineitem""".stripMargin,
     "q_bloom_join" ->
       """SELECT o_orderstatus,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
