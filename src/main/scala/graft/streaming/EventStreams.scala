@@ -122,25 +122,27 @@ object EventStreams {
     * the stream-vs-batch-pinned semantics. */
   val FunnelWindowMicros: Long = 2L * 3600000000L
 
-  /** Windowed-funnel batch twin: first view, first click in
-    * [t_view, t_view + window], first purchase in [t_click, t_view +
-    * window] — the same min-chain of user-grain filtered aggs as the
-    * driver's `q_funnel`, with the completion window added. -1 sentinels
-    * for missing stages. */
-  def funnelBatchWindowed(events: DataFrame): DataFrame = {
+  /** Funnel min-chain over user-grain filtered aggs: first view, first
+    * click at-or-after it, first purchase at-or-after that — optionally
+    * bounded to `window` micros past the first view (the semantics the
+    * streaming funnel can seal on). ONE definition behind the driver's
+    * `q_funnel` (window = None), `q_funnel_windowed`, and the
+    * FunnelStreamSpec batch side, so the staircase rule cannot fork.
+    * -1 sentinels for missing stages. */
+  def funnelBatch(events: DataFrame, window: Option[Long]): DataFrame = {
     val e = events.select(col("user_id"), col("event_type"),
       unix_micros(col("ts")).as("us"))
+    def inWindow = window.map(w => col("us") <= col("t_view") + w)
+      .getOrElse(lit(true))
     val v = e.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("us")).as("t_view"))
     val c = e.filter(col("event_type") === "click")
       .join(v, "user_id")
-      .filter(col("us") >= col("t_view") &&
-        col("us") <= col("t_view") + FunnelWindowMicros)
+      .filter(col("us") >= col("t_view") && inWindow)
       .groupBy(col("user_id")).agg(min(col("us")).as("t_click"))
     val p = e.filter(col("event_type") === "purchase")
       .join(c.join(v, "user_id"), "user_id")
-      .filter(col("us") >= col("t_click") &&
-        col("us") <= col("t_view") + FunnelWindowMicros)
+      .filter(col("us") >= col("t_click") && inWindow)
       .groupBy(col("user_id")).agg(min(col("us")).as("t_purchase"))
     v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
       .select(col("user_id"),
@@ -151,6 +153,11 @@ object EventStreams {
         coalesce(col("t_click"), lit(-1L)).as("t_click"),
         coalesce(col("t_purchase"), lit(-1L)).as("t_purchase"))
   }
+
+  /** [[funnelBatch]] with the [[FunnelWindowMicros]] completion bound —
+    * the streaming twin's exact batch semantics. */
+  def funnelBatchWindowed(events: DataFrame): DataFrame =
+    funnelBatch(events, Some(FunnelWindowMicros))
 
   case class FunnelResult(user_id: Long, stages_completed: Long,
                           t_view: Long, t_click: Long, t_purchase: Long)

@@ -70,24 +70,7 @@ object StreamingQueries {
     // unbounded user history never materializes anywhere. -1 sentinels
     // instead of NULLs keep the stage columns hash-portable.
     "q_funnel" -> ((s, dir) => {
-      val e = Tables.events(s, dir)
-        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
-      val v = e.filter(col("event_type") === "view")
-        .groupBy(col("user_id")).agg(min(col("us")).as("t_view"))
-      val c = e.filter(col("event_type") === "click")
-        .join(v, "user_id").filter(col("us") >= col("t_view"))
-        .groupBy(col("user_id")).agg(min(col("us")).as("t_click"))
-      val p = e.filter(col("event_type") === "purchase")
-        .join(c, "user_id").filter(col("us") >= col("t_click"))
-        .groupBy(col("user_id")).agg(min(col("us")).as("t_purchase"))
-      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
-        .select(col("user_id"),
-          (lit(1L) + when(col("t_click").isNotNull, 1L).otherwise(0L)
-            + when(col("t_purchase").isNotNull, 1L).otherwise(0L))
-            .as("stages_completed"),
-          col("t_view"),
-          coalesce(col("t_click"), lit(-1L)).as("t_click"),
-          coalesce(col("t_purchase"), lit(-1L)).as("t_purchase"))
+      EventStreams.funnelBatch(Tables.events(s, dir), None)
         .orderBy("user_id")
     }),
     // COHORT RETENTION — the week-over-week activity matrix: users
