@@ -182,22 +182,7 @@ object StreamingQueries {
          |SELECT p.user_id, p.purchase_id, p.p_us, c.click_id, c.c_us
          |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.c_us <= p.p_us
          |ORDER BY purchase_id""".stripMargin,
-    "q_funnel" ->
-      s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
-         |v AS (SELECT user_id, min(us) AS t_view FROM e
-         |  WHERE event_type = 'view' GROUP BY user_id),
-         |c AS (SELECT e.user_id, min(us) AS t_click FROM e JOIN v USING (user_id)
-         |  WHERE event_type = 'click' AND us >= t_view GROUP BY e.user_id),
-         |p AS (SELECT e.user_id, min(us) AS t_purchase FROM e JOIN c USING (user_id)
-         |  WHERE event_type = 'purchase' AND us >= t_click GROUP BY e.user_id)
-         |SELECT v.user_id,
-         |  CAST(1 + CASE WHEN c.t_click IS NOT NULL THEN 1 ELSE 0 END
-         |    + CASE WHEN p.t_purchase IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stages_completed,
-         |  v.t_view,
-         |  COALESCE(c.t_click, -1) AS t_click,
-         |  COALESCE(p.t_purchase, -1) AS t_purchase
-         |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
-         |ORDER BY user_id""".stripMargin,
+    "q_funnel" -> funnelSql(window = None),
     "q_retention_cohorts" ->
       s"""WITH w AS (SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week
          |  FROM events),
@@ -222,25 +207,30 @@ object StreamingQueries {
          |  ON grid.user_id = obs.user_id AND obs.e_us <= grid.grid_us
          |ORDER BY grid.user_id, day""".stripMargin,
     "q_funnel_windowed" ->
-      s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
-         |v AS (SELECT user_id, min(us) AS t_view FROM e
-         |  WHERE event_type = 'view' GROUP BY user_id),
-         |c AS (SELECT e.user_id, min(us) AS t_click FROM e JOIN v USING (user_id)
-         |  WHERE event_type = 'click' AND us >= t_view
-         |    AND us <= t_view + ${EventStreams.FunnelWindowMicros}
-         |  GROUP BY e.user_id),
-         |p AS (SELECT e.user_id, min(us) AS t_purchase
-         |  FROM e JOIN c USING (user_id) JOIN v USING (user_id)
-         |  WHERE event_type = 'purchase' AND us >= t_click
-         |    AND us <= t_view + ${EventStreams.FunnelWindowMicros}
-         |  GROUP BY e.user_id)
-         |SELECT v.user_id,
-         |  CAST(1 + CASE WHEN c.t_click IS NOT NULL THEN 1 ELSE 0 END
-         |    + CASE WHEN p.t_purchase IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stages_completed,
-         |  v.t_view,
-         |  COALESCE(c.t_click, -1) AS t_click,
-         |  COALESCE(p.t_purchase, -1) AS t_purchase
-         |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
-         |ORDER BY user_id""".stripMargin
+      funnelSql(window = Some(EventStreams.FunnelWindowMicros))
   )
+
+  /** Twin of [[EventStreams.funnelBatch]], parameterized on the same
+    * optional completion window — shared by both funnel oracles so the
+    * staircase rule cannot fork in SQL either. */
+  private def funnelSql(window: Option[Long]): String = {
+    val w = window.map(w => s" AND us <= t_view + $w").getOrElse("")
+    s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+       |v AS (SELECT user_id, min(us) AS t_view FROM e
+       |  WHERE event_type = 'view' GROUP BY user_id),
+       |c AS (SELECT e.user_id, min(us) AS t_click
+       |  FROM e JOIN v USING (user_id)
+       |  WHERE event_type = 'click' AND us >= t_view$w GROUP BY e.user_id),
+       |p AS (SELECT e.user_id, min(us) AS t_purchase
+       |  FROM e JOIN c USING (user_id) JOIN v USING (user_id)
+       |  WHERE event_type = 'purchase' AND us >= t_click$w GROUP BY e.user_id)
+       |SELECT v.user_id,
+       |  CAST(1 + CASE WHEN c.t_click IS NOT NULL THEN 1 ELSE 0 END
+       |    + CASE WHEN p.t_purchase IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stages_completed,
+       |  v.t_view,
+       |  COALESCE(c.t_click, -1) AS t_click,
+       |  COALESCE(p.t_purchase, -1) AS t_purchase
+       |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+       |ORDER BY user_id""".stripMargin
+  }
 }
