@@ -330,6 +330,19 @@ object TrainingDataQueries {
        |  row_number() OVER (PARTITION BY size_class ORDER BY doc_id) - 1 AS rn
        |  FROM c2)""".stripMargin
 
+  /** The shared excision-accounting SELECT over any `hits` chain: hit
+    * CTEs → coverage → per-doc before/removed/after — one tail behind
+    * the eval-set, corpus-internal, and incremental excision oracles. */
+  private def exciseSelectSql(hitCtes: String, n: Int,
+                              extraCtes: String = "", tail: String = ""): String =
+    s"""WITH $hitCtes,
+       |$extraCtes${coverageCtes(n)},
+       |nt AS (SELECT doc_id, CAST($ntokSql AS BIGINT) AS n_before FROM documents)
+       |SELECT cov.doc_id, nt.n_before, cov.n_removed,
+       |  nt.n_before - cov.n_removed AS n_after
+       |FROM cov JOIN nt USING (doc_id)$tail
+       |ORDER BY doc_id""".stripMargin
+
   /** Twin of [[excisedCoverage]] (expects a `hits(doc_id, pos)` CTE in
     * scope): lag-window interval union ending in `cov(doc_id, n_removed)`. */
   private def coverageCtes(n: Int): String =
@@ -1645,13 +1658,7 @@ object TrainingDataQueries {
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "pipeline_excise" ->
-      s"""WITH $contamHitCtes,
-         |${coverageCtes(CurationPipeline.DecontNgram)},
-         |nt AS (SELECT doc_id, CAST($ntokSql AS BIGINT) AS n_before FROM documents)
-         |SELECT cov.doc_id, nt.n_before, cov.n_removed,
-         |  nt.n_before - cov.n_removed AS n_after
-         |FROM cov JOIN nt USING (doc_id)
-         |ORDER BY doc_id""".stripMargin,
+      exciseSelectSql(contamHitCtes, CurationPipeline.DecontNgram),
 
     "dedup_substring_spans" ->
       s"""WITH $substrHitCtes
@@ -1661,25 +1668,13 @@ object TrainingDataQueries {
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "dedup_substring_excise" ->
-      s"""WITH $substrHitCtes,
-         |${coverageCtes(SubstrNgram)},
-         |nt AS (SELECT doc_id, CAST($ntokSql AS BIGINT) AS n_before FROM documents)
-         |SELECT cov.doc_id, nt.n_before, cov.n_removed,
-         |  nt.n_before - cov.n_removed AS n_after
-         |FROM cov JOIN nt USING (doc_id)
-         |ORDER BY doc_id""".stripMargin,
+      exciseSelectSql(substrHitCtes, SubstrNgram),
 
     // full rebuild restricted to batch ids — the equivalence proof
     "dedup_substring_incremental" ->
-      s"""WITH $substrHitCtes,
-         |bd AS (SELECT max(doc_id) * 4 // 5 AS boundary FROM documents),
-         |${coverageCtes(SubstrNgram)},
-         |nt AS (SELECT doc_id, CAST($ntokSql AS BIGINT) AS n_before FROM documents)
-         |SELECT cov.doc_id, nt.n_before, cov.n_removed,
-         |  nt.n_before - cov.n_removed AS n_after
-         |FROM cov JOIN nt USING (doc_id) CROSS JOIN bd
-         |WHERE cov.doc_id > bd.boundary
-         |ORDER BY doc_id""".stripMargin,
+      exciseSelectSql(substrHitCtes, SubstrNgram,
+        extraCtes = "bd AS (SELECT max(doc_id) * 4 // 5 AS boundary FROM documents),\n",
+        tail = " CROSS JOIN bd\nWHERE cov.doc_id > bd.boundary"),
 
     "pipeline_decontaminate_bloom" -> {
       val n = 8
