@@ -359,6 +359,26 @@ object SimilarityQueries {
         .orderBy("dim")
     }),
 
+    // IVF RECALL report — the other half of the index-quality dashboard
+    // next to sim_ivf_health: per query, how many of the exact top-K the
+    // probed-list search recovered (integer overlap, so the gate is
+    // exact). This is the measurement that decides nProbe/nCentroids
+    // retuning; it reuses the registered brute and IVF queries verbatim
+    // so the report can never describe different search parameters than
+    // the ones served.
+    "sim_recall_report" -> ((s, dir) => {
+      val brute = queries("sim_topk_brute")(s, dir)
+        .select(col("query_id"), col("vec_id"))
+      val ivf = queries("sim_topk_ivf")(s, dir)
+        .select(col("query_id"), col("vec_id"))
+      brute.join(ivf.withColumn("hit", lit(1L)),
+          Seq("query_id", "vec_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+        .orderBy("query_id")
+    }),
+
     // IVF index HEALTH report — the table an ANN operator reads to decide
     // when to retrain or split lists: per list, member count (balance),
     // fixed-point mean-cosine-to-centroid inputs (coherence — a drifting
@@ -839,6 +859,24 @@ object SimilarityQueries {
       // construction) at the serving regime's NQueriesServe.
       "sim_topk_ivfpq" -> ivfPqOracle(NQueries),
       "src_ivfpq_bucketed" -> ivfPqOracle(NQueriesServe),
+      "sim_recall_report" ->
+        s"""${ivfCandCtes(s"SELECT vec_id AS cen_id, v AS cv, nrm AS cnrm FROM nn WHERE vec_id < $NCentroids")},
+           |ivfr AS (SELECT query_id, vec_id FROM (
+           |  SELECT query_id, vec_id,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+           |  FROM cand) WHERE rk <= $K),
+           |bc AS (SELECT q.query_id, nn.vec_id,
+           |  ${dotSql("q.qv", "nn.v")} / (q.qnrm * nn.nrm) AS cos
+           |  FROM q CROSS JOIN nn WHERE nn.vec_id <> q.query_id),
+           |br AS (SELECT query_id, vec_id FROM (
+           |  SELECT query_id, vec_id,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+           |  FROM bc) WHERE rk <= $K)
+           |SELECT br.query_id, CAST(count(*) AS BIGINT) AS k,
+           |  CAST(SUM(CASE WHEN ivfr.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+           |FROM br LEFT JOIN ivfr
+           |  ON br.query_id = ivfr.query_id AND br.vec_id = ivfr.vec_id
+           |GROUP BY br.query_id ORDER BY br.query_id""".stripMargin,
       "sim_ivf_health" ->
         s"""WITH e AS ($e), nn AS ($n),
            |cents AS (SELECT vec_id AS cen_id, v AS cv, nrm AS cnrm FROM nn
