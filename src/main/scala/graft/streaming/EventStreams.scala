@@ -140,8 +140,11 @@ object EventStreams {
       .join(v, "user_id")
       .filter(col("us") >= col("t_view") && inWindow)
       .groupBy(col("user_id")).agg(min(col("us")).as("t_click"))
+    // the purchase stage needs t_view only when the window bound is on —
+    // unwindowed, joining v back would add a wasted exchange
+    val pIn = if (window.isDefined) c.join(v, "user_id") else c
     val p = e.filter(col("event_type") === "purchase")
-      .join(c.join(v, "user_id"), "user_id")
+      .join(pIn, "user_id")
       .filter(col("us") >= col("t_click") && inWindow)
       .groupBy(col("user_id")).agg(min(col("us")).as("t_purchase"))
     v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")

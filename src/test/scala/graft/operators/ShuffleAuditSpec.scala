@@ -96,6 +96,12 @@ class ShuffleAuditSpec extends SparkSuite {
     // (measured 7); each later stage's input is funnel-survivor-
     // proportional, and all shuffles share the user_id key
     "q_funnel_windowed" -> 9,
+    // composes the registered brute and IVF top-k queries verbatim (the
+    // point: the report can never describe other parameters) — each
+    // brings its own persisted corpus whose plan text doubles under AQE,
+    // as in the sim_topk_* entries above (measured 14; runtime shuffles
+    // are the two TopKAgg partials + the overlap agg + the final sort)
+    "sim_recall_report" -> 16,
     // state and batch frames are eagerly localCheckpoint'd (lineage-free
     // standing state), so most of the count is REAL: the batch-side
     // canonical/evidence aggs, the cen_id self-join's two sides, the
