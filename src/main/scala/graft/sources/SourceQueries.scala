@@ -20,6 +20,15 @@ object SourceQueries {
       call_function("div", c, lit(d))
   }
 
+  /** Catalog-table scratch name (bucketed writes need saveAsTable, not a
+    * path) — same stale-sweep discipline as the path variant below. */
+  private def scratchTable(s: SparkSession, name: String): String = {
+    val own = name + "_" + s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+    Scratch.sweepStale(Scratch.warehouseDir(s), name + "_", exclude = Set(own))
+    s.sql(s"DROP TABLE IF EXISTS $own")
+    own
+  }
+
   private def scratch(s: SparkSession, name: String): String = {
     val tmp = System.getProperty("java.io.tmpdir")
     // reclaim prior runs' leaked copies before writing this run's; never
@@ -102,6 +111,25 @@ object SourceQueries {
       Layouts.readCsv(s, out, StructType(Seq(
           StructField("doc_id", LongType), StructField("source", StringType),
           StructField("lang", StringType))))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
+        .orderBy("source")
+    }),
+
+    // Bucketed AGGREGATION — the other half of what a bucketed layout
+    // buys (BucketedJoinSpec pins the join half): a groupBy on the bucket
+    // key plans with NO hash exchange, because the table's bucket spec
+    // already guarantees key-locality per file. At 100 TB this turns
+    // every recurring per-source/per-tenant rollup from a full shuffle
+    // into a scan — the pre-aggregated-layout pattern. The written table
+    // is re-read for the rollup so the gate proves the layout roundtrip,
+    // and PlanShapeSpec pins the exchange-free plan.
+    "src_bucketed_agg" -> ((s, dir) => {
+      val tbl = scratchTable(s, "graft_docs_by_source")
+      Layouts.writeBucketed(
+        Tables.documents(s, dir).select(col("doc_id"), col("source")),
+        tbl, "source", nBuckets = 8, sortCols = Seq("source", "doc_id"))
+      s.table(tbl)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
         .orderBy("source")
@@ -258,6 +286,11 @@ object SourceQueries {
         |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
         |FROM documents
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "src_bucketed_agg" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
     "src_snapshot_swap" ->
       s"""WITH full_h AS (SELECT count(*) AS n,
          |  list_reduce(list_prepend(CAST(0 AS BIGINT), list(doc_id ORDER BY doc_id)),

@@ -239,4 +239,11 @@ class PlanShapeSpec extends SparkSuite
     assert(!plan.contains("Window"), plan)
     assert(!plan.contains("collect_list"), plan)
   }
+
+  test("bucketed aggregation: the groupBy on the bucket key plans zero hash exchanges") {
+    val plan = executed("src_bucketed_agg")
+    // only the presentation ORDER BY may exchange (range partitioning);
+    // the agg itself must ride the bucket spec
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
 }
