@@ -334,6 +334,40 @@ object NativeExpressions {
       defineCodeGen(ctx, ev, c => s"$Kernels.shingleHashes($c, $n)")
   }
 
+  /** [[ShingleHashes]] in the full 64-bit space (see
+    * [[NativeKernels.shingleHashes64]]) — the production shingle signature
+    * for corpora whose shingle count approaches the mod-P birthday bound. */
+  case class ShingleHashes64(child: Expression, n: Int) extends UnaryExpression {
+    require(n >= 1, s"shingle width must be >= 1, got $n")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def withNewChildInternal(newChild: Expression): ShingleHashes64 =
+      copy(child = newChild)
+
+    override protected def nullSafeEval(input: Any): Any =
+      NativeKernels.shingleHashes64(input.asInstanceOf[UTF8String], n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Kernels.shingleHashes64($c, $n)")
+  }
+
+  /** Positional (index = 0-based start token) 64-bit shingle hashes (see
+    * [[NativeKernels.positionalShingleHashes64]]) — the wide arm of the
+    * positional-shingle stream under substring dedup/decontamination. */
+  case class PositionalShingleHashes64(child: Expression, n: Int)
+      extends UnaryExpression {
+    require(n >= 1, s"shingle width must be >= 1, got $n")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def withNewChildInternal(
+        newChild: Expression): PositionalShingleHashes64 =
+      copy(child = newChild)
+
+    override protected def nullSafeEval(input: Any): Any =
+      NativeKernels.positionalShingleHashes64(input.asInstanceOf[UTF8String], n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Kernels.positionalShingleHashes64($c, $n)")
+  }
+
   /** MinHash signature over a shingle-hash set (see
     * [[NativeKernels.minhashSignature]]). */
   case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
@@ -576,6 +610,11 @@ object NativeExpressions {
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
   def shingleHashes(text: Column, n: Int): Column =
     GraftColumnBridge.column(ShingleHashes(GraftColumnBridge.expression(text), n))
+  def shingleHashes64(text: Column, n: Int): Column =
+    GraftColumnBridge.column(ShingleHashes64(GraftColumnBridge.expression(text), n))
+  def positionalShingleHashes64(text: Column, n: Int): Column =
+    GraftColumnBridge.column(
+      PositionalShingleHashes64(GraftColumnBridge.expression(text), n))
   def minhashSignature(shh: Column, k: Int): Column =
     GraftColumnBridge.column(MinHashSignature(GraftColumnBridge.expression(shh), k))
   def simhash(th: Column): Column =

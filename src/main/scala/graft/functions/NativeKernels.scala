@@ -125,6 +125,65 @@ object NativeKernels {
     ArrayData.toArrayData(if (w == m) out else java.util.Arrays.copyOf(out, w))
   }
 
+  /** splitmix64 finalizer — avalanches the 64-bit polynomial accumulators
+    * of the wide shingle kernels (same constants as [[windowHashes64]]'s
+    * inline finalizer). */
+  private def mix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** All n-token sliding-window shingle hashes of `s` in the FULL 64-bit
+    * space, POSITIONAL: element i (0-based) is the hash of the shingle
+    * starting at token i+1. Golden-ratio wrapping multiply-accumulate over
+    * [[tokenHashes64Array]] (a mod-P token hash underneath would cap the
+    * whole shingle at the 31-bit collision floor — see [[windowHashes64]])
+    * finalized with [[mix64]]. */
+  private def shingle64Array(s: String, n: Int): Array[Long] = {
+    val th = tokenHashes64Array(s)
+    if (th.length < n) return Array.empty[Long]
+    val m = th.length - n + 1
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var acc = 0L
+      var j = 0
+      while (j < n) { acc = acc * 0x9E3779B97F4A7C15L + th(i + j); j += 1 }
+      out(i) = mix64(acc)
+      i += 1
+    }
+    out
+  }
+
+  /** [[shingleHashes]] in the FULL 64-bit space — the production (wide)
+    * signature front-end for the substring-dedup / decontamination
+    * families at corpus scales where the mod-P birthday bound bites
+    * (~10¹³ shingles at 100 TB vs P ≈ 2^30). Same tokenize → n-window
+    * combine → distinct → sort shape; not DuckDB-replicable (BIGINT
+    * overflow errors there, no wraparound) — spec-covered, with the mod-P
+    * arm kept as the oracle surface. */
+  def shingleHashes64(u: UTF8String, n: Int): ArrayData = {
+    val out = shingle64Array(u.toString, n)
+    java.util.Arrays.sort(out)
+    var w = 0
+    var i = 0
+    while (i < out.length) {
+      if (w == 0 || out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
+      i += 1
+    }
+    ArrayData.toArrayData(
+      if (w == out.length) out else java.util.Arrays.copyOf(out, w))
+  }
+
+  /** POSITIONAL [[shingleHashes64]]: no distinct, no sort — the array
+    * index IS the 0-based position, so `posexplode` recovers the
+    * (pos, sh) grain of the positional-shingle stream without a
+    * per-element struct build. Empty when the doc has < n tokens. */
+  def positionalShingleHashes64(u: UTF8String, n: Int): ArrayData =
+    ArrayData.toArrayData(shingle64Array(u.toString, n))
+
   /** MinHash signature (k longs) of a shingle-hash set: position j is the
     * minimum of `(a_j*h + b_j) mod P` over the set, or the sentinel P for
     * an empty set. The j-th universal-hash params derive from j with the

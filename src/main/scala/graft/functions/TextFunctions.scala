@@ -139,6 +139,19 @@ object TextFunctions {
   def shingleHashes(text: Column, n: Int): Column =
     NativeExpressions.shingleHashes(text, n)
 
+  /** [[shingleHashes]] in the full 64-bit space — the production (wide)
+    * arm for shingle populations near the mod-P birthday bound (~10¹³
+    * shingles at 100 TB vs P ≈ 2^30). Not oracle-replicable (DuckDB
+    * BIGINT errors on overflow); spec-covered instead. */
+  def shingleHashes64(text: Column, n: Int): Column =
+    NativeExpressions.shingleHashes64(text, n)
+
+  /** Positional 64-bit shingle hashes: element i is the hash of the
+    * shingle starting at 0-based token i — `posexplode` recovers the
+    * (pos, sh) stream of the wide substring-dedup arm. */
+  def positionalShingleHashes64(text: Column, n: Int): Column =
+    NativeExpressions.positionalShingleHashes64(text, n)
+
   // --------------------------------------------------------------------
   // Quality scoring (length / punctuation / stopword ratios)
   // --------------------------------------------------------------------

@@ -96,6 +96,11 @@ object TrainingDataQueries {
     * repeated spans at sf0.001/0.01/0.1) while staying above the
     * short-n-gram noise floor of the 31-token fixture vocabulary. */
   val SubstrNgram = 8
+  /** Broadcast budget for the substring-dedup ownership table: 16-byte
+    * (sh, own) pairs → ~160 MB at 10M rows, the order of a sane broadcast
+    * (same sizing reasoning as [[CurationPipeline.DecontExactMax]]).
+    * Beyond it [[repeatedSpanHits]] degrades to a shuffle-hash join. */
+  val SpanOwnersExactMax = 10L * 1000 * 1000
   /** DSIR hashed-feature bucket count. Production DSIR (Xie et al. 2023,
     * "Data Selection for Language Models via Importance Resampling") hashes
     * n-grams into ~10k buckets; 64 keeps every bucket populated by the
@@ -140,19 +145,40 @@ object TrainingDataQueries {
     * length-n token-hash slice, no distinct, no shuffle. The shared
     * grain under the eval-set hit passes ([[contaminationHits]]), the
     * corpus-internal repeated-span pass ([[repeatedSpanHits]]), and the
-    * DSIR feature stream. */
-  private def positionalShingles(docs: DataFrame, n: Int): DataFrame = {
-    val th = TextFunctions.tokenHashes(col("text"))
-    val posSh = when(size(th) >= n,
-      transform(sequence(lit(1), size(th) - (n - 1)),
-        i => struct(i.cast(LongType).as("pos"),
-          aggregate(slice(th, i, lit(n)), lit(0L),
-            (a, h) => pmod(a * 31 + h, lit(P))).as("sh"))))
-      .otherwise(array().cast("array<struct<pos:bigint,sh:bigint>>"))
-    docs
-      .select(col("doc_id"), col("source"), explode(posSh).as("u"))
-      .select(col("doc_id"), col("source"),
-        col("u.pos").as("pos"), col("u.sh").as("sh"))
+    * DSIR feature stream.
+    *
+    * `wide = true` swaps the mod-1e9+7 shingle space for the full 64-bit
+    * kernel ([[TextFunctions.positionalShingleHashes64]]) — the
+    * production arm for shingle populations near the mod-P birthday
+    * bound (at 100 TB, ~10¹³ shingles vs P ≈ 2^30 means false hits would
+    * excise real text; the 64-bit space pushes the same bound to
+    * n²/2⁶⁵). Same output grain and downstream plan shape; not
+    * oracle-replicable (DuckDB BIGINT errors on overflow), so the mod-P
+    * arm stays the driver-compare surface and the wide arm is pinned by
+    * SubstringDedupSpec (fixture hit-set identity) and DedupStressSpec
+    * (zero spurious hits at 3.65M windows where mod-P shows its
+    * predicted excess). */
+  private def positionalShingles(docs: DataFrame, n: Int,
+                                 wide: Boolean = false): DataFrame = {
+    if (wide)
+      docs
+        .select(col("doc_id"), col("source"),
+          posexplode(TextFunctions.positionalShingleHashes64(col("text"), n)))
+        .select(col("doc_id"), col("source"),
+          (col("pos") + 1).cast(LongType).as("pos"), col("col").as("sh"))
+    else {
+      val th = TextFunctions.tokenHashes(col("text"))
+      val posSh = when(size(th) >= n,
+        transform(sequence(lit(1), size(th) - (n - 1)),
+          i => struct(i.cast(LongType).as("pos"),
+            aggregate(slice(th, i, lit(n)), lit(0L),
+              (a, h) => pmod(a * 31 + h, lit(P))).as("sh"))))
+        .otherwise(array().cast("array<struct<pos:bigint,sh:bigint>>"))
+      docs
+        .select(col("doc_id"), col("source"), explode(posSh).as("u"))
+        .select(col("doc_id"), col("source"),
+          col("u.pos").as("pos"), col("u.sh").as("sh"))
+    }
   }
 
   /** Per-(doc_id, pos) eval-set hit rows: the 1-based token index of every
@@ -161,11 +187,15 @@ object TrainingDataQueries {
     * behind both `pipeline_decontaminate_spans` (forensics) and
     * `pipeline_excise` (removal) — the two can never disagree on what a
     * hit is. All in-scan kernels; the eval side is a bounded broadcast. */
-  private def contaminationHits(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def contaminationHits(s: SparkSession, dir: String,
+                                           wide: Boolean = false): DataFrame = {
     val n = CurationPipeline.DecontNgram
-    val ps = positionalShingles(docsSpread(s, dir), n)
+    val ps = positionalShingles(docsSpread(s, dir), n, wide)
+    val evalSh =
+      if (wide) TextFunctions.shingleHashes64(col("text"), n)
+      else TextFunctions.shingleHashes(col("text"), n)
     val evalShh = docsSpread(s, dir).filter(col("source") === "src19")
-      .select(explode(TextFunctions.shingleHashes(col("text"), n)).as("sh"))
+      .select(explode(evalSh).as("sh"))
       .distinct()
     ps.filter(col("source") =!= "src19")
       .join(broadcast(evalShh), Seq("sh"), "left_semi")
@@ -187,20 +217,48 @@ object TrainingDataQueries {
     * duplicate-proportional (repeated shingles only) → broadcast back
     * into a second scan's positional stream; like the decontamination
     * family, the corpus is scanned twice rather than persisting the
-    * token-grain exploded form (which is larger than the corpus). At
-    * 100 TB, if boilerplate pushes the ownership table past the
-    * broadcast budget, this join degrades to the same shuffle-hash join
-    * on sh that the first pass already paid — the adaptive pattern
-    * pipeline_decontaminate_bloom documents. */
-  private[operators] def repeatedSpanHits(docs: DataFrame): DataFrame = {
-    val ps = positionalShingles(docs, SubstrNgram)
+    * token-grain exploded form (which is larger than the corpus).
+    *
+    * ADAPTIVE (same limit-bounded-probe pattern as
+    * [[CurationPipeline.decontaminate]]): the broadcast is taken only
+    * while the ownership table holds at most `maxOwnersBroadcast` rows
+    * (16-byte (sh, own) pairs → ~160 MB at the default). A
+    * boilerplate-heavy corpus whose repeated-shingle set outgrows that
+    * budget degrades to a shuffle-hash join on sh — the same key the
+    * first pass already shuffled on, so the degraded arm costs one more
+    * exchange of the positional stream and never materializes the
+    * ownership table on the driver. Row-identical by construction
+    * (inner join either way); both arms plan-pinned and compared in
+    * SubstringDedupSpec.
+    *
+    * `wide` selects the 64-bit shingle space (see
+    * [[positionalShingles]]). */
+  private[operators] def repeatedSpanHits(docs: DataFrame,
+      wide: Boolean = false,
+      maxOwnersBroadcast: Long = SpanOwnersExactMax): DataFrame = {
+    val ps = positionalShingles(docs, SubstrNgram, wide)
       .select(col("doc_id"), col("pos"), col("sh"))
-    val owners = ps.groupBy(col("sh"))
+    // persisted (registry-tracked): the size probe and the join both
+    // consume it — unpersisted, the shingle-grain shuffle would run twice
+    val owners = graft.CheckpointUtil.trackPersist(ps.groupBy(col("sh"))
       .agg(min(col("doc_id")).as("own"), max(col("doc_id")).as("mx"))
       .filter(col("own") =!= col("mx"))
       .select(col("sh"), col("own"))
-    ps.join(broadcast(owners), Seq("sh"))
-      .filter(col("doc_id") =!= col("own"))
+      .persist())
+    // the probe is Int-limited; a budget at/above Int.MaxValue could
+    // never be exceeded by it and would silently disable the degrade
+    require(maxOwnersBroadcast < Int.MaxValue,
+      s"maxOwnersBroadcast $maxOwnersBroadcast would defeat the size probe")
+    val fits = owners
+      .limit(maxOwnersBroadcast.toInt + 1)
+      .count() <= maxOwnersBroadcast
+    // both arms re-consume the persisted owners (unlike decontaminate's
+    // Bloom arm, the degraded join still needs the ownership rows — the
+    // cache is partition-spillable, never driver-resident)
+    val joined =
+      if (fits) ps.join(broadcast(owners), Seq("sh"))
+      else ps.join(owners.hint("shuffle_hash"), Seq("sh"))
+    joined.filter(col("doc_id") =!= col("own"))
       .select(col("doc_id"), col("pos"))
   }
 
@@ -875,9 +933,15 @@ object TrainingDataQueries {
     // the oracle is the whole-corpus pass restricted to batch ids — the
     // hash-exact compare IS the batch-then-increment == full-rebuild
     // proof. Corpus cost: one scan to build state, then zero (no corpus
-    // shuffle on any batch's account); state broadcast degrades to the
-    // Bloom probe (overestimate-only = extra excision, the safe
-    // direction) when it outgrows the broadcast budget.
+    // shuffle on any batch's account). The state joins carry NO broadcast
+    // hint (a hint would override autoBroadcastJoinThreshold and force a
+    // driver OOM at scale): the checkpointed state's size is known, so
+    // Spark broadcasts while it fits the threshold and falls back to a
+    // shuffled join of the BATCH-sized side when it doesn't. A
+    // lossy-but-cheaper Bloom state probe (overestimate-only = extra
+    // excision, the safe direction) is the documented follow-up for
+    // deployments where even the shuffled probe is too hot — it changes
+    // results, so it could never be a silent swap.
     "dedup_substring_incremental" -> ((s, dir) => {
       val docs = docsSpread(s, dir)
       val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
@@ -889,14 +953,17 @@ object TrainingDataQueries {
           .localCheckpoint(true))
       val psB = positionalShingles(batch, SubstrNgram)
         .select(col("doc_id"), col("pos"), col("sh"))
-      val corpusHits = psB.join(broadcast(corpusShh), Seq("sh"), "left_semi")
+      val corpusHits = psB.join(corpusShh, Seq("sh"), "left_semi")
         .select(col("doc_id"), col("pos"))
-      val batchOnly = psB.join(broadcast(corpusShh), Seq("sh"), "left_anti")
+      val batchOnly = psB.join(corpusShh, Seq("sh"), "left_anti")
       val owners = batchOnly.groupBy(col("sh"))
         .agg(min(col("doc_id")).as("own"), max(col("doc_id")).as("mx"))
         .filter(col("own") =!= col("mx"))
         .select(col("sh"), col("own"))
-      val batchHits = batchOnly.join(broadcast(owners), Seq("sh"))
+      // batch-scoped ownership is ingest-bounded — small enough that the
+      // size estimate picks broadcast on its own; no hint for the same
+      // degrade-must-stay-possible reason as the state joins above
+      val batchHits = batchOnly.join(owners, Seq("sh"))
         .filter(col("doc_id") =!= col("own"))
         .select(col("doc_id"), col("pos"))
       excisedCoverage(corpusHits.unionByName(batchHits), SubstrNgram)

@@ -189,7 +189,24 @@ class DedupStressSpec extends SparkSuite {
     val spurious = cov.filter(!col("role").isin(1, 2, 3, 4)).count()
     info(s"spurious-hit docs: $spurious (predicted ~11.5k)")
     assert(spurious < 23000, s"spurious-hit docs: $spurious")
-    cov.unpersist(blocking = false)
+    // THE CONTRAST (the 100 TB lesson made runnable): the wide (64-bit)
+    // arm over the SAME ~3.65M windows — birthday bound n²/2⁶⁵ ≈ 0, so
+    // the planted classes come through at their closed-form coverage with
+    // ZERO spurious-hit docs where mod-P produced thousands
+    val covW = TrainingDataQueries.excisedCoverage(
+        TrainingDataQueries.repeatedSpanHits(docs, wide = true),
+        TrainingDataQueries.SubstrNgram)
+      .withColumn("role", col("doc_id") % 1000)
+      .persist()
+    assert(covW.filter(!col("role").isin(1, 2, 3, 4)).count() == 0,
+      "64-bit substring arm produced spurious hits at 3.65M windows")
+    assert(covW.count() == 200, "wide arm lost planted flagged docs")
+    assert(covW.filter(col("role").isin(1, 2) && col("n_removed") =!= 80)
+      .count() == 0)
+    assert(covW.filter(col("role") === 3 &&
+      (col("n_removed") < 75 || col("n_removed") > 80)).count() == 0)
+    assert(covW.filter(col("role") === 4 && col("n_removed") < 20).count() == 0)
+    Seq(cov, covW).foreach(_.unpersist(blocking = false))
     graft.CheckpointUtil.releaseStragglers()
   }
 }

@@ -91,7 +91,15 @@ class ShuffleAuditSpec extends SparkSuite {
     // DSIR's feature agg + rank exchange, the survivor shingle-ownership
     // agg (its broadcast-back is exchange-free), the coverage agg, the
     // shelf rank exchange + class-minimum agg, and the final sort.
-    "pipeline_e2e_surgical" -> 20,
+    "pipeline_e2e_surgical" -> 24,
+    // round-12 re-audit: the adaptive ownership probe persists the owners
+    // table, whose build lineage (the shingle-grain agg exchange) now
+    // reprints under the InMemoryRelation reference — measured 7 (excise)
+    // / 22 (surgical, two consumers) in plan text; the RUNTIME shuffle
+    // set is unchanged (the probe's agg is the same one the join reads,
+    // now computed once via the cache)
+    "dedup_substring_excise" -> 9,
+    "dedup_substring_spans" -> 9,
     // three user-grain stage aggs + their join sides + the final sort
     // (measured 7); each later stage's input is funnel-survivor-
     // proportional, and all shuffles share the user_id key

@@ -56,6 +56,53 @@ class SubstringDedupSpec extends SparkSuite {
     joined.unpersist()
   }
 
+  test("wide (64-bit) shingle arm: hit-set containment with a bounded mod-P excess") {
+    // a TRUE repeated span hashes equal in both spaces, and a mod-P
+    // collision can only ENLARGE the colliding set (the min-owner only
+    // gets smaller), so the wide hit set is contained in the mod-P one
+    // with strict inequality exactly at mod-P's false hits. At the
+    // fixture's ~60k windows the birthday prediction n²/2P is ~2 rows —
+    // and indeed ONE false mod-P hit already exists at sf0.001 (found by
+    // this spec's first run: the excess is real data, not theory).
+    // DedupStressSpec pins the scale contrast at 3.65M windows.
+    val docs = Tables.documents(spark, sf0001)
+    val modP = TrainingDataQueries.repeatedSpanHits(docs)
+    val wide = TrainingDataQueries.repeatedSpanHits(docs, wide = true)
+    assert(wide.exceptAll(modP).count() == 0,
+      "wide-only substring hits: the 64-bit arm changed the semantics")
+    val excess = modP.exceptAll(wide).count()
+    info(s"mod-P-only substring hits at sf0.001: $excess (predicted ~2)")
+    assert(excess <= 8, s"mod-P excess $excess is beyond the birthday budget")
+    // same containment for the decontamination hit definition
+    val cModP = TrainingDataQueries.contaminationHits(spark, sf0001)
+    val cWide = TrainingDataQueries.contaminationHits(spark, sf0001, wide = true)
+    assert(cWide.exceptAll(cModP).count() == 0,
+      "wide-only contamination hits: the 64-bit arm changed the semantics")
+    val cExcess = cModP.exceptAll(cWide).count()
+    info(s"mod-P-only contamination hits at sf0.001: $cExcess")
+    assert(cExcess <= 8, s"contamination mod-P excess $cExcess beyond budget")
+    graft.CheckpointUtil.releaseStragglers()
+  }
+
+  test("ownership degrade arm is row-identical and actually swaps the join") {
+    val docs = Tables.documents(spark, sf0001)
+    val bcast = TrainingDataQueries.repeatedSpanHits(docs)
+    // budget 0 → the probe can never fit → the shuffle-hash arm
+    val degraded = TrainingDataQueries.repeatedSpanHits(docs,
+      maxOwnersBroadcast = 0L)
+    assert(bcast.exceptAll(degraded).count() == 0 &&
+      degraded.exceptAll(bcast).count() == 0,
+      "degraded ownership join changed the hit set")
+    // plan pins: the default arm broadcasts the ownership table, the
+    // degraded arm joins it with a shuffle-hash join (NOT a forced
+    // broadcast that would OOM the driver at the scale that triggers it)
+    val bp = bcast.queryExecution.executedPlan.toString
+    val dp = degraded.queryExecution.executedPlan.toString
+    assert(bp.contains("BroadcastHashJoin"), bp)
+    assert(dp.contains("ShuffledHashJoin"), dp)
+    graft.CheckpointUtil.releaseStragglers()
+  }
+
   test("planted contiguous duplicate span is excised in closed form") {
     import spark.implicits._
     // doc 1 owns tokens; doc 2 repeats a contiguous 12-token run of doc 1
