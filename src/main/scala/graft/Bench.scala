@@ -39,7 +39,12 @@ object Bench {
       fn
       (System.nanoTime() - t0) / 1e9
     }
+    // optional arg: comma-separated query-name filter — local adjudication
+    // of individual movers (the driver always runs the full set, no args)
+    val only: Option[Set[String]] =
+      if (args.length > 0) Some(args(0).split(",").toSet) else None
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       try time(fn(spark, sfDir)
         .write.format("noop").mode("overwrite").save())
