@@ -345,11 +345,18 @@ object SparkEntry {
     * must exceed the structural bound ceil(theta/delta)+1 on executed
     * bodies.
     */
-  private def gradReductionStubSql(theta: Double, delta: Double, unroll: Int): String = {
+  /** The GradualReduction unroll over an arbitrary base relation —
+    * [[traditionalStubUnroll]]'s sibling for the reference's SECOND
+    * algorithm (O17). `baseSql` must yield ($idCol, l0, f0); returns the
+    * UNORDERED final select (id, score, pu_final). Shared by the
+    * embeddings oracle below and the PU-LEA-gated pipeline twin
+    * ([[graft.operators.CurationPipeline]]), so the do-while's unroll
+    * logic cannot fork. `unroll` must exceed the structural bound
+    * ceil(theta/delta)+1 on executed bodies. */
+  private[graft] def gradReductionUnroll(theta: Double, delta: Double, unroll: Int,
+                                         baseSql: String, idCol: String): String = {
     def s(k: Int) = stubShiftSql(k, delta)
-    var q = s"""SELECT vec_id, CASE WHEN ($puLabelSql) = 1 THEN 1 ELSE -1 END AS l0,
-               |       (vec_id % 97) / 96.0 AS f0
-               |FROM embeddings""".stripMargin
+    var q = baseSql
     // entry thresholding of undefined rows at the zeroStep score
     q = s"""SELECT *,
            |  CASE WHEN l0 = -1 THEN (CASE WHEN ${s(0)} < $theta THEN 0 ELSE -1 END)
@@ -378,11 +385,17 @@ object SparkEntry {
     val scoreCase = (1 to unroll - 1)
       .map(j => s"WHEN NOT c$j THEN ${s(j)}")
       .mkString(" ")
-    s"""SELECT vec_id,
+    s"""SELECT $idCol,
        |  CASE $scoreCase ELSE ${s(unroll)} END AS score,
        |  CAST(l${unroll + 1} AS INTEGER) AS pu_final
-       |FROM ($q) ORDER BY vec_id""".stripMargin
+       |FROM ($q)""".stripMargin
   }
+
+  private def gradReductionStubSql(theta: Double, delta: Double, unroll: Int): String =
+    gradReductionUnroll(theta, delta, unroll,
+      s"""SELECT vec_id, CASE WHEN ($puLabelSql) = 1 THEN 1 ELSE -1 END AS l0,
+         |       (vec_id % 97) / 96.0 AS f0
+         |FROM embeddings""".stripMargin, "vec_id") + " ORDER BY vec_id"
 
   private def coreOracles: Map[String, String] = {
     Map(

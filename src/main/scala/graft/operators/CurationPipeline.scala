@@ -270,7 +270,7 @@ object CurationPipeline {
     * `pu_pipeline_filter_stub` AND `pipeline_e2e_curate_pu` — a threshold
     * or iteration change here moves both queries (and their twins compose
     * the same [[graft.SparkEntry.traditionalStubUnroll]]). */
-  private def puStubScores(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def puStubScores(s: SparkSession, dir: String): DataFrame = {
     import graft.pu._
     val stub = new ShiftingStubClassifier(-0.125)
       .setLabelCol(ProbabilisticClassifierConfig.labelName)
@@ -282,6 +282,33 @@ object CurationPipeline {
     val labelCol = if (out.columns.contains("curLabel")) "curLabel" else "prevLabel"
     out.select(col("doc_id"), col("score"),
       col(labelCol).cast(IntegerType).as("pu_final"))
+  }
+
+  /** Keep bar for the PU-LEA-gated chain. The LEA loop's shifting stub
+    * RAISES scores each refit (that is the gradual-reduction path — see
+    * `pu_gradreduction_stub`), so the Traditional chain's 0.5 bar would be
+    * universal after a few refits (measured: every doc ≥ 0.605 at fixture
+    * scale). 0.875 = "still confident after the promotions", dropping
+    * ~20% at both fixture SFs — the gate provably bites (E2eCurateSpec). */
+  val LeaKeepTau = 0.875
+
+  /** The PU-LEA pipeline quality model — the reference's SECOND algorithm
+    * (O17 GradualReduction do-while, shifting stub delta +0.125 so refits
+    * PROMOTE reliable negatives back to undefined, threshold 0.5) over the
+    * same [[puStubBase]]. The single model definition behind
+    * `pipeline_e2e_curate_pulea`; its twin composes
+    * [[graft.SparkEntry.gradReductionUnroll]] with the same stage CTEs the
+    * Traditional-gated chain uses — both reference algorithms now drive a
+    * full curation composition, no fork in either loop's logic. */
+  private[operators] def puLeaStubScores(s: SparkSession, dir: String): DataFrame = {
+    import graft.pu._
+    val stub = new ShiftingStubClassifier(0.125)
+      .setLabelCol(ProbabilisticClassifierConfig.labelName)
+      .setFeaturesCol(ProbabilisticClassifierConfig.featuresName)
+    val out = new GradualReductionPULearner(0.5, stub)
+      .weight(puStubBase(s, dir), "puLabel", "features", "score")
+    out.select(col("doc_id"), col("score"),
+      col("curLabel").cast(IntegerType).as("pu_final"))
   }
 
   /** Stages 5-7 of the full DAG over stage-4 survivors `s4` (doc rows with
@@ -710,6 +737,35 @@ object CurationPipeline {
           col("cen_id"), col("n_tokens"), col("n_pieces"), col("pieces_hash"),
           col("pack_id"), col("pack_offset"), col("shard_id"))
         .orderBy("doc_id")
+    }),
+
+    // The chain gated by the reference's SECOND algorithm, composed the
+    // way PU learning is meant to be used: the hand-written Gopher rules
+    // survive only as the training SEED (Gopher∧even — the weak
+    // known-positive set), the PU-LEA (GradualReduction, O17) do-while
+    // under the shifting stub generalizes them into a learned keep
+    // decision, and that decision REPLACES stage 1 outright. (Conjoining
+    // with Gopher, as the Traditional chain does, would be vacuous here:
+    // the rising-score loop saturates every Gopher survivor's score at
+    // 1.0 — measured, not assumed — so the learned gate must stand
+    // alone to bite; it drops ~20% of the corpus at every fixture SF.)
+    // Stage shapes are identical to the sibling chains; only the
+    // stage-1 decision engine changes.
+    "pipeline_e2e_curate_pulea" -> ((s, dir) => {
+      val docs = Spread.ifNarrow(Tables.documents(s, dir), col("doc_id"))
+      val puKeep = graft.CheckpointUtil.trackPersist(puLeaStubScores(s, dir)
+        .filter(col("pu_final") === 1 || col("score") >= LeaKeepTau)
+        .select(col("doc_id"), col("score").as("pu_score"))
+        .persist())
+      // stage 1 IS the learned keep set (no Gopher conjunct — see above)
+      val q = graft.CheckpointUtil.trackPersist(
+        docs.join(puKeep, "doc_id").persist())
+      stages2to7(docs, q)
+        .join(puKeep, "doc_id")
+        .select(col("doc_id"), col("pu_score"), col("n_paras"), col("n_dup"),
+          col("cen_id"), col("n_tokens"), col("n_pieces"), col("pieces_hash"),
+          col("pack_id"), col("pack_offset"), col("shard_id"))
+        .orderBy("doc_id")
     })
   )
 
@@ -722,16 +778,21 @@ object CurationPipeline {
     * paragraph counts, s2 = paragraph survivors. */
   private[operators] def stage12Ctes: String = stage12CtesWith("", "")
 
-  /** [[stage12Ctes]] with extension points for the PU-gated chain:
-    * `preS1` (extra CTEs, inserted after `st`, must NOT end with a comma)
-    * and `s1Extra` (an ` AND ...` conjunct appended to the s1 filter). */
-  private[operators] def stage12CtesWith(preS1: String, s1Extra: String): String = {
+  /** [[stage12Ctes]] with extension points for the PU-gated chains:
+    * `preS1` (extra CTEs, inserted after `st`, must NOT end with a comma),
+    * `s1Extra` (an ` AND ...` conjunct appended to the s1 filter), and
+    * `s1Sql` (when non-empty, the COMPLETE s1 select — the PU-LEA chain
+    * replaces the hand-written Gopher stage with the learned keep set). */
+  private[operators] def stage12CtesWith(preS1: String, s1Extra: String,
+                                         s1Sql: String = ""): String = {
     val w = ParaWindow
     val pre = if (preS1.isEmpty) "" else preS1 + ",\n"
+    val s1Body = if (s1Sql.nonEmpty) s1Sql
+      else s"""SELECT st.doc_id FROM st JOIN tf USING (doc_id)
+              |  WHERE (${TrainingDataQueries.GopherSql.keep})$s1Extra""".stripMargin
     s"""tf AS (${TrainingDataQueries.GopherSql.tfCte}),
        |st AS (${TrainingDataQueries.GopherSql.stCte}),
-       |${pre}s1 AS (SELECT st.doc_id FROM st JOIN tf USING (doc_id)
-       |  WHERE (${TrainingDataQueries.GopherSql.keep})$s1Extra),
+       |${pre}s1 AS ($s1Body),
        |p0 AS (SELECT doc_id, th FROM t
        |  WHERE len(th) > 0 AND doc_id IN (SELECT doc_id FROM s1)),
        |paras AS MATERIALIZED (SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pidx, u.h FROM (
@@ -928,6 +989,30 @@ object CurationPipeline {
            |  WHERE pu_final = 1 OR score >= 0.5)""".stripMargin
       s"""WITH RECURSIVE t AS MATERIALIZED ($thCte),
          |${stage12CtesWith(preS1, " AND st.doc_id IN (SELECT doc_id FROM puk)")},
+         |$stage34Ctes,
+         |${stage57Sql(", puk.pu_score", " JOIN puk USING (doc_id)")}""".stripMargin
+    },
+
+    // The PU-LEA-gated chain: identical staged twin, with the
+    // GradualReduction unroll ([[graft.SparkEntry.gradReductionUnroll]],
+    // the pu_gradreduction_stub twin's builder) REPLACING the Gopher s1
+    // (the rules live on only inside `base` as the training seed) — same
+    // base CTE as the Traditional-gated twin, only the loop and the
+    // stage-1 role differ.
+    "pipeline_e2e_curate_pulea" -> {
+      val unroll = graft.SparkEntry.gradReductionUnroll(
+        0.5, 0.125, 6, "SELECT * FROM base", "doc_id")
+      val preS1 =
+        s"""qf AS (SELECT doc_id, ${graft.functions.TextQueries.quality} AS f0 FROM documents),
+           |base AS (SELECT st.doc_id,
+           |  CASE WHEN (${TrainingDataQueries.GopherSql.keep}) AND st.doc_id % 2 = 0
+           |       THEN 1 ELSE -1 END AS l0,
+           |  qf.f0 AS f0
+           |  FROM st JOIN tf USING (doc_id) JOIN qf USING (doc_id)),
+           |puk AS MATERIALIZED (SELECT doc_id, score AS pu_score FROM ($unroll)
+           |  WHERE pu_final = 1 OR score >= $LeaKeepTau)""".stripMargin
+      s"""WITH RECURSIVE t AS MATERIALIZED ($thCte),
+         |${stage12CtesWith(preS1, "", "SELECT doc_id FROM puk")},
          |$stage34Ctes,
          |${stage57Sql(", puk.pu_score", " JOIN puk USING (doc_id)")}""".stripMargin
     },

@@ -65,6 +65,47 @@ class E2eCurateSpec extends SparkSuite {
     graft.CheckpointUtil.releaseStragglers()
   }
 
+  test("the PU-LEA gate is a live, distinct decision engine") {
+    // the oracle proves value equality of pipeline_e2e_curate_pulea; this
+    // pins what it can't: that the GradualReduction do-while actually RAN
+    // (refits moved scores) and that the two reference algorithms make
+    // genuinely different keep decisions over the same base.
+    val lea = CurationPipeline.puLeaStubScores(spark, sf0001).persist()
+    val trad = CurationPipeline.puStubScores(spark, sf0001).persist()
+    // with delta=+0.125 any executed refit raises a non-saturated score
+    // above its f0 base; the Traditional loop (delta=-0.125) lowers it —
+    // a doc scored differently by the two is direct evidence both loops
+    // refit (a 0-refit run would leave both at clamp(f0))
+    val joined = lea.select(col("doc_id"), col("score").as("lea"))
+      .join(trad.select(col("doc_id"), col("score").as("trad")), "doc_id")
+      .persist()
+    assert(joined.filter(col("lea") > col("trad")).count() > 0,
+      "LEA and Traditional scores coincide everywhere — no loop refit ran")
+    // the keep rule under each model: both non-empty, neither universal,
+    // and the sets differ (the second algorithm is not a re-skin)
+    def keeps(m: org.apache.spark.sql.DataFrame, tau: Double) =
+      m.filter(col("pu_final") === 1 || col("score") >= tau).select("doc_id")
+    val kl = keeps(lea, CurationPipeline.LeaKeepTau).persist()
+    val kt = keeps(trad, 0.5).persist()
+    val (nl, nt, n) = (kl.count(), kt.count(), lea.count())
+    assert(nl > 0 && nl < n && nt > 0 && nt < n,
+      s"degenerate keep sets: lea=$nl trad=$nt of $n")
+    assert(kl.exceptAll(kt).count() > 0,
+      "the LEA gate keeps exactly the Traditional set — distinct engine unproven")
+    // and the composed chain is not a re-skin of the Gopher chain: the
+    // learned stage-1 gate admits docs the hand rules reject (and vice
+    // versa), so the two compositions curate different survivor sets
+    val plain = graft.SparkEntry.queries("pipeline_e2e_curate")(spark, sf0001)
+      .select("doc_id")
+    val pulea = graft.SparkEntry.queries("pipeline_e2e_curate_pulea")(spark, sf0001)
+      .select("doc_id")
+    assert(pulea.exceptAll(plain).count() > 0 ||
+      plain.exceptAll(pulea).count() > 0,
+      "PU-LEA-gated chain output equals the Gopher chain — gate vacuous")
+    spark.catalog.clearCache()
+    graft.CheckpointUtil.releaseStragglers()
+  }
+
   test("full-DAG tail (quota -> mix -> split -> pack) is non-vacuous and well-formed") {
     val out = graft.SparkEntry.queries("pipeline_e2e_full")(spark, sf0001).persist()
     assert(out.count() > 0, "no packs — tail dropped everything")

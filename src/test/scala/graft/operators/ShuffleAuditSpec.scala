@@ -79,6 +79,9 @@ class ShuffleAuditSpec extends SparkSuite {
     // twice (stage-1 gate + final evidence), both persisted; measured 21 in
     // plan text with the same cached-Spread reprinting as above
     "pipeline_e2e_curate_pu" -> 23,
+    // identical chain shape under the PU-LEA gate (measured 22 in plan
+    // text, same cached-Spread reprinting)
+    "pipeline_e2e_curate_pulea" -> 24,
     // survivor chain + quota/mix/split/pack tail: the tail adds the
     // source-quota agg, the pack range exchange, and the manifest pack_id
     // agg on top of the stage 1-4 set; same plan-text doubling as above
