@@ -526,6 +526,17 @@ object DedupQueries {
     s"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
       s"list_transform($a, x -> x * x)), (acc, x) -> acc + x))"
 
+  /** SRP signature over a column named `v` — the identical literal
+    * hyperplanes as [[Dedup.srpSignature]]. ONE builder behind the
+    * `dedup_srp_pairs` and `sim_topk_srp` twins, so the plane constants
+    * cannot fork between the pair and top-k surfaces. */
+  private[operators] def srpSigSqlExpr: String =
+    (0 until Dedup.SrpPlanes).map { j =>
+      val signs = (0 until Dedup.SrpDim)
+        .map(i => Dedup.srpSign(j, i).toString).mkString("[", ", ", "]")
+      s"(CASE WHEN ${dotSql("v", signs)} > 0.0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
   def oracles: Map[String, String] = Map(
     "dedup_exact" ->
       s"""WITH f AS (SELECT doc_id, ${ph("text", "ci")} AS fp FROM documents)
@@ -657,12 +668,7 @@ object DedupQueries {
          |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_srp_pairs" -> {
-      // identical literal hyperplanes as Dedup.srpSignature
-      val sigSqlExpr = (0 until Dedup.SrpPlanes).map { j =>
-        val signs = (0 until Dedup.SrpDim)
-          .map(i => Dedup.srpSign(j, i).toString).mkString("[", ", ", "]")
-        s"(CASE WHEN ${dotSql("v", signs)} > 0.0 THEN ${1L << j} ELSE 0 END)"
-      }.mkString("(", " + ", ")")
+      val sigSqlExpr = srpSigSqlExpr
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |nn AS (SELECT * FROM (SELECT vec_id, v, ${normSql("v")} AS nrm FROM e) WHERE nrm > 0.0),
          |s AS (SELECT vec_id, v, nrm, CAST($sigSqlExpr AS BIGINT) AS sig FROM nn),

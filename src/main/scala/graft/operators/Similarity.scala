@@ -92,6 +92,35 @@ object Similarity {
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
         col("col._2").as("vec_id"), col("col._1").as("cos"))
 
+  /** SRP-LSH top-k: the deterministic cosine-LSH tier — [[Dedup]]'s
+    * 16-plane signed-random-projection signature (literal hyperplanes,
+    * oracle-replicable, unlike Spark-ML's BRP-LSH whose hash internals
+    * are not) banded 4×4 as the candidate gate, exact cosine + bounded
+    * [[TopKAgg]] selection over the survivors. The gate is IN-SCAN: the
+    * query side is a broadcast constant and "some 4-bit band agrees" is
+    * bit arithmetic on the two signatures — no explode, no pair-grain
+    * distinct, no shuffle but TopKAgg's partial agg. Candidate volume per
+    * query ≈ corpus × P(band collision) — the LSH recall/cost dial is the
+    * band layout, and recall vs brute force is spec-pinned (pure-LSH
+    * recall on a near-isotropic corpus is structurally modest; the IVF
+    * tiers are the high-recall path, this tier is the no-training one). */
+  def srpTopK(corpus: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val sigd = corpus.withColumn("sig", Dedup.srpSignature(col("v")))
+    val q = sigd.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("sig").as("qsig"))
+    // sig is a sum of distinct bits 0..15, so it is non-negative and
+    // (sig >> 4b) & 15 equals simhashBands' floor(sig/2^4b) % 16 exactly
+    val xr = col("sig").bitwiseXOR(col("qsig"))
+    val bandMatch = (0 until 4)
+      .map(b => (shiftright(xr, 4 * b) % 16) === 0)
+      .reduce(_ || _)
+    val pairs = sigd.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id") && bandMatch)
+      .withColumn("cos", cosine(col("qv"), col("v"), col("qnrm"), col("nrm")))
+    topKPerQuery(pairs, k)
+  }
+
   /** Exact top-k: for each query vector, the k corpus vectors with highest
     * cosine (self excluded); ties broken by vec_id. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {

@@ -153,6 +153,16 @@ object SimilarityQueries {
           col("label") === 3, NCentroids, NProbe, K)
         .orderBy("query_id", "rank")
     }),
+    // Deterministic LSH tier ([[Similarity.srpTopK]]): the SRP signature
+    // machinery behind dedup_srp_pairs pointed at top-k retrieval —
+    // hash-exact where sim_topk_lsh (Spark-ML BRP-LSH, non-replicable
+    // internals) can only be rows-only; that query stays as the ML
+    // comparison arm. Recall vs brute is pinned in SimilaritySpec.
+    "sim_topk_srp" -> ((s, dir) => {
+      val corpus = Similarity.prepare(Tables.embeddings(s, dir)).persist()
+      Similarity.srpTopK(corpus, col("vec_id") < NQueries, K)
+        .orderBy("query_id", "rank")
+    }),
     "sim_topk_lsh" -> ((s, dir) => {
       // distances are UNIT-sphere Euclidean (lshTopK hashes normalized
       // vectors), so maxDist 1.35 is a principled cosine floor of
@@ -673,6 +683,25 @@ object SimilarityQueries {
            |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
       "sim_topk_ivf" -> ivfOracle(
         s"SELECT vec_id AS cen_id, v AS cv, nrm AS cnrm FROM nn WHERE vec_id < $NCentroids"),
+      // SRP-LSH tier: same sig/band formulation as the dedup_srp_pairs
+      // twin (shared srpSigSqlExpr builder — the planes cannot fork),
+      // band-match candidate gate, then the standard ranked top-k tail
+      "sim_topk_srp" ->
+        s"""WITH e AS ($e), nn AS ($n),
+           |s AS (SELECT vec_id, v, nrm, CAST(${DedupQueries.srpSigSqlExpr} AS BIGINT) AS sig FROM nn),
+           |sb AS (SELECT vec_id, v, nrm, list_transform(range(0, 4), bi ->
+           |  CAST(floor(CAST(sig AS DOUBLE)/power(2, bi*4)) AS BIGINT) % 16) AS bands FROM s),
+           |q AS (SELECT vec_id AS query_id, v AS qv, qnrm, qbands FROM
+           |  (SELECT vec_id, v, nrm AS qnrm, bands AS qbands FROM sb) WHERE vec_id < $NQueries),
+           |cand AS (SELECT q.query_id, c.vec_id,
+           |    ${dotSql("q.qv", "c.v")} / (q.qnrm * c.nrm) AS cos
+           |  FROM q JOIN sb c ON c.vec_id <> q.query_id
+           |    AND len(list_filter(range(1, 5), bi -> c.bands[bi] = q.qbands[bi])) > 0),
+           |ranked AS (SELECT query_id, vec_id, cos,
+           |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+           |  FROM cand)
+           |SELECT query_id, rank, vec_id, cos FROM ranked
+           |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
       // radius variant: tau gate over the SAME probed-candidate set
       "sim_range_search" ->
         s"""${ivfCandCtes(

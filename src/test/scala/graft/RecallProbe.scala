@@ -32,6 +32,7 @@ object RecallProbe {
     println(f"pq-tr    recall@10 = ${recall(Similarity.pqTopKTrained(corpus, pred, 128, 16, 48, 10))}%.3f")
     println(f"ivfpq-tr recall@10 = ${recall(Similarity.ivfPqTopKTrained(corpus, pred, 16, 12, 128, 16, 64, 10))}%.3f")
     println(f"ivf-km60 recall@10 = ${recall(Similarity.ivfTopKKMeans(corpus, pred, 16, 4, 10, samplePct = 60))}%.3f")
+    println(f"srp      recall@10 = ${recall(Similarity.srpTopK(corpus, pred, 10))}%.3f")
     spark.stop()
   }
 }
