@@ -81,15 +81,26 @@ object RelationalQueries {
       val hist = x.groupBy(bucket.as("b")).agg(count(lit(1)).as("c"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
       val n = hist.map(_._2).sum
+      require(n > 0, "q_exact_median: empty lineitem — no median exists")
       val k = (n + 1) / 2
-      var cum = 0L
-      val (target, before) = hist.collectFirst {
-        case (b, c) if { val hit = cum + c >= k; if (!hit) cum += c; hit } =>
-          (b, cum)
-      }.get
+      // explicit fold to the bucket holding rank k: (bucket, cumBefore)
+      // for the first bucket whose cumulative count reaches k. 1 <= k <= n
+      // guarantees a hit, so the fold's state is Some after the loop.
+      val (target, before) = hist
+        .foldLeft((Option.empty[(Long, Long)], 0L)) {
+          case ((found @ Some(_), cum), _) => (found, cum)
+          case ((None, cum), (b, c)) =>
+            if (cum + c >= k) (Some((b, cum)), cum) else (None, cum + c)
+        }._1.get
+      // rank within the bucket: bounded by the bucket's row count — but
+      // guard the Int cast anyway (a >2^31-row bucket would silently
+      // truncate the limit and return a wrong order statistic)
+      val inBucket = k - before
+      require(inBucket <= Int.MaxValue,
+        s"q_exact_median: rank $inBucket within one bucket overflows limit()")
       val med = x.filter(bucket === target)
-        .orderBy("x").limit((k - before).toInt)
-        .agg(max(col("x"))).head.getDouble(0)
+        .orderBy("x").limit(inBucket.toInt)
+        .agg(max(col("x"))).head().getDouble(0)
       Seq((n, med)).toDF("n", "median")
     }),
 

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 
@@ -354,9 +355,15 @@ object SimilarityQueries {
     // shift — exact on doubles) and flooring to integer units makes the
     // sums associative longs — the same answer on any partitioning, any
     // engine (that's also what makes the oracle hash-exact). Downstream
-    // mean = sum_u / (n << 20). At sums beyond 2^63 (≳1e9 rows/dim at
-    // this value range) sum_u2 escalates to DECIMAL(38,0) — same
-    // determinism, wider lane. One posexplode + one 64-group agg.
+    // mean = sum_u / (n << 20). sum_u2 accumulates u² ≈ 2^40 per row, so
+    // a long lane wraps silently past ~8M rows/dim (Spark's non-ANSI sum)
+    // while the oracle's HUGEINT would not — the per-row terms are cast
+    // to DECIMAL(38,0) BEFORE the sum on both engines, so the wide lane
+    // carries ~10^28 rows/dim with the same cross-engine determinism
+    // (integer units; decimal addition is exact). sum_u's terms are only
+    // 2^20, safe in the long lane to ~2^43 rows/dim — the documented
+    // follow-up if corpora outgrow that. One posexplode + one 64-group
+    // agg.
     "sim_dim_stats" -> ((s, dir) => {
       val u = floor(col("v").cast("double") * lit(1048576.0)).cast("long")
       Tables.embeddings(s, dir)
@@ -364,7 +371,7 @@ object SimilarityQueries {
         .select(col("dim").cast("long").as("dim"), u.as("u"))
         .groupBy(col("dim"))
         .agg(count(lit(1)).as("n"), sum(col("u")).as("sum_u"),
-          sum(col("u") * col("u")).as("sum_u2"),
+          sum((col("u") * col("u")).cast(DecimalType(38, 0))).as("sum_u2"),
           min(col("u")).as("min_u"), max(col("u")).as("max_u"))
         .orderBy("dim")
     }),
@@ -956,7 +963,7 @@ object SimilarityQueries {
            |    i -> {'d': CAST(i - 1 AS BIGINT), 'v': embedding[i]})) AS x
            |  FROM embeddings))
            |SELECT dim, count(*) AS n, CAST(SUM(u) AS BIGINT) AS sum_u,
-           |  CAST(SUM(u * u) AS BIGINT) AS sum_u2,
+           |  SUM(CAST(u * u AS DECIMAL(38,0))) AS sum_u2,
            |  min(u) AS min_u, max(u) AS max_u
            |FROM u GROUP BY dim ORDER BY dim""".stripMargin
     )

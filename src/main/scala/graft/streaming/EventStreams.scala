@@ -169,10 +169,22 @@ object EventStreams {
     * candidate click/purchase times. The tombstone is what keeps the
     * stream equal to the whole-history batch twin: a user converts ONCE
     * (the batch min-chain anchors on the globally first view), so events
-    * after the seal must not restart the funnel. A retention-bounded
-    * deployment would expire tombstones with a second timeout; the
-    * fixture parity test needs them held. */
+    * after the seal must not restart the funnel. Tombstones are NOT kept
+    * forever: a second event-time timeout expires each one
+    * [[FunnelTombstoneRetentionMicros]] after its seal point, so sealed
+    * users cost state only for the retention period (see
+    * [[funnelStream]]'s state-bound note). */
   case class FunnelState(tv: Long, clicks: Seq[Long], purchases: Seq[Long])
+
+  /** How long a sealed user's tombstone outlives its seal point (event
+    * time). Within the retention, post-seal events are absorbed (exact
+    * whole-history batch parity); after it the tombstone is dropped and
+    * later activity opens a FRESH funnel — "one result per user per
+    * retention epoch", the standard production semantics that keeps
+    * total state bounded by ACTIVE users instead of ever-seen users.
+    * 30 days dwarfs every fixture/spec time range, so the parity suites
+    * exercise the held-tombstone regime. */
+  val FunnelTombstoneRetentionMicros: Long = 30L * 24 * 3600000000L
 
   /** Streaming windowed funnel. A user's funnel seals — emits exactly one
     * [[FunnelResult]] and drops its state — when the watermark passes
@@ -184,8 +196,12 @@ object EventStreams {
     * watermark) — so anything below that bound drops. A user with no view
     * yet keeps only candidates ≥ watermark (a future view ≥ watermark can
     * only make later events eligible); if none remain, the state is
-    * removed entirely. State is therefore bounded by the watermark delay
-    * plus the funnel window — indefinitely runnable. */
+    * removed entirely. UNSEALED state is therefore bounded by the
+    * watermark delay plus the funnel window; sealed users leave a
+    * tombstone that a second event-time timeout removes
+    * [[FunnelTombstoneRetentionMicros]] after the seal — total state is
+    * O(users active within the retention window), indefinitely
+    * runnable. */
   def funnelStream(events: Dataset[Event]): Dataset[FunnelResult] = {
     import events.sparkSession.implicits._
     val W = FunnelWindowMicros
@@ -198,8 +214,11 @@ object EventStreams {
           val prev = state.getOption.getOrElse(
             FunnelState(Long.MaxValue, Vector.empty, Vector.empty))
           if (prev.tv == Long.MinValue) {
-            // sealed: this user already emitted its one result
+            // sealed: this user already emitted its one result. Absorb
+            // stragglers while the tombstone lives; when the retention
+            // timeout fires, drop it (later activity starts fresh).
             newEvents.foreach(_ => ())
+            if (state.hasTimedOut) state.remove()
             Iterator.empty
           } else {
           var tv = prev.tv
@@ -222,7 +241,11 @@ object EventStreams {
           purchases = purchases.filter(p => p >= lo && (tv == Long.MaxValue || p <= tv + W))
           if (tv != Long.MaxValue && wmUs > tv + W) {
             // sealed: compute the min-chain, emit once, leave a tombstone
+            // with its retention clock started at the seal point
             state.update(FunnelState(Long.MinValue, Vector.empty, Vector.empty))
+            state.setTimeoutTimestamp(math.max(
+              (tv + W + FunnelTombstoneRetentionMicros) / 1000L,
+              state.getCurrentWatermarkMs() + 1L))
             val tc = clicks.filter(c => c >= tv && c <= tv + W)
               .minOption.getOrElse(-1L)
             val tp = if (tc < 0) -1L

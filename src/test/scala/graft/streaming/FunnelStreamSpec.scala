@@ -64,4 +64,31 @@ class FunnelStreamSpec extends SparkSuite {
       .map(_.sortBy(e => e.event_id * 2654435761L % 1000003)).toSeq
     assert(runStream(chunks) == batchWindowed)
   }
+
+  test("tombstones absorb in-retention stragglers, expire after retention, then a fresh funnel opens") {
+    def ev(id: Long, us: Long, user: Long, typ: String) =
+      Event(id, new java.sql.Timestamp(us / 1000L), user, typ, 0.0)
+    val W = EventStreams.FunnelWindowMicros
+    val R = EventStreams.FunnelTombstoneRetentionMicros
+    val base = 1700000000000000L // any µs epoch
+    val got = runStream(Seq(
+      // funnel 1: view + click, sealed by the next chunk's watermark jump
+      Seq(ev(1, base, 7L, "view"), ev(2, base + W / 2, 7L, "click")),
+      // watermark far past the seal but INSIDE the retention: this view
+      // must be absorbed by the tombstone, not open a second funnel
+      Seq(ev(3, base + W + R / 2, 7L, "view")),
+      // a foreign no-op event pushes the watermark past seal+retention at
+      // THIS batch's end — the retention timeout fires, tombstone drops
+      // (the watermark the state function sees lags one batch, so the
+      // push and the reopening view cannot share a chunk)
+      Seq(ev(90, base + W + R + W, -1L, "flush")),
+      // tombstone gone: THIS view opens a fresh funnel (sealed by
+      // runStream's final flush event)
+      Seq(ev(4, base + W + R + W, 7L, "view"))))
+    val mine = got.filter(_.user_id == 7L)
+    assert(mine.map(_.t_view) == Seq(base, base + W + R + W),
+      s"expected the sealed funnel and ONE post-retention restart, got $mine")
+    // the in-retention straggler produced no third result
+    assert(!mine.exists(_.t_view == base + W + R / 2), s"straggler restarted: $mine")
+  }
 }
