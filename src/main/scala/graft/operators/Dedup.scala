@@ -201,17 +201,17 @@ object Dedup {
     * [[graft.functions.NativeExpressions.DotProduct]] against a literal
     * array.
     */
-  def srpSignature(v: Column): Column = {
+  def srpSignature(v: Column, dim: Int = SrpDim): Column = {
     val sig = (0 until SrpPlanes).map { j =>
-      val signs = Array.tabulate(SrpDim)(i => srpSign(j, i))
+      val signs = Array.tabulate(dim)(i => srpSign(j, i))
       when(graft.functions.NativeExpressions.dot(v, lit(signs)) > 0.0,
         lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
     // a ragged vector would make every dot NULL → signature 0 → all such
     // rows collide in every band (the banded join degrades toward n²) and
     // the oracle (which computes a real truncated dot) diverges — fail loud
-    when(size(v) === SrpDim, sig).otherwise(raise_error(concat(
-      lit(s"srpSignature: expected $SrpDim-dim vector, got "), size(v))))
+    when(size(v) === dim, sig).otherwise(raise_error(concat(
+      lit(s"srpSignature: expected $dim-dim vector, got "), size(v))))
   }
 
   // ------------------------------------------------------------------

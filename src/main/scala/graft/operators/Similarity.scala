@@ -104,8 +104,9 @@ object Similarity {
     * band layout, and recall vs brute force is spec-pinned (pure-LSH
     * recall on a near-isotropic corpus is structurally modest; the IVF
     * tiers are the high-recall path, this tier is the no-training one). */
-  def srpTopK(corpus: DataFrame, queryPred: Column, k: Int): DataFrame = {
-    val sigd = corpus.withColumn("sig", Dedup.srpSignature(col("v")))
+  def srpTopK(corpus: DataFrame, queryPred: Column, k: Int,
+              dim: Int = Dedup.SrpDim): DataFrame = {
+    val sigd = corpus.withColumn("sig", Dedup.srpSignature(col("v"), dim))
     val q = sigd.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"), col("sig").as("qsig"))

@@ -262,6 +262,44 @@ object TrainingDataQueries {
       .select(col("doc_id"), col("pos"))
   }
 
+  /** The incremental substring-excision computation behind
+    * `dedup_substring_incremental` (see the query's comment for the
+    * batch-vs-state design and the equivalence proof), factored so the
+    * production wide (64-bit) shingle arm runs the SAME code path — the
+    * flag swaps only the hash space ([[positionalShingles]]), pinned by
+    * SubstringDedupSpec's containment arm. Unordered; callers sort. */
+  private[operators] def incrementalSubstringCoverage(docs: DataFrame,
+      wide: Boolean = false): DataFrame = {
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val boundary = maxId * 4 / 5
+    val corpus = docs.filter(col("doc_id") <= boundary)
+    val batch = docs.filter(col("doc_id") > boundary)
+    val corpusShh = graft.CheckpointUtil.track(
+      positionalShingles(corpus, SubstrNgram, wide).select(col("sh")).distinct()
+        .localCheckpoint(true))
+    val psB = positionalShingles(batch, SubstrNgram, wide)
+      .select(col("doc_id"), col("pos"), col("sh"))
+    val corpusHits = psB.join(corpusShh, Seq("sh"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    val batchOnly = psB.join(corpusShh, Seq("sh"), "left_anti")
+    val owners = batchOnly.groupBy(col("sh"))
+      .agg(min(col("doc_id")).as("own"), max(col("doc_id")).as("mx"))
+      .filter(col("own") =!= col("mx"))
+      .select(col("sh"), col("own"))
+    // batch-scoped ownership is ingest-bounded — small enough that the
+    // size estimate picks broadcast on its own; no hint for the same
+    // degrade-must-stay-possible reason as the state joins above
+    val batchHits = batchOnly.join(owners, Seq("sh"))
+      .filter(col("doc_id") =!= col("own"))
+      .select(col("doc_id"), col("pos"))
+    excisedCoverage(corpusHits.unionByName(batchHits), SubstrNgram)
+      .join(batch.select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast(LongType).as("n_before")),
+        "doc_id")
+      .select(col("doc_id"), col("n_before"), col("n_removed"),
+        (col("n_before") - col("n_removed")).as("n_after"))
+  }
+
   /** Interval-union coverage of the `n`-token windows at `hits`'
     * (doc_id, pos) rows → (doc_id, n_removed): one hit agg, then an
     * in-scan fold over each doc's sorted positions (n tokens for the
@@ -942,38 +980,8 @@ object TrainingDataQueries {
     // excision, the safe direction) is the documented follow-up for
     // deployments where even the shuffled probe is too hot — it changes
     // results, so it could never be a silent swap.
-    "dedup_substring_incremental" -> ((s, dir) => {
-      val docs = docsSpread(s, dir)
-      val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
-      val boundary = maxId * 4 / 5
-      val corpus = docs.filter(col("doc_id") <= boundary)
-      val batch = docs.filter(col("doc_id") > boundary)
-      val corpusShh = graft.CheckpointUtil.track(
-        positionalShingles(corpus, SubstrNgram).select(col("sh")).distinct()
-          .localCheckpoint(true))
-      val psB = positionalShingles(batch, SubstrNgram)
-        .select(col("doc_id"), col("pos"), col("sh"))
-      val corpusHits = psB.join(corpusShh, Seq("sh"), "left_semi")
-        .select(col("doc_id"), col("pos"))
-      val batchOnly = psB.join(corpusShh, Seq("sh"), "left_anti")
-      val owners = batchOnly.groupBy(col("sh"))
-        .agg(min(col("doc_id")).as("own"), max(col("doc_id")).as("mx"))
-        .filter(col("own") =!= col("mx"))
-        .select(col("sh"), col("own"))
-      // batch-scoped ownership is ingest-bounded — small enough that the
-      // size estimate picks broadcast on its own; no hint for the same
-      // degrade-must-stay-possible reason as the state joins above
-      val batchHits = batchOnly.join(owners, Seq("sh"))
-        .filter(col("doc_id") =!= col("own"))
-        .select(col("doc_id"), col("pos"))
-      excisedCoverage(corpusHits.unionByName(batchHits), SubstrNgram)
-        .join(batch.select(col("doc_id"),
-          TextFunctions.tokenCount(col("text")).cast(LongType).as("n_before")),
-          "doc_id")
-        .select(col("doc_id"), col("n_before"), col("n_removed"),
-          (col("n_before") - col("n_removed")).as("n_after"))
-        .orderBy("doc_id")
-    }),
+    "dedup_substring_incremental" -> ((s, dir) =>
+      incrementalSubstringCoverage(docsSpread(s, dir)).orderBy("doc_id")),
 
     // SURGICAL curation composition — the session's new operators chained
     // into one pass: Gopher quality gate ∧ DSIR target-likeness keep

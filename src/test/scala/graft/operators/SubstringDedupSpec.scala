@@ -81,6 +81,18 @@ class SubstringDedupSpec extends SparkSuite {
     val cExcess = cModP.exceptAll(cWide).count()
     info(s"mod-P-only contamination hits at sf0.001: $cExcess")
     assert(cExcess <= 8, s"contamination mod-P excess $cExcess beyond budget")
+    // the incremental arm: hit containment lifts to COVERAGE containment
+    // (interval union is monotone in the hit set), so every wide-flagged
+    // doc must appear in the mod-P output with at least as many tokens
+    // removed
+    val iModP = TrainingDataQueries.incrementalSubstringCoverage(docs)
+    val iWide = TrainingDataQueries.incrementalSubstringCoverage(docs, wide = true)
+    val j = iWide.select(col("doc_id"), col("n_removed").as("w"))
+      .join(iModP.select(col("doc_id"), col("n_removed").as("m")),
+        Seq("doc_id"), "left")
+    assert(j.filter(col("m").isNull || col("w") > col("m")).count() == 0,
+      "wide incremental coverage escaped the mod-P envelope")
+    assert(iWide.count() > 0, "wide incremental arm found nothing — vacuous")
     graft.CheckpointUtil.releaseStragglers()
   }
 
