@@ -126,8 +126,8 @@ object NativeKernels {
   }
 
   /** splitmix64 finalizer — avalanches the 64-bit polynomial accumulators
-    * of the wide shingle kernels (same constants as [[windowHashes64]]'s
-    * inline finalizer). */
+    * of every wide (64-bit) kernel: [[windowHashes64]] and the shingle
+    * family share this ONE copy of the constants. */
   private def mix64(x0: Long): Long = {
     var x = x0 + 0x9E3779B97F4A7C15L
     x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
@@ -746,11 +746,7 @@ object NativeKernels {
       var j = i * w
       val end = math.min(j + w, th.length)
       while (j < end) { acc = acc * 0x9E3779B97F4A7C15L + th(j); j += 1 }
-      // splitmix64 finalizer: avalanche the polynomial accumulator
-      acc += 0x9E3779B97F4A7C15L
-      acc = (acc ^ (acc >>> 30)) * 0xBF58476D1CE4E5B9L
-      acc = (acc ^ (acc >>> 27)) * 0x94D049BB133111EBL
-      out(i) = acc ^ (acc >>> 31)
+      out(i) = mix64(acc) // splitmix64 finalizer, shared with the shingle kernels
       i += 1
     }
     ArrayData.toArrayData(out)

@@ -172,9 +172,14 @@ object EventStreams {
     * after the seal must not restart the funnel. Tombstones are NOT kept
     * forever: a second event-time timeout expires each one
     * [[FunnelTombstoneRetentionMicros]] after its seal point, so sealed
-    * users cost state only for the retention period (see
-    * [[funnelStream]]'s state-bound note). */
-  case class FunnelState(tv: Long, clicks: Seq[Long], purchases: Seq[Long])
+    * users cost state only for the retention period. `expiryUs` carries
+    * that deadline INSIDE the tombstone: Spark clears a stored timeout on
+    * every invocation that does not re-set it (straggler absorption would
+    * otherwise silently disarm the retention clock — verified against
+    * FlatMapGroupsWithStateExec), so the sealed branch must re-arm from
+    * state it still holds. */
+  case class FunnelState(tv: Long, clicks: Seq[Long], purchases: Seq[Long],
+                         expiryUs: Long = 0L)
 
   /** How long a sealed user's tombstone outlives its seal point (event
     * time). Within the retention, post-seal events are absorbed (exact
@@ -217,8 +222,14 @@ object EventStreams {
             // sealed: this user already emitted its one result. Absorb
             // stragglers while the tombstone lives; when the retention
             // timeout fires, drop it (later activity starts fresh).
+            // RE-ARM on every absorption: GroupState resets an unset
+            // timeout to NO_TIMESTAMP each time the function runs, so a
+            // straggler that did not re-set it would disarm the retention
+            // clock forever — the deadline rides in the tombstone itself.
             newEvents.foreach(_ => ())
             if (state.hasTimedOut) state.remove()
+            else state.setTimeoutTimestamp(math.max(
+              prev.expiryUs / 1000L, state.getCurrentWatermarkMs() + 1L))
             Iterator.empty
           } else {
           var tv = prev.tv
@@ -241,11 +252,13 @@ object EventStreams {
           purchases = purchases.filter(p => p >= lo && (tv == Long.MaxValue || p <= tv + W))
           if (tv != Long.MaxValue && wmUs > tv + W) {
             // sealed: compute the min-chain, emit once, leave a tombstone
-            // with its retention clock started at the seal point
-            state.update(FunnelState(Long.MinValue, Vector.empty, Vector.empty))
+            // carrying its retention deadline (needed to RE-ARM the
+            // timeout on straggler absorption — see the sealed branch)
+            val expiryUs = tv + W + FunnelTombstoneRetentionMicros
+            state.update(FunnelState(Long.MinValue, Vector.empty,
+              Vector.empty, expiryUs))
             state.setTimeoutTimestamp(math.max(
-              (tv + W + FunnelTombstoneRetentionMicros) / 1000L,
-              state.getCurrentWatermarkMs() + 1L))
+              expiryUs / 1000L, state.getCurrentWatermarkMs() + 1L))
             val tc = clicks.filter(c => c >= tv && c <= tv + W)
               .minOption.getOrElse(-1L)
             val tp = if (tc < 0) -1L

@@ -71,24 +71,31 @@ class FunnelStreamSpec extends SparkSuite {
     val W = EventStreams.FunnelWindowMicros
     val R = EventStreams.FunnelTombstoneRetentionMicros
     val base = 1700000000000000L // any µs epoch
+    val H = 3600000000L // 1h in µs (the watermark delay is 30 min)
     val got = runStream(Seq(
-      // funnel 1: view + click, sealed by the next chunk's watermark jump
+      // funnel 1: view + click
       Seq(ev(1, base, 7L, "view"), ev(2, base + W / 2, 7L, "click")),
-      // watermark far past the seal but INSIDE the retention: this view
-      // must be absorbed by the tombstone, not open a second funnel
+      // foreign no-op pushes the watermark past tv+W at THIS batch's end
+      // — the seal timeout fires, user 7 emits and leaves a TOMBSTONE
+      // (the watermark the state function sees lags one batch, so every
+      // phase below gets its own chunk)
+      Seq(ev(90, base + W + H, -1L, "flush")),
+      // straggler delivered to the LIVE tombstone (user 7 is sealed now,
+      // watermark ≈ base+W+30min): must be absorbed — and must NOT
+      // disarm the retention timeout (GroupState clears a timeout the
+      // function doesn't re-set; this chunk is the regression trap for
+      // exactly that bug)
       Seq(ev(3, base + W + R / 2, 7L, "view")),
-      // a foreign no-op event pushes the watermark past seal+retention at
-      // THIS batch's end — the retention timeout fires, tombstone drops
-      // (the watermark the state function sees lags one batch, so the
-      // push and the reopening view cannot share a chunk)
-      Seq(ev(90, base + W + R + W, -1L, "flush")),
+      // watermark past seal+retention: the re-armed timeout fires and
+      // the tombstone drops
+      Seq(ev(91, base + W + R + W + H, -1L, "flush")),
       // tombstone gone: THIS view opens a fresh funnel (sealed by
       // runStream's final flush event)
-      Seq(ev(4, base + W + R + W, 7L, "view"))))
+      Seq(ev(4, base + W + R + W + H, 7L, "view"))))
     val mine = got.filter(_.user_id == 7L)
-    assert(mine.map(_.t_view) == Seq(base, base + W + R + W),
+    assert(mine.map(_.t_view) == Seq(base, base + W + R + W + H),
       s"expected the sealed funnel and ONE post-retention restart, got $mine")
-    // the in-retention straggler produced no third result
+    // the in-retention straggler produced no second result
     assert(!mine.exists(_.t_view == base + W + R / 2), s"straggler restarted: $mine")
   }
 }
