@@ -179,8 +179,17 @@ object CurationPipeline {
     * leaks a contaminated one. The size probe is a limit-bounded count —
     * it never materializes more than `maxExactBroadcast + 1` ids. */
   def decontaminate(survDocs: DataFrame, evalDocs: DataFrame,
-                    maxExactBroadcast: Long = DecontExactMax): DataFrame = {
-    val shh = TextFunctions.shingleHashes(col("text"), DecontNgram)
+                    maxExactBroadcast: Long = DecontExactMax,
+                    wide: Boolean = false): DataFrame = {
+    // `wide` swaps the mod-1e9+7 shingle space for the 64-bit kernel —
+    // the same scale reasoning as the substring family (at 100 TB a
+    // ~10^13-shingle corpus probed against a ~10^6-shingle eval set
+    // falsely drops ~0.1% of clean docs in the mod-P space; the wide
+    // space pushes that to ~0). mod-P stays the oracle surface; the wide
+    // arm is pinned row-identical at fixture scale by E2eCurateSpec.
+    val shh =
+      if (wide) TextFunctions.shingleHashes64(col("text"), DecontNgram)
+      else TextFunctions.shingleHashes(col("text"), DecontNgram)
     val evalShh = evalDocs.select(explode(shh).as("sh")).distinct()
     val train = survDocs.filter(col("source") =!= "src19")
     // persisted (and registry-tracked): the size probe and the exact-arm

@@ -65,6 +65,25 @@ class E2eCurateSpec extends SparkSuite {
     graft.CheckpointUtil.releaseStragglers()
   }
 
+  test("decontamination's wide (64-bit) shingle arm agrees with the mod-P arm at fixture scale") {
+    // survivors can only differ where mod-P falsely collides a corpus
+    // shingle into the eval set — a false hit DROPS a clean doc, so the
+    // wide arm's survivor set contains the mod-P arm's (and at fixture
+    // scale, with zero measured 4-gram collisions, they are identical)
+    val q = qualitySurvivors(docs).persist()
+    val evalDocs = docs.filter(col("source") === "src19")
+    val modP = decontaminate(q, evalDocs).select("doc_id")
+    val wide = decontaminate(q, evalDocs, wide = true).select("doc_id")
+    assert(modP.exceptAll(wide).count() == 0,
+      "mod-P kept a doc the wide arm dropped — wide changed the semantics")
+    val falseDrops = wide.exceptAll(modP).count()
+    info(s"mod-P false drops at sf0.001: $falseDrops")
+    assert(falseDrops == 0,
+      s"$falseDrops docs falsely dropped by mod-P at fixture scale")
+    spark.catalog.clearCache()
+    graft.CheckpointUtil.releaseStragglers()
+  }
+
   test("the PU-LEA gate is a live, distinct decision engine") {
     // the oracle proves value equality of pipeline_e2e_curate_pulea; this
     // pins what it can't: that the GradualReduction do-while actually RAN
