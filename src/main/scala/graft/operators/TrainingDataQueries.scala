@@ -300,6 +300,58 @@ object TrainingDataQueries {
         (col("n_before") - col("n_removed")).as("n_after"))
   }
 
+  /** The boilerplate-removal aggregate behind `pipeline_boilerplate`:
+    * one in-scan window kernel, the (h, doc) grain agg and its h-grain
+    * rollup (the trick that avoids a distinct Expand), then the
+    * boilerplate set — tiny by definition of "frequent" — joins back
+    * into the persisted paragraph set.
+    *
+    * ADAPTIVE (the [[repeatedSpanHits]] / decontamination pattern): the
+    * join-back broadcasts while the boilerplate set holds at most
+    * `maxBoilerBroadcast` rows; an adversarially boilerplate-heavy corpus
+    * degrades to a shuffle-hash join on h — row-identical by construction
+    * (same outer join either way), so the degrade can never change
+    * results. The corpus never shuffles for the drop decision in the
+    * broadcast arm; the degraded arm pays one h-grain exchange of the
+    * paragraph set. Both arms pinned in ParagraphHygieneSpec. */
+  private[operators] def boilerplateAgg(docs: DataFrame,
+      maxBoilerBroadcast: Long = SpanOwnersExactMax): DataFrame = {
+    val w = ParaWindow
+    // persist: the exploded paragraph set feeds the frequency chain AND
+    // the drop join — without it the scan + kernel pass runs twice
+    val paras = graft.CheckpointUtil.trackPersist(docs
+      .select(col("doc_id"),
+        posexplode(NativeExpressions.windowHashes(col("text"), w)))
+      .select(col("doc_id"), col("pos").cast(LongType).as("pidx"),
+        col("col").as("h"))
+      .persist())
+    // persisted: the size probe and the join both consume it
+    val boiler = graft.CheckpointUtil.trackPersist(paras
+      .groupBy(col("h"), col("doc_id"))
+      .agg(count(lit(1)).as("occ"))
+      .groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= BoilerplateDf)
+      .select(col("h"), lit(true).as("bp"))
+      .persist())
+    require(maxBoilerBroadcast < Int.MaxValue,
+      s"maxBoilerBroadcast $maxBoilerBroadcast would defeat the size probe")
+    val fits = boiler
+      .limit(maxBoilerBroadcast.toInt + 1)
+      .count() <= maxBoilerBroadcast
+    val joined =
+      if (fits) paras.join(broadcast(boiler), Seq("h"), "left_outer")
+      else paras.join(boiler.hint("shuffle_hash"), Seq("h"), "left_outer")
+    joined
+      .withColumn("kept", coalesce(col("bp"), lit(false)) === false)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_boiler"),
+        NativeExpressions.polyCombine(
+          transform(array_sort(collect_list(when(col("kept"),
+            struct(col("pidx"), col("h"))))), e => e.getField("h")))
+          .as("kept_hash"))
+  }
+
   /** Interval-union coverage of the `n`-token windows at `hits`'
     * (doc_id, pos) rows → (doc_id, n_removed): one hit agg, then an
     * in-scan fold over each doc's sorted positions (n tokens for the
@@ -1294,39 +1346,10 @@ object TrainingDataQueries {
     // ParaWindow-token window, dedup_paragraph's definition) that appears
     // in >= BoilerplateDf DISTINCT docs is dropped from EVERY doc — the
     // pass that catches cookie banners / nav bars, which keep-first
-    // paragraph dedup deliberately keeps once. Plan: one in-scan window
-    // kernel, the (h, doc) grain agg and its h-grain rollup (the trick
-    // that avoids a distinct Expand), then the boilerplate set — tiny by
-    // definition of "frequent" — BROADCASTS back into the persisted
-    // paragraph set: the corpus never shuffles for the drop decision. At
-    // 100 TB an adversarially large boilerplate set degrades to the Bloom
-    // probe exactly like decontamination (CurationPipeline.decontaminate).
-    "pipeline_boilerplate" -> ((s, dir) => {
-      val w = ParaWindow
-      // persist: the exploded paragraph set feeds the frequency chain AND
-      // the drop join — without it the scan + kernel pass runs twice
-      val paras = docsSpread(s, dir)
-        .select(col("doc_id"),
-          posexplode(NativeExpressions.windowHashes(col("text"), w)))
-        .select(col("doc_id"), col("pos").cast(LongType).as("pidx"),
-          col("col").as("h"))
-        .persist()
-      val boiler = paras.groupBy(col("h"), col("doc_id"))
-        .agg(count(lit(1)).as("occ"))
-        .groupBy(col("h")).agg(count(lit(1)).as("nd"))
-        .filter(col("nd") >= BoilerplateDf)
-        .select(col("h"), lit(true).as("bp"))
-      paras.join(broadcast(boiler), Seq("h"), "left_outer")
-        .withColumn("kept", coalesce(col("bp"), lit(false)) === false)
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_paras"),
-          sum(when(col("kept"), 0L).otherwise(1L)).as("n_boiler"),
-          NativeExpressions.polyCombine(
-            transform(array_sort(collect_list(when(col("kept"),
-              struct(col("pidx"), col("h"))))), e => e.getField("h")))
-            .as("kept_hash"))
-        .orderBy("doc_id")
-    }),
+    // paragraph dedup deliberately keeps once. See [[boilerplateAgg]] for
+    // the plan shape and the adaptive broadcast-vs-shuffle degrade.
+    "pipeline_boilerplate" -> ((s, dir) =>
+      boilerplateAgg(docsSpread(s, dir)).orderBy("doc_id")),
 
     // IN-DOCUMENT repetition removal: later occurrences of a paragraph
     // already seen EARLIER IN THE SAME DOC are dropped (the self-repetition

@@ -103,6 +103,23 @@ class ParagraphHygieneSpec extends SparkSuite {
       size(array_distinct(col("kept")))).count() == 0)
   }
 
+  test("boilerplate join-back degrade is row-identical and actually swaps the join") {
+    import graft.Tables
+    val docs = Tables.documents(spark, sf0001)
+    val bcast = TrainingDataQueries.boilerplateAgg(docs)
+    // budget 0 → the probe can never fit → the shuffle-hash arm
+    val degraded = TrainingDataQueries.boilerplateAgg(docs,
+      maxBoilerBroadcast = 0L)
+    assert(bcast.exceptAll(degraded).count() == 0 &&
+      degraded.exceptAll(bcast).count() == 0,
+      "degraded boilerplate join changed the output")
+    assert(bcast.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+    val dp = degraded.queryExecution.executedPlan.toString
+    assert(dp.contains("ShuffledHashJoin"), dp)
+    graft.CheckpointUtil.releaseStragglers()
+  }
+
   test("release spec-scoped caches") {
     paras.unpersist()
   }

@@ -103,6 +103,12 @@ class ShuffleAuditSpec extends SparkSuite {
     // now computed once via the cache)
     "dedup_substring_excise" -> 9,
     "dedup_substring_spans" -> 9,
+    // same round-12 pattern: the persisted paras AND boiler frames both
+    // reprint their build lineage (scan + two-step rollup exchanges)
+    // under their InMemoryRelation references — measured 10 in plan
+    // text; runtime shuffles are unchanged (the two rollup aggs + the
+    // final sort; the join-back broadcasts)
+    "pipeline_boilerplate" -> 12,
     // three user-grain stage aggs + their join sides + the final sort
     // (measured 7); each later stage's input is funnel-survivor-
     // proportional, and all shuffles share the user_id key
