@@ -148,22 +148,11 @@ object DedupQueries {
     // End-to-end corpus preparation — the composite pass a pretraining
     // pipeline runs: quality-filter, drop near-duplicates (keep each
     // cluster's canonical doc), emit per-doc stats. One scan + the
-    // banded near-dup machinery; the dedup decision is a broadcast-able
-    // anti-join (the cluster victim list is tiny relative to the corpus).
-    "pipeline_corpus_prep" -> ((s, dir) => {
-      import graft.functions.TextFunctions
-      val victims = nearDupClusters(s, dir)
-        .filter(col("id") =!= col("canonical_id")).select(col("id").as("doc_id"))
-      docsSpread(s, dir)
-        // compute the (large, interpreted) quality tree once and reuse
-        .withColumn("quality", TextFunctions.qualityScore(col("text")))
-        .filter(col("quality") >= 0.5)
-        .join(broadcast(victims), Seq("doc_id"), "left_anti")
-        .select(col("doc_id"),
-          TextFunctions.tokenCount(col("text")).cast(LongType).as("n_tokens"),
-          col("quality"))
-        .orderBy("doc_id")
-    }),
+    // banded near-dup machinery; the dedup decision is an anti-join whose
+    // victim list is duplicate-proportional — probe-adaptive
+    // ([[AdaptiveJoin]]): broadcast on a clean corpus, shuffle-hash on a
+    // duplicate-heavy one (both arms pinned in DedupSpec).
+    "pipeline_corpus_prep" -> ((s, dir) => corpusPrepFrame(s, dir)),
 
     // Custom sketch AGGREGATE (UDAF): one mergeable MinHash signature per
     // source over all its docs' shingles — map-side partial agg, only
@@ -249,24 +238,10 @@ object DedupQueries {
     // CC the hard keep/drop queries use, so soft and hard dedup cannot
     // fork. weight_ppm = 1e6 div |cluster| keeps the compared surface
     // integer-only. The cluster map is duplicate-proportional, so the
-    // corpus-side join is a broadcast: the corpus itself never shuffles
-    // to learn its weights.
-    "dedup_soft_weight" -> ((s, dir) => {
-      import Packing.DivOps
-      // persist: the LSH->CC lineage would otherwise evaluate twice
-      // (once for the size agg, once for the member join)
-      val members = nearDupClusters(s, dir).persist() // (id, canonical_id)
-      val sized = members.join(
-        members.groupBy(col("canonical_id")).agg(count(lit(1)).as("n_members")),
-        "canonical_id")
-      docsSpread(s, dir).select(col("doc_id"))
-        .join(broadcast(sized), col("doc_id") === col("id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("canonical_id"), col("doc_id")).as("cluster_id"),
-          coalesce(col("n_members"), lit(1L)).as("n_members"))
-        .withColumn("weight_ppm", lit(1000000L) div col("n_members"))
-        .orderBy("doc_id")
-    }),
+    // corpus-side join is probe-adaptive ([[AdaptiveJoin]]): broadcast
+    // while it fits — the corpus itself never shuffles to learn its
+    // weights — shuffle-hash on a duplicate-heavy corpus.
+    "dedup_soft_weight" -> ((s, dir) => softWeightFrame(s, dir)),
 
     // Metadata-blocked n-gram (bigram) Jaccard: the "block by a cheap key,
     // verify only within blocks" pattern. Blocking trades recall for a
@@ -413,6 +388,50 @@ object DedupQueries {
       semanticDedup(emb, nCentroids = 16, tau = 0.9).orderBy("vec_id")
     })
   )
+
+  /** `dedup_soft_weight`'s frame, budget-parameterized so DedupSpec can
+    * force the degrade arm (see the query comment). */
+  private[operators] def softWeightFrame(s: SparkSession, dir: String,
+      maxRows: Long = AdaptiveJoin.DefaultMaxBroadcastRows): DataFrame = {
+    import Packing.DivOps
+    // persist: the LSH->CC lineage would otherwise evaluate THRICE
+    // (size agg, member join, and the adaptive probe)
+    val members = graft.CheckpointUtil.trackPersist(
+      nearDupClusters(s, dir).persist()) // (id, canonical_id)
+    val sized = graft.CheckpointUtil.trackPersist(members.join(
+      members.groupBy(col("canonical_id")).agg(count(lit(1)).as("n_members")),
+      "canonical_id")
+      .select(col("id").as("doc_id"), col("canonical_id"), col("n_members"))
+      .persist())
+    AdaptiveJoin(docsSpread(s, dir).select(col("doc_id")), sized,
+      Seq("doc_id"), "left", maxRows)
+      .select(col("doc_id"),
+        coalesce(col("canonical_id"), col("doc_id")).as("cluster_id"),
+        coalesce(col("n_members"), lit(1L)).as("n_members"))
+      .withColumn("weight_ppm", lit(1000000L) div col("n_members"))
+      .orderBy("doc_id")
+  }
+
+  /** `pipeline_corpus_prep`'s frame, budget-parameterized so DedupSpec can
+    * force the degrade arm (see the query comment). */
+  private[operators] def corpusPrepFrame(s: SparkSession, dir: String,
+      maxRows: Long = AdaptiveJoin.DefaultMaxBroadcastRows): DataFrame = {
+    // persist: the probe and the anti-join both consume the victim list,
+    // and its LSH->CC lineage is the expensive part
+    val victims = graft.CheckpointUtil.trackPersist(nearDupClusters(s, dir)
+      .filter(col("id") =!= col("canonical_id"))
+      .select(col("id").as("doc_id"))
+      .persist())
+    val filtered = docsSpread(s, dir)
+      // compute the (large, interpreted) quality tree once and reuse
+      .withColumn("quality", TextFunctions.qualityScore(col("text")))
+      .filter(col("quality") >= 0.5)
+    AdaptiveJoin(filtered, victims, Seq("doc_id"), "left_anti", maxRows)
+      .select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast(LongType).as("n_tokens"),
+        col("quality"))
+      .orderBy("doc_id")
+  }
 
   // ------------------------------------------------------------------
   // DuckDB twins

@@ -100,7 +100,7 @@ object TrainingDataQueries {
     * (sh, own) pairs → ~160 MB at 10M rows, the order of a sane broadcast
     * (same sizing reasoning as [[CurationPipeline.DecontExactMax]]).
     * Beyond it [[repeatedSpanHits]] degrades to a shuffle-hash join. */
-  val SpanOwnersExactMax = 10L * 1000 * 1000
+  val SpanOwnersExactMax = AdaptiveJoin.DefaultMaxBroadcastRows
   /** DSIR hashed-feature bucket count. Production DSIR (Xie et al. 2023,
     * "Data Selection for Language Models via Importance Resampling") hashes
     * n-grams into ~10k buckets; 64 keeps every bucket populated by the
@@ -245,20 +245,10 @@ object TrainingDataQueries {
       .filter(col("own") =!= col("mx"))
       .select(col("sh"), col("own"))
       .persist())
-    // the probe is Int-limited; a budget at/above Int.MaxValue could
-    // never be exceeded by it and would silently disable the degrade
-    require(maxOwnersBroadcast < Int.MaxValue,
-      s"maxOwnersBroadcast $maxOwnersBroadcast would defeat the size probe")
-    val fits = owners
-      .limit(maxOwnersBroadcast.toInt + 1)
-      .count() <= maxOwnersBroadcast
     // both arms re-consume the persisted owners (unlike decontaminate's
-    // Bloom arm, the degraded join still needs the ownership rows — the
-    // cache is partition-spillable, never driver-resident)
-    val joined =
-      if (fits) ps.join(broadcast(owners), Seq("sh"))
-      else ps.join(owners.hint("shuffle_hash"), Seq("sh"))
-    joined.filter(col("doc_id") =!= col("own"))
+    // Bloom arm, the degraded join still needs the ownership rows)
+    AdaptiveJoin(ps, owners, Seq("sh"), "inner", maxOwnersBroadcast)
+      .filter(col("doc_id") =!= col("own"))
       .select(col("doc_id"), col("pos"))
   }
 
@@ -333,15 +323,7 @@ object TrainingDataQueries {
       .filter(col("nd") >= BoilerplateDf)
       .select(col("h"), lit(true).as("bp"))
       .persist())
-    require(maxBoilerBroadcast < Int.MaxValue,
-      s"maxBoilerBroadcast $maxBoilerBroadcast would defeat the size probe")
-    val fits = boiler
-      .limit(maxBoilerBroadcast.toInt + 1)
-      .count() <= maxBoilerBroadcast
-    val joined =
-      if (fits) paras.join(broadcast(boiler), Seq("h"), "left_outer")
-      else paras.join(boiler.hint("shuffle_hash"), Seq("h"), "left_outer")
-    joined
+    AdaptiveJoin(paras, boiler, Seq("h"), "left_outer", maxBoilerBroadcast)
       .withColumn("kept", coalesce(col("bp"), lit(false)) === false)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_paras"),

@@ -222,6 +222,27 @@ class DedupSpec extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("soft-weight and corpus-prep adaptive joins are row-identical across arms") {
+    // budget 0 -> the probe can never fit -> the shuffle-hash arm; the
+    // default budget broadcasts at fixture scale. Same assertion pair as
+    // the boilerplate/ownership arms (ParagraphHygieneSpec,
+    // SubstringDedupSpec): outputs identical, physical join actually swaps.
+    for ((bcast, degraded) <- Seq(
+      (DedupQueries.softWeightFrame(spark, sf0001),
+        DedupQueries.softWeightFrame(spark, sf0001, maxRows = 0L)),
+      (DedupQueries.corpusPrepFrame(spark, sf0001),
+        DedupQueries.corpusPrepFrame(spark, sf0001, maxRows = 0L)))) {
+      assert(bcast.exceptAll(degraded).count() == 0 &&
+        degraded.exceptAll(bcast).count() == 0,
+        "degraded arm changed the output")
+      assert(bcast.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+      val dp = degraded.queryExecution.executedPlan.toString
+      assert(dp.contains("ShuffledHashJoin"), dp)
+    }
+    graft.CheckpointUtil.releaseStragglers()
+  }
+
   test("cosine is 1 for parallel vectors, 0 for orthogonal") {
     import spark.implicits._
     val df = Seq((Seq(1.0f, 0.0f), Seq(2.0f, 0.0f), Seq(0.0f, 3.0f)))
