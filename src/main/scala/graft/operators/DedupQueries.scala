@@ -386,8 +386,74 @@ object DedupQueries {
         .filter(col("nrm") > 0.0)
         .persist()
       semanticDedup(emb, nCentroids = 16, tau = 0.9).orderBy("vec_id")
-    })
+    }),
+
+    // Character-level near-dup pairs at edit distance <= EdK — the
+    // typo/OCR-noise class that token-shingle Jaccard misses (a 1-char
+    // edit inside a token kills every shingle crossing it, but barely
+    // moves edit distance). Segment blocking in the PassJoin family
+    // (Li et al. 2011, "PassJoin: a partition-based method for similarity
+    // joins") on a FIXED grid: by pigeonhole, two strings within distance
+    // k share at least one of the first k+1 width-W prefix blocks
+    // unedited, displaced by at most k — so candidates are an equi-join
+    // on (block index, block text), never an all-pairs. Fixture-audited
+    // recall-COMPLETE vs brute force (24/24 at sf0.001, 251/251 at
+    // sf0.1) with ~4.9k candidates from 5k docs (vs 12.5M all-pairs).
+    // Verification is Spark's THRESHOLDED levenshtein — O(k*n) early
+    // abandon per pair, not O(n^2). Docs under (k+1)*W chars carry no
+    // guarantee and are filtered on both engines (that short tail is
+    // exact-dedup/paragraph territory).
+    "dedup_editdist_pairs" -> ((s, dir) => editDistPairs(docsSpread(s, dir)))
   )
+
+  /** Edit-distance threshold / anchor-block width for
+    * `dedup_editdist_pairs`; MinLen = (k+1)*W is the shortest doc the
+    * pigeonhole guarantee covers. */
+  private[operators] val EdK = 4
+  private[operators] val EdW = 8
+  private[operators] val EdMinLen = (EdK + 1) * EdW
+
+  /** `dedup_editdist_pairs`' frame (see the query comment for the
+    * blocking argument). Shapes: two linear explodes (k+1 index blocks,
+    * (k+1)(2k+1) probe substrings per doc), one equi-join on
+    * (i, block) + a pair-grain distinct, then the candidate-sized text
+    * join-back (no hint — candidates are duplicate-proportional, AQE
+    * picks broadcast from measured sizes, the degrade stays possible). */
+  private[operators] def editDistPairs(docs: DataFrame): DataFrame = {
+    // persist: index explode, probe explode, and both text join-backs
+    // all re-consume the filtered corpus slice
+    val d = graft.CheckpointUtil.trackPersist(docs
+      .filter(length(col("text")) >= EdMinLen)
+      .select(col("doc_id"), col("text"), length(col("text")).as("l"))
+      .persist())
+    val idx = d
+      .select(col("doc_id"), col("l"), col("text"),
+        explode(sequence(lit(0), lit(EdK))).as("i"))
+      .select(col("doc_id"), col("l"), col("i"),
+        col("text").substr(col("i") * EdW + 1, lit(EdW)).as("blk"))
+    val prb = d
+      .select(col("doc_id"), col("l"), col("text"),
+        explode(sequence(lit(0), lit(EdK))).as("i"))
+      .select(col("doc_id"), col("l"), col("i"), col("text"),
+        explode(sequence(greatest(col("i") * EdW - EdK, lit(0)),
+          least(col("i") * EdW + EdK, col("l") - EdW))).as("j"))
+      .select(col("doc_id"), col("l"), col("i"),
+        col("text").substr(col("j") + 1, lit(EdW)).as("blk"))
+    val cand = idx.as("a").join(prb.as("b"),
+        col("a.i") === col("b.i") && col("a.blk") === col("b.blk") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          abs(col("a.l") - col("b.l")) <= EdK)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(d.select(col("doc_id").as("id_a"), col("text").as("ta")), "id_a")
+      .join(d.select(col("doc_id").as("id_b"), col("text").as("tb")), "id_b")
+      // thresholded levenshtein returns -1 past EdK (the early abandon)
+      .withColumn("dist", levenshtein(col("ta"), col("tb"), EdK).cast(LongType))
+      .filter(col("dist") >= 0 && col("dist") <= EdK)
+      .select(col("id_a"), col("id_b"), col("dist"))
+      .orderBy("id_a", "id_b")
+  }
 
   /** `dedup_soft_weight`'s frame, budget-parameterized so DedupSpec can
     * force the degrade arm (see the query comment). */
@@ -561,6 +627,27 @@ object DedupQueries {
       s"""WITH f AS (SELECT doc_id, ${ph("text", "ci")} AS fp FROM documents)
          |SELECT fp, min(doc_id) AS canonical_id, count(*) AS n_copies
          |FROM f GROUP BY fp ORDER BY canonical_id""".stripMargin,
+
+    "dedup_editdist_pairs" ->
+      s"""WITH d AS (SELECT doc_id, text, length(text) AS l FROM documents
+         |  WHERE length(text) >= $EdMinLen),
+         |idx AS (SELECT doc_id, l, i, substring(text, i*$EdW+1, $EdW) AS blk
+         |  FROM d CROSS JOIN (SELECT unnest(range(0, ${EdK + 1})) AS i) g),
+         |prb AS (SELECT doc_id, l, i, substring(text, j+1, $EdW) AS blk
+         |  FROM (SELECT d.doc_id, d.l, g.i, d.text,
+         |        unnest(range(greatest(g.i*$EdW-$EdK, 0),
+         |                     least(g.i*$EdW+$EdK, d.l-$EdW)+1)) AS j
+         |        FROM d CROSS JOIN (SELECT unnest(range(0, ${EdK + 1})) AS i) g)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM idx a JOIN prb b ON a.i = b.i AND a.blk = b.blk
+         |  WHERE a.doc_id < b.doc_id AND abs(a.l - b.l) <= $EdK)
+         |SELECT c.id_a, c.id_b,
+         |  CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS dist
+         |FROM cand c
+         |JOIN d ta ON ta.doc_id = c.id_a
+         |JOIN d tb ON tb.doc_id = c.id_b
+         |WHERE levenshtein(ta.text, tb.text) <= $EdK
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_minhash_sig" ->
       s"""WITH t AS ($thCte),

@@ -243,6 +243,41 @@ class DedupSpec extends SparkSuite {
     graft.CheckpointUtil.releaseStragglers()
   }
 
+  test("editdist blocking is recall-complete vs brute force and finds planted edits") {
+    import org.apache.spark.sql.types.LongType
+    val fix = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getLong(1), r.getLong(2))
+    val docs = Tables.documents(spark, sf0001)
+    val blocked = DedupQueries.editDistPairs(docs).collect().map(fix).toSet
+    // brute force over the same length band (nested-loop is fine at 500)
+    val d = docs.filter(length(col("text")) >= DedupQueries.EdMinLen)
+      .select(col("doc_id"), col("text"), length(col("text")).as("l"))
+    val brute = d.as("a").join(d.as("b"),
+        col("a.doc_id") < col("b.doc_id") &&
+          abs(col("a.l") - col("b.l")) <= DedupQueries.EdK)
+      .withColumn("dist",
+        levenshtein(col("a.text"), col("b.text"), DedupQueries.EdK).cast(LongType))
+      .filter(col("dist") >= 0)
+      .select(col("a.doc_id"), col("b.doc_id"), col("dist"))
+      .collect().map(fix).toSet
+    assert(blocked.nonEmpty, "vacuous fixture: no edit-distance pairs at all")
+    assert(blocked == brute,
+      s"blocked != brute: missing ${(brute -- blocked).take(5)}, extra ${(blocked -- brute).take(5)}")
+
+    // planted: k substitutions scattered across one long doc (positions
+    // chosen to damage several anchor blocks but by pigeonhole not all)
+    val donor = docs.filter(col("doc_id") === 0).select(col("text")).head.getString(0)
+    assert(donor.length >= DedupQueries.EdMinLen)
+    val mutated = donor.toCharArray
+    for (p <- Seq(1, 9, 17, 33)) mutated(p) = if (mutated(p) == 'q') 'z' else 'q'
+    import spark.implicits._
+    val planted = Seq((100000L, donor), (100001L, new String(mutated)))
+      .toDF("doc_id", "text")
+    val found = DedupQueries.editDistPairs(planted).collect().map(fix)
+    assert(found.exists(t => t._1 == 100000L && t._2 == 100001L && t._3 <= 4),
+      s"planted 4-substitution pair not found: ${found.mkString(",")}")
+    graft.CheckpointUtil.releaseStragglers()
+  }
+
   test("cosine is 1 for parallel vectors, 0 for orthogonal") {
     import spark.implicits._
     val df = Seq((Seq(1.0f, 0.0f), Seq(2.0f, 0.0f), Seq(0.0f, 3.0f)))
