@@ -114,6 +114,10 @@ object TrainingDataQueries {
     * threshold at sf0.001 / sf0.01 — the drop path is exercised, not
     * vacuous — while the 2-doc near-dup mass stays below it. */
   val BoilerplateDf = 3
+  /** Vocabulary-head size for `pipeline_token_drift`: large enough to
+    * cover the fixture's ~31-token core vocabulary plus the perturbation
+    * tail, small enough that the drift table is a constant-size report. */
+  val DriftTopK = 64
 
   private def docsSpread(s: SparkSession, dir: String): DataFrame =
     Spread.ifNarrow(Tables.documents(s, dir), col("doc_id"))
@@ -332,6 +336,39 @@ object TrainingDataQueries {
           transform(array_sort(collect_list(when(col("kept"),
             struct(col("pidx"), col("h"))))), e => e.getField("h")))
           .as("kept_hash"))
+  }
+
+  /** `pipeline_token_drift`'s frame (see the query comment): per-token
+    * ppm rates over the base snapshot's top-[[DriftTopK]] head, base vs
+    * batch under the 4/5-id-boundary convention. Frame-parameterized so
+    * the spec can plant a closed-form drift. */
+  private[operators] def tokenDrift(docs: DataFrame): DataFrame = {
+    import Packing.DivOps
+    // bounded collect: ONE long (the id boundary), the incremental-
+    // lifecycle convention; null-safe for an empty corpus
+    val mx = docs.agg(max(col("doc_id"))).head()
+    val boundary = if (mx.isNullAt(0)) -1L else mx.getLong(0) * 4 / 5
+    val counts = graft.CheckpointUtil.trackPersist(docs
+      .select((col("doc_id") <= boundary).as("base"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(sum(when(col("base"), 1L).otherwise(0L)).as("n_base"),
+        sum(when(!col("base"), 1L).otherwise(0L)).as("n_new"))
+      .persist()) // consumed by the totals agg AND the head selection
+    val totals = counts.agg(
+      sum(col("n_base")).as("t_base"), sum(col("n_new")).as("t_new"))
+    counts
+      .orderBy(col("n_base").desc, col("tok")).limit(DriftTopK)
+      .crossJoin(broadcast(totals))
+      .select(col("tok"), col("n_base"), col("n_new"),
+        when(col("t_base") <= 0, 0L)
+          .otherwise((col("n_base") * 1000000L) div col("t_base"))
+          .as("base_ppm"),
+        when(col("t_new") <= 0, 0L)
+          .otherwise((col("n_new") * 1000000L) div col("t_new"))
+          .as("new_ppm"))
+      .withColumn("delta_ppm", col("new_ppm") - col("base_ppm"))
+      .orderBy("tok")
   }
 
   /** Interval-union coverage of the `n`-token windows at `hits`'
@@ -919,6 +956,18 @@ object TrainingDataQueries {
           countDistinct(col("fp")).as("n_distinct_texts"))
         .orderBy("source")
     }),
+
+    // Zipf-head drift between two corpus snapshots — the distribution-
+    // shift monitor a mixing pipeline runs before a new crawl batch joins
+    // training: per-token ppm rates over the base snapshot's top-K
+    // vocabulary head, base vs batch (same 4/5-boundary convention as the
+    // incremental lifecycle). ONE scan and ONE token-grain shuffle carry
+    // both sides (a side flag under conditional sums — not two passes);
+    // the head selection is TakeOrdered (never a full sort) and the
+    // totals frame is a 1-row broadcast. Integer-only surface: ppm via
+    // integer division (top-token count * 1e6 stays under Long past a
+    // 100 TB corpus — ~1e12 * 1e6 < 2^63; the CASE guards an empty side).
+    "pipeline_token_drift" -> ((s, dir) => tokenDrift(docsSpread(s, dir))),
 
     // Curriculum ordering — emit the corpus in training order: highest-
     // quality bin first (clean text before noisy), and WITHIN a bin a
@@ -1862,6 +1911,29 @@ object TrainingDataQueries {
          |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
          |  count(DISTINCT fp) AS n_distinct_texts
          |FROM b GROUP BY source ORDER BY source""".stripMargin,
+
+    "pipeline_token_drift" ->
+      s"""WITH bd AS (SELECT COALESCE(max(doc_id), -1) * 4 // 5 AS boundary
+         |  FROM documents),
+         |tk AS (SELECT d.doc_id <= (SELECT boundary FROM bd) AS base,
+         |  unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+         |    t9 -> t9 <> '')) AS tok FROM documents d),
+         |c AS (SELECT tok,
+         |  CAST(SUM(CASE WHEN base THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+         |  CAST(SUM(CASE WHEN base THEN 0 ELSE 1 END) AS BIGINT) AS n_new
+         |  FROM tk GROUP BY tok),
+         |tot AS (SELECT CAST(SUM(n_base) AS BIGINT) AS t_base,
+         |  CAST(SUM(n_new) AS BIGINT) AS t_new FROM c),
+         |top AS (SELECT * FROM c ORDER BY n_base DESC, tok LIMIT $DriftTopK),
+         |r AS (SELECT tok, n_base, n_new,
+         |  CASE WHEN t_base <= 0 THEN CAST(0 AS BIGINT)
+         |    ELSE CAST(n_base * 1000000 // t_base AS BIGINT) END AS base_ppm,
+         |  CASE WHEN t_new <= 0 THEN CAST(0 AS BIGINT)
+         |    ELSE CAST(n_new * 1000000 // t_new AS BIGINT) END AS new_ppm
+         |  FROM top CROSS JOIN tot)
+         |SELECT tok, n_base, n_new, base_ppm, new_ppm,
+         |  new_ppm - base_ppm AS delta_ppm
+         |FROM r ORDER BY tok""".stripMargin,
 
     "pipeline_curriculum" ->
       s"""WITH q AS (SELECT doc_id, ${graft.functions.TextQueries.quality} AS quality

@@ -60,4 +60,24 @@ class LateOpsSpec extends SparkSuite {
     assert(ns.zip(ns.tail).forall { case (a, c) => a >= c }, "descending counts")
     assert(ns.head > 1, "the head bigram must actually repeat")
   }
+
+  test("token drift: planted shift yields the closed-form ppm deltas") {
+    import spark.implicits._
+    // ids 0..9 -> boundary 9*4/5 = 7: base = 8 docs of "a b"
+    // (a:8, b:8, t=16), batch = 2 docs of "a a a b" (a:6, b:2, t=8)
+    val docs = ((0L to 7L).map(i => (i, "a b")) ++
+      (8L to 9L).map(i => (i, "a a a b"))).toDF("doc_id", "text")
+    val r = TrainingDataQueries.tokenDrift(docs).collect()
+      .map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5)))
+      .toMap
+    assert(r("a") == ((8L, 6L, 500000L, 750000L, 250000L)), r("a").toString)
+    assert(r("b") == ((8L, 2L, 500000L, 250000L, -250000L)), r("b").toString)
+    assert(r.size == 2)
+    // fixture: the report is non-degenerate (some token actually drifts)
+    val fix = SparkEntry.queries("pipeline_token_drift")(spark, sf0001).collect()
+    assert(fix.nonEmpty && fix.length <= TrainingDataQueries.DriftTopK)
+    assert(fix.exists(_.getLong(5) != 0L), "degenerate: zero drift everywhere")
+    graft.CheckpointUtil.releaseStragglers()
+  }
 }
