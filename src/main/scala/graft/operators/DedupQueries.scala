@@ -426,6 +426,21 @@ object DedupQueries {
       .filter(length(col("text")) >= EdMinLen)
       .select(col("doc_id"), col("text"), length(col("text")).as("l"))
       .persist())
+    editDistCandidates(d)
+      .join(d.select(col("doc_id").as("id_a"), col("text").as("ta")), "id_a")
+      .join(d.select(col("doc_id").as("id_b"), col("text").as("tb")), "id_b")
+      // thresholded levenshtein returns -1 past EdK (the early abandon)
+      .withColumn("dist", levenshtein(col("ta"), col("tb"), EdK).cast(LongType))
+      .filter(col("dist") >= 0 && col("dist") <= EdK)
+      .select(col("id_a"), col("id_b"), col("dist"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** The pigeonhole candidate stage of [[editDistPairs]], factored so the
+    * stress suite can pin candidate volume (the pruning claim) with the
+    * production expressions, not a test-local copy. `d` must expose
+    * (doc_id, text, l) pre-filtered to length >= [[EdMinLen]]. */
+  private[operators] def editDistCandidates(d: DataFrame): DataFrame = {
     val idx = d
       .select(col("doc_id"), col("l"), col("text"),
         explode(sequence(lit(0), lit(EdK))).as("i"))
@@ -439,20 +454,12 @@ object DedupQueries {
           least(col("i") * EdW + EdK, col("l") - EdW))).as("j"))
       .select(col("doc_id"), col("l"), col("i"),
         col("text").substr(col("j") + 1, lit(EdW)).as("blk"))
-    val cand = idx.as("a").join(prb.as("b"),
+    idx.as("a").join(prb.as("b"),
         col("a.i") === col("b.i") && col("a.blk") === col("b.blk") &&
           col("a.doc_id") < col("b.doc_id") &&
           abs(col("a.l") - col("b.l")) <= EdK)
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    cand
-      .join(d.select(col("doc_id").as("id_a"), col("text").as("ta")), "id_a")
-      .join(d.select(col("doc_id").as("id_b"), col("text").as("tb")), "id_b")
-      // thresholded levenshtein returns -1 past EdK (the early abandon)
-      .withColumn("dist", levenshtein(col("ta"), col("tb"), EdK).cast(LongType))
-      .filter(col("dist") >= 0 && col("dist") <= EdK)
-      .select(col("id_a"), col("id_b"), col("dist"))
-      .orderBy("id_a", "id_b")
   }
 
   /** `dedup_soft_weight`'s frame, budget-parameterized so DedupSpec can
