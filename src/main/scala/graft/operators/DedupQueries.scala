@@ -403,8 +403,37 @@ object DedupQueries {
     // abandon per pair, not O(n^2). Docs under (k+1)*W chars carry no
     // guarantee and are filtered on both engines (that short tail is
     // exact-dedup/paragraph territory).
-    "dedup_editdist_pairs" -> ((s, dir) => editDistPairs(docsSpread(s, dir)))
+    "dedup_editdist_pairs" -> ((s, dir) => editDistPairs(docsSpread(s, dir))),
+
+    // Leakage-safe train/valid/test split: `pipeline_split` keyed on the
+    // DOC hash lets a near-dup cluster straddle train and eval — the
+    // benchmark-contamination path dedup exists to close. This variant
+    // keys the 90/5/5 hash split on the cluster CANONICAL (singletons:
+    // their own id), so every near-dup cluster lands wholly on one side
+    // by construction. Cluster definition is the ONE [[nearDupClusters]]
+    // (no fork); the cluster map is duplicate-proportional, so the
+    // corpus-side join is probe-adaptive ([[AdaptiveJoin]]).
+    "pipeline_split_leakproof" -> ((s, dir) => leakproofSplit(s, dir))
   )
+
+  /** `pipeline_split_leakproof`'s frame, budget-parameterized for the
+    * degrade-arm spec. */
+  private[operators] def leakproofSplit(s: SparkSession, dir: String,
+      maxRows: Long = AdaptiveJoin.DefaultMaxBroadcastRows): DataFrame = {
+    // persist: the probe and the join both consume the cluster map
+    val canon = graft.CheckpointUtil.trackPersist(nearDupClusters(s, dir)
+      .select(col("id").as("doc_id"), col("canonical_id"))
+      .persist())
+    val bucket = pmod(
+      TextFunctions.polyHash(col("cluster_id").cast(StringType)), lit(100))
+    AdaptiveJoin(docsSpread(s, dir).select(col("doc_id")), canon,
+      Seq("doc_id"), "left", maxRows)
+      .withColumn("cluster_id", coalesce(col("canonical_id"), col("doc_id")))
+      .select(col("doc_id"), col("cluster_id"),
+        when(bucket < 90, "train").when(bucket < 95, "valid")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
 
   /** Edit-distance threshold / anchor-block width for
     * `dedup_editdist_pairs`; MinLen = (k+1)*W is the shortest doc the
@@ -708,6 +737,19 @@ object DedupQueries {
          |WHERE ($q) >= 0.5 AND doc_id NOT IN (SELECT doc_id FROM victims)
          |ORDER BY doc_id""".stripMargin
     },
+
+    "pipeline_split_leakproof" ->
+      s"""WITH RECURSIVE $reachCtes,
+         |canon AS (SELECT s AS id, least(s, min(d)) AS canonical_id
+         |  FROM reach GROUP BY s),
+         |j AS (SELECT d.doc_id, COALESCE(c.canonical_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN canon c ON d.doc_id = c.id),
+         |b AS (SELECT doc_id, cluster_id,
+         |  (${ph("CAST(cluster_id AS VARCHAR)", "si")}) % 100 AS bucket FROM j)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN bucket < 90 THEN 'train'
+         |       WHEN bucket < 95 THEN 'valid' ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin,
 
     "dedup_minhash_by_source" ->
       s"""WITH t AS ($thCte),

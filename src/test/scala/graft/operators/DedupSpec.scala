@@ -243,6 +243,36 @@ class DedupSpec extends SparkSuite {
     graft.CheckpointUtil.releaseStragglers()
   }
 
+  test("leakproof split is cluster-closed, non-vacuous vs the naive split, and degrade-safe") {
+    val r = DedupQueries.leakproofSplit(spark, sf0001).persist()
+    // the invariant the operator exists for: no near-dup cluster
+    // straddles two splits
+    assert(r.groupBy(col("cluster_id"))
+      .agg(countDistinct(col("split")).as("ns"))
+      .filter(col("ns") > 1).count() == 0,
+      "a near-dup cluster straddles train/eval")
+    // every doc appears exactly once, and all three splits are populated
+    assert(r.count() == Tables.documents(spark, sf0001).count())
+    assert(r.select("split").distinct().count() == 3)
+    // non-vacuous: some clustered doc actually moved relative to the
+    // doc-hash split (otherwise the fixture can't witness the fix)
+    val naive = pmod(graft.functions.TextFunctions.polyHash(
+      col("doc_id").cast(org.apache.spark.sql.types.StringType)), lit(100))
+    val naiveSplit = when(naive < 90, "train").when(naive < 95, "valid")
+      .otherwise("test")
+    assert(r.filter(col("split") =!= naiveSplit).count() > 0,
+      "vacuous: cluster-keyed split equals the doc-keyed split everywhere")
+    r.unpersist()
+    // adaptive degrade arm: row-identical, join actually swaps
+    val degraded = DedupQueries.leakproofSplit(spark, sf0001, maxRows = 0L)
+    val bcast = DedupQueries.leakproofSplit(spark, sf0001)
+    assert(bcast.exceptAll(degraded).count() == 0 &&
+      degraded.exceptAll(bcast).count() == 0)
+    assert(bcast.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    assert(degraded.queryExecution.executedPlan.toString.contains("ShuffledHashJoin"))
+    graft.CheckpointUtil.releaseStragglers()
+  }
+
   test("editdist blocking is recall-complete vs brute force and finds planted edits") {
     import org.apache.spark.sql.types.LongType
     val fix = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getLong(1), r.getLong(2))
