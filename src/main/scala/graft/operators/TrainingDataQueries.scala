@@ -371,6 +371,37 @@ object TrainingDataQueries {
       .orderBy("tok")
   }
 
+  /** `pipeline_ngram_novelty`'s frame (see the query comment).
+    * Frame-parameterized so the spec can plant closed-form novelty. */
+  private[operators] def ngramNovelty(docs: DataFrame): DataFrame = {
+    import Packing.DivOps
+    val mx = docs.agg(max(col("doc_id"))).head()
+    val boundary = if (mx.isNullAt(0)) -1L else mx.getLong(0) * 4 / 5
+    val shh = TextFunctions.shingleHashes(col("text"), SubstrNgram)
+    // base set: distinct + localCheckpoint (corpus-proportional; the
+    // lineage above it must not replay into both consumers)
+    val baseShh = graft.CheckpointUtil.track(docs
+      .filter(col("doc_id") <= boundary)
+      .select(explode(shh).as("sh")).distinct()
+      .localCheckpoint(true))
+    // batch arrays computed ONCE (explode consumer + size consumer)
+    val batch = graft.CheckpointUtil.trackPersist(docs
+      .filter(col("doc_id") > boundary)
+      .select(col("doc_id"), shh.as("shh"))
+      .persist())
+    val novel = batch
+      .select(col("doc_id"), explode(col("shh")).as("sh"))
+      .join(baseShh, Seq("sh"), "left_anti")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
+    batch
+      .select(col("doc_id"), size(col("shh")).cast(LongType).as("n_shingles"))
+      .join(novel, Seq("doc_id"), "left")
+      .withColumn("n_novel", coalesce(col("n_novel"), lit(0L)))
+      .withColumn("novelty_ppm", when(col("n_shingles") <= 0, 0L)
+        .otherwise((col("n_novel") * 1000000L) div col("n_shingles")))
+      .orderBy("doc_id")
+  }
+
   /** Interval-union coverage of the `n`-token windows at `hits`'
     * (doc_id, pos) rows → (doc_id, n_removed): one hit agg, then an
     * in-scan fold over each doc's sorted positions (n tokens for the
@@ -968,6 +999,17 @@ object TrainingDataQueries {
     // integer division (top-token count * 1e6 stays under Long past a
     // 100 TB corpus — ~1e12 * 1e6 < 2^63; the CASE guards an empty side).
     "pipeline_token_drift" -> ((s, dir) => tokenDrift(docsSpread(s, dir))),
+
+    // Per-doc n-gram NOVELTY of an incoming batch against the corpus —
+    // the score novelty-weighted sampling and crawl triage rank on: of a
+    // batch doc's distinct 8-gram shingles, how many exist nowhere in the
+    // base snapshot (same 4/5-id-boundary convention as the incremental
+    // lifecycle). The base's distinct shingle set is corpus-proportional,
+    // so membership is ONE shingle-grain shuffle join (left_anti — never
+    // a broadcast of the corpus, the same shape as the incremental
+    // substring pass); the batch side's shingle arrays are computed once
+    // and persisted (ingest-bounded). Integer ppm surface.
+    "pipeline_ngram_novelty" -> ((s, dir) => ngramNovelty(docsSpread(s, dir))),
 
     // Curriculum ordering — emit the corpus in training order: highest-
     // quality bin first (clean text before noisy), and WITHIN a bin a
@@ -1934,6 +1976,26 @@ object TrainingDataQueries {
          |SELECT tok, n_base, n_new, base_ppm, new_ppm,
          |  new_ppm - base_ppm AS delta_ppm
          |FROM r ORDER BY tok""".stripMargin,
+
+    "pipeline_ngram_novelty" ->
+      s"""WITH bd AS (SELECT COALESCE(max(doc_id), -1) * 4 // 5 AS boundary
+         |  FROM documents),
+         |t AS (${DedupQueries.thCte}),
+         |d AS (SELECT doc_id, ${DedupQueries.shhSql(SubstrNgram)} AS shh FROM t),
+         |base AS (SELECT DISTINCT unnest(shh) AS sh FROM d
+         |  WHERE doc_id <= (SELECT boundary FROM bd)),
+         |b AS (SELECT doc_id, shh FROM d
+         |  WHERE doc_id > (SELECT boundary FROM bd)),
+         |e AS (SELECT doc_id, unnest(shh) AS sh FROM b),
+         |nv AS (SELECT doc_id, count(*) AS n_novel FROM e
+         |  WHERE sh NOT IN (SELECT sh FROM base) GROUP BY doc_id)
+         |SELECT b.doc_id, CAST(len(b.shh) AS BIGINT) AS n_shingles,
+         |  CAST(COALESCE(nv.n_novel, 0) AS BIGINT) AS n_novel,
+         |  CASE WHEN len(b.shh) <= 0 THEN CAST(0 AS BIGINT)
+         |       ELSE CAST(COALESCE(nv.n_novel, 0) * 1000000 // len(b.shh)
+         |         AS BIGINT) END AS novelty_ppm
+         |FROM b LEFT JOIN nv ON b.doc_id = nv.doc_id
+         |ORDER BY b.doc_id""".stripMargin,
 
     "pipeline_curriculum" ->
       s"""WITH q AS (SELECT doc_id, ${graft.functions.TextQueries.quality} AS quality

@@ -80,4 +80,28 @@ class LateOpsSpec extends SparkSuite {
     assert(fix.exists(_.getLong(5) != 0L), "degenerate: zero drift everywhere")
     graft.CheckpointUtil.releaseStragglers()
   }
+
+  test("ngram novelty: planted batch yields the closed-form novelty ppm") {
+    import spark.implicits._
+    // base = ids 0..7, all "t0 .. t9" (3 distinct 8-gram shingles);
+    // batch doc 8 repeats the base text (0/3 novel), batch doc 9 keeps
+    // the first 8 tokens and rewrites the last 2 (windows 2,3 novel ->
+    // 2*1e6 // 3 = 666666 ppm)
+    val baseTxt = (0 until 10).map("t" + _).mkString(" ")
+    val mixTxt = ((0 until 8).map("t" + _) ++ Seq("zz", "yy")).mkString(" ")
+    val docs = ((0L to 8L).map(i => (i, baseTxt)) :+ ((9L, mixTxt)))
+      .toDF("doc_id", "text")
+    val r = TrainingDataQueries.ngramNovelty(docs).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3)))
+      .toMap
+    assert(r == Map(8L -> ((3L, 0L, 0L)), 9L -> ((3L, 2L, 666666L))), r.toString)
+    // fixture: batch docs exist on both ends of the novelty range's
+    // interior (shared structure AND novel text), never degenerate
+    val fix = SparkEntry.queries("pipeline_ngram_novelty")(spark, sf0001)
+      .collect().map(_.getLong(3))
+    assert(fix.nonEmpty)
+    assert(fix.exists(_ < 1000000L), "degenerate: every batch doc fully novel")
+    assert(fix.exists(_ > 0L), "degenerate: no novelty anywhere")
+    graft.CheckpointUtil.releaseStragglers()
+  }
 }
