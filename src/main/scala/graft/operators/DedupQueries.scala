@@ -405,6 +405,15 @@ object DedupQueries {
     // exact-dedup/paragraph territory).
     "dedup_editdist_pairs" -> ((s, dir) => editDistPairs(docsSpread(s, dir))),
 
+    // Canonical clusters over the char-level near-dup graph — the same
+    // pairs -> pointer-doubling-CC composition as the Jaccard family
+    // (dedup_clusters), over [[editDistPairs]]' verified edges; the twin
+    // composes the SAME shared recursive closure tail, so neither the
+    // pair definition nor the closure can fork between the two graphs.
+    "dedup_editdist_clusters" -> ((s, dir) =>
+      connectedComponents(editDistPairs(docsSpread(s, dir))
+        .select(col("id_a"), col("id_b"))).orderBy("id")),
+
     // Leakage-safe train/valid/test split: `pipeline_split` keyed on the
     // DOC hash lets a near-dup cluster straddle train and eval — the
     // benchmark-contamination path dedup exists to close. This variant
@@ -610,7 +619,37 @@ object DedupQueries {
        |  FROM sb a JOIN sb b ON a.doc_id < b.doc_id
        |    AND len(list_filter(range(1, $Bands + 1), bi -> a.bands[bi] = b.bands[bi])) > 0
        |  WHERE ${jaccardSql("a.shh", "b.shh")} >= 0.5),
-       |edges AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+       |$reachTail""".stripMargin
+
+  /** The editdist candidate+verify CTE chain ending in `p`
+    * (id_a, id_b, dist) — the twin of [[editDistPairs]], shared by the
+    * pairs and clusters oracles so the pair definition cannot fork. */
+  private def editDistPairCtes: String =
+    s"""d0 AS (SELECT doc_id, text, length(text) AS l FROM documents
+       |  WHERE length(text) >= $EdMinLen),
+       |idx AS (SELECT doc_id, l, i, substring(text, i*$EdW+1, $EdW) AS blk
+       |  FROM d0 CROSS JOIN (SELECT unnest(range(0, ${EdK + 1})) AS i) g),
+       |prb AS (SELECT doc_id, l, i, substring(text, j+1, $EdW) AS blk
+       |  FROM (SELECT d0.doc_id, d0.l, g.i, d0.text,
+       |        unnest(range(greatest(g.i*$EdW-$EdK, 0),
+       |                     least(g.i*$EdW+$EdK, d0.l-$EdW)+1)) AS j
+       |        FROM d0 CROSS JOIN (SELECT unnest(range(0, ${EdK + 1})) AS i) g)),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM idx a JOIN prb b ON a.i = b.i AND a.blk = b.blk
+       |  WHERE a.doc_id < b.doc_id AND abs(a.l - b.l) <= $EdK),
+       |p AS (SELECT c.id_a, c.id_b,
+       |  CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS dist
+       |  FROM cand c
+       |  JOIN d0 ta ON ta.doc_id = c.id_a
+       |  JOIN d0 tb ON tb.doc_id = c.id_b
+       |  WHERE levenshtein(ta.text, tb.text) <= $EdK)""".stripMargin
+
+  /** Transitive closure over a pair CTE named `p` (columns id_a, id_b) —
+    * the recursive tail shared by every clusters twin ([[reachCtes]] for
+    * the Jaccard graph, the editdist clusters oracle), so the closure
+    * definition cannot fork between graphs. */
+  private def reachTail: String =
+    s"""edges AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
        |reach(s, d) AS (
        |  SELECT s, d FROM edges
        |  UNION
@@ -665,25 +704,14 @@ object DedupQueries {
          |FROM f GROUP BY fp ORDER BY canonical_id""".stripMargin,
 
     "dedup_editdist_pairs" ->
-      s"""WITH d AS (SELECT doc_id, text, length(text) AS l FROM documents
-         |  WHERE length(text) >= $EdMinLen),
-         |idx AS (SELECT doc_id, l, i, substring(text, i*$EdW+1, $EdW) AS blk
-         |  FROM d CROSS JOIN (SELECT unnest(range(0, ${EdK + 1})) AS i) g),
-         |prb AS (SELECT doc_id, l, i, substring(text, j+1, $EdW) AS blk
-         |  FROM (SELECT d.doc_id, d.l, g.i, d.text,
-         |        unnest(range(greatest(g.i*$EdW-$EdK, 0),
-         |                     least(g.i*$EdW+$EdK, d.l-$EdW)+1)) AS j
-         |        FROM d CROSS JOIN (SELECT unnest(range(0, ${EdK + 1})) AS i) g)),
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM idx a JOIN prb b ON a.i = b.i AND a.blk = b.blk
-         |  WHERE a.doc_id < b.doc_id AND abs(a.l - b.l) <= $EdK)
-         |SELECT c.id_a, c.id_b,
-         |  CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS dist
-         |FROM cand c
-         |JOIN d ta ON ta.doc_id = c.id_a
-         |JOIN d tb ON tb.doc_id = c.id_b
-         |WHERE levenshtein(ta.text, tb.text) <= $EdK
-         |ORDER BY id_a, id_b""".stripMargin,
+      s"""WITH $editDistPairCtes
+         |SELECT id_a, id_b, dist FROM p ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_editdist_clusters" ->
+      s"""WITH RECURSIVE $editDistPairCtes,
+         |$reachTail
+         |SELECT s AS id, least(s, min(d)) AS canonical_id
+         |FROM reach GROUP BY s ORDER BY id""".stripMargin,
 
     "dedup_minhash_sig" ->
       s"""WITH t AS ($thCte),

@@ -305,6 +305,18 @@ class DedupSpec extends SparkSuite {
     val found = DedupQueries.editDistPairs(planted).collect().map(fix)
     assert(found.exists(t => t._1 == 100000L && t._2 == 100001L && t._3 <= 4),
       s"planted 4-substitution pair not found: ${found.mkString(",")}")
+
+    // clusters: every verified pair must land in one component, and the
+    // canonical must be the component's least member
+    val canon = graft.SparkEntry.queries("dedup_editdist_clusters")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(canon.nonEmpty)
+    blocked.foreach { case (a, b, _) =>
+      assert(canon(a) == canon(b), s"pair ($a,$b) straddles clusters")
+    }
+    canon.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.keys.min == c, s"canonical $c is not the least member")
+    }
     graft.CheckpointUtil.releaseStragglers()
   }
 
