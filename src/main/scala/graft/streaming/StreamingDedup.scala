@@ -298,4 +298,30 @@ object StreamingDedup {
         candidates, k), batchId)
     }
   }
+
+  /** N-gram novelty of a DOCUMENT STREAM against a static base shingle
+    * set — the streaming arm of `pipeline_ngram_novelty` (crawl triage
+    * scoring docs as they arrive instead of nightly). The shingle kernel
+    * is stateless per row; membership is a stream-STATIC left_anti join
+    * (the base set is a fixed snapshot — no stream state at all), so
+    * micro-batch boundaries provably cannot move any value: stream ==
+    * batch by construction, pinned by the spec anyway.
+    *
+    * Emits (doc_id, n_shingles, n_novel) keyed per doc; a doc whose
+    * every shingle is known produces NO row (its exploded rows all die in
+    * the anti-join) — the sink joins back against the arrived-doc log and
+    * coalesces to 0, exactly as the batch query's left join does.
+    * Aggregation is per-doc with no watermark: run in complete/update
+    * mode, or wrap in foreachBatch for append sinks. */
+  def noveltyStream(docs: DataFrame, baseShh: DataFrame): DataFrame = {
+    val shh = graft.functions.TextFunctions.shingleHashes(
+      col("text"), graft.operators.TrainingDataQueries.SubstrNgram)
+    docs
+      .select(col("doc_id"),
+        size(shh).cast(org.apache.spark.sql.types.LongType).as("n_shingles"),
+        explode(shh).as("sh"))
+      .join(baseShh, Seq("sh"), "left_anti")
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(count(lit(1)).as("n_novel"))
+  }
 }

@@ -143,6 +143,50 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(got == want)
   }
 
+  test("streaming ngram novelty (stream-static anti join) == batch query") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val boundary = docs.agg(max(col("doc_id"))).head().getLong(0) * 4 / 5
+    val shh = graft.functions.TextFunctions.shingleHashes(col("text"),
+      graft.operators.TrainingDataQueries.SubstrNgram)
+    val baseShh = graft.CheckpointUtil.track(
+      docs.filter(col("doc_id") <= boundary)
+        .select(explode(shh).as("sh")).distinct().localCheckpoint(true))
+    val arrivals = docs.filter(col("doc_id") > boundary)
+      .as[(Long, String)].collect()
+    assert(arrivals.length >= 3, "fixture must leave a non-trivial new batch")
+
+    val source = MemoryStream[(Long, String)]
+    val q = StreamingDedup.noveltyStream(
+        source.toDF().toDF("doc_id", "text"), baseShh)
+      .writeStream.format("memory").queryName("novelty_stream")
+      .outputMode("update").start()
+    // three uneven micro-batches: values must not depend on the split
+    Seq(arrivals.take(arrivals.length / 4),
+        arrivals.slice(arrivals.length / 4, arrivals.length / 2),
+        arrivals.drop(arrivals.length / 2))
+      .filter(_.nonEmpty)
+      .foreach { c => source.addData(c.toSeq); q.processAllAvailable() }
+    q.stop()
+
+    val got = spark.table("novelty_stream")
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(max(col("n_novel")).as("n_novel"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val want = graft.SparkEntry.queries("pipeline_ngram_novelty")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(want.nonEmpty)
+    // a doc whose every shingle is known emits no stream row — complete
+    // it to n_novel=0 exactly as the batch query's left join does
+    assert(got.keySet.subsetOf(want.keySet), "stream emitted unknown docs")
+    val completed = want.map { case (id, (ns, _)) =>
+      id -> got.getOrElse(id, (ns, 0L))
+    }
+    assert(completed == want)
+    graft.CheckpointUtil.releaseStragglers()
+  }
+
   test("MinHash sketch aggregate in a streaming update-mode agg == batch") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
