@@ -1005,10 +1005,11 @@ object TrainingDataQueries {
     // batch doc's distinct 8-gram shingles, how many exist nowhere in the
     // base snapshot (same 4/5-id-boundary convention as the incremental
     // lifecycle). The base's distinct shingle set is corpus-proportional,
-    // so membership is ONE shingle-grain shuffle join (left_anti — never
-    // a broadcast of the corpus, the same shape as the incremental
-    // substring pass); the batch side's shingle arrays are computed once
-    // and persisted (ingest-bounded). Integer ppm surface.
+    // so the membership anti-join carries NO hint: AQE broadcasts it
+    // while the checkpointed set measures small (fixture scale) and
+    // degrades to the shingle-grain shuffle join at corpus scale — the
+    // incremental-substring shape. The batch side's shingle arrays are
+    // computed once and persisted (ingest-bounded). Integer ppm surface.
     "pipeline_ngram_novelty" -> ((s, dir) => ngramNovelty(docsSpread(s, dir))),
 
     // Curriculum ordering — emit the corpus in training order: highest-
