@@ -400,9 +400,11 @@ object DedupQueries {
     // recall-COMPLETE vs brute force (24/24 at sf0.001, 251/251 at
     // sf0.1) with ~4.9k candidates from 5k docs (vs 12.5M all-pairs).
     // Verification is Spark's THRESHOLDED levenshtein — O(k*n) early
-    // abandon per pair, not O(n^2). Docs under (k+1)*W chars carry no
-    // guarantee and are filtered on both engines (that short tail is
-    // exact-dedup/paragraph territory).
+    // abandon per pair, not O(n^2). Contract: every pair whose LONGER
+    // member has >= (k+1)*W chars is guaranteed (the longer doc indexes;
+    // the length band admits partners down to (k+1)*W - k chars); pairs
+    // where BOTH docs are shorter carry no pigeonhole guarantee and are
+    // out of the emitted surface on both engines.
     "dedup_editdist_pairs" -> ((s, dir) => editDistPairs(docsSpread(s, dir))),
 
     // Canonical clusters over the char-level near-dup graph — the same
@@ -411,7 +413,7 @@ object DedupQueries {
     // composes the SAME shared recursive closure tail, so neither the
     // pair definition nor the closure can fork between the two graphs.
     "dedup_editdist_clusters" -> ((s, dir) =>
-      connectedComponents(editDistPairs(docsSpread(s, dir))
+      connectedComponents(editDistPairsUnordered(docsSpread(s, dir))
         .select(col("id_a"), col("id_b"))).orderBy("id")),
 
     // Leakage-safe train/valid/test split: `pipeline_split` keyed on the
@@ -457,11 +459,19 @@ object DedupQueries {
     * (i, block) + a pair-grain distinct, then the candidate-sized text
     * join-back (no hint — candidates are duplicate-proportional, AQE
     * picks broadcast from measured sizes, the degrade stays possible). */
-  private[operators] def editDistPairs(docs: DataFrame): DataFrame = {
+  /** Unordered verified pairs — the frame [[editDistPairs]] sorts for the
+    * driver surface and `dedup_editdist_clusters` consumes as-is (CC
+    * reshuffles by key immediately; a sort ahead of it is a wasted
+    * range exchange). */
+  private[operators] def editDistPairsUnordered(docs: DataFrame): DataFrame = {
     // persist: index explode, probe explode, and both text join-backs
-    // all re-consume the filtered corpus slice
+    // all re-consume the filtered corpus slice. The slice keeps every
+    // doc that can be the SHORTER member of a guaranteed pair (length
+    // band: longer >= EdMinLen and |la-lb| <= EdK implies shorter >=
+    // EdMinLen - EdK); only the INDEX role requires the full EdMinLen
+    // (its k+1 anchor blocks must exist).
     val d = graft.CheckpointUtil.trackPersist(docs
-      .filter(length(col("text")) >= EdMinLen)
+      .filter(length(col("text")) >= EdMinLen - EdK)
       .select(col("doc_id"), col("text"), length(col("text")).as("l"))
       .persist())
     editDistCandidates(d)
@@ -471,15 +481,24 @@ object DedupQueries {
       .withColumn("dist", levenshtein(col("ta"), col("tb"), EdK).cast(LongType))
       .filter(col("dist") >= 0 && col("dist") <= EdK)
       .select(col("id_a"), col("id_b"), col("dist"))
-      .orderBy("id_a", "id_b")
   }
+
+  private[operators] def editDistPairs(docs: DataFrame): DataFrame =
+    editDistPairsUnordered(docs).orderBy("id_a", "id_b")
 
   /** The pigeonhole candidate stage of [[editDistPairs]], factored so the
     * stress suite can pin candidate volume (the pruning claim) with the
     * production expressions, not a test-local copy. `d` must expose
     * (doc_id, text, l) pre-filtered to length >= [[EdMinLen]]. */
   private[operators] def editDistCandidates(d: DataFrame): DataFrame = {
+    // only docs long enough to own k+1 anchor blocks INDEX; any in-band
+    // doc can be PROBED (an unedited index block's image is 8 contiguous
+    // chars of the probe doc, so it always fits the probe's bounds — the
+    // clamped probe range covers exactly the feasible starts). Pairs are
+    // normalized to (least, greatest), so the guarantee requires only
+    // the pair's LONGER member past EdMinLen, not both.
     val idx = d
+      .filter(col("l") >= EdMinLen)
       .select(col("doc_id"), col("l"), col("text"),
         explode(sequence(lit(0), lit(EdK))).as("i"))
       .select(col("doc_id"), col("l"), col("i"),
@@ -494,9 +513,10 @@ object DedupQueries {
         col("text").substr(col("j") + 1, lit(EdW)).as("blk"))
     idx.as("a").join(prb.as("b"),
         col("a.i") === col("b.i") && col("a.blk") === col("b.blk") &&
-          col("a.doc_id") < col("b.doc_id") &&
+          col("a.doc_id") =!= col("b.doc_id") &&
           abs(col("a.l") - col("b.l")) <= EdK)
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
       .distinct()
   }
 
@@ -626,17 +646,19 @@ object DedupQueries {
     * pairs and clusters oracles so the pair definition cannot fork. */
   private def editDistPairCtes: String =
     s"""d0 AS (SELECT doc_id, text, length(text) AS l FROM documents
-       |  WHERE length(text) >= $EdMinLen),
+       |  WHERE length(text) >= ${EdMinLen - EdK}),
        |idx AS (SELECT doc_id, l, i, substring(text, i*$EdW+1, $EdW) AS blk
-       |  FROM d0 CROSS JOIN (SELECT unnest(range(0, ${EdK + 1})) AS i) g),
+       |  FROM d0 CROSS JOIN (SELECT unnest(range(0, ${EdK + 1})) AS i) g
+       |  WHERE l >= $EdMinLen),
        |prb AS (SELECT doc_id, l, i, substring(text, j+1, $EdW) AS blk
        |  FROM (SELECT d0.doc_id, d0.l, g.i, d0.text,
        |        unnest(range(greatest(g.i*$EdW-$EdK, 0),
        |                     least(g.i*$EdW+$EdK, d0.l-$EdW)+1)) AS j
        |        FROM d0 CROSS JOIN (SELECT unnest(range(0, ${EdK + 1})) AS i) g)),
-       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |cand AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
+       |    greatest(a.doc_id, b.doc_id) AS id_b
        |  FROM idx a JOIN prb b ON a.i = b.i AND a.blk = b.blk
-       |  WHERE a.doc_id < b.doc_id AND abs(a.l - b.l) <= $EdK),
+       |  WHERE a.doc_id <> b.doc_id AND abs(a.l - b.l) <= $EdK),
        |p AS (SELECT c.id_a, c.id_b,
        |  CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS dist
        |  FROM cand c

@@ -256,6 +256,17 @@ object TrainingDataQueries {
       .select(col("doc_id"), col("pos"))
   }
 
+  /** The 4/5-id boundary splitting `docs` into the base snapshot
+    * (doc_id <= boundary) and the incoming batch — THE incremental-
+    * lifecycle convention, shared by the substring/drift/novelty passes
+    * so the base/batch definition cannot fork between them. Bounded
+    * collect (ONE long); -1 on an empty corpus (everything is batch,
+    * and every consumer then yields the empty frame). */
+  private[operators] def idBoundary(docs: DataFrame): Long = {
+    val mx = docs.agg(max(col("doc_id"))).head()
+    if (mx.isNullAt(0)) -1L else mx.getLong(0) * 4 / 5
+  }
+
   /** The incremental substring-excision computation behind
     * `dedup_substring_incremental` (see the query's comment for the
     * batch-vs-state design and the equivalence proof), factored so the
@@ -264,8 +275,7 @@ object TrainingDataQueries {
     * SubstringDedupSpec's containment arm. Unordered; callers sort. */
   private[operators] def incrementalSubstringCoverage(docs: DataFrame,
       wide: Boolean = false): DataFrame = {
-    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
-    val boundary = maxId * 4 / 5
+    val boundary = idBoundary(docs)
     val corpus = docs.filter(col("doc_id") <= boundary)
     val batch = docs.filter(col("doc_id") > boundary)
     val corpusShh = graft.CheckpointUtil.track(
@@ -344,10 +354,7 @@ object TrainingDataQueries {
     * the spec can plant a closed-form drift. */
   private[operators] def tokenDrift(docs: DataFrame): DataFrame = {
     import Packing.DivOps
-    // bounded collect: ONE long (the id boundary), the incremental-
-    // lifecycle convention; null-safe for an empty corpus
-    val mx = docs.agg(max(col("doc_id"))).head()
-    val boundary = if (mx.isNullAt(0)) -1L else mx.getLong(0) * 4 / 5
+    val boundary = idBoundary(docs)
     val counts = graft.CheckpointUtil.trackPersist(docs
       .select((col("doc_id") <= boundary).as("base"),
         explode(TextFunctions.tokens(col("text"))).as("tok"))
@@ -375,8 +382,7 @@ object TrainingDataQueries {
     * Frame-parameterized so the spec can plant closed-form novelty. */
   private[operators] def ngramNovelty(docs: DataFrame): DataFrame = {
     import Packing.DivOps
-    val mx = docs.agg(max(col("doc_id"))).head()
-    val boundary = if (mx.isNullAt(0)) -1L else mx.getLong(0) * 4 / 5
+    val boundary = idBoundary(docs)
     val shh = TextFunctions.shingleHashes(col("text"), SubstrNgram)
     // base set: distinct + localCheckpoint (corpus-proportional; the
     // lineage above it must not replay into both consumers)

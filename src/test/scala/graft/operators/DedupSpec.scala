@@ -227,19 +227,10 @@ class DedupSpec extends SparkSuite {
     // default budget broadcasts at fixture scale. Same assertion pair as
     // the boilerplate/ownership arms (ParagraphHygieneSpec,
     // SubstringDedupSpec): outputs identical, physical join actually swaps.
-    for ((bcast, degraded) <- Seq(
-      (DedupQueries.softWeightFrame(spark, sf0001),
-        DedupQueries.softWeightFrame(spark, sf0001, maxRows = 0L)),
-      (DedupQueries.corpusPrepFrame(spark, sf0001),
-        DedupQueries.corpusPrepFrame(spark, sf0001, maxRows = 0L)))) {
-      assert(bcast.exceptAll(degraded).count() == 0 &&
-        degraded.exceptAll(bcast).count() == 0,
-        "degraded arm changed the output")
-      assert(bcast.queryExecution.executedPlan.toString
-        .contains("BroadcastHashJoin"))
-      val dp = degraded.queryExecution.executedPlan.toString
-      assert(dp.contains("ShuffledHashJoin"), dp)
-    }
+    assertArmsIdentical(DedupQueries.softWeightFrame(spark, sf0001),
+      DedupQueries.softWeightFrame(spark, sf0001, maxRows = 0L))
+    assertArmsIdentical(DedupQueries.corpusPrepFrame(spark, sf0001),
+      DedupQueries.corpusPrepFrame(spark, sf0001, maxRows = 0L))
     graft.CheckpointUtil.releaseStragglers()
   }
 
@@ -264,12 +255,8 @@ class DedupSpec extends SparkSuite {
       "vacuous: cluster-keyed split equals the doc-keyed split everywhere")
     r.unpersist()
     // adaptive degrade arm: row-identical, join actually swaps
-    val degraded = DedupQueries.leakproofSplit(spark, sf0001, maxRows = 0L)
-    val bcast = DedupQueries.leakproofSplit(spark, sf0001)
-    assert(bcast.exceptAll(degraded).count() == 0 &&
-      degraded.exceptAll(bcast).count() == 0)
-    assert(bcast.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
-    assert(degraded.queryExecution.executedPlan.toString.contains("ShuffledHashJoin"))
+    assertArmsIdentical(DedupQueries.leakproofSplit(spark, sf0001),
+      DedupQueries.leakproofSplit(spark, sf0001, maxRows = 0L))
     graft.CheckpointUtil.releaseStragglers()
   }
 
@@ -278,12 +265,15 @@ class DedupSpec extends SparkSuite {
     val fix = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getLong(1), r.getLong(2))
     val docs = Tables.documents(spark, sf0001)
     val blocked = DedupQueries.editDistPairs(docs).collect().map(fix).toSet
-    // brute force over the same length band (nested-loop is fine at 500)
-    val d = docs.filter(length(col("text")) >= DedupQueries.EdMinLen)
+    // brute force over the same contract (nested-loop is fine at 500):
+    // longer member >= EdMinLen, in-band partner down to EdMinLen - EdK
+    val d = docs
+      .filter(length(col("text")) >= DedupQueries.EdMinLen - DedupQueries.EdK)
       .select(col("doc_id"), col("text"), length(col("text")).as("l"))
     val brute = d.as("a").join(d.as("b"),
         col("a.doc_id") < col("b.doc_id") &&
-          abs(col("a.l") - col("b.l")) <= DedupQueries.EdK)
+          abs(col("a.l") - col("b.l")) <= DedupQueries.EdK &&
+          greatest(col("a.l"), col("b.l")) >= DedupQueries.EdMinLen)
       .withColumn("dist",
         levenshtein(col("a.text"), col("b.text"), DedupQueries.EdK).cast(LongType))
       .filter(col("dist") >= 0)
@@ -305,6 +295,19 @@ class DedupSpec extends SparkSuite {
     val found = DedupQueries.editDistPairs(planted).collect().map(fix)
     assert(found.exists(t => t._1 == 100000L && t._2 == 100001L && t._3 <= 4),
       s"planted 4-substitution pair not found: ${found.mkString(",")}")
+
+    // the band EDGE: a 40-char doc vs a 2-deletion 38-char copy — the
+    // shorter member is under EdMinLen, but the longer one indexes, so
+    // the pair is guaranteed (this was a silent recall hole before the
+    // longer-member contract: both-sides filtering dropped the 38-char
+    // doc entirely)
+    val edgeDonor = donor.substring(0, DedupQueries.EdMinLen)
+    val edgeShort = edgeDonor.substring(0, 11) + edgeDonor.substring(13)
+    val edge = Seq((200000L, edgeDonor), (200001L, edgeShort))
+      .toDF("doc_id", "text")
+    val edgeFound = DedupQueries.editDistPairs(edge).collect().map(fix)
+    assert(edgeFound.exists(t => t._1 == 200000L && t._2 == 200001L && t._3 == 2L),
+      s"band-edge (40,38) pair not found: ${edgeFound.mkString(",")}")
 
     // clusters: every verified pair must land in one component, and the
     // canonical must be the component's least member

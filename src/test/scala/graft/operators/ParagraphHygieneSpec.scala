@@ -106,17 +106,9 @@ class ParagraphHygieneSpec extends SparkSuite {
   test("boilerplate join-back degrade is row-identical and actually swaps the join") {
     import graft.Tables
     val docs = Tables.documents(spark, sf0001)
-    val bcast = TrainingDataQueries.boilerplateAgg(docs)
     // budget 0 → the probe can never fit → the shuffle-hash arm
-    val degraded = TrainingDataQueries.boilerplateAgg(docs,
-      maxBoilerBroadcast = 0L)
-    assert(bcast.exceptAll(degraded).count() == 0 &&
-      degraded.exceptAll(bcast).count() == 0,
-      "degraded boilerplate join changed the output")
-    assert(bcast.queryExecution.executedPlan.toString
-      .contains("BroadcastHashJoin"))
-    val dp = degraded.queryExecution.executedPlan.toString
-    assert(dp.contains("ShuffledHashJoin"), dp)
+    assertArmsIdentical(TrainingDataQueries.boilerplateAgg(docs),
+      TrainingDataQueries.boilerplateAgg(docs, maxBoilerBroadcast = 0L))
     graft.CheckpointUtil.releaseStragglers()
   }
 

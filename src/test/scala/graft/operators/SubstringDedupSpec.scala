@@ -98,20 +98,11 @@ class SubstringDedupSpec extends SparkSuite {
 
   test("ownership degrade arm is row-identical and actually swaps the join") {
     val docs = Tables.documents(spark, sf0001)
-    val bcast = TrainingDataQueries.repeatedSpanHits(docs)
-    // budget 0 → the probe can never fit → the shuffle-hash arm
-    val degraded = TrainingDataQueries.repeatedSpanHits(docs,
-      maxOwnersBroadcast = 0L)
-    assert(bcast.exceptAll(degraded).count() == 0 &&
-      degraded.exceptAll(bcast).count() == 0,
-      "degraded ownership join changed the hit set")
-    // plan pins: the default arm broadcasts the ownership table, the
-    // degraded arm joins it with a shuffle-hash join (NOT a forced
-    // broadcast that would OOM the driver at the scale that triggers it)
-    val bp = bcast.queryExecution.executedPlan.toString
-    val dp = degraded.queryExecution.executedPlan.toString
-    assert(bp.contains("BroadcastHashJoin"), bp)
-    assert(dp.contains("ShuffledHashJoin"), dp)
+    // budget 0 → the probe can never fit → the shuffle-hash arm (NOT a
+    // forced broadcast that would OOM the driver at the scale that
+    // triggers it)
+    assertArmsIdentical(TrainingDataQueries.repeatedSpanHits(docs),
+      TrainingDataQueries.repeatedSpanHits(docs, maxOwnersBroadcast = 0L))
     graft.CheckpointUtil.releaseStragglers()
   }
 
