@@ -204,6 +204,18 @@ class DedupStressSpec extends SparkSuite {
     info(f"pairs=${got.length} candidates=$nCand verify_time=$secs%.1fs")
     assert(nCand >= expected.size && nCand < 2L * (N + donors.size),
       s"$nCand candidates for ${N + donors.size} docs — blocking is not pruning")
+    // clusters over the same graph have a closed form too: one
+    // {leader, clone, clone} triangle per block (canonical = leader) and
+    // one {donor, mutant} pair per donor (canonical = donor)
+    val comps = Dedup.connectedComponents(
+        spark.createDataset(got.toSeq.map(t => (t._1, t._2)))
+          .toDF("id_a", "id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expectComps =
+      leaders.flatMap(l => Seq(l -> l, (l + 1) -> l, (l + 2) -> l)).toMap ++
+        donors.flatMap(id => Seq(id -> id, (N + id) -> id)).toMap
+    assert(comps == expectComps,
+      s"editdist cluster structure drifted (got ${comps.size} members)")
     d.unpersist(blocking = false)
     graft.CheckpointUtil.releaseStragglers()
   }
