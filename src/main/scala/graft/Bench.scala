@@ -34,6 +34,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Harness-only (not library policy): every releaseStragglers unpersist
+    // of a locally-checkpointed RDD makes Spark 4.1.2 WARN "lineage has been
+    // truncated…" — benign (present in fully green runs), but a burst of
+    // them ahead of the JSON line can crowd it out of the driver's
+    // 2000-char stdout tail (the rounds-1/2 parse-loss mode).
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
     def time(fn: => Unit): Double = {
       val t0 = System.nanoTime()
       fn
@@ -45,17 +52,25 @@ object Bench {
       if (args.length > 0) Some(args(0).split(",").toSet) else None
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A sweep that throws must leave a trace: the exception class (keyed
+    // "<query>@<sweep>") lands in bench_out.json's "errors" map, so a
+    // driver-side anomaly is diagnosable from the artifact alone — a bare
+    // -1.0 with no record left the r12 outliers unattributable.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def once(n: String, sweepName: String,
+             fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       try time(fn(spark, sfDir)
         .write.format("noop").mode("overwrite").save())
-      catch { case _: Throwable => -1.0 }
+      catch { case e: Throwable =>
+        errors(s"$n@$sweepName") = e.getClass.getName; -1.0 }
       finally {
         spark.catalog.clearCache() // free per-query persists
         CheckpointUtil.releaseStragglers() // and checkpoint blocks
       }
     }
-    def sweep(sel: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) =
-      sel.map { case (n, fn) => n -> once(fn) }.toMap
+    def sweep(sweepName: String,
+              sel: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) =
+      sel.map { case (n, fn) => n -> once(n, sweepName, fn) }.toMap
     // This box shows transient stall WINDOWS lasting tens of seconds
     // (virtualized host noise). Back-to-back repeats of one query both land
     // inside such a window, so a per-query immediate retry can't save the
@@ -63,9 +78,9 @@ object Bench {
     // once). Instead the repeats are separated by a full suite SWEEP —
     // minutes apart — so the two observations are decorrelated in time;
     // queries whose two sweeps still disagree >3x get a third pass.
-    val cold = sweep(named) // sweep 1: plans compile, footers read
-    val second = sweep(named) // sweep 2: steady-state candidate
-    val third = sweep(named.filter { case (n, _) =>
+    val cold = sweep("cold", named) // sweep 1: plans compile, footers read
+    val second = sweep("steady", named) // sweep 2: steady-state candidate
+    val third = sweep("third", named.filter { case (n, _) =>
       val (a, b) = (cold(n), second(n))
       a >= 0 && b >= 0 && math.max(a, b) > 3 * math.max(math.min(a, b), 0.05)
     })
@@ -78,10 +93,19 @@ object Bench {
       n -> (if (ok.isEmpty) -1.0 else ok.min)
     }
     val total = results.map { case (_, v) => math.max(v, 0.0) }.sum
+    def jmap(m: Seq[(String, String)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     def render(fmt: Double => String, qrs: Seq[(String, Double)]): String = {
-      val qs = qrs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-        .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"cold_total_sec":${fmt(coldTotal)},"sf":"$sfDir"}"""
+      val qs = jmap(qrs.map { case (k, v) => k -> fmt(v) })
+      // per-sweep raw times + any exception classes: the adjudication
+      // record. min-of-succeeded stays the number of record in "queries".
+      val sw = jmap(Seq(
+        "cold" -> jmap(named.map { case (n, _) => n -> fmt(cold(n)) }),
+        "steady" -> jmap(named.map { case (n, _) => n -> fmt(second(n)) }),
+        "third" -> jmap(third.toSeq.sortBy(_._1)
+          .map { case (n, v) => n -> fmt(v) })))
+      val err = jmap(errors.toSeq.map { case (k, v) => k -> ("\"" + v + "\"") })
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sweeps":$sw,"errors":$err,"cold_total_sec":${fmt(coldTotal)},"sf":"$sfDir"}"""
     }
     // Full precision to a file; relative to CWD by default (the driver runs
     // from the repo root), overridable so a spark-submit from elsewhere

@@ -20,6 +20,11 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Harness-only: suppress the benign Spark-4.1.2 "lineage has been
+    // truncated…" WARN emitted by every releaseStragglers unpersist of a
+    // locally-checkpointed RDD (it can flood the driver's stdout window).
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
     val failures = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     SparkEntry.queries

@@ -357,21 +357,26 @@ object SimilarityQueries {
     // engine (that's also what makes the oracle hash-exact). Downstream
     // mean = sum_u / (n << 20). sum_u2 accumulates u² ≈ 2^40 per row, so
     // a long lane wraps silently past ~8M rows/dim (Spark's non-ANSI sum)
-    // while the oracle's HUGEINT would not — the per-row terms are cast
-    // to DECIMAL(38,0) BEFORE the sum on both engines, so the wide lane
-    // carries ~10^28 rows/dim with the same cross-engine determinism
-    // (integer units; decimal addition is exact). sum_u's terms are only
-    // 2^20, safe in the long lane to ~2^43 rows/dim — the documented
-    // follow-up if corpora outgrow that. One posexplode + one 64-group
-    // agg.
+    // while the oracle's HUGEINT would not — BOTH sums accumulate in
+    // DECIMAL(38,0) (terms cast BEFORE the sum on both engines), so the
+    // wide lanes carry ~10^28 rows/dim with the same cross-engine
+    // determinism (integer units; decimal addition is exact). The
+    // EMITTED columns are the decimal sums cast to STRING: decimal
+    // columns are outside the driver gate's hash-stable type set (a
+    // DECIMAL(38,0) parquet column hash-mismatches even with values
+    // numerically identical — the r12 red row), and scale-0 decimals
+    // render as identical plain-digit strings on both engines, so the
+    // string lane is exact, wide, AND gate-stable.
     "sim_dim_stats" -> ((s, dir) => {
       val u = floor(col("v").cast("double") * lit(1048576.0)).cast("long")
       Tables.embeddings(s, dir)
         .select(posexplode(col("embedding")).as(Seq("dim", "v")))
         .select(col("dim").cast("long").as("dim"), u.as("u"))
         .groupBy(col("dim"))
-        .agg(count(lit(1)).as("n"), sum(col("u")).as("sum_u"),
-          sum((col("u") * col("u")).cast(DecimalType(38, 0))).as("sum_u2"),
+        .agg(count(lit(1)).as("n"),
+          sum(col("u").cast(DecimalType(38, 0))).cast("string").as("sum_u"),
+          sum((col("u") * col("u")).cast(DecimalType(38, 0)))
+            .cast("string").as("sum_u2"),
           min(col("u")).as("min_u"), max(col("u")).as("max_u"))
         .orderBy("dim")
     }),
@@ -962,8 +967,9 @@ object SimilarityQueries {
            |  SELECT unnest(list_transform(range(1, len(embedding) + 1),
            |    i -> {'d': CAST(i - 1 AS BIGINT), 'v': embedding[i]})) AS x
            |  FROM embeddings))
-           |SELECT dim, count(*) AS n, CAST(SUM(u) AS BIGINT) AS sum_u,
-           |  SUM(CAST(u * u AS DECIMAL(38,0))) AS sum_u2,
+           |SELECT dim, count(*) AS n,
+           |  CAST(SUM(CAST(u AS DECIMAL(38,0))) AS VARCHAR) AS sum_u,
+           |  CAST(SUM(CAST(u * u AS DECIMAL(38,0))) AS VARCHAR) AS sum_u2,
            |  min(u) AS min_u, max(u) AS max_u
            |FROM u GROUP BY dim ORDER BY dim""".stripMargin
     )
