@@ -407,6 +407,17 @@ object DedupQueries {
     // out of the emitted surface on both engines.
     "dedup_editdist_pairs" -> ((s, dir) => editDistPairs(docsSpread(s, dir))),
 
+    // Daily-ingest arm of the char-level family (the standing pattern:
+    // every dedup family carries batch + incremental arms). Docs with
+    // doc_id % 5 == 4 play the NEW batch; candidates = new-probes-vs-all-
+    // index ∪ new-index-vs-corpus-probes — the standing corpus is never
+    // self-joined, so per-batch cost is batch-proportional while the
+    // emitted pairs are EXACTLY the full rebuild restricted to pairs
+    // touching the batch (the oracle runs the full CTE + that filter).
+    "dedup_editdist_incremental" -> ((s, dir) =>
+      editDistPairsIncremental(docsSpread(s, dir), col("doc_id") % 5 === 4)
+        .orderBy("id_a", "id_b")),
+
     // Canonical clusters over the char-level near-dup graph — the same
     // pairs -> pointer-doubling-CC composition as the Jaccard family
     // (dedup_clusters), over [[editDistPairs]]' verified edges; the twin
@@ -486,39 +497,85 @@ object DedupQueries {
   private[operators] def editDistPairs(docs: DataFrame): DataFrame =
     editDistPairsUnordered(docs).orderBy("id_a", "id_b")
 
+  /** Incremental edit-distance near-dup pairs: [[editDistPairsUnordered]]
+    * with the candidate stage swapped for the batch-scoped
+    * [[editDistCandidatesIncremental]]; the verify stage (thresholded
+    * levenshtein over the SAME persisted corpus slice) is shared, so the
+    * pair definition cannot fork between the batch and full arms.
+    * Oracle = the full-rebuild pair CTE restricted to batch ids — the
+    * standing equivalence every incremental dedup arm in this file is
+    * held to. */
+  private[operators] def editDistPairsIncremental(
+      docs: DataFrame, isNew: org.apache.spark.sql.Column): DataFrame = {
+    // persist: probe/index explodes and both text join-backs re-consume
+    // the filtered slice (same band rationale as editDistPairsUnordered)
+    val d = graft.CheckpointUtil.trackPersist(docs
+      .filter(length(col("text")) >= EdMinLen - EdK)
+      .select(col("doc_id"), col("text"), length(col("text")).as("l"))
+      .persist())
+    editDistCandidatesIncremental(d.filter(isNew), d.filter(!isNew))
+      .join(d.select(col("doc_id").as("id_a"), col("text").as("ta")), "id_a")
+      .join(d.select(col("doc_id").as("id_b"), col("text").as("tb")), "id_b")
+      .withColumn("dist", levenshtein(col("ta"), col("tb"), EdK).cast(LongType))
+      .filter(col("dist") >= 0 && col("dist") <= EdK)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
   /** The pigeonhole candidate stage of [[editDistPairs]], factored so the
     * stress suite can pin candidate volume (the pruning claim) with the
     * production expressions, not a test-local copy. `d` must expose
     * (doc_id, text, l) pre-filtered to length >= [[EdMinLen]]. */
-  private[operators] def editDistCandidates(d: DataFrame): DataFrame = {
-    // only docs long enough to own k+1 anchor blocks INDEX; any in-band
-    // doc can be PROBED (an unedited index block's image is 8 contiguous
-    // chars of the probe doc, so it always fits the probe's bounds — the
-    // clamped probe range covers exactly the feasible starts). Pairs are
-    // normalized to (least, greatest), so the guarantee requires only
-    // the pair's LONGER member past EdMinLen, not both.
-    val idx = d
-      .filter(col("l") >= EdMinLen)
-      .select(col("doc_id"), col("l"), col("text"),
-        explode(sequence(lit(0), lit(EdK))).as("i"))
-      .select(col("doc_id"), col("l"), col("i"),
-        col("text").substr(col("i") * EdW + 1, lit(EdW)).as("blk"))
-    val prb = d
-      .select(col("doc_id"), col("l"), col("text"),
-        explode(sequence(lit(0), lit(EdK))).as("i"))
-      .select(col("doc_id"), col("l"), col("i"), col("text"),
-        explode(sequence(greatest(col("i") * EdW - EdK, lit(0)),
-          least(col("i") * EdW + EdK, col("l") - EdW))).as("j"))
-      .select(col("doc_id"), col("l"), col("i"),
-        col("text").substr(col("j") + 1, lit(EdW)).as("blk"))
+  private[operators] def editDistCandidates(d: DataFrame): DataFrame =
+    edCandJoin(edIndexBlocks(d), edProbeBlocks(d)).distinct()
+
+  /** Anchor blocks of the INDEX role: only docs long enough to own k+1
+    * blocks index. */
+  private def edIndexBlocks(d: DataFrame): DataFrame = d
+    .filter(col("l") >= EdMinLen)
+    .select(col("doc_id"), col("l"), col("text"),
+      explode(sequence(lit(0), lit(EdK))).as("i"))
+    .select(col("doc_id"), col("l"), col("i"),
+      col("text").substr(col("i") * EdW + 1, lit(EdW)).as("blk"))
+
+  /** Shifted substrings of the PROBE role: any in-band doc can be probed
+    * (an unedited index block's image is EdW contiguous chars of the
+    * probe doc, so it always fits the probe's bounds — the clamped probe
+    * range covers exactly the feasible starts). */
+  private def edProbeBlocks(d: DataFrame): DataFrame = d
+    .select(col("doc_id"), col("l"), col("text"),
+      explode(sequence(lit(0), lit(EdK))).as("i"))
+    .select(col("doc_id"), col("l"), col("i"), col("text"),
+      explode(sequence(greatest(col("i") * EdW - EdK, lit(0)),
+        least(col("i") * EdW + EdK, col("l") - EdW))).as("j"))
+    .select(col("doc_id"), col("l"), col("i"),
+      col("text").substr(col("j") + 1, lit(EdW)).as("blk"))
+
+  /** The (i, blk) equi-join + length band + (least, greatest) pair
+    * normalization — pairs are normalized, so the pigeonhole guarantee
+    * requires only the pair's LONGER member past EdMinLen, not both.
+    * NOT deduplicated: callers distinct() once after any unions. */
+  private def edCandJoin(idx: DataFrame, prb: DataFrame): DataFrame =
     idx.as("a").join(prb.as("b"),
         col("a.i") === col("b.i") && col("a.blk") === col("b.blk") &&
           col("a.doc_id") =!= col("b.doc_id") &&
           abs(col("a.l") - col("b.l")) <= EdK)
       .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
+
+  /** Incremental candidate stage: every guaranteed pair with >= 1 member
+    * in the NEW batch, with the standing corpus never self-joined or
+    * re-bloked — the daily-ingest shape ([[incrementalCandidatePairs]]'
+    * sibling at the char level). Coverage argument: a guaranteed pair's
+    * LONGER member indexes while the other probes; if the new doc is the
+    * shorter member the arm idx(all) x prb(new) finds it, and if the new
+    * doc is the longer member the arm idx(new) x prb(corpus) does (both
+    * arms find new x new). The union double-counts pairs both arms can
+    * reach, so the single distinct() sits above it. */
+  private[operators] def editDistCandidatesIncremental(
+      dNew: DataFrame, dOld: DataFrame): DataFrame =
+    edCandJoin(edIndexBlocks(dNew.unionByName(dOld)), edProbeBlocks(dNew))
+      .unionByName(edCandJoin(edIndexBlocks(dNew), edProbeBlocks(dOld)))
       .distinct()
-  }
 
   /** `dedup_soft_weight`'s frame, budget-parameterized so DedupSpec can
     * force the degrade arm (see the query comment). */
@@ -734,6 +791,14 @@ object DedupQueries {
          |$reachTail
          |SELECT s AS id, least(s, min(d)) AS canonical_id
          |FROM reach GROUP BY s ORDER BY id""".stripMargin,
+
+    // full rebuild restricted to pairs touching the batch — the
+    // incremental-equivalence oracle (same shared pair CTE, no fork)
+    "dedup_editdist_incremental" ->
+      s"""WITH $editDistPairCtes
+         |SELECT id_a, id_b, dist FROM p
+         |WHERE id_a % 5 = 4 OR id_b % 5 = 4
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_minhash_sig" ->
       s"""WITH t AS ($thCte),

@@ -323,6 +323,46 @@ class DedupSpec extends SparkSuite {
     graft.CheckpointUtil.releaseStragglers()
   }
 
+  test("editdist incremental equals the full rebuild restricted to batch pairs") {
+    val fix = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getLong(1), r.getLong(2))
+    val docs = Tables.documents(spark, sf0001)
+    val isNew = col("doc_id") % 5 === 4
+    val full = DedupQueries.editDistPairs(docs).collect().map(fix).toSet
+    val fullBatch = full.filter { case (a, b, _) => a % 5 == 4 || b % 5 == 4 }
+    val incr = DedupQueries.editDistPairsIncremental(docs, isNew)
+      .collect().map(fix).toSet
+    assert(fullBatch.nonEmpty, "vacuous fixture: no batch-touching pairs")
+    assert(incr == fullBatch,
+      s"incremental != full|batch: missing ${(fullBatch -- incr).take(5)}, " +
+        s"extra ${(incr -- fullBatch).take(5)}")
+
+    // planted arms: the coverage argument has two sides — each must find
+    // its pair, and a corpus-only pair must be EXCLUDED even when in range.
+    // ids chosen so % 5 == 4 marks exactly the "new" docs.
+    val donor = docs.filter(col("doc_id") === 0).select(col("text"))
+      .head.getString(0).substring(0, DedupQueries.EdMinLen + 10)
+    def drop2(s: String) = s.substring(0, 5) + s.substring(7)
+    import spark.implicits._
+    val planted = Seq(
+      1000004L -> donor,          // NEW, longer member vs 1000010 (idx(new) x prb(old))
+      1000010L -> drop2(donor),   // corpus, shorter
+      2000000L -> donor,          // corpus, longer member vs NEW 2000004 (idx(all) x prb(new))
+      2000004L -> drop2(donor),   // NEW, shorter
+      3000000L -> donor,          // corpus x corpus: must NOT be emitted
+      3000010L -> drop2(donor),
+      4000004L -> donor,          // NEW x NEW
+      4000009L -> drop2(donor)
+    ).toDF("doc_id", "text")
+    val got = DedupQueries.editDistPairsIncremental(planted, isNew)
+      .collect().map(fix).toSet
+    assert(got.contains((1000004L, 1000010L, 2L)), s"new-longer arm missed: $got")
+    assert(got.contains((2000000L, 2000004L, 2L)), s"new-shorter arm missed: $got")
+    assert(got.contains((4000004L, 4000009L, 2L)), s"new-new pair missed: $got")
+    assert(!got.exists { case (a, b, _) => a % 5 != 4 && b % 5 != 4 },
+      s"corpus-only pair leaked into the incremental surface: $got")
+    graft.CheckpointUtil.releaseStragglers()
+  }
+
   test("cosine is 1 for parallel vectors, 0 for orthogonal") {
     import spark.implicits._
     val df = Seq((Seq(1.0f, 0.0f), Seq(2.0f, 0.0f), Seq(0.0f, 3.0f)))

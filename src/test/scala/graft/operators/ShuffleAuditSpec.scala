@@ -15,6 +15,10 @@ class ShuffleAuditSpec extends SparkSuite {
   private val bounds = Map(
     "dedup_incremental" -> 16,
     "dedup_minhash_pairs" -> 11,
+    // two batch-scoped candidate arms union before ONE distinct, then the
+    // two text join-backs + the final sort (measured 9 in plan text; the
+    // persisted corpus slice reprints under its references as elsewhere)
+    "dedup_editdist_incremental" -> 11,
     // round-5 re-audit: IVF assignment became an in-scan kernel (no
     // crossJoin+window argmax) and every similarity tier selects top-k via
     // TopKAgg instead of a row_number window — measured counts dropped to
