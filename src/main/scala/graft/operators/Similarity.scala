@@ -212,6 +212,84 @@ object Similarity {
     rows.toDF("cen_id", "cv").withColumn("cnrm", Dedup.l2norm(col("cv")))
   }
 
+  /** ORACLE-REPLICABLE trained coarse centroids: driver-side Lloyd over a
+    * capped consistent-hash sample, with every non-SQL-expressible choice
+    * removed — stride init over the vec_id-ordered sample instead of
+    * seeded k-means++ (no RNG), fixed `iters`, argmin ties to the lowest
+    * center index, an emptied cluster keeps its previous center, and
+    * every float fold (distances, per-cluster sums, norms) runs in a
+    * DECLARED order (dims ascending; points in vec_id order) so a DuckDB
+    * twin reproduces the centers bit-exactly with in-order list_reduce
+    * folds. This is the hash-exact twin arm of [[kmeansCentroids]]
+    * (Spark ML k-means||, whose distributed init draws and unordered
+    * float reductions are genuinely non-replicable cross-engine).
+    *
+    * 100 TB shape: like [[trainPqCodebook]], the sample is capped at
+    * `maxSample` vectors (TakeOrdered — distributed, k-bounded), so the
+    * driver collect is maxSample·dim doubles regardless of corpus size; a
+    * coarse quantizer needs thousands of points per centroid, not the
+    * corpus. Training is a bounded driver loop; everything downstream
+    * (assignment, probing, scoring) stays in-scan via [[ivfTopKWith]]. */
+  def lloydCentroids(corpus: DataFrame, nCentroids: Int, iters: Int = 3,
+                     samplePct: Int = 60, maxSample: Int = 512): DataFrame = {
+    val spark = corpus.sparkSession
+    val sample: Array[Array[Double]] = corpus
+      .filter(pmod(graft.functions.TextFunctions.polyHash(
+        col("vec_id").cast("string")), lit(100)) < samplePct)
+      .select(col("vec_id"),
+        transform(col("v"), x => x / col("nrm")).as("u"))
+      .orderBy(col("vec_id")).limit(maxSample)
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(sample.length >= nCentroids,
+      s"sample ${sample.length} smaller than k=$nCentroids")
+    val n = sample.length
+    val dim = sample.head.length
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < dim) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc
+    }
+    // stride init: center j = sample point at rank j*n/k (vec_id order)
+    var centers: Array[Array[Double]] =
+      Array.tabulate(nCentroids)(j => sample(j * n / nCentroids).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(nCentroids)(new Array[Double](dim))
+      val counts = new Array[Int](nCentroids)
+      var i = 0
+      while (i < n) { // points in vec_id order — the declared fold order
+        var best = 0; var bestD = d2(sample(i), centers(0)); var j = 1
+        while (j < nCentroids) {
+          val d = d2(sample(i), centers(j))
+          if (d < bestD) { best = j; bestD = d } // strict: ties keep lowest j
+          j += 1
+        }
+        var t = 0
+        while (t < dim) { sums(best)(t) += sample(i)(t); t += 1 }
+        counts(best) += 1
+        i += 1
+      }
+      centers = Array.tabulate(nCentroids) { j =>
+        if (counts(j) == 0) centers(j)
+        else Array.tabulate(dim)(t => sums(j)(t) / counts(j))
+      }
+      it += 1
+    }
+    import spark.implicits._
+    centers.toSeq.zipWithIndex
+      .map { case (c, j) => (j.toLong, c.toSeq) }
+      .toDF("cen_id", "cv")
+      .withColumn("cnrm", Dedup.l2norm(col("cv")))
+  }
+
+  /** IVF top-k over [[lloydCentroids]] — trained centers, hash-exact. */
+  def ivfTopKLloyd(corpus: DataFrame, queryPred: Column, nCentroids: Int,
+                   nProbe: Int, k: Int, iters: Int = 3, samplePct: Int = 60,
+                   maxSample: Int = 512): DataFrame =
+    ivfTopKWith(lloydCentroids(corpus, nCentroids, iters, samplePct, maxSample),
+      corpus, queryPred, nProbe, k)
+
   /** IVF top-k: probe the `nProbe` nearest centroid lists per query, exact
     * cosine within the probed lists only. */
   def ivfTopK(corpus: DataFrame, queryPred: Column, nCentroids: Int,

@@ -37,6 +37,11 @@ object SimilarityQueries {
     */
   val PqMTrained = 16
   val PqCodewordsTrained = 128
+  /** Lloyd tier shape: 3 iterations on a <=512-vector consistent-hash
+    * sample — enough for the centers to move off the stride init (spec-
+    * pinned) while the oracle's unrolled iteration CTEs stay bounded. */
+  val LloydIters = 3
+  val LloydMaxSample = 512
   val NCandidatesTrained = 48
   val NProbeTrained = 12
   val NCandidatesIvfPqTrained = 64
@@ -183,6 +188,18 @@ object SimilarityQueries {
       val corpus = Similarity.prepare(Tables.embeddings(s, dir)).persist()
       Similarity.ivfTopKKMeans(corpus, col("vec_id") < NQueries, NCentroids, NProbe, K,
           samplePct = 60)
+        .orderBy("query_id", "rank")
+    }),
+    // the HASH-EXACT trained-quantizer arm ([[Similarity.lloydCentroids]]):
+    // driver-side Lloyd on a capped consistent-hash sample with stride
+    // init, declared fold orders, and pinned ties — so the DuckDB twin
+    // replays the training loop as unrolled in-order list_reduce CTEs and
+    // the whole tier (training included) is hash-exact, where the Spark-ML
+    // k-means|| arm above can only ever be rows-only.
+    "sim_topk_ivf_lloyd" -> ((s, dir) => {
+      val corpus = Similarity.prepare(Tables.embeddings(s, dir)).persist()
+      Similarity.ivfTopKLloyd(corpus, col("vec_id") < NQueries, NCentroids,
+          NProbe, K, iters = LloydIters, samplePct = 60, maxSample = LloydMaxSample)
         .orderBy("query_id", "rank")
     }),
     "sim_topk_quantized" -> ((s, dir) => {
@@ -648,8 +665,9 @@ object SimilarityQueries {
     // the top-k twin (rank over cand) and the range twin (tau over cand),
     // so the assign/probe definition cannot fork between them.
     def ivfCandCtes(centsSql: String, nQueries: Int = NQueries,
-                    qPred: Option[String] = None): String =
-      s"""WITH e AS ($e), nn AS ($n),
+                    qPred: Option[String] = None,
+                    preCtes: String = ""): String =
+      s"""WITH e AS ($e), nn AS ($n),$preCtes
          |cents AS ($centsSql),
          |assigned AS (
          |  SELECT vec_id, cen_id, v, nrm FROM (
@@ -670,9 +688,51 @@ object SimilarityQueries {
          |    ${dotSql("p.qv", "a.v")} / (p.qnrm * a.nrm) AS cos
          |  FROM probes p JOIN assigned a ON p.cen_id = a.cen_id
          |  WHERE a.vec_id <> p.query_id)""".stripMargin
+    // Unrolled Lloyd-training CTE chain — the twin of
+    // Similarity.lloydCentroids: same capped consistent-hash sample, same
+    // stride init, same declared fold orders (dims ascending via
+    // list_reduce; points in vec_id order via list(u ORDER BY vec_id)),
+    // same lowest-index ties and empty-cluster-keeps-previous rule.
+    // Iterations unroll as CTEs la{t}/lm{t}/lc{t}; centers end in
+    // lc{iters} (cen_id, cv).
+    def lloydCtes(k: Int, iters: Int, samplePct: Int, maxSample: Int): String = {
+      val zero = "list_transform(range(1, 65), z0 -> CAST(0.0 AS DOUBLE))"
+      val d2 = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        "list_transform(range(1, 65), di -> (s.u[di] - c.cv[di]) * (s.u[di] - c.cv[di])))," +
+        " (acc, x) -> acc + x)"
+      val iterCtes = (1 to iters).map { t =>
+        s"""la$t AS (
+           |  SELECT u, vec_id, cen_id FROM (
+           |    SELECT s.u, s.vec_id, c.cen_id,
+           |      row_number() OVER (PARTITION BY s.vec_id ORDER BY $d2, c.cen_id) AS arn
+           |    FROM smp s, lc${t - 1} c) WHERE arn = 1),
+           |lm$t AS (
+           |  SELECT cen_id, cnt,
+           |    list_reduce(list_prepend($zero, list(u ORDER BY vec_id)),
+           |      (acc, x) -> list_transform(range(1, 65), mi -> acc[mi] + x[mi])) AS sv
+           |  FROM (SELECT cen_id, vec_id, u,
+           |        count(*) OVER (PARTITION BY cen_id) AS cnt FROM la$t)
+           |  GROUP BY cen_id, cnt),
+           |lc$t AS (
+           |  SELECT p.cen_id,
+           |    CASE WHEN m.cen_id IS NULL THEN p.cv
+           |         ELSE list_transform(m.sv, sx -> sx / m.cnt) END AS cv
+           |  FROM lc${t - 1} p LEFT JOIN lm$t m ON m.cen_id = p.cen_id)""".stripMargin
+      }.mkString(",\n")
+      s"""
+         |smp AS (SELECT vec_id, list_transform(range(1, 65), ui -> v[ui] / nrm) AS u
+         |  FROM nn WHERE (${DedupQueries.ph("CAST(vec_id AS VARCHAR)", "si")}) % 100 < $samplePct
+         |  ORDER BY vec_id LIMIT $maxSample),
+         |sidx AS (SELECT u, row_number() OVER (ORDER BY vec_id) - 1 AS rn FROM smp),
+         |sn AS (SELECT count(*) AS n FROM smp),
+         |lc0 AS (SELECT CAST(g.j AS BIGINT) AS cen_id, s.u AS cv
+         |  FROM range(0, $k) g(j) JOIN sidx s ON s.rn = (g.j * (SELECT n FROM sn)) // $k),
+         |""".stripMargin + iterCtes + ","
+    }
     def ivfOracle(centsSql: String, nQueries: Int = NQueries,
-                  qPred: Option[String] = None, k: Int = K): String =
-      s"""${ivfCandCtes(centsSql, nQueries, qPred)},
+                  qPred: Option[String] = None, k: Int = K,
+                  preCtes: String = ""): String =
+      s"""${ivfCandCtes(centsSql, nQueries, qPred, preCtes)},
          |ranked AS (
          |  SELECT query_id, vec_id, cos,
          |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
@@ -793,6 +853,12 @@ object SimilarityQueries {
            |  FROM cand)
            |SELECT query_id, rank, vec_id, cos FROM ranked
            |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
+      // the trained-quantizer tier, training REPLAYED in SQL: the Lloyd
+      // CTE chain computes the same centers bit-exactly, then the shared
+      // probe machinery takes over — the whole tier is hash-exact
+      "sim_topk_ivf_lloyd" -> ivfOracle(
+        s"SELECT cen_id, cv, ${normSql("cv")} AS cnrm FROM lc$LloydIters",
+        preCtes = lloydCtes(NCentroids, LloydIters, 60, LloydMaxSample)),
       // same probe machinery, stride-selected reindexed centers
       "sim_topk_ivf_fixed" -> ivfOracle(
         s"""SELECT (vec_id - 3) // 7 AS cen_id, v AS cv, nrm AS cnrm FROM nn

@@ -98,6 +98,33 @@ class SimilaritySpec extends SparkSuite {
     assert(hits >= brute.size / 2, s"recall $hits/${brute.size}")
   }
 
+  test("Lloyd tier: centers move off the stride init, recall holds, repartition-invariant") {
+    // centers actually trained: after 3 iterations at least one center
+    // must differ from its stride-init point (an untouched init would make
+    // the "trained" tier a relabeled sim_topk_ivf_fixed)
+    val trained = Similarity.lloydCentroids(corpus, 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val init = Similarity.lloydCentroids(corpus, 16, iters = 0)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(trained.keySet == (0L until 16L).toSet)
+    assert((0L until 16L).exists(j => trained(j) != init(j)),
+      "vacuous: 3 Lloyd iterations left every stride-init center untouched")
+    // determinism is STRUCTURAL (sorted capped collect + driver loop), so
+    // the centers must be bit-identical under a corpus repartition — the
+    // property Spark-ML k-means|| (unordered float reduce) cannot give
+    val reparted = Similarity.lloydCentroids(corpus.repartition(7), 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(reparted == trained, "centers vary with partitioning")
+    // trained lists should do at least as well as the first-N floor
+    val brute = Similarity.bruteForceTopK(corpus, corpus.filter(col("vec_id") < 16), 1)
+      .select("query_id", "vec_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val top1 = Similarity.ivfTopKLloyd(corpus, col("vec_id") < 16, 16, 4, 5)
+      .filter(col("rank") === 1L)
+      .select("query_id", "vec_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = brute.count { case (q, v) => top1.get(q).contains(v) }
+    assert(hits >= brute.size / 2, s"recall $hits/${brute.size}")
+  }
+
   test("k-means centroids are unit-norm and deterministic under the seed") {
     val a = Similarity.kmeansCentroids(corpus, 8).collect()
       .map(r => r.getLong(0) -> r.getDouble(2)).toMap
