@@ -794,6 +794,12 @@ object CurationPipeline {
     * replaces the hand-written Gopher stage with the learned keep set). */
   private[operators] def stage12CtesWith(preS1: String, s1Extra: String,
                                          s1Sql: String = ""): String = {
+    // the two stage-1 extension points are mutually exclusive: a complete
+    // s1Sql REPLACES the Gopher select, so an s1Extra conjunct passed
+    // alongside it would be silently dropped — fail loudly instead
+    require(s1Sql.isEmpty || s1Extra.isEmpty,
+      "stage12CtesWith: s1Sql replaces the whole stage-1 select; " +
+        "an s1Extra conjunct would be silently ignored")
     val w = ParaWindow
     val pre = if (preS1.isEmpty) "" else preS1 + ",\n"
     val s1Body = if (s1Sql.nonEmpty) s1Sql

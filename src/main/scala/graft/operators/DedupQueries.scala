@@ -405,6 +405,17 @@ object DedupQueries {
     // the length band admits partners down to (k+1)*W - k chars); pairs
     // where BOTH docs are shorter carry no pigeonhole guarantee and are
     // out of the emitted surface on both engines.
+    //
+    // Unicode contract (probed empirically, Spark 4.1.2 vs DuckDB): the
+    // ENGINE side is code-point correct for ALL of Unicode — Spark's
+    // length/substr/levenshtein each count code points (incl. astral
+    // chars), so blocking and verification use one consistent character
+    // grain and the pigeonhole guarantee holds on any text (spec-pinned
+    // on BMP + astral fixtures in DedupSpec). The ORACLE parity surface
+    // is ASCII-only: DuckDB's length/substring are code-point but its
+    // levenshtein counts UTF-8 BYTES ('é'→2, astral→4), so cross-engine
+    // distances diverge on any non-ASCII pair — a DuckDB limitation, not
+    // an engine one. Driver testdata is ASCII, so the gate is unaffected.
     "dedup_editdist_pairs" -> ((s, dir) => editDistPairs(docsSpread(s, dir))),
 
     // Daily-ingest arm of the char-level family (the standing pattern:

@@ -177,7 +177,15 @@ object EventStreams {
     * every invocation that does not re-set it (straggler absorption would
     * otherwise silently disarm the retention clock — verified against
     * FlatMapGroupsWithStateExec), so the sealed branch must re-arm from
-    * state it still holds. */
+    * state it still holds.
+    *
+    * STATE-SCHEMA BREAK: adding `expiryUs` changed the
+    * flatMapGroupsWithState state encoder schema — a streaming job
+    * restored from a checkpoint written by the earlier 3-field
+    * FunnelState will fail (or misread state) on upgrade, because
+    * Spark's state store does not evolve case-class state schemas.
+    * Upgrading deployments must restart from a fresh checkpoint (replay
+    * the source); there is no in-place migration path. */
   case class FunnelState(tv: Long, clicks: Seq[Long], purchases: Seq[Long],
                          expiryUs: Long = 0L)
 
@@ -216,17 +224,31 @@ object EventStreams {
       .flatMapGroupsWithState[FunnelState, FunnelResult](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, newEvents: Iterator[Event], state: GroupState[FunnelState]) =>
-          val prev = state.getOption.getOrElse(
+          val prev0 = state.getOption.getOrElse(
             FunnelState(Long.MaxValue, Vector.empty, Vector.empty))
+          // Sealed-state epoch gate: an event whose ts is PAST the
+          // tombstone's retention deadline belongs to the NEXT epoch — it
+          // opens a FRESH funnel immediately, replacing the tombstone.
+          // Without the gate, a sustained straggler trickle keeps
+          // re-arming the timeout to wm+1 once the watermark passes the
+          // deadline, so the tombstone (and the "one result per retention
+          // epoch" reset) never expires. In-epoch stragglers
+          // (ts <= expiryUs — only deliverable while wm <= expiry, the
+          // watermark filter drops rows older than wm) absorb as before.
+          val (prev, events2) =
+            if (prev0.tv == Long.MinValue) {
+              val fresh = newEvents.filter(e => tsMicros(e.ts) > prev0.expiryUs)
+              if (fresh.hasNext)
+                (FunnelState(Long.MaxValue, Vector.empty, Vector.empty), fresh)
+              else (prev0, Iterator.empty[Event])
+            } else (prev0, newEvents)
           if (prev.tv == Long.MinValue) {
-            // sealed: this user already emitted its one result. Absorb
-            // stragglers while the tombstone lives; when the retention
-            // timeout fires, drop it (later activity starts fresh).
-            // RE-ARM on every absorption: GroupState resets an unset
-            // timeout to NO_TIMESTAMP each time the function runs, so a
-            // straggler that did not re-set it would disarm the retention
-            // clock forever — the deadline rides in the tombstone itself.
-            newEvents.foreach(_ => ())
+            // sealed, nothing from a later epoch: absorb and keep the
+            // retention clock. RE-ARM on every absorption: GroupState
+            // resets an unset timeout to NO_TIMESTAMP each time the
+            // function runs, so a straggler that did not re-set it would
+            // disarm the retention clock forever — the deadline rides in
+            // the tombstone itself.
             if (state.hasTimedOut) state.remove()
             else state.setTimeoutTimestamp(math.max(
               prev.expiryUs / 1000L, state.getCurrentWatermarkMs() + 1L))
@@ -235,7 +257,7 @@ object EventStreams {
           var tv = prev.tv
           var clicks = prev.clicks.toVector
           var purchases = prev.purchases.toVector
-          newEvents.foreach { e =>
+          events2.foreach { e =>
             val us = tsMicros(e.ts)
             e.event_type match {
               case "view"     => if (us < tv) tv = us

@@ -309,6 +309,32 @@ class DedupSpec extends SparkSuite {
     assert(edgeFound.exists(t => t._1 == 200000L && t._2 == 200001L && t._3 == 2L),
       s"band-edge (40,38) pair not found: ${edgeFound.mkString(",")}")
 
+    // Unicode: the engine side is code-point consistent end to end —
+    // blocking (substr/length) and verification (levenshtein) must agree
+    // on the character grain for BMP and ASTRAL text, or a guaranteed
+    // pair near the length band silently drops. One doc of repeated
+    // 2-char CJK+accent tokens and one astral-bearing doc, each with an
+    // in-band partner at small code-point distance. (The DuckDB oracle is
+    // byte-based for levenshtein, so this property is only checkable
+    // in-engine — see the query comment's Unicode contract.)
+    val uniDonor = ("é水x " * 13).trim // 51 code points, >= EdMinLen
+    val uniMut = uniDonor.toCharArray
+    uniMut(0) = 'q'; uniMut(21) = 'q' // 2 substitutions
+    val astralDonor = "𝄞🚀 ab " * 8 + "tail" // astral chars throughout
+    // java substring is UTF-16-unit indexed: units 2..5 are "🚀 a" —
+    // 4 code UNITS, 6 UTF-8 BYTES, but 3 CODE POINTS (🚀 is one
+    // surrogate pair). The expected distance is the code-point count,
+    // pinning that blocking and levenshtein agree on that grain.
+    val astralShort = astralDonor.substring(0, 2) + astralDonor.substring(6)
+    val uni = Seq(
+      (500000L, uniDonor), (500001L, new String(uniMut)),
+      (600000L, astralDonor), (600001L, astralShort)).toDF("doc_id", "text")
+    val uniFound = DedupQueries.editDistPairs(uni).collect().map(fix).toSet
+    assert(uniFound.contains((500000L, 500001L, 2L)),
+      s"BMP pair at code-point distance 2 not found: $uniFound")
+    assert(uniFound.contains((600000L, 600001L, 3L)),
+      s"astral pair at code-point distance 3 not found: $uniFound")
+
     // clusters: every verified pair must land in one component, and the
     // canonical must be the component's least member
     val canon = graft.SparkEntry.queries("dedup_editdist_clusters")(spark, sf0001)

@@ -98,4 +98,28 @@ class FunnelStreamSpec extends SparkSuite {
     // the in-retention straggler produced no second result
     assert(!mine.exists(_.t_view == base + W + R / 2), s"straggler restarted: $mine")
   }
+
+  test("a post-epoch event reaching a LIVE tombstone opens a fresh funnel (no trickle immortality)") {
+    def ev(id: Long, us: Long, user: Long, typ: String) =
+      Event(id, new java.sql.Timestamp(us / 1000L), user, typ, 0.0)
+    val W = EventStreams.FunnelWindowMicros
+    val R = EventStreams.FunnelTombstoneRetentionMicros
+    val base = 1700000000000000L
+    val H = 3600000000L
+    val got = runStream(Seq(
+      // funnel 1: view, then seal it (watermark past tv+W)
+      Seq(ev(1, base, 7L, "view")),
+      Seq(ev(90, base + W + H, -1L, "flush")),
+      // the tombstone is ALIVE (watermark ≈ base+W+30min, far below the
+      // retention deadline) but this event's TS is past expiryUs — it
+      // belongs to the next epoch. Pre-fix behavior absorbed it and
+      // re-armed the timeout, losing the view; under a sustained trickle
+      // of such events the tombstone re-armed to wm+1 forever and the
+      // documented per-epoch reset never happened. The epoch gate must
+      // open a fresh funnel instead (sealed by runStream's final flush).
+      Seq(ev(5, base + W + R + 1000000L, 7L, "view"))))
+    val mine = got.filter(_.user_id == 7L)
+    assert(mine.map(_.t_view) == Seq(base, base + W + R + 1000000L),
+      s"expected the sealed funnel and the post-epoch restart, got $mine")
+  }
 }
