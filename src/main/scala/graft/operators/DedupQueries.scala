@@ -422,8 +422,11 @@ object DedupQueries {
     // every dedup family carries batch + incremental arms). Docs with
     // doc_id % 5 == 4 play the NEW batch; candidates = new-probes-vs-all-
     // index ∪ new-index-vs-corpus-probes — the standing corpus is never
-    // self-joined, so per-batch cost is batch-proportional while the
-    // emitted pairs are EXACTLY the full rebuild restricted to pairs
+    // self-joined: it contributes one scan-and-shuffle pass per batch
+    // (like the minhash incremental's corpus re-band) while the candidate
+    // JOIN OUTPUT — and everything downstream (verify, emit) — is
+    // batch-proportional (stress-pinned at 75k docs / 750-doc batch).
+    // Emitted pairs are EXACTLY the full rebuild restricted to pairs
     // touching the batch (the oracle runs the full CTE + that filter).
     "dedup_editdist_incremental" -> ((s, dir) =>
       editDistPairsIncremental(docsSpread(s, dir), col("doc_id") % 5 === 4)

@@ -346,6 +346,63 @@ object Similarity {
       scoreCandidates(assigned.join(probes.hint("shuffle_hash"), "cen_id")), k)
   }
 
+  /** Margin-based cross-corpus pair mining — the standard bitext-mining
+    * criterion (Artetxe & Schwenk 2019, "Margin-based parallel corpus
+    * mining with multilingual sentence embeddings"; the CCMatrix recipe):
+    * raw cosine over-mines hub vectors whose neighborhoods are globally
+    * tight, so each candidate pair (x, y) is scored by its cosine RATIO
+    * to the mean cosine of both endpoints' k-NN neighborhoods —
+    * margin = cos(x,y) / ((avgK(x) + avgK(y)) / 2) — and each source
+    * vector emits its best-margin candidate.
+    *
+    * Spark shape: the two directional k-NN graphs are [[ivfJoinTopK]]'s
+    * distributed join (both sides corpus-scale relations; ONE shuffle-hash
+    * cen_id join each, TopKAgg selection — never an all-pairs), sharing
+    * ONE coarse quantizer trained on the full corpus so both directions
+    * probe the same lists. Neighborhood means then margins are
+    * query-grain aggregates over the k-bounded graphs; the final
+    * best-per-source is a partial-aggregable max-struct, no window.
+    *
+    * Determinism: each neighborhood mean folds its <= k cosines in RANK
+    * order — TopKAgg's array is ALREADY (cos desc, vec_id asc) ordered,
+    * so the mean is one in-array `aggregate` fold over the selection
+    * state itself (no second aggregation, no join-back for the source
+    * side), and the DuckDB twin replays it with
+    * list_reduce(list(cos ORDER BY rank)); margin ties break to the
+    * lowest vec_id via the max-struct's negated-id field. */
+  def marginPairs(corpus: DataFrame, srcPred: Column, k: Int,
+                  nCentroids: Int, nProbe: Int): DataFrame = {
+    val centSeq = collectCentroids(centroids(corpus, nCentroids))
+    val src = corpus.filter(srcPred)
+    val tgt = corpus.filter(!srcPred)
+    // per-query top-k array AND its rank-ordered neighborhood mean from
+    // ONE bounded aggregation
+    def knnAgg(cands: DataFrame, queries: DataFrame): DataFrame =
+      scoreCandidates(
+        ivfAssignWith(cands, centSeq)
+          .join(probesOf(queries, centSeq, nProbe).hint("shuffle_hash"),
+            "cen_id"))
+        .groupBy(col("query_id"))
+        .agg(TopKAgg.column(k, col("cos"), col("vec_id")).as("tk"))
+        .withColumn("av",
+          aggregate(col("tk"), lit(0.0), (acc, x) => acc + x.getField("_1")) /
+            size(col("tk")))
+    val fwd = knnAgg(tgt, src)
+      .select(col("query_id"), col("av"), explode(col("tk")).as("c"))
+      .select(col("query_id"), col("av"),
+        col("c._2").as("vec_id"), col("c._1").as("cos"))
+    val avTgt = knnAgg(src, tgt)
+      .select(col("query_id").as("vec_id"), col("av").as("av_c"))
+    fwd.join(avTgt, "vec_id")
+      .withColumn("margin",
+        col("cos") / ((col("av") + col("av_c")) / lit(2.0)))
+      .groupBy(col("query_id"))
+      .agg(max(struct(col("margin"), (-col("vec_id")).as("nv"),
+        col("vec_id"), col("cos"))).as("m"))
+      .select(col("query_id"), col("m.vec_id").as("vec_id"),
+        col("m.cos").as("cos"), col("m.margin").as("margin"))
+  }
+
   /** IVF RANGE search — every corpus vector with cosine >= `tau` of each
     * query (self excluded), probed-lists-approximate exactly like
     * [[ivfTopKWith]]. The radius variant matters when the consumer wants

@@ -114,6 +114,18 @@ object SimilarityQueries {
         .select(col("id"), col("canonical_id").as("cluster_id"))
         .orderBy("id")
     }),
+    // Margin-based pair MINING over the two label-parity halves — the
+    // bitext-mining criterion (cosine normalized by both endpoints'
+    // neighborhood means, best candidate per source vector); see
+    // [[Similarity.marginPairs]] for the two-directional-kNN shape and
+    // the rank-ordered float folds that keep it hash-exact.
+    "sim_margin_pairs" -> ((s, dir) => {
+      val corpus = Similarity.prepareWith(Tables.embeddings(s, dir), col("label"))
+        .persist()
+      Similarity.marginPairs(corpus, col("label") % 2 === 0, KGraph,
+          NCentroids, NProbe)
+        .orderBy("query_id")
+    }),
     // Distributed RANGE join: radius semantics at join scale — the query
     // side is 20% of the corpus and stays a distributed relation; same
     // cen_id shuffle-hash join as sim_join_ivf, tau gate instead of
@@ -803,6 +815,54 @@ object SimilarityQueries {
       "sim_knn_graph" -> ivfOracle(
         s"SELECT vec_id AS cen_id, v AS cv, nrm AS cnrm FROM nn WHERE vec_id < $NCentroids",
         qPred = Some("TRUE"), k = KGraph),
+      // margin mining: label-carrying nn, one shared quantizer, the two
+      // directional kNN chains, rank-ordered neighborhood-mean folds
+      // (list_reduce == the engine's sort_array+aggregate), margin, top-1
+      "sim_margin_pairs" -> {
+        val el =
+          s"""SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings""".stripMargin
+        val nlabel =
+          s"SELECT * FROM (SELECT vec_id, label, v, ${normSql("v")} AS nrm FROM el) WHERE nrm > 0.0"
+        def dknn(name: String, qp: String, cp: String) =
+          s"""${name}p AS (
+             |  SELECT query_id, qv, qnrm, cen_id FROM (
+             |    SELECT q.vec_id AS query_id, q.v AS qv, q.nrm AS qnrm, cents.cen_id,
+             |      row_number() OVER (PARTITION BY q.vec_id
+             |        ORDER BY ${dotSql("q.v", "cents.cv")} / (q.nrm * cents.cnrm) DESC, cents.cen_id) AS prn
+             |    FROM nl q, cents WHERE $qp) WHERE prn <= $NProbe),
+             |${name}k AS (
+             |  SELECT query_id, vec_id, cos, rnk FROM (
+             |    SELECT query_id, vec_id, cos,
+             |      CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+             |    FROM (SELECT p.query_id, a.vec_id,
+             |            ${dotSql("p.qv", "a.v")} / (p.qnrm * a.nrm) AS cos
+             |          FROM ${name}p p JOIN asg a ON p.cen_id = a.cen_id
+             |          WHERE a.vec_id <> p.query_id AND $cp))
+             |  WHERE rnk <= $KGraph),
+             |${name}av AS (SELECT query_id,
+             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(cos ORDER BY rnk)),
+             |      (a, x) -> a + x) / count(*) AS av
+             |  FROM ${name}k GROUP BY query_id)""".stripMargin
+        s"""WITH el AS ($el), nl AS ($nlabel),
+           |cents AS (SELECT vec_id AS cen_id, v AS cv, nrm AS cnrm FROM nl WHERE vec_id < $NCentroids),
+           |asg AS (SELECT vec_id, label, cen_id, v, nrm FROM (
+           |  SELECT nl.vec_id, nl.label, cents.cen_id, nl.v, nl.nrm,
+           |    row_number() OVER (PARTITION BY nl.vec_id
+           |      ORDER BY ${dotSql("nl.v", "cents.cv")} / (nl.nrm * cents.cnrm) DESC, cents.cen_id) AS crn
+           |  FROM nl, cents) WHERE crn = 1),
+           |${dknn("fwd", "q.label % 2 = 0", "a.label % 2 <> 0")},
+           |${dknn("bwd", "q.label % 2 <> 0", "a.label % 2 = 0")},
+           |m AS (SELECT f.query_id, f.vec_id, f.cos,
+           |    f.cos / ((af.av + ab.av) / 2.0) AS margin
+           |  FROM fwdk f JOIN fwdav af ON af.query_id = f.query_id
+           |    JOIN bwdav ab ON ab.query_id = f.vec_id),
+           |t AS (SELECT query_id, vec_id, cos, margin,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY margin DESC, vec_id) AS trn
+           |  FROM m)
+           |SELECT query_id, vec_id, cos, margin FROM t WHERE trn = 1
+           |ORDER BY query_id""".stripMargin
+      },
       // the distributed radius join: same cand prefix, join-side qPred
       "sim_range_join" ->
         s"""${ivfCandCtes(

@@ -216,6 +216,29 @@ class DedupStressSpec extends SparkSuite {
         donors.flatMap(id => Seq(id -> id, (N + id) -> id)).toMap
     assert(comps == expectComps,
       s"editdist cluster structure drifted (got ${comps.size} members)")
+
+    // incremental arm at the same scale: the mutants play the daily batch
+    // (750 docs against the 75k standing corpus). Closed form: the only
+    // batch-touching pairs are the (donor, mutant) edits — the clone
+    // triangles are corpus-only and must NOT be re-emitted. The candidate
+    // JOIN OUTPUT must be batch-proportional: the standing corpus
+    // contributes one scan-and-shuffle pass (its probe blocks meet the
+    // batch's index blocks in the equi-join) but never self-joins, so
+    // candidates scale with the batch, not the corpus.
+    val isNew = col("doc_id") >= N
+    val gotIncr = DedupQueries.editDistPairsIncremental(docs, isNew)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expectIncr = donors.map(id => (id, N + id, 4L)).toSet
+    assert(gotIncr == expectIncr,
+      s"incremental pairs drifted: missing=${(expectIncr -- gotIncr).take(5)} " +
+        s"extra=${(gotIncr -- expectIncr).take(5)}")
+    val nCandIncr = DedupQueries.editDistCandidatesIncremental(
+      d.filter(isNew), d.filter(!isNew)).count()
+    info(s"incremental: pairs=${gotIncr.size} candidates=$nCandIncr " +
+      s"batch=${donors.size} (full-arm candidates=$nCand)")
+    assert(nCandIncr < 10L * donors.size,
+      s"$nCandIncr candidates for a ${donors.size}-doc batch — " +
+        "incremental blocking is not batch-proportional")
     d.unpersist(blocking = false)
     graft.CheckpointUtil.releaseStragglers()
   }

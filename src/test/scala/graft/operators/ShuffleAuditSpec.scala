@@ -44,6 +44,13 @@ class ShuffleAuditSpec extends SparkSuite {
     // exchange over distinct cen_ids) on top of the join's two sides
     // (measured 12 in plan text; cached-corpus doubling as above)
     "sim_join_ivf_salted" -> 14,
+    // two directional distributed kNN joins (each: both cen_id sides +
+    // the fused topk+mean agg partial), the vec_id margin join's two
+    // sides, the best-per-source partial agg and the final sort; the
+    // persisted corpus reprints under its references as in the sim_topk_*
+    // entries (measured 17 in plan text after fusing the neighborhood
+    // mean into the TopKAgg pass — 26 before)
+    "sim_margin_pairs" -> 19,
     // the k-NN graph is sim_join_ivf with query side == corpus: the same
     // two cen_id join sides + TopKAgg partial exchange, persisted-corpus
     // plan text doubled under AQE (measured 8; runtime shuffles 3-4)

@@ -125,6 +125,51 @@ class SimilaritySpec extends SparkSuite {
     assert(hits >= brute.size / 2, s"recall $hits/${brute.size}")
   }
 
+  test("margin mining: closed-form hub correction reranks below raw cosine; sides are disjoint") {
+    import spark.implicits._
+    // planted 2-D geometry with an exhaustive probe (nProbe = nCentroids),
+    // so the kNN graphs are exact and every margin is closed-form:
+    //   src (label 0): x at 0 deg, x4 at 20 deg, x5 at 21 deg
+    //   tgt (label 1): y1 at 20 deg (a HUB: x4/x5 sit on top of it),
+    //                  y3 at -22 deg (isolated)
+    // x's best raw cosine is y1 (cos 20 > cos 22), but y1's neighborhood
+    // mean is ~1.0 while y3's is ~0.835 — margin must pick y3.
+    def vec(deg: Double) = Seq(math.cos(math.toRadians(deg)), math.sin(math.toRadians(deg)))
+    val planted = Seq(
+      (0L, vec(0), 0), (1L, vec(20), 1), (2L, vec(-22), 1),
+      (4L, vec(20), 0), (6L, vec(21), 0)).toDF("vec_id", "v", "label")
+      .withColumn("nrm", Dedup.l2norm(col("v")))
+    val got = Similarity.marginPairs(planted, col("label") % 2 === 0,
+        k = 2, nCentroids = 2, nProbe = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    def cosd(a: Double, b: Double) = math.cos(math.toRadians(a - b))
+    val avgX = (cosd(0, 20) + cosd(0, -22)) / 2 // x's fwd neighborhood
+    val avgY1 = (cosd(20, 20) + cosd(20, 21)) / 2 // y1's bwd: x4, x5
+    val avgY3 = (cosd(-22, 0) + cosd(-22, 20)) / 2 // y3's bwd: x, x4
+    val mY1 = cosd(0, 20) / ((avgX + avgY1) / 2)
+    val mY3 = cosd(0, -22) / ((avgX + avgY3) / 2)
+    assert(mY3 > mY1, s"fixture does not rerank: $mY3 <= $mY1") // sanity
+    val (bestVec, bestCos, bestMargin) = got(0L)
+    assert(bestVec == 2L,
+      s"hub correction missed: x picked $bestVec (raw-cosine winner is 1)")
+    assert(math.abs(bestCos - cosd(0, -22)) < 1e-9)
+    assert(math.abs(bestMargin - mY3) < 1e-9, s"margin $bestMargin != $mY3")
+
+    // fixture corpus: one row per src query with candidates; sides disjoint
+    val corpus = Similarity.prepareWith(Tables.embeddings(spark, sf0001), col("label"))
+    val mined = Similarity.marginPairs(corpus, col("label") % 2 === 0, 5, 16, 4)
+    val labels = mined
+      .join(corpus.select(col("vec_id").as("query_id"), col("label").as("ql")), "query_id")
+      .join(corpus.select(col("vec_id"), col("label").as("cl")), "vec_id")
+      .select(col("query_id"), col("ql"), col("cl")).collect()
+    assert(labels.nonEmpty)
+    assert(labels.forall(r => r.getInt(1) % 2 == 0 && r.getInt(2) % 2 != 0),
+      "a mined pair crossed out of its side")
+    assert(labels.map(_.getLong(0)).distinct.length == labels.length,
+      "more than one mined pair for a source vector")
+    graft.CheckpointUtil.releaseStragglers()
+  }
+
   test("k-means centroids are unit-norm and deterministic under the seed") {
     val a = Similarity.kmeansCentroids(corpus, 8).collect()
       .map(r => r.getLong(0) -> r.getDouble(2)).toMap
