@@ -241,46 +241,89 @@ object Similarity {
       .orderBy(col("vec_id")).limit(maxSample)
       .collect()
       .map(_.getSeq[Double](1).toArray)
-    require(sample.length >= nCentroids,
-      s"sample ${sample.length} smaller than k=$nCentroids")
-    val n = sample.length
-    val dim = sample.head.length
-    def d2(a: Array[Double], b: Array[Double]): Double = {
-      var acc = 0.0; var i = 0
-      while (i < dim) { val d = a(i) - b(i); acc += d * d; i += 1 }
-      acc
-    }
-    // stride init: center j = sample point at rank j*n/k (vec_id order)
-    var centers: Array[Array[Double]] =
-      Array.tabulate(nCentroids)(j => sample(j * n / nCentroids).clone())
-    var it = 0
-    while (it < iters) {
-      val sums = Array.fill(nCentroids)(new Array[Double](dim))
-      val counts = new Array[Int](nCentroids)
-      var i = 0
-      while (i < n) { // points in vec_id order — the declared fold order
-        var best = 0; var bestD = d2(sample(i), centers(0)); var j = 1
-        while (j < nCentroids) {
-          val d = d2(sample(i), centers(j))
-          if (d < bestD) { best = j; bestD = d } // strict: ties keep lowest j
-          j += 1
-        }
-        var t = 0
-        while (t < dim) { sums(best)(t) += sample(i)(t); t += 1 }
-        counts(best) += 1
-        i += 1
-      }
-      centers = Array.tabulate(nCentroids) { j =>
-        if (counts(j) == 0) centers(j)
-        else Array.tabulate(dim)(t => sums(j)(t) / counts(j))
-      }
-      it += 1
-    }
+    val centers = lloydStride(sample, nCentroids, iters)
     import spark.implicits._
     centers.toSeq.zipWithIndex
       .map { case (c, j) => (j.toLong, c.toSeq) }
       .toDF("cen_id", "cv")
       .withColumn("cnrm", Dedup.l2norm(col("cv")))
+  }
+
+  /** The oracle-replicable Lloyd core behind [[lloydCentroids]] and
+    * [[trainPqCodebookStride]]: stride init over the (already vec_id-
+    * ordered) point array, fixed `iters`, argmin ties to the lowest
+    * center index, an emptied cluster keeps its previous center, every
+    * float fold in declared order (dims ascending; points in array
+    * order). */
+  private def lloydStride(pts: Array[Array[Double]], k: Int,
+                          iters: Int): Array[Array[Double]] = {
+    require(pts.length >= k, s"sample ${pts.length} smaller than k=$k")
+    val n = pts.length
+    val dim = pts.head.length
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < dim) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc
+    }
+    // stride init: center j = point at rank j*n/k
+    var centers: Array[Array[Double]] =
+      Array.tabulate(k)(j => pts(j * n / k).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      var i = 0
+      while (i < n) { // points in array (vec_id) order — the declared fold
+        var best = 0; var bestD = d2(pts(i), centers(0)); var j = 1
+        while (j < k) {
+          val d = d2(pts(i), centers(j))
+          if (d < bestD) { best = j; bestD = d } // strict: ties keep lowest j
+          j += 1
+        }
+        var t = 0
+        while (t < dim) { sums(best)(t) += pts(i)(t); t += 1 }
+        counts(best) += 1
+        i += 1
+      }
+      centers = Array.tabulate(k) { j =>
+        if (counts(j) == 0) centers(j)
+        else Array.tabulate(dim)(t => sums(j)(t) / counts(j))
+      }
+      it += 1
+    }
+    centers
+  }
+
+  /** ORACLE-REPLICABLE trained PQ codebooks: [[trainPqCodebook]]'s
+    * per-subspace Lloyd with every non-SQL-expressible choice removed,
+    * exactly as [[lloydCentroids]] did for the coarse quantizer — stride
+    * init (no seeded k-means++ RNG), declared fold orders, pinned ties.
+    * The sample ranks are shared across subspaces (one consistent-hash
+    * capped sample, sliced per subspace), so the DuckDB twin trains all
+    * m chains from one unrolled CTE sequence grouped by subspace.
+    * Composite codeword j = concat over subspaces of center (s, j). */
+  def trainPqCodebookStride(corpus: DataFrame, ks: Int, m: Int,
+                            samplePct: Int = 60, maxSample: Int = 512,
+                            iters: Int = 3): Seq[Seq[Double]] = {
+    val sample: Array[Array[Double]] = corpus
+      .filter(pmod(graft.functions.TextFunctions.polyHash(
+        col("vec_id").cast("string")), lit(100)) < samplePct)
+      .select(col("vec_id"), col("v"))
+      .orderBy(col("vec_id")).limit(maxSample)
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(sample.nonEmpty, "empty PQ training sample")
+    val dim = sample.head.length
+    require(m >= 1 && dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val perSub: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
+      val pts = sample.map(v =>
+        java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      lloydStride(pts, ks, iters)
+    }
+    (0 until ks).map { j =>
+      (0 until m).flatMap(s => perSub(s)(j).toSeq).toVector: Seq[Double]
+    }
   }
 
   /** IVF top-k over [[lloydCentroids]] — trained centers, hash-exact. */

@@ -237,11 +237,27 @@ object SimilarityQueries {
         PqCodewords, PqM, NCandidates, K)
         .orderBy("query_id", "rank")
     }),
+    // TRAINED PQ codebooks, hash-exact arm: per-subspace stride-init
+    // Lloyd on the shared capped sample (Similarity.trainPqCodebookStride
+    // — the PQ sibling of the sim_topk_ivf_lloyd quantizer), pushed
+    // through the UNCHANGED pqTopKWith encode/ADC path; the DuckDB twin
+    // replays all m training chains as one subspace-grouped unrolled CTE
+    // sequence, so codebook training itself is inside the driver gate.
+    "sim_topk_pq_lloyd" -> ((s, dir) => {
+      val corpus = Similarity.prepare(Tables.embeddings(s, dir)).persist()
+      Similarity.pqTopKWith(corpus, col("vec_id") < NQueries,
+          Similarity.trainPqCodebookStride(corpus, PqCodewords, PqM,
+            samplePct = 60, maxSample = LloydMaxSample, iters = LloydIters),
+          PqM, NCandidates, K)
+        .orderBy("query_id", "rank")
+    }),
     // TRAINED PQ codebooks (per-subspace Lloyd k-means on a consistent-hash
     // sample, composite codewords — Similarity.trainPqCodebook): the
     // production recall tier over the SAME encode/ADC kernels and plan as
-    // sim_topk_pq. k-means internals aren't oracle-replicable → rows-only
-    // driver check; recall@10 >= 0.9 is pinned in SimilaritySpec.
+    // sim_topk_pq. Its seeded k-means++ internals aren't oracle-replicable
+    // (scala Random draws) → rows-only driver check; recall@10 >= 0.9 is
+    // pinned in SimilaritySpec, and sim_topk_pq_lloyd pins the trained-
+    // codebook PATH hash-exactly.
     "sim_topk_pq_trained" -> ((s, dir) => {
       val corpus = Similarity.prepare(Tables.embeddings(s, dir)).persist()
       Similarity.pqTopKTrained(corpus, col("vec_id") < NQueries,
@@ -741,6 +757,99 @@ object SimilarityQueries {
          |  FROM range(0, $k) g(j) JOIN sidx s ON s.rn = (g.j * (SELECT n FROM sn)) // $k),
          |""".stripMargin + iterCtes + ","
     }
+    // PQ/ADC twin body, parameterized by the codeword CTE (`cbSql` must
+    // yield (j, cv) with cv a full-dim composite codeword) and optional
+    // training CTEs inserted after nn: encode per (vec_id, subspace) by
+    // argmin squared L2 on the slice (ties to lowest codeword),
+    // reconstruct, ADC-rank, exact-rescore survivors — identical tail for
+    // the first-N and the trained-codebook tiers.
+    def pqOracle(cbSql: String, preCtes: String = ""): String = {
+      val dsub = 8 // 64-dim embeddings / PqM subspaces
+      val sq = s"(nn.v[gs.s*$dsub + t] - cb.cv[gs.s*$dsub + t])"
+      s"""WITH e AS ($e), nn AS ($n),$preCtes
+         |cb AS ($cbSql),
+         |cbl AS (SELECT list(cv ORDER BY j) AS cbs FROM cb),
+         |sub AS (
+         |  SELECT nn.vec_id, gs.s, cb.j,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(1, ${dsub + 1}), t -> $sq * $sq)),
+         |      (acc, x) -> acc + x) AS dist
+         |  FROM nn, cb, range(0, $PqM) gs(s)),
+         |codes AS (
+         |  SELECT vec_id, list(j ORDER BY s) AS code FROM (
+         |    SELECT vec_id, s, j,
+         |      row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, j) AS rn
+         |    FROM sub) WHERE rn = 1 GROUP BY vec_id),
+         |recon AS (
+         |  SELECT c.vec_id, list_transform(range(1, ${PqM * dsub + 1}),
+         |    i -> cbl.cbs[CAST(c.code[CAST((i-1)//$dsub AS BIGINT) + 1] AS BIGINT) + 1][i]) AS rv
+         |  FROM codes c, cbl),
+         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM nn WHERE vec_id < $NQueries),
+         |coarse AS (
+         |  SELECT q.query_id, n.vec_id,
+         |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |      ${dotSql("q.qv", "r.rv")} / (q.qnrm * n.nrm) DESC, n.vec_id) AS crn
+         |  FROM q, recon r JOIN nn n ON r.vec_id = n.vec_id
+         |  WHERE n.vec_id <> q.query_id),
+         |cand AS (SELECT query_id, vec_id FROM coarse WHERE crn <= $NCandidates),
+         |res AS (
+         |  SELECT cand.query_id, cand.vec_id,
+         |    ${dotSql("qq.qv", "n.v")} / (qq.qnrm * n.nrm) AS cos
+         |  FROM cand JOIN q qq ON cand.query_id = qq.query_id
+         |            JOIN nn n ON cand.vec_id = n.vec_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+         |  FROM res)
+         |SELECT query_id, rank, vec_id, cos FROM ranked
+         |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+    }
+    // Subspace-grouped unrolled Lloyd chains — the twin of
+    // Similarity.trainPqCodebookStride: one consistent-hash capped sample
+    // (shared ranks across subspaces), per-subspace stride init, the same
+    // declared fold orders / tie / empty-cluster rules as lloydCtes, all
+    // m chains trained at once via GROUP BY subspace. Ends in cbw
+    // (j, cv) with cv the flattened composite codeword.
+    def pqLloydCtes(ks: Int, m: Int, iters: Int, samplePct: Int,
+                    maxSample: Int): String = {
+      val dsub = 64 / m
+      val zero = s"list_transform(range(1, ${dsub + 1}), z0 -> CAST(0.0 AS DOUBLE))"
+      val d2 = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform(range(1, ${dsub + 1}), di -> (sp.u[di] - c.cv[di]) * (sp.u[di] - c.cv[di])))," +
+        " (acc, x) -> acc + x)"
+      val iterCtes = (1 to iters).map { t =>
+        s"""pa$t AS (
+           |  SELECT s, vec_id, u, j FROM (
+           |    SELECT sp.s, sp.vec_id, sp.u, c.j,
+           |      row_number() OVER (PARTITION BY sp.s, sp.vec_id ORDER BY $d2, c.j) AS arn
+           |    FROM sp JOIN pc${t - 1} c ON c.s = sp.s) WHERE arn = 1),
+           |pm$t AS (
+           |  SELECT s, j, cnt,
+           |    list_reduce(list_prepend($zero, list(u ORDER BY vec_id)),
+           |      (acc, x) -> list_transform(range(1, ${dsub + 1}), mi -> acc[mi] + x[mi])) AS sv
+           |  FROM (SELECT s, j, vec_id, u,
+           |        count(*) OVER (PARTITION BY s, j) AS cnt FROM pa$t)
+           |  GROUP BY s, j, cnt),
+           |pc$t AS (
+           |  SELECT p.s, p.j,
+           |    CASE WHEN w.j IS NULL THEN p.cv
+           |         ELSE list_transform(w.sv, sx -> sx / w.cnt) END AS cv
+           |  FROM pc${t - 1} p LEFT JOIN pm$t w ON w.s = p.s AND w.j = p.j)""".stripMargin
+      }.mkString(",\n")
+      s"""
+         |smp AS (SELECT vec_id, v FROM nn
+         |  WHERE (${DedupQueries.ph("CAST(vec_id AS VARCHAR)", "si")}) % 100 < $samplePct
+         |  ORDER BY vec_id LIMIT $maxSample),
+         |sidx AS (SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) - 1 AS rn FROM smp),
+         |sn AS (SELECT count(*) AS n FROM smp),
+         |sp AS (SELECT s0.vec_id, s0.rn, gs.s,
+         |    list_transform(range(1, ${dsub + 1}), t -> s0.v[gs.s*$dsub + t]) AS u
+         |  FROM sidx s0, range(0, $m) gs(s)),
+         |pc0 AS (SELECT sp.s, CAST(g.j AS BIGINT) AS j, sp.u AS cv
+         |  FROM range(0, $ks) g(j) JOIN sp ON sp.rn = (g.j * (SELECT n FROM sn)) // $ks),
+         |""".stripMargin + iterCtes + s""",
+         |cbw AS (SELECT j, flatten(list(cv ORDER BY s)) AS cv FROM pc$iters GROUP BY j),""".stripMargin
+    }
     def ivfOracle(centsSql: String, nQueries: Int = NQueries,
                   qPred: Option[String] = None, k: Int = K,
                   preCtes: String = ""): String =
@@ -977,47 +1086,19 @@ object SimilarityQueries {
       // the slice (ties to lowest codeword), reconstruct, rank by
       // dot(query, reconstruction)/(qnrm*nrm), exact-rescore survivors.
       // Same sequential-sum arithmetic as the kernels — hash-exact.
-      "sim_topk_pq" -> {
-        val dsub = 8 // 64-dim embeddings / PqM subspaces
-        val sq = s"(nn.v[gs.s*$dsub + t] - cb.cv[gs.s*$dsub + t])"
-        s"""WITH e AS ($e), nn AS ($n),
-           |cb AS (SELECT vec_id AS j, v AS cv FROM nn WHERE vec_id < $PqCodewords),
-           |cbl AS (SELECT list(cv ORDER BY j) AS cbs FROM cb),
-           |sub AS (
-           |  SELECT nn.vec_id, gs.s, cb.j,
-           |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-           |      list_transform(range(1, ${dsub + 1}), t -> $sq * $sq)),
-           |      (acc, x) -> acc + x) AS dist
-           |  FROM nn, cb, range(0, $PqM) gs(s)),
-           |codes AS (
-           |  SELECT vec_id, list(j ORDER BY s) AS code FROM (
-           |    SELECT vec_id, s, j,
-           |      row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, j) AS rn
-           |    FROM sub) WHERE rn = 1 GROUP BY vec_id),
-           |recon AS (
-           |  SELECT c.vec_id, list_transform(range(1, ${PqM * dsub + 1}),
-           |    i -> cbl.cbs[CAST(c.code[CAST((i-1)//$dsub AS BIGINT) + 1] AS BIGINT) + 1][i]) AS rv
-           |  FROM codes c, cbl),
-           |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM nn WHERE vec_id < $NQueries),
-           |coarse AS (
-           |  SELECT q.query_id, n.vec_id,
-           |    row_number() OVER (PARTITION BY q.query_id ORDER BY
-           |      ${dotSql("q.qv", "r.rv")} / (q.qnrm * n.nrm) DESC, n.vec_id) AS crn
-           |  FROM q, recon r JOIN nn n ON r.vec_id = n.vec_id
-           |  WHERE n.vec_id <> q.query_id),
-           |cand AS (SELECT query_id, vec_id FROM coarse WHERE crn <= $NCandidates),
-           |res AS (
-           |  SELECT cand.query_id, cand.vec_id,
-           |    ${dotSql("qq.qv", "n.v")} / (qq.qnrm * n.nrm) AS cos
-           |  FROM cand JOIN q qq ON cand.query_id = qq.query_id
-           |            JOIN nn n ON cand.vec_id = n.vec_id),
-           |ranked AS (
-           |  SELECT query_id, vec_id, cos,
-           |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
-           |  FROM res)
-           |SELECT query_id, rank, vec_id, cos FROM ranked
-           |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
-      },
+      // Parameterized by the codeword CTE (`cbSql` must yield (j, cv)):
+      // first-N vectors for sim_topk_pq, the stride-Lloyd-trained
+      // composite codewords for sim_topk_pq_lloyd.
+      "sim_topk_pq" -> pqOracle(
+        s"SELECT vec_id AS j, v AS cv FROM nn WHERE vec_id < $PqCodewords"),
+      // trained-codebook twin: training REPLAYED in SQL — all PqM
+      // per-subspace Lloyd chains unroll as one subspace-grouped CTE
+      // sequence (same sample ranks, stride init, in-order folds, tie
+      // and empty-cluster rules as trainPqCodebookStride), composite
+      // codewords = flatten over subspace order; then the identical
+      // encode/ADC/rescore tail
+      "sim_topk_pq_lloyd" -> pqOracle("SELECT j, cv FROM cbw",
+        preCtes = pqLloydCtes(PqCodewords, PqM, LloydIters, 60, LloydMaxSample)),
       // IVF-PQ twin: IVF assignment + probe selection from the ivf twin,
       // PQ encode + reconstruction from the pq twin, ADC coarse ranking
       // restricted to probed lists, exact rescore. Parameterized by query

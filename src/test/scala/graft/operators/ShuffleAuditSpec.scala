@@ -34,6 +34,7 @@ class ShuffleAuditSpec extends SparkSuite {
     // trained tiers share the pq/ivfpq plan shape (persisted corpus fanned
     // out over four branches, cached-plan text doubled under AQE)
     "sim_topk_pq_trained" -> 13, "sim_topk_ivfpq_trained" -> 13,
+    "sim_topk_pq_lloyd" -> 13,
     "src_ivf_bucketed" -> 8, "src_ivf_append" -> 8, "src_ivfpq_bucketed" -> 8,
     // the distributed ANN join shuffles BOTH sides on cen_id by design
     // (query side is corpus-sized — broadcast is the wrong shape), plus

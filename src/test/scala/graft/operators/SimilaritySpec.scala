@@ -170,6 +170,35 @@ class SimilaritySpec extends SparkSuite {
     graft.CheckpointUtil.releaseStragglers()
   }
 
+  test("stride-trained PQ codebook: moves off init, repartition-invariant, recall holds") {
+    val trained = Similarity.trainPqCodebookStride(corpus, 16, 8)
+    assert(trained.length == 16 && trained.forall(_.length == 64))
+    // iterations non-vacuous: the trained composite codewords must differ
+    // from the 0-iteration stride init (else the tier is a relabeled
+    // sample selection)
+    val init = Similarity.trainPqCodebookStride(corpus, 16, 8, iters = 0)
+    assert(trained != init, "3 Lloyd iterations left every codeword untouched")
+    // structural determinism (sorted capped collect + driver loop)
+    val reparted = Similarity.trainPqCodebookStride(
+      corpus.repartition(7), 16, 8)
+    assert(reparted == trained, "codebook varies with partitioning")
+    // the trained tier fills k and keeps the PQ recall floor
+    val brute = Similarity.bruteForceTopK(corpus, corpus.filter(col("vec_id") < 8), 10)
+      .select("query_id", "vec_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._1)
+    val got = Similarity.pqTopKWith(corpus, col("vec_id") < 8, trained, 8, 32, 10)
+      .select("query_id", "vec_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._1)
+    assert(got.values.forall(_.length == 10))
+    // .keys is a Set — map-then-sum over it would COLLAPSE equal per-query
+    // hit counts (cost two debugging hours: 45 true hits summed to 33)
+    val recall = brute.keys.toSeq.map { q =>
+      val b = brute(q).map(_._2).toSet
+      got.get(q).map(_.map(_._2).count(b)).getOrElse(0)
+    }.sum.toDouble / (brute.size * 10)
+    assert(recall >= 0.5, s"trained-PQ recall@10 $recall below the PQ floor")
+  }
+
   test("k-means centroids are unit-norm and deterministic under the seed") {
     val a = Similarity.kmeansCentroids(corpus, 8).collect()
       .map(r => r.getLong(0) -> r.getDouble(2)).toMap
