@@ -383,6 +383,22 @@ object NativeExpressions {
       defineCodeGen(ctx, ev, c => s"$Kernels.minhashSignature($c, $k)")
   }
 
+  /** One-permutation MinHash with rotation densification (see
+    * [[NativeKernels.ophSignature]]): one pass over the shingle set vs
+    * [[MinHashSignature]]'s k passes. */
+  case class OphSignature(child: Expression, k: Int) extends UnaryExpression {
+    require(k >= 1, s"signature length must be >= 1, got $k")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def withNewChildInternal(newChild: Expression): OphSignature =
+      copy(child = newChild)
+
+    override protected def nullSafeEval(input: Any): Any =
+      NativeKernels.ophSignature(input.asInstanceOf[ArrayData], k)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Kernels.ophSignature($c, $k)")
+  }
+
   /** 30-bit frequency-weighted SimHash (see [[NativeKernels.simhash]]). */
   case class SimHash(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
@@ -617,6 +633,8 @@ object NativeExpressions {
       PositionalShingleHashes64(GraftColumnBridge.expression(text), n))
   def minhashSignature(shh: Column, k: Int): Column =
     GraftColumnBridge.column(MinHashSignature(GraftColumnBridge.expression(shh), k))
+  def ophSignature(shh: Column, k: Int): Column =
+    GraftColumnBridge.column(OphSignature(GraftColumnBridge.expression(shh), k))
   def simhash(th: Column): Column =
     GraftColumnBridge.column(SimHash(GraftColumnBridge.expression(th)))
   def bandHashes(sig: Column, bands: Int, rows: Int): Column =

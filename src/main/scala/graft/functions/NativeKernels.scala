@@ -210,6 +210,49 @@ object NativeKernels {
     ArrayData.toArrayData(out)
   }
 
+  /** One-permutation MinHash (OPH) with rotation densification: ONE pass
+    * over the shingle hashes (slot `h mod k` keeps its minimum), then each
+    * empty slot borrows the value of the first non-empty slot t steps to
+    * its right (circularly) plus `t*P` — the offset keeps a borrowed value
+    * from colliding with any genuine slot minimum (all < P) and makes two
+    * docs' borrowed slots collide only when they borrow the SAME value
+    * from the SAME distance, preserving the LSH collision property
+    * (Li/Owen/Zhang 2012; Shrivastava/Li ICML 2014 densification).
+    * O(n + k^2) per doc vs the k-pass signature's O(k*n): at a 100 TB
+    * corpus the signature pass is pure scan-side CPU, so this is the k×
+    * cheaper tier. Empty input (doc shorter than the shingle width) →
+    * sentinel P in every slot, matching [[minhashSignature]].
+    */
+  def ophSignature(shh: ArrayData, k: Int): ArrayData = {
+    val n = shh.numElements()
+    val slot = new Array[Long](k)
+    java.util.Arrays.fill(slot, -1L)
+    var i = 0
+    while (i < n) {
+      val h = shh.getLong(i)
+      val j = (h % k).toInt
+      if (slot(j) == -1L || h < slot(j)) slot(j) = h
+      i += 1
+    }
+    val out = new Array[Long](k)
+    var j = 0
+    while (j < k) {
+      if (slot(j) >= 0L) out(j) = slot(j)
+      else {
+        var t = 1
+        var v = -1L
+        while (t < k && v < 0L) {
+          val s = slot((j + t) % k)
+          if (s >= 0L) v = s + t.toLong * P
+          t += 1
+        }
+        out(j) = if (v >= 0L) v else P
+      }
+      j += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
   /** Frequency-weighted 30-bit SimHash over token/shingle hashes: bit j set
     * iff sum over hashes of (bit j ? +1 : -1) > 0. `(h>>j)&1` equals the
     * HOF/oracle's `floor(h/2^j) % 2` for the non-negative sub-2^30 inputs

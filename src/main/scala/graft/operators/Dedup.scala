@@ -53,6 +53,21 @@ object Dedup {
   def minhashSignature(shingleHashes: Column, k: Int = MinHashK): Column =
     graft.functions.NativeExpressions.minhashSignature(shingleHashes, k)
 
+  /** One-permutation MinHash (OPH) signature with rotation densification
+    * (array<bigint>, length k): the k× cheaper signature tier. One pass
+    * over the shingle set assigns each hash to slot `h mod k` and keeps
+    * the slot minimum; empty slots borrow circularly with a `t*P` offset
+    * (Li/Owen/Zhang NIPS 2012; Shrivastava/Li ICML 2014). Same banding and
+    * verification machinery applies downstream — only the signature pass
+    * changes, which at 100 TB is the dominant scan-side CPU of the minhash
+    * family. Empty shingle set → sentinel P everywhere, matching
+    * [[minhashSignature]]. Codegen'd kernel
+    * ([[graft.functions.NativeExpressions.OphSignature]]); bit-equality
+    * with the HOF formulation pinned by NativeExpressionsSpec.
+    */
+  def ophSignature(shingleHashes: Column, k: Int = MinHashK): Column =
+    graft.functions.NativeExpressions.ophSignature(shingleHashes, k)
+
   /** One bigint per LSH band: polynomial combine of the band's signature
     * rows. Equal band hash => candidate pair. */
   def bandHashes(sig: Column, bands: Int = Bands, rows: Int = RowsPerBand): Column =

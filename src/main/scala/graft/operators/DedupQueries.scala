@@ -84,6 +84,35 @@ object DedupQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    "dedup_oph_sig" -> ((s, dir) => {
+      // one-permutation MinHash: ONE pass over the shingle set (vs k=16
+      // passes) — the k× cheaper signature tier for a 100 TB scan, same
+      // compact output surface as dedup_minhash_sig
+      docShingles(s, dir).select(
+        col("doc_id"),
+        size(col("shh")).cast(LongType).as("n_shingles"),
+        combineHashes(ophSignature(col("shh"))).as("sig_hash"))
+        .orderBy("doc_id")
+    }),
+
+    "dedup_oph_pairs" -> ((s, dir) => {
+      // OPH signatures feed the SAME banding + LSH join + exact-Jaccard
+      // verify as dedup_minhash_pairs — only the signature pass changes.
+      // Output surface identical, so the two tiers are directly
+      // comparable (recall overlap pinned in OphSpec).
+      val d = docShingles(s, dir)
+        .withColumn("bands", bandHashes(ophSignature(col("shh"))))
+        .persist()
+      val cands = lshCandidatePairs(d.select("doc_id", "bands"), "doc_id", "bands")
+      cands
+        .join(d.select(col("doc_id").as("id_a"), col("shh").as("shh_a")), "id_a")
+        .join(d.select(col("doc_id").as("id_b"), col("shh").as("shh_b")), "id_b")
+        .withColumn("jaccard", jaccard(col("shh_a"), col("shh_b")))
+        .filter(col("jaccard") >= 0.5)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    }),
+
     "dedup_incremental" -> ((s, dir) => {
       // the daily-ingest shape: the docs with doc_id % 5 == 4 play the NEW
       // batch, the rest the existing corpus; candidates = new×corpus ∪
@@ -691,6 +720,26 @@ object DedupQueries {
       s"(((1103515245*(j+1)+12345) % 1000000007)*h + (1103515245*(j+7)+54321) % 1000000007) % 1000000007)), " +
       s"1000000007))"
 
+  /** OPH slot minima (list<bigint|NULL> length 16): min shingle hash per
+    * slot `h mod k`, NULL where the slot saw no hash. Twin of the
+    * single-pass phase of [[graft.functions.NativeKernels.ophSignature]].
+    */
+  private def ophSlotsSql(shh: String): String =
+    s"list_transform(range(0, $MinHashK), j -> " +
+      s"list_min(list_filter($shh, h -> h % $MinHashK = j)))"
+
+  /** Rotation densification over a slot-minima list column named `sm`:
+    * first non-NULL slot t steps right (circular) + t*P, sentinel P when
+    * every slot is NULL. NULL+number = NULL, so the unrolled coalesce
+    * walks exactly the kernel's t=1..k-1 search order. */
+  private def ophDenseSql: String = {
+    val borrow = (1 until MinHashK)
+      .map(t => s"sm[((j+$t)%$MinHashK)+1] + $t*CAST(1000000007 AS BIGINT)")
+      .mkString(", ")
+    s"list_transform(range(0, $MinHashK), j -> " +
+      s"coalesce(sm[j+1], $borrow, 1000000007))"
+  }
+
   private[operators] def combineSql(sig: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), $sig), (a, x) -> (a*31 + x) % 1000000007)"
 
@@ -825,6 +874,28 @@ object DedupQueries {
       s"""WITH t AS ($thCte),
          |d AS (SELECT doc_id, ${shhSql(3)} AS shh FROM t),
          |s AS (SELECT doc_id, shh, ${sigSql("shh")} AS sig FROM d),
+         |sb AS (SELECT doc_id, shh, list_transform(range(0, $Bands), bi ->
+         |  ${combineSql(s"sig[bi*$RowsPerBand+1:bi*$RowsPerBand+$RowsPerBand]")}) AS bands FROM s)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  ${jaccardSql("a.shh", "b.shh")} AS jaccard
+         |FROM sb a JOIN sb b ON a.doc_id < b.doc_id
+         |  AND len(list_filter(range(1, $Bands + 1), bi -> a.bands[bi] = b.bands[bi])) > 0
+         |WHERE ${jaccardSql("a.shh", "b.shh")} >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_oph_sig" ->
+      s"""WITH t AS ($thCte),
+         |d AS (SELECT doc_id, ${shhSql(3)} AS shh FROM t),
+         |so AS (SELECT doc_id, shh, ${ophSlotsSql("shh")} AS sm FROM d)
+         |SELECT doc_id, CAST(len(shh) AS BIGINT) AS n_shingles,
+         |  ${combineSql(ophDenseSql)} AS sig_hash
+         |FROM so ORDER BY doc_id""".stripMargin,
+
+    "dedup_oph_pairs" ->
+      s"""WITH t AS ($thCte),
+         |d AS (SELECT doc_id, ${shhSql(3)} AS shh FROM t),
+         |so AS (SELECT doc_id, shh, ${ophSlotsSql("shh")} AS sm FROM d),
+         |s AS (SELECT doc_id, shh, $ophDenseSql AS sig FROM so),
          |sb AS (SELECT doc_id, shh, list_transform(range(0, $Bands), bi ->
          |  ${combineSql(s"sig[bi*$RowsPerBand+1:bi*$RowsPerBand+$RowsPerBand]")}) AS bands FROM s)
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
