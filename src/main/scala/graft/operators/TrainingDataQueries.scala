@@ -52,6 +52,10 @@ object TrainingDataQueries {
   /** Pack budget (tokens per training sequence) and chunk width. */
   val PackTokens = 2048L
   val ChunkTokens = 64
+  /** Sliding-window chunk stride (overlap = ChunkTokens - ChunkStride):
+    * the retrieval/embedding-prep chunker's step, vs [[ChunkTokens]]-wide
+    * windows. 48 → 25% overlap between neighboring chunks. */
+  val ChunkStride = 48
   /** Shelf-packing budget — deliberately smaller than [[PackTokens]]:
     * whole-document packing is only non-trivial when several docs compete
     * for one sequence, and at the fixture's 10-99-token docs a 256-token
@@ -615,6 +619,40 @@ object TrainingDataQueries {
     "pipeline_chunks" -> ((s, dir) => {
       Packing.chunks(docTokens(s, dir), "doc_id", "n_tokens", ChunkTokens)
         .orderBy("doc_id", "chunk_id")
+    }),
+
+    // Sliding-window chunking WITH OVERLAP — the retrieval/embedding-prep
+    // shape (pipeline_chunks above is the training-context, no-overlap
+    // variant). Window starts step by ChunkStride; the FINAL window is
+    // right-aligned at n-W, so every token is covered, no window is
+    // strictly contained in another, and a doc of n<=W tokens yields
+    // exactly one chunk. Emits the actual chunk text (whitespace-
+    // normalized token join) — the unit a downstream embedder consumes.
+    // Pure map-side explode: chunking a 100 TB corpus is scan-shaped,
+    // no shuffle, and chunk ids (doc_id, chunk_idx) are deterministic.
+    "pipeline_chunk_overlap" -> ((s, dir) => {
+      val base = docsSpread(s, dir)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+        .withColumn("n", size(col("toks")))
+        .filter(col("n") > 0)
+      val starts = when(col("n") <= ChunkTokens, array(lit(0)))
+        .otherwise(concat(
+          filter(
+            transform(
+              sequence(lit(0), floor((col("n") - 1) / ChunkStride).cast("int")),
+              i => i * ChunkStride),
+            st => st + ChunkTokens < col("n")),
+          array(col("n") - ChunkTokens)))
+      base.withColumn("sts", starts)
+        .select(col("doc_id"), col("n"), col("toks"),
+          posexplode(col("sts")).as(Seq("chunk_idx", "start_tok")))
+        .select(col("doc_id"),
+          col("chunk_idx").cast(LongType).as("chunk_idx"),
+          col("start_tok").cast(LongType).as("start_tok"),
+          least(lit(ChunkTokens), col("n") - col("start_tok")).cast(LongType).as("n_tok"),
+          array_join(slice(col("toks"), col("start_tok") + 1, lit(ChunkTokens)), " ")
+            .as("chunk_text"))
+        .orderBy("doc_id", "chunk_idx")
     }),
 
     // Whole-document SHELF packing — the padding-aware alternative to
@@ -1744,6 +1782,24 @@ object TrainingDataQueries {
          |SELECT doc_id, n_tokens, CAST(chunk_id AS BIGINT) AS chunk_id,
          |  CAST(LEAST($ChunkTokens, n_tokens - $ChunkTokens * chunk_id) AS BIGINT) AS chunk_len
          |FROM e ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "pipeline_chunk_overlap" ->
+      s"""WITH tk AS (SELECT doc_id,
+         |  list_filter(string_split_regex(trim(text), '\\s+'), t9 -> t9 <> '') AS toks
+         |  FROM documents),
+         |b AS (SELECT doc_id, toks, len(toks) AS n FROM tk WHERE len(toks) > 0),
+         |st AS (SELECT doc_id, toks, n,
+         |  CASE WHEN n <= $ChunkTokens THEN [0]
+         |       ELSE list_append(list_filter(list_transform(
+         |         range(0, (n-1)//$ChunkStride + 1), i -> i*$ChunkStride),
+         |         s2 -> s2 + $ChunkTokens < n), n - $ChunkTokens) END AS sts
+         |  FROM b),
+         |e AS (SELECT doc_id, n, toks,
+         |  unnest(list_transform(range(0, len(sts)), j -> {'ci': j, 'st': sts[j+1]})) AS u FROM st)
+         |SELECT doc_id, CAST(u.ci AS BIGINT) AS chunk_idx, CAST(u.st AS BIGINT) AS start_tok,
+         |  CAST(LEAST($ChunkTokens, n - u.st) AS BIGINT) AS n_tok,
+         |  array_to_string(toks[u.st+1:u.st+$ChunkTokens], ' ') AS chunk_text
+         |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "pipeline_pack_shelf" ->
       s"""WITH t AS (SELECT doc_id, CAST($ntokSql AS BIGINT) AS n_tokens FROM documents),
