@@ -214,6 +214,44 @@ object SimilarityQueries {
           NProbe, K, iters = LloydIters, samplePct = 60, maxSample = LloydMaxSample)
         .orderBy("query_id", "rank")
     }),
+    // Unsupervised domain discovery — the cluster-then-balance mixing
+    // prep (DoReMi/cluster-balance recipes): train the hash-exact Lloyd
+    // quantizer on the embedding corpus, assign EVERY vector to its
+    // nearest center in-scan (argmax kernel against the plan-constant
+    // centers — no join, no |corpus|×k expansion), then one doc-grain
+    // agg per discovered domain: size, corpus share (integer ppm), and
+    // the modal source with its in-cluster share (min-struct over
+    // (-count, source): partial-aggregable, ties to the lexicographically
+    // smallest source). 100 TB shape: the only shuffles are the id
+    // equi-join to the doc metadata and the two k-bounded aggs; zero-norm
+    // vectors are excluded by prepare() (share denominators count
+    // ASSIGNED docs).
+    "pipeline_domain_discover" -> ((s, dir) => {
+      import Packing.DivOps
+      val corpus = Similarity.prepare(Tables.embeddings(s, dir)).persist()
+      val cents = Similarity.lloydCentroids(corpus, NCentroids, LloydIters,
+        samplePct = 60, maxSample = LloydMaxSample)
+      val assigned = Similarity.ivfAssign(corpus, cents)
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      // persist: the (cluster, source) counts feed BOTH the grand total
+      // and the per-cluster report — k·|sources|-bounded, tiny
+      val bySrc = assigned.join(docs, col("vec_id") === col("doc_id"))
+        .groupBy(col("cen_id"), col("source"))
+        .agg(count(lit(1)).as("n_src"))
+        .persist()
+      val tot = bySrc.agg(sum(col("n_src")).as("t"))
+      bySrc.groupBy(col("cen_id"))
+        .agg(sum(col("n_src")).as("n_docs"),
+          min(struct((-col("n_src")).as("m"), col("source").as("s"))).as("ms"))
+        .crossJoin(broadcast(tot))
+        .select(col("cen_id").as("cluster_id"),
+          col("n_docs"),
+          ((col("n_docs") * 1000000L) div col("t")).as("share_ppm"),
+          col("ms.s").as("top_source"),
+          ((-col("ms.m") * 1000000L) div col("n_docs")).as("top_source_ppm"))
+        .orderBy("cluster_id")
+    }),
+
     "sim_topk_quantized" -> ((s, dir) => {
       val corpus = Similarity.prepare(Tables.embeddings(s, dir)).persist()
       Similarity.quantizedTopK(corpus, col("vec_id") < NQueries, NCandidates, K)
@@ -1028,6 +1066,28 @@ object SimilarityQueries {
       "sim_topk_ivf_lloyd" -> ivfOracle(
         s"SELECT cen_id, cv, ${normSql("cv")} AS cnrm FROM lc$LloydIters",
         preCtes = lloydCtes(NCentroids, LloydIters, 60, LloydMaxSample)),
+      // domain discovery: the SAME Lloyd chain trains the centers, then
+      // full-corpus nearest-center assignment and the per-domain report —
+      // training, assignment, and shares all replayed exactly
+      "pipeline_domain_discover" ->
+        s"""WITH e AS ($e), nn AS ($n),${lloydCtes(NCentroids, LloydIters, 60, LloydMaxSample)}
+           |cents AS (SELECT cen_id, cv, ${normSql("cv")} AS cnrm FROM lc$LloydIters),
+           |assigned AS (
+           |  SELECT vec_id, cen_id FROM (
+           |    SELECT nn.vec_id, cents.cen_id,
+           |      row_number() OVER (PARTITION BY nn.vec_id
+           |        ORDER BY ${dotSql("nn.v", "cents.cv")} / (nn.nrm * cents.cnrm) DESC, cents.cen_id) AS crn
+           |    FROM nn, cents) WHERE crn = 1),
+           |bysrc AS (SELECT a.cen_id, d.source, count(*) AS n_src
+           |  FROM assigned a JOIN documents d ON d.doc_id = a.vec_id GROUP BY 1, 2),
+           |tot AS (SELECT sum(n_src) AS t FROM bysrc),
+           |agg AS (SELECT cen_id, sum(n_src) AS n_docs,
+           |  min(struct_pack(m := -n_src, s := source)) AS ms FROM bysrc GROUP BY cen_id)
+           |SELECT cen_id AS cluster_id, CAST(n_docs AS BIGINT) AS n_docs,
+           |  CAST(n_docs * 1000000 // t AS BIGINT) AS share_ppm,
+           |  ms.s AS top_source,
+           |  CAST((-(ms.m)) * 1000000 // n_docs AS BIGINT) AS top_source_ppm
+           |FROM agg, tot ORDER BY cluster_id""".stripMargin,
       // same probe machinery, stride-selected reindexed centers
       "sim_topk_ivf_fixed" -> ivfOracle(
         s"""SELECT (vec_id - 3) // 7 AS cen_id, v AS cv, nrm AS cnrm FROM nn

@@ -131,6 +131,12 @@ class ShuffleAuditSpec extends SparkSuite {
     // as in the sim_topk_* entries above (measured 14; runtime shuffles
     // are the two TopKAgg partials + the overlap agg + the final sort)
     "sim_recall_report" -> 16,
+    // the persisted (cluster, source) counts reprint their build lineage
+    // (spread + doc join + first agg) under the InMemoryRelation for both
+    // consumers — measured 9 in plan text; runtime shuffles are the
+    // spread, the doc-metadata equi-join, the (cen_id, source) agg, the
+    // k-bounded cen_id agg, the single-row total, and the final sort
+    "pipeline_domain_discover" -> 9,
     // state and batch frames are eagerly localCheckpoint'd (lineage-free
     // standing state), so most of the count is REAL: the batch-side
     // canonical/evidence aggs, the cen_id self-join's two sides, the
