@@ -52,6 +52,15 @@ object SimilarityQueries {
     * nodes at sf0.001) — lower drowns in one giant component, higher
     * strands everything. */
   val KnnClusterTau = 0.35
+  /** Hybrid-retrieval (RRF) shape: a lexical arm (the shared BM25 scorer
+    * over [[TrainingDataQueries.Bm25Terms]]) and a vector arm (exact
+    * cosine against query vector [[HybridQueryVec]]), each top-
+    * [[HybridK]], fused by reciprocal-rank fusion with the standard
+    * k0=60 constant (Cormack/Clarke/Buettcher 2009). */
+  val HybridK = 20
+  val RrfK0 = 60
+  val HybridQueryVec = 0L
+
   /** Range-search radius: cos >= 0.3 yields a handful of matches per query
     * on the near-isotropic fixture — small enough that the gate sees the
     * match-proportional output, non-empty for every query. */
@@ -125,6 +134,39 @@ object SimilarityQueries {
       Similarity.marginPairs(corpus, col("label") % 2 === 0, KGraph,
           NCentroids, NProbe)
         .orderBy("query_id")
+    }),
+    // HYBRID retrieval with reciprocal-rank fusion — the standard fusion
+    // of a lexical (BM25) arm and a vector (cosine) arm over the SAME
+    // doc-id space: score = Σ_arm 1/(k0 + rank), docs present in either
+    // top-k. Both arms reuse their standalone scorers verbatim (the
+    // shared BM25 scorer; bruteForceTopK for the single query vector —
+    // at corpus scale the vector arm would swap to an IVF tier, the
+    // fusion tail is arm-agnostic). 100 TB shape: two scans, each
+    // reduced by a bounded mergeable top-k (TopKAgg global / per-query
+    // partial agg — no full sort), then a k-bounded 2×20-row fusion
+    // join. Ranks are integers, the fused score a fixed-order sum of two
+    // exact reciprocals — hash-exact.
+    "sim_hybrid_rrf" -> ((s, dir) => {
+      val corpus = Similarity.prepare(Tables.embeddings(s, dir))
+      val vec = Similarity.bruteForceTopK(corpus,
+          corpus.filter(col("vec_id") === HybridQueryVec), HybridK)
+        .select(col("vec_id").as("doc_id"), col("rank").as("vec_rank"))
+      val lex = TrainingDataQueries.bm25Scored(s, dir)
+        .agg(TopKAgg.column(HybridK, col("score"), col("doc_id")).as("tk"))
+        .select(posexplode(col("tk")))
+        .select(col("col._2").as("doc_id"),
+          (col("pos") + 1).cast("long").as("lex_rank"))
+      lex.join(vec, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+          coalesce(col("vec_rank"), lit(0L)).as("vec_rank"),
+          (when(col("lex_rank").isNotNull,
+              lit(1.0) / (lit(RrfK0) + col("lex_rank")).cast("double"))
+            .otherwise(lit(0.0))
+            + when(col("vec_rank").isNotNull,
+                lit(1.0) / (lit(RrfK0) + col("vec_rank")).cast("double"))
+              .otherwise(lit(0.0))).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
     }),
     // Distributed RANGE join: radius semantics at join scale — the query
     // side is 20% of the corpus and stays a distributed relation; same
@@ -914,6 +956,29 @@ object SimilarityQueries {
            |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
       "sim_topk_ivf" -> ivfOracle(
         s"SELECT vec_id AS cen_id, v AS cv, nrm AS cnrm FROM nn WHERE vec_id < $NCentroids"),
+      // hybrid RRF: the shared BM25 CTE chain (lexical arm) + brute
+      // cosine of the single query vector (vector arm), both ranked
+      // top-HybridK by (score desc, id), fused by 1/(k0+rank) sums in
+      // the same lex-then-vec order as the Scala column expression
+      "sim_hybrid_rrf" ->
+        s"""WITH ${TrainingDataQueries.bm25Ctes},
+           |lexr AS (SELECT doc_id,
+           |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rank
+           |  FROM s WHERE score > 0.0 QUALIFY lex_rank <= $HybridK),
+           |e AS ($e), nn AS ($n),
+           |q AS (SELECT v AS qv, nrm AS qnrm FROM nn WHERE vec_id = $HybridQueryVec),
+           |vp AS (SELECT c.vec_id, ${dotSql("q.qv", "c.v")} / (q.qnrm * c.nrm) AS cos
+           |  FROM q, nn c WHERE c.vec_id <> $HybridQueryVec),
+           |vecr AS (SELECT vec_id AS doc_id,
+           |    CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS vec_rank
+           |  FROM vp QUALIFY vec_rank <= $HybridK)
+           |SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+           |  COALESCE(l.lex_rank, 0) AS lex_rank,
+           |  COALESCE(v.vec_rank, 0) AS vec_rank,
+           |  COALESCE(1.0 / ($RrfK0 + l.lex_rank), 0.0)
+           |    + COALESCE(1.0 / ($RrfK0 + v.vec_rank), 0.0) AS rrf
+           |FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id
+           |ORDER BY rrf DESC, doc_id""".stripMargin,
       // SRP-LSH tier: same sig/band formulation as the dedup_srp_pairs
       // twin (shared srpSigSqlExpr builder — the planes cannot fork),
       // band-match candidate gate, then the standard ranked top-k tail

@@ -584,6 +584,38 @@ object TrainingDataQueries {
   /** BM25 query terms (fixed literals — a real retrieval query). */
   val Bm25Terms = Seq("join", "hash", "scan")
 
+  /** Per-doc BM25 score for [[Bm25Terms]] (k1=1.2, b=0.75), docs with at
+    * least one matching term — `(doc_id, score)`. Term counts and doc
+    * length are in-scan kernels; the corpus stats are ONE broadcast agg
+    * row, so the whole arm is scan-shaped at 100 TB. Shared by
+    * `text_bm25` (its top-20 view) and the hybrid-retrieval fusion
+    * (`sim_hybrid_rrf`) — one scorer, no fork. */
+  private[operators] def bm25Scored(s: SparkSession, dir: String): DataFrame = {
+    val base = docsSpread(s, dir).select(col("doc_id"),
+      NativeExpressions.termCounts(col("text"), Bm25Terms).as("tf"),
+      TextFunctions.tokenCount(col("text")).cast(LongType).as("dl"))
+    val aggs = count(lit(1)).as("n_docs") +:
+      sum(col("dl")).as("n_tokens_total") +:
+      Bm25Terms.zipWithIndex.map { case (t, j) =>
+        sum(when(col("tf").getItem(j) > 0L, 1L).otherwise(0L)).as(s"df_$t")
+      }
+    val stats = base.agg(aggs.head, aggs.tail: _*)
+    val scored = base.crossJoin(broadcast(stats))
+      .withColumn("avgdl",
+        col("n_tokens_total").cast(DoubleType) / col("n_docs").cast(DoubleType))
+      .withColumn("score", Bm25Terms.zipWithIndex.map { case (t, j) =>
+        val tf = col("tf").getItem(j).cast(DoubleType)
+        when(col("tf").getItem(j) > 0L,
+          ((col("n_docs").cast(DoubleType) - col(s"df_$t").cast(DoubleType) + lit(0.5))
+            / (col(s"df_$t").cast(DoubleType) + lit(0.5)))
+            * (tf * lit(2.2))
+            / (tf + lit(1.2) * (lit(0.25)
+              + lit(0.75) * col("dl").cast(DoubleType) / col("avgdl"))))
+          .otherwise(lit(0.0))
+      }.reduce(_ + _))
+    scored.filter(col("score") > 0.0).select(col("doc_id"), col("score"))
+  }
+
   /** CMS shape and probe terms (one deliberately absent so the
     * overestimate-only property is visible in the gate). The corpus
     * vocabulary is ~31 tokens, so width is deliberately SMALLER (16×2)
@@ -1525,30 +1557,7 @@ object TrainingDataQueries {
     }),
 
     "text_bm25" -> ((s, dir) => {
-      val base = docsSpread(s, dir).select(col("doc_id"),
-        NativeExpressions.termCounts(col("text"), Bm25Terms).as("tf"),
-        TextFunctions.tokenCount(col("text")).cast(LongType).as("dl"))
-      val aggs = count(lit(1)).as("n_docs") +:
-        sum(col("dl")).as("n_tokens_total") +:
-        Bm25Terms.zipWithIndex.map { case (t, j) =>
-          sum(when(col("tf").getItem(j) > 0L, 1L).otherwise(0L)).as(s"df_$t")
-        }
-      val stats = base.agg(aggs.head, aggs.tail: _*)
-      val scored = base.crossJoin(broadcast(stats))
-        .withColumn("avgdl",
-          col("n_tokens_total").cast(DoubleType) / col("n_docs").cast(DoubleType))
-        .withColumn("score", Bm25Terms.zipWithIndex.map { case (t, j) =>
-          val tf = col("tf").getItem(j).cast(DoubleType)
-          when(col("tf").getItem(j) > 0L,
-            ((col("n_docs").cast(DoubleType) - col(s"df_$t").cast(DoubleType) + lit(0.5))
-              / (col(s"df_$t").cast(DoubleType) + lit(0.5)))
-              * (tf * lit(2.2))
-              / (tf + lit(1.2) * (lit(0.25)
-                + lit(0.75) * col("dl").cast(DoubleType) / col("avgdl"))))
-            .otherwise(lit(0.0))
-        }.reduce(_ + _))
-      scored.filter(col("score") > 0.0)
-        .select(col("doc_id"), col("score"))
+      bm25Scored(s, dir)
         .orderBy(col("score").desc, col("doc_id"))
         .limit(20)
     }),
@@ -1673,6 +1682,32 @@ object TrainingDataQueries {
   // ------------------------------------------------------------------
 
   private val ntokSql = graft.functions.TextQueries.sqlNTok
+
+  /** DuckDB twin of [[bm25Scored]]: CTE chain ending in
+    * `s(doc_id, score)` — docs with >= 1 matching term; callers apply the
+    * `score > 0.0` gate that mirrors the Scala filter. Shared by the
+    * `text_bm25` twin and the `sim_hybrid_rrf` twin's lexical arm. */
+  private[operators] lazy val bm25Ctes: String =
+    s"""dl AS (SELECT doc_id, CAST($ntokSql AS BIGINT) AS dl FROM documents),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(dl) AS BIGINT) AS n_tokens_total FROM dl),
+       |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\\s+'), t9 -> t9 <> '')) AS tok
+       |        FROM documents)
+       |  WHERE tok IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+       |  GROUP BY doc_id, tok),
+       |dft AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       |  FROM tf GROUP BY tok),
+       |w AS (SELECT tf.doc_id, tf.tok,
+       |  ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+       |    * (CAST(tf AS DOUBLE) * 2.2)
+       |    / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+       |        / (CAST(n_tokens_total AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS w
+       |  FROM tf JOIN dft USING (tok) JOIN dl USING (doc_id) CROSS JOIN tot),
+       |s AS (SELECT doc_id,
+       |  ${Bm25Terms.map(t => s"COALESCE(MAX(CASE WHEN tok = '$t' THEN w END), 0.0)")
+                      .mkString("\n       |    + ")} AS score
+       |  FROM w GROUP BY doc_id)""".stripMargin
 
   /** Bloom probe position j of a fingerprint expression (exact mirror of
     * BloomFilterAgg.position). */
@@ -2331,27 +2366,9 @@ object TrainingDataQueries {
          |FROM r ORDER BY doc_id""".stripMargin,
 
     "text_bm25" ->
-      s"""WITH dl AS (SELECT doc_id, CAST($ntokSql AS BIGINT) AS dl FROM documents),
-         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-         |  CAST(sum(dl) AS BIGINT) AS n_tokens_total FROM dl),
-         |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
-         |  FROM (SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\\s+'), t9 -> t9 <> '')) AS tok
-         |        FROM documents)
-         |  WHERE tok IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
-         |  GROUP BY doc_id, tok),
-         |dft AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
-         |  FROM tf GROUP BY tok),
-         |w AS (SELECT tf.doc_id, tf.tok,
-         |  ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
-         |    * (CAST(tf AS DOUBLE) * 2.2)
-         |    / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
-         |        / (CAST(n_tokens_total AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS w
-         |  FROM tf JOIN dft USING (tok) JOIN dl USING (doc_id) CROSS JOIN tot),
-         |s AS (SELECT doc_id,
-         |  ${Bm25Terms.map(t => s"COALESCE(MAX(CASE WHEN tok = '$t' THEN w END), 0.0)")
-                        .mkString("\n         |    + ")} AS score
-         |  FROM w GROUP BY doc_id)
-         |SELECT doc_id, score FROM s ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+      s"""WITH $bm25Ctes
+         |SELECT doc_id, score FROM s WHERE score > 0.0
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     "text_repetition" ->
       s"""WITH t AS ($thCte),

@@ -137,6 +137,12 @@ class ShuffleAuditSpec extends SparkSuite {
     // spread, the doc-metadata equi-join, the (cen_id, source) agg, the
     // k-bounded cen_id agg, the single-row total, and the final sort
     "pipeline_domain_discover" -> 9,
+    // hybrid RRF, measured 10: four are the fixture-only Spread gates,
+    // three are agg partials (BM25 stats single row; the two global
+    // TopKAgg arms move <=k rows per partition), and the rest shuffle
+    // the <=20-row-per-side fusion join + the <=40-row final sort —
+    // nothing corpus-sized crosses a wire after the arm top-ks
+    "sim_hybrid_rrf" -> 12,
     // state and batch frames are eagerly localCheckpoint'd (lineage-free
     // standing state), so most of the count is REAL: the batch-side
     // canonical/evidence aggs, the cen_id self-join's two sides, the
