@@ -446,6 +446,33 @@ object Similarity {
         col("m.cos").as("cos"), col("m.margin").as("margin"))
   }
 
+  /** One synchronous round of kNN LABEL PROPAGATION (the modal-vote LPA
+    * step): every node adopts the most frequent label among its graph
+    * neighbors' current labels, ties to the SMALLEST label; a node with no
+    * out-edges keeps its label. `g` is a directed edge list
+    * `(node, nbr)` (a kNN graph's out-edges — constant degree <= k), `prev`
+    * the current assignment `(node, l)`.
+    *
+    * Determinism: votes are integer counts and the winner is a
+    * `min(struct(-cnt, label))` — the partial-aggregable argmax with a
+    * pinned lexicographic tie (the `pipeline_domain_discover` modal
+    * pattern), so the round is hash-exact regardless of partitioning.
+    * 100 TB shape per round: one graph-sized equi-join (edge list ×
+    * assignment, both relations shuffle-hash on their keys under AQE) and
+    * two partial-aggregable shuffles — (node, label) counts, then the
+    * k-bounded per-node argmax; nothing wider than the <= k·|V| edge list
+    * ever crosses a wire, and the round count is a fixed constant. */
+  def lpRound(g: DataFrame, prev: DataFrame): DataFrame = {
+    val modal = g
+      .join(prev.select(col("node").as("nbr"), col("l").as("nl")), Seq("nbr"))
+      .groupBy(col("node"), col("nl")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("node"))
+      .agg(min(struct((-col("cnt")).as("m"), col("nl").as("w"))).as("ms"))
+      .select(col("node"), col("ms.w").as("ml"))
+    prev.join(modal, Seq("node"), "left")
+      .select(col("node"), coalesce(col("ml"), col("l")).as("l"))
+  }
+
   /** IVF RANGE search — every corpus vector with cosine >= `tau` of each
     * query (self excluded), probed-lists-approximate exactly like
     * [[ivfTopKWith]]. The radius variant matters when the consumer wants

@@ -294,6 +294,41 @@ object SimilarityQueries {
         .orderBy("cluster_id")
     }),
 
+    // kNN LABEL PROPAGATION — weak-label smoothing over the kNN graph
+    // (the LPA denoising pass a labeled training corpus runs before the
+    // labels are trusted: snap each example toward its semantic
+    // neighborhood's consensus). Two synchronous modal-vote rounds
+    // ([[Similarity.lpRound]]: most frequent neighbor label, tie to the
+    // smallest) over the SAME distributed kNN graph sim_knn_graph builds
+    // — the graph is built once (the dominant cost) and persisted; each
+    // round is one graph-sized equi-join + two partial-aggregable aggs,
+    // integer votes end to end, so the whole pass is hash-exact. Emits
+    // the full trajectory (label_0/1/2) so downstream filters can key on
+    // "changed at round t" (disagreement with the neighborhood == the
+    // standard noisy-label signal).
+    "sim_label_prop" -> ((s, dir) => {
+      import graft.CheckpointUtil.track
+      val corpus = Similarity.prepareWith(Tables.embeddings(s, dir), col("label"))
+        .persist() // feeds both join sides of the graph build + the seeds
+      // iterative state rolls as eager localCheckpoints (the loop
+      // convention): each round's plan roots at lineage-free leaves, so
+      // round T's plan — and the assembly's — never re-embeds the graph
+      // build T times
+      val g = track(
+        Similarity.ivfJoinTopK(corpus, corpus, NCentroids, NProbe, KGraph)
+          .select(col("query_id").as("node"), col("vec_id").as("nbr"))
+          .localCheckpoint(true)) // both vote rounds scan this edge list
+      val l0 = track(corpus.select(col("vec_id").as("node"),
+        col("label").cast("long").as("l")).localCheckpoint(true))
+      val l1 = track(Similarity.lpRound(g, l0).localCheckpoint(true))
+      val l2 = Similarity.lpRound(g, l1)
+      l0.join(l1.select(col("node"), col("l").as("l1")), Seq("node"))
+        .join(l2.select(col("node"), col("l").as("l2")), Seq("node"))
+        .select(col("node").as("vec_id"), col("l").as("label_0"),
+          col("l1").as("label_1"), col("l2").as("label_2"))
+        .orderBy("vec_id")
+    }),
+
     "sim_topk_quantized" -> ((s, dir) => {
       val corpus = Similarity.prepare(Tables.embeddings(s, dir)).persist()
       Similarity.quantizedTopK(corpus, col("vec_id") < NQueries, NCandidates, K)
@@ -1153,6 +1188,32 @@ object SimilarityQueries {
            |  ms.s AS top_source,
            |  CAST((-(ms.m)) * 1000000 // n_docs AS BIGINT) AS top_source_ppm
            |FROM agg, tot ORDER BY cluster_id""".stripMargin,
+      // label propagation: the knn-graph cand prefix -> KGraph edges ->
+      // two unrolled modal-vote rounds, min(struct_pack(-cnt, label))
+      // replaying lpRound's pinned tie exactly
+      "sim_label_prop" -> {
+        def voteRound(t: Int, prev: String) =
+          s"""v$t AS (SELECT g.node, p.l AS nl, count(*) AS cnt
+             |  FROM g JOIN $prev p ON p.node = g.nbr GROUP BY 1, 2),
+             |m$t AS (SELECT node, min(struct_pack(m := -cnt, w := nl)) AS ms
+             |  FROM v$t GROUP BY node),
+             |lp$t AS (SELECT a.node, CAST(COALESCE(ms.w, a.l) AS BIGINT) AS l
+             |  FROM $prev a LEFT JOIN m$t ON m$t.node = a.node)""".stripMargin
+        s"""${ivfCandCtes(
+               s"SELECT vec_id AS cen_id, v AS cv, nrm AS cnrm FROM nn WHERE vec_id < $NCentroids",
+               qPred = Some("TRUE"))},
+           |g AS (SELECT query_id AS node, vec_id AS nbr FROM (
+           |    SELECT query_id, vec_id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+           |    FROM cand) WHERE rank <= $KGraph),
+           |lp0 AS (SELECT nn.vec_id AS node, CAST(emb.label AS BIGINT) AS l
+           |  FROM nn JOIN embeddings emb ON emb.vec_id = nn.vec_id),
+           |${voteRound(1, "lp0")},
+           |${voteRound(2, "lp1")}
+           |SELECT a.node AS vec_id, a.l AS label_0, b.l AS label_1, c.l AS label_2
+           |FROM lp0 a JOIN lp1 b ON b.node = a.node JOIN lp2 c ON c.node = a.node
+           |ORDER BY vec_id""".stripMargin
+      },
       // same probe machinery, stride-selected reindexed centers
       "sim_topk_ivf_fixed" -> ivfOracle(
         s"""SELECT (vec_id - 3) // 7 AS cen_id, v AS cv, nrm AS cnrm FROM nn

@@ -137,6 +137,12 @@ class ShuffleAuditSpec extends SparkSuite {
     // spread, the doc-metadata equi-join, the (cen_id, source) agg, the
     // k-bounded cen_id agg, the single-row total, and the final sort
     "pipeline_domain_discover" -> 9,
+    // label propagation, measured 7: the graph and rounds 0/1 are
+    // lineage-free localCheckpoint leaves (the loop convention — plan
+    // text was 55 with persist lineage re-embedding), so what remains is
+    // round 2's vote join + two agg partials, the two assembly joins on
+    // node, and the final sort
+    "sim_label_prop" -> 9,
     // hybrid RRF, measured 10: four are the fixture-only Spread gates,
     // three are agg partials (BM25 stats single row; the two global
     // TopKAgg arms move <=k rows per partition), and the rest shuffle
