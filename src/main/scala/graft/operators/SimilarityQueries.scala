@@ -60,6 +60,12 @@ object SimilarityQueries {
   val HybridK = 20
   val RrfK0 = 60
   val HybridQueryVec = 0L
+  /** MMR diversified rerank: pool the top-[[MmrN]] by relevance, greedily
+    * select [[MmrK]] with the standard λ=0.7 relevance/diversity
+    * trade-off (Carbonell/Goldstein 1998). */
+  val MmrN = 20
+  val MmrK = 10
+  val MmrLambda = 0.7
 
   /** Range-search radius: cos >= 0.3 yields a handful of matches per query
     * on the near-isotropic fixture — small enough that the gate sees the
@@ -292,6 +298,36 @@ object SimilarityQueries {
           col("ms.s").as("top_source"),
           ((-col("ms.m") * 1000000L) div col("n_docs")).as("top_source_ppm"))
         .orderBy("cluster_id")
+    }),
+
+    // MMR DIVERSIFIED top-k — the rerank between retrieval and context
+    // assembly: pure cosine top-k hands back near-duplicates of one
+    // relevant region; MMR greedily trades relevance against similarity
+    // to what's already selected. ONE aggregation does everything
+    // ([[MmrAgg]]): the scan feeds map-side-partial top-n pooling (≤ n
+    // candidates per query per partition cross the wire, unit vectors
+    // riding the ~10 KB state), and the inherently-sequential greedy runs
+    // per query inside finish — distributed over queries, no join-back,
+    // no window, no second pass. Query side is the broadcast serving
+    // regime; rel and the unit vector are in-scan expressions.
+    "sim_mmr_rerank" -> ((s, dir) => {
+      val corpus = Similarity.prepare(Tables.embeddings(s, dir)).persist()
+      val q = corpus.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qnrm"))
+      corpus.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          Dedup.cosine(col("qv"), col("v"), col("qnrm"), col("nrm")).as("rel"),
+          transform(col("v"), x => x / col("nrm")).as("u"))
+        .groupBy("query_id")
+        .agg(MmrAgg.column(MmrN, MmrK, MmrLambda,
+          col("rel"), col("vec_id"), col("u")).as("sel"))
+        .select(col("query_id"), posexplode(col("sel")))
+        .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+          col("col._1").as("vec_id"), col("col._2").as("rel"),
+          col("col._3").as("score"))
+        .orderBy("query_id", "rank")
     }),
 
     // kNN LABEL PROPAGATION — weak-label smoothing over the kNN graph
@@ -1188,6 +1224,46 @@ object SimilarityQueries {
            |  ms.s AS top_source,
            |  CAST((-(ms.m)) * 1000000 // n_docs AS BIGINT) AS top_source_ppm
            |FROM agg, tot ORDER BY cluster_id""".stripMargin,
+      // MMR: brute relevance pool (top-MmrN per query over unit vectors),
+      // then the greedy unrolled as one CTE step per pick — ms{t} = each
+      // unpicked candidate's max cosine to the selection, pk{t} = the
+      // argmax of λ·rel − (1−λ)·ms with the (score desc, vec_id) tie,
+      // sel{t} accumulates. Identical operation order to MmrAgg.finish
+      // (dims fold ascending from 0.0; first pick scores λ·rel).
+      "sim_mmr_rerank" -> {
+        val steps = (2 to MmrK).map { t =>
+          val score = s"$MmrLambda * p.rel - ${1.0 - MmrLambda} * m.ms"
+          // AS MATERIALIZED: each sel{t} is referenced 3× by step t+1 —
+          // inlining would expand the chain 3^k-fold over the base scan
+          s"""ms$t AS (SELECT p.query_id, p.vec_id, max(${dotSql("p.u", "s.u")}) AS ms
+             |  FROM pool p JOIN sel${t - 1} s ON s.query_id = p.query_id
+             |  WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} d
+             |    WHERE d.query_id = p.query_id AND d.vec_id = p.vec_id)
+             |  GROUP BY 1, 2),
+             |pk$t AS (SELECT query_id, vec_id, rel, u, score, CAST($t AS BIGINT) AS rank FROM (
+             |    SELECT m.query_id, m.vec_id, p.rel, p.u, $score AS score,
+             |      row_number() OVER (PARTITION BY m.query_id
+             |        ORDER BY $score DESC, m.vec_id) AS rn
+             |    FROM ms$t m JOIN pool p ON p.query_id = m.query_id AND p.vec_id = m.vec_id)
+             |  WHERE rn = 1),
+             |sel$t AS MATERIALIZED (SELECT * FROM sel${t - 1} UNION ALL SELECT * FROM pk$t)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e AS ($e), nn AS ($n),
+           |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM nn WHERE vec_id < $NQueries),
+           |sc AS (SELECT q.query_id, c.vec_id,
+           |    ${dotSql("q.qv", "c.v")} / (q.qnrm * c.nrm) AS rel,
+           |    list_transform(range(1, 65), ui -> c.v[ui] / c.nrm) AS u
+           |  FROM q, nn c WHERE c.vec_id <> q.query_id),
+           |pool AS MATERIALIZED (SELECT query_id, vec_id, rel, u FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, vec_id) AS rn
+           |    FROM sc) WHERE rn <= $MmrN),
+           |sel1 AS MATERIALIZED (SELECT query_id, vec_id, rel, u, $MmrLambda * rel AS score, CAST(1 AS BIGINT) AS rank
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, vec_id) AS rn
+           |        FROM pool) WHERE rn = 1),
+           |$steps
+           |SELECT query_id, rank, vec_id, rel, score FROM sel$MmrK
+           |ORDER BY query_id, rank""".stripMargin
+      },
       // label propagation: the knn-graph cand prefix -> KGraph edges ->
       // two unrolled modal-vote rounds, min(struct_pack(-cnt, label))
       // replaying lpRound's pinned tie exactly
