@@ -446,6 +446,43 @@ object Similarity {
         col("m.cos").as("cos"), col("m.margin").as("margin"))
   }
 
+  /** INCREMENTAL kNN-graph maintenance: fold a new `batch` of vectors into
+    * a `standing` corpus whose k-NN graph `standingGraph` already exists,
+    * WITHOUT rebuilding — the 100 TB regime where the graph is
+    * petabyte-priced and the daily batch is 0.1% of it. Exactness comes
+    * from selection decomposing over unions: with the SAME coarse
+    * quantizer (the standing centroids — the caller must keep the
+    * centroid ids inside `standing`, as the `src_ivf_append` lifecycle
+    * does), a standing node's rebuilt top-k over (standing ∪ batch)
+    * candidates equals top-k(its OLD top-k ∪ its batch candidates), so
+    * only batch-sized work is new:
+    *
+    *  - batch-node edges: batch queries probe the union's lists — the
+    *    batch side is tiny, so AQE broadcasts its probe rows and the
+    *    standing corpus crosses no wire;
+    *  - standing-node updates: candidates come from the BATCH's assigned
+    *    rows only (batch-sized relation joined to the standing probes on
+    *    cen_id — again broadcast-sized under AQE), unioned with the old
+    *    edges into one k-bounded [[TopKAgg]] re-selection.
+    *
+    * Output is row-identical to `ivfJoinTopK(union, union, …)` — the full
+    * rebuild IS the oracle. */
+  def knnGraphIncremental(standing: DataFrame, standingGraph: DataFrame,
+                          batch: DataFrame, nCentroids: Int, nProbe: Int,
+                          k: Int): DataFrame = {
+    val centSeq = collectCentroids(centroids(standing, nCentroids))
+    val assignedB = ivfAssignWith(batch, centSeq)
+    val assignedAll = ivfAssignWith(standing, centSeq).unionByName(assignedB)
+    val newB = topKPerQuery(
+      scoreCandidates(assignedAll.join(probesOf(batch, centSeq, nProbe), "cen_id")), k)
+    val candFromB =
+      scoreCandidates(assignedB.join(probesOf(standing, centSeq, nProbe), "cen_id"))
+    val updatedC = topKPerQuery(
+      standingGraph.select(col("query_id"), col("vec_id"), col("cos"))
+        .unionByName(candFromB.select(col("query_id"), col("vec_id"), col("cos"))), k)
+    updatedC.unionByName(newB)
+  }
+
   /** One synchronous round of kNN LABEL PROPAGATION (the modal-vote LPA
     * step): every node adopts the most frequent label among its graph
     * neighbors' current labels, ties to the SMALLEST label; a node with no

@@ -107,6 +107,27 @@ object SimilarityQueries {
       Similarity.ivfJoinTopK(corpus, corpus, NCentroids, NProbe, KGraph)
         .orderBy("query_id", "rank")
     }),
+    // INCREMENTAL kNN-graph arm (the family's standing pattern: batch +
+    // incremental for every expensive artifact): ~10% of the corpus
+    // arrives as the batch (ids ≥ NCentroids with vec_id % 10 == 7 — the
+    // centroid ids stay standing, the src_ivf_append invariant), the
+    // standing graph is lineage-free checkpointed state, and
+    // [[Similarity.knnGraphIncremental]] folds the batch in with
+    // batch-sized work only. The oracle is the FULL REBUILD over the
+    // union — the equivalence is exact, so this shares sim_knn_graph's
+    // twin construction verbatim.
+    "sim_knn_graph_incremental" -> ((s, dir) => {
+      import graft.CheckpointUtil.track
+      val full = Similarity.prepare(Tables.embeddings(s, dir)).persist()
+      val isBatch = col("vec_id") >= NCentroids && col("vec_id") % 10 === 7
+      val standing = full.filter(!isBatch)
+      val g = track(
+        Similarity.ivfJoinTopK(standing, standing, NCentroids, NProbe, KGraph)
+          .localCheckpoint(true)) // the pre-existing graph, standing state
+      Similarity.knnGraphIncremental(standing, g, full.filter(isBatch),
+          NCentroids, NProbe, KGraph)
+        .orderBy("query_id", "rank")
+    }),
     // Semantic CLUSTERING over the k-NN graph: mutual-kNN edges above
     // KnnClusterTau, then pointer-doubling connected components — the
     // degree-bounded (≤ KGraph per node) clustering a 100 TB semantic
@@ -1096,6 +1117,12 @@ object SimilarityQueries {
       },
       // the k-NN graph: every vector is a query (no qPred restriction)
       "sim_knn_graph" -> ivfOracle(
+        s"SELECT vec_id AS cen_id, v AS cv, nrm AS cnrm FROM nn WHERE vec_id < $NCentroids",
+        qPred = Some("TRUE"), k = KGraph),
+      // incremental maintenance is EXACTLY equivalent to the full rebuild
+      // (selection decomposes over the candidate union under one shared
+      // quantizer), so its oracle IS sim_knn_graph's
+      "sim_knn_graph_incremental" -> ivfOracle(
         s"SELECT vec_id AS cen_id, v AS cv, nrm AS cnrm FROM nn WHERE vec_id < $NCentroids",
         qPred = Some("TRUE"), k = KGraph),
       // margin mining: label-carrying nn, one shared quantizer, the two

@@ -137,6 +137,13 @@ class ShuffleAuditSpec extends SparkSuite {
     // spread, the doc-metadata equi-join, the (cen_id, source) agg, the
     // k-bounded cen_id agg, the single-row total, and the final sort
     "pipeline_domain_discover" -> 9,
+    // incremental kNN graph, measured 13: the standing graph is a
+    // checkpoint leaf; what remains is the batch-arm cen_id join + its
+    // TopKAgg partial, the standing-update join + its TopKAgg partial
+    // over (old edges ∪ batch candidates), the union's two sort legs and
+    // the final sort — the persisted full corpus reprints under its
+    // standing/batch references as in the sim_topk_* entries
+    "sim_knn_graph_incremental" -> 15,
     // label propagation, measured 7: the graph and rounds 0/1 are
     // lineage-free localCheckpoint leaves (the loop convention — plan
     // text was 55 with persist lineage re-embedding), so what remains is
