@@ -72,6 +72,33 @@ object SimilarityQueries {
     * match-proportional output, non-empty for every query. */
   val TauRange = 0.3
 
+  /** Hybrid-retrieval fusion core: `(doc_id, lex_rank, vec_rank, rrf)`
+    * for both arms' top-[[HybridK]], un-ordered — ONE builder behind
+    * `sim_hybrid_rrf` (which orders and emits it) and the
+    * `pipeline_e2e_retrieve` composition (which feeds it to the MMR
+    * stage), so the fusion law cannot fork. */
+  private def hybridRrfFused(s: SparkSession, dir: String): DataFrame = {
+    val corpus = Similarity.prepare(Tables.embeddings(s, dir))
+    val vec = Similarity.bruteForceTopK(corpus,
+        corpus.filter(col("vec_id") === HybridQueryVec), HybridK)
+      .select(col("vec_id").as("doc_id"), col("rank").as("vec_rank"))
+    val lex = TrainingDataQueries.bm25Scored(s, dir)
+      .agg(TopKAgg.column(HybridK, col("score"), col("doc_id")).as("tk"))
+      .select(posexplode(col("tk")))
+      .select(col("col._2").as("doc_id"),
+        (col("pos") + 1).cast("long").as("lex_rank"))
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("vec_rank"), lit(0L)).as("vec_rank"),
+        (when(col("lex_rank").isNotNull,
+            lit(1.0) / (lit(RrfK0) + col("lex_rank")).cast("double"))
+          .otherwise(lit(0.0))
+          + when(col("vec_rank").isNotNull,
+              lit(1.0) / (lit(RrfK0) + col("vec_rank")).cast("double"))
+            .otherwise(lit(0.0))).as("rrf"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // persist: the prepared corpus (cast + interpreted norm per row) feeds
     // multiple branches (corpus/query sides; centroids/assign/probe)
@@ -173,27 +200,33 @@ object SimilarityQueries {
     // partial agg — no full sort), then a k-bounded 2×20-row fusion
     // join. Ranks are integers, the fused score a fixed-order sum of two
     // exact reciprocals — hash-exact.
-    "sim_hybrid_rrf" -> ((s, dir) => {
-      val corpus = Similarity.prepare(Tables.embeddings(s, dir))
-      val vec = Similarity.bruteForceTopK(corpus,
-          corpus.filter(col("vec_id") === HybridQueryVec), HybridK)
-        .select(col("vec_id").as("doc_id"), col("rank").as("vec_rank"))
-      val lex = TrainingDataQueries.bm25Scored(s, dir)
-        .agg(TopKAgg.column(HybridK, col("score"), col("doc_id")).as("tk"))
-        .select(posexplode(col("tk")))
-        .select(col("col._2").as("doc_id"),
-          (col("pos") + 1).cast("long").as("lex_rank"))
-      lex.join(vec, Seq("doc_id"), "full_outer")
-        .select(col("doc_id"),
-          coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
-          coalesce(col("vec_rank"), lit(0L)).as("vec_rank"),
-          (when(col("lex_rank").isNotNull,
-              lit(1.0) / (lit(RrfK0) + col("lex_rank")).cast("double"))
-            .otherwise(lit(0.0))
-            + when(col("vec_rank").isNotNull,
-                lit(1.0) / (lit(RrfK0) + col("vec_rank")).cast("double"))
-              .otherwise(lit(0.0))).as("rrf"))
-        .orderBy(col("rrf").desc, col("doc_id"))
+    "sim_hybrid_rrf" -> ((s, dir) =>
+      hybridRrfFused(s, dir).orderBy(col("rrf").desc, col("doc_id"))),
+    // E2E RETRIEVAL composition — the serving-side pipeline the ingestion
+    // operators exist to feed: hybrid lexical+vector fusion
+    // ([[hybridRrfFused]], shared with sim_hybrid_rrf — no fork), unit
+    // vectors joined back for the fused ≤2k-doc pool, MMR diversification
+    // (the shared [[MmrAgg]], rel = the fused RRF score, one group), doc
+    // metadata attached last — metadata and text never enter the ranking
+    // stages. Every stage is the already-pinned operator; the composition
+    // adds only k-bounded joins.
+    "pipeline_e2e_retrieve" -> ((s, dir) => {
+      val emb = Similarity.prepare(Tables.embeddings(s, dir))
+      val pool = hybridRrfFused(s, dir)
+        .join(emb.select(col("vec_id").as("doc_id"),
+          transform(col("v"), x => x / col("nrm")).as("u")), Seq("doc_id"))
+      pool.groupBy(lit(1L).as("g"))
+        .agg(MmrAgg.column(2 * HybridK, MmrK, MmrLambda,
+          col("rrf"), col("doc_id"), col("u")).as("sel"))
+        .select(posexplode(col("sel")))
+        .select((col("pos") + 1).cast("long").as("rank"),
+          col("col._1").as("doc_id"), col("col._2").as("rrf"),
+          col("col._3").as("mmr"))
+        .join(Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("lang")), Seq("doc_id"))
+        .select(col("rank"), col("doc_id"), col("rrf"), col("mmr"),
+          col("source"), col("lang"))
+        .orderBy("rank")
     }),
     // Distributed RANGE join: radius semantics at join scale — the query
     // side is 20% of the corpus and stays a distributed relation; same
@@ -888,6 +921,58 @@ object SimilarityQueries {
          |    ${dotSql("p.qv", "a.v")} / (p.qnrm * a.nrm) AS cos
          |  FROM probes p JOIN assigned a ON p.cen_id = a.cen_id
          |  WHERE a.vec_id <> p.query_id)""".stripMargin
+    // Hybrid-fusion CTE chain ending in `fused(doc_id, lex_rank,
+    // vec_rank, rrf)` — ONE builder behind the sim_hybrid_rrf and
+    // pipeline_e2e_retrieve twins (the SQL mirror of hybridRrfFused).
+    lazy val hybridFusedCtes: String =
+      s"""${TrainingDataQueries.bm25Ctes},
+         |lexr AS (SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rank
+         |  FROM s WHERE score > 0.0 QUALIFY lex_rank <= $HybridK),
+         |e AS ($e), nn AS ($n),
+         |hq AS (SELECT v AS qv, nrm AS qnrm FROM nn WHERE vec_id = $HybridQueryVec),
+         |vp AS (SELECT c.vec_id, ${dotSql("hq.qv", "c.v")} / (hq.qnrm * c.nrm) AS cos
+         |  FROM hq, nn c WHERE c.vec_id <> $HybridQueryVec),
+         |vecr AS (SELECT vec_id AS doc_id,
+         |    CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS vec_rank
+         |  FROM vp QUALIFY vec_rank <= $HybridK),
+         |fused AS (SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+         |  COALESCE(l.lex_rank, 0) AS lex_rank,
+         |  COALESCE(v.vec_rank, 0) AS vec_rank,
+         |  COALESCE(1.0 / ($RrfK0 + l.lex_rank), 0.0)
+         |    + COALESCE(1.0 / ($RrfK0 + v.vec_rank), 0.0) AS rrf
+         |  FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id)""".stripMargin
+    // Unrolled greedy-MMR CTE steps over a preceding
+    // `pool(query_id, vec_id, rel, u)`: sel1 = per-query relevance argmax
+    // scored λ·rel, then one step per pick — ms{t} = each unpicked
+    // candidate's max cosine to the selection, pk{t} = the argmax of
+    // λ·rel − (1−λ)·ms with the (score desc, vec_id) tie, sel{t}
+    // accumulates. Identical operation order to MmrAgg.finish (dims fold
+    // ascending from 0.0; first pick scores λ·rel). ONE builder behind
+    // the sim_mmr_rerank and pipeline_e2e_retrieve twins.
+    def mmrGreedyCtes(kSteps: Int): String = {
+      val steps = (2 to kSteps).map { t =>
+        val score = s"$MmrLambda * p.rel - ${1.0 - MmrLambda} * m.ms"
+        // AS MATERIALIZED: each sel{t} is referenced 3× by step t+1 —
+        // inlining would expand the chain 3^k-fold over the base scan
+        s"""ms$t AS (SELECT p.query_id, p.vec_id, max(${dotSql("p.u", "s.u")}) AS ms
+           |  FROM pool p JOIN sel${t - 1} s ON s.query_id = p.query_id
+           |  WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} d
+           |    WHERE d.query_id = p.query_id AND d.vec_id = p.vec_id)
+           |  GROUP BY 1, 2),
+           |pk$t AS (SELECT query_id, vec_id, rel, u, score, CAST($t AS BIGINT) AS rank FROM (
+           |    SELECT m.query_id, m.vec_id, p.rel, p.u, $score AS score,
+           |      row_number() OVER (PARTITION BY m.query_id
+           |        ORDER BY $score DESC, m.vec_id) AS rn
+           |    FROM ms$t m JOIN pool p ON p.query_id = m.query_id AND p.vec_id = m.vec_id)
+           |  WHERE rn = 1),
+           |sel$t AS MATERIALIZED (SELECT * FROM sel${t - 1} UNION ALL SELECT * FROM pk$t)""".stripMargin
+      }.mkString(",\n")
+      s"""sel1 AS MATERIALIZED (SELECT query_id, vec_id, rel, u, $MmrLambda * rel AS score, CAST(1 AS BIGINT) AS rank
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, vec_id) AS rn
+         |        FROM pool) WHERE rn = 1),
+         |$steps""".stripMargin
+    }
     // Unrolled Lloyd-training CTE chain — the twin of
     // Similarity.lloydCentroids: same capped consistent-hash sample, same
     // stride init, same declared fold orders (dims ascending via
@@ -1051,26 +1136,27 @@ object SimilarityQueries {
       // hybrid RRF: the shared BM25 CTE chain (lexical arm) + brute
       // cosine of the single query vector (vector arm), both ranked
       // top-HybridK by (score desc, id), fused by 1/(k0+rank) sums in
-      // the same lex-then-vec order as the Scala column expression
+      // the same lex-then-vec order as the Scala column expression.
+      // Chain ends in `fused` — shared with the e2e-retrieve twin, the
+      // same no-fork law as the Scala hybridRrfFused builder.
       "sim_hybrid_rrf" ->
-        s"""WITH ${TrainingDataQueries.bm25Ctes},
-           |lexr AS (SELECT doc_id,
-           |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rank
-           |  FROM s WHERE score > 0.0 QUALIFY lex_rank <= $HybridK),
-           |e AS ($e), nn AS ($n),
-           |q AS (SELECT v AS qv, nrm AS qnrm FROM nn WHERE vec_id = $HybridQueryVec),
-           |vp AS (SELECT c.vec_id, ${dotSql("q.qv", "c.v")} / (q.qnrm * c.nrm) AS cos
-           |  FROM q, nn c WHERE c.vec_id <> $HybridQueryVec),
-           |vecr AS (SELECT vec_id AS doc_id,
-           |    CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS vec_rank
-           |  FROM vp QUALIFY vec_rank <= $HybridK)
-           |SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
-           |  COALESCE(l.lex_rank, 0) AS lex_rank,
-           |  COALESCE(v.vec_rank, 0) AS vec_rank,
-           |  COALESCE(1.0 / ($RrfK0 + l.lex_rank), 0.0)
-           |    + COALESCE(1.0 / ($RrfK0 + v.vec_rank), 0.0) AS rrf
-           |FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id
+        s"""WITH $hybridFusedCtes
+           |SELECT doc_id, lex_rank, vec_rank, rrf FROM fused
            |ORDER BY rrf DESC, doc_id""".stripMargin,
+      // e2e retrieval: the SAME fused chain, unit vectors joined back as
+      // the single-group MMR pool (rel = rrf), the SAME unrolled greedy
+      // steps as the sim_mmr_rerank twin, doc metadata attached last
+      "pipeline_e2e_retrieve" ->
+        s"""WITH $hybridFusedCtes,
+           |pool AS MATERIALIZED (SELECT CAST(1 AS BIGINT) AS query_id,
+           |    f.doc_id AS vec_id, f.rrf AS rel,
+           |    list_transform(range(1, 65), ui -> nn.v[ui] / nn.nrm) AS u
+           |  FROM fused f JOIN nn ON nn.vec_id = f.doc_id),
+           |${mmrGreedyCtes(MmrK)}
+           |SELECT s.rank, s.vec_id AS doc_id, s.rel AS rrf, s.score AS mmr,
+           |  d.source, d.lang
+           |FROM sel$MmrK s JOIN documents d ON d.doc_id = s.vec_id
+           |ORDER BY s.rank""".stripMargin,
       // SRP-LSH tier: same sig/band formulation as the dedup_srp_pairs
       // twin (shared srpSigSqlExpr builder — the planes cannot fork),
       // band-match candidate gate, then the standard ranked top-k tail
@@ -1252,29 +1338,9 @@ object SimilarityQueries {
            |  CAST((-(ms.m)) * 1000000 // n_docs AS BIGINT) AS top_source_ppm
            |FROM agg, tot ORDER BY cluster_id""".stripMargin,
       // MMR: brute relevance pool (top-MmrN per query over unit vectors),
-      // then the greedy unrolled as one CTE step per pick — ms{t} = each
-      // unpicked candidate's max cosine to the selection, pk{t} = the
-      // argmax of λ·rel − (1−λ)·ms with the (score desc, vec_id) tie,
-      // sel{t} accumulates. Identical operation order to MmrAgg.finish
-      // (dims fold ascending from 0.0; first pick scores λ·rel).
-      "sim_mmr_rerank" -> {
-        val steps = (2 to MmrK).map { t =>
-          val score = s"$MmrLambda * p.rel - ${1.0 - MmrLambda} * m.ms"
-          // AS MATERIALIZED: each sel{t} is referenced 3× by step t+1 —
-          // inlining would expand the chain 3^k-fold over the base scan
-          s"""ms$t AS (SELECT p.query_id, p.vec_id, max(${dotSql("p.u", "s.u")}) AS ms
-             |  FROM pool p JOIN sel${t - 1} s ON s.query_id = p.query_id
-             |  WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} d
-             |    WHERE d.query_id = p.query_id AND d.vec_id = p.vec_id)
-             |  GROUP BY 1, 2),
-             |pk$t AS (SELECT query_id, vec_id, rel, u, score, CAST($t AS BIGINT) AS rank FROM (
-             |    SELECT m.query_id, m.vec_id, p.rel, p.u, $score AS score,
-             |      row_number() OVER (PARTITION BY m.query_id
-             |        ORDER BY $score DESC, m.vec_id) AS rn
-             |    FROM ms$t m JOIN pool p ON p.query_id = m.query_id AND p.vec_id = m.vec_id)
-             |  WHERE rn = 1),
-             |sel$t AS MATERIALIZED (SELECT * FROM sel${t - 1} UNION ALL SELECT * FROM pk$t)""".stripMargin
-        }.mkString(",\n")
+      // then the shared unrolled greedy ([[mmrGreedyCtes]], also behind
+      // the e2e-retrieve twin — the selection law cannot fork)
+      "sim_mmr_rerank" ->
         s"""WITH e AS ($e), nn AS ($n),
            |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM nn WHERE vec_id < $NQueries),
            |sc AS (SELECT q.query_id, c.vec_id,
@@ -1284,13 +1350,9 @@ object SimilarityQueries {
            |pool AS MATERIALIZED (SELECT query_id, vec_id, rel, u FROM (
            |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, vec_id) AS rn
            |    FROM sc) WHERE rn <= $MmrN),
-           |sel1 AS MATERIALIZED (SELECT query_id, vec_id, rel, u, $MmrLambda * rel AS score, CAST(1 AS BIGINT) AS rank
-           |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, vec_id) AS rn
-           |        FROM pool) WHERE rn = 1),
-           |$steps
+           |${mmrGreedyCtes(MmrK)}
            |SELECT query_id, rank, vec_id, rel, score FROM sel$MmrK
-           |ORDER BY query_id, rank""".stripMargin
-      },
+           |ORDER BY query_id, rank""".stripMargin,
       // label propagation: the knn-graph cand prefix -> KGraph edges ->
       // two unrolled modal-vote rounds, min(struct_pack(-cnt, label))
       // replaying lpRound's pinned tie exactly

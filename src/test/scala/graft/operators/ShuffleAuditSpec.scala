@@ -150,6 +150,12 @@ class ShuffleAuditSpec extends SparkSuite {
     // round 2's vote join + two agg partials, the two assembly joins on
     // node, and the final sort
     "sim_label_prop" -> 9,
+    // e2e retrieve, measured 12: the hybrid fusion's own exchanges (its
+    // BM25 single-row agg, the two arm top-k partials, the 2×20-row
+    // fusion join) plus the ≤40-row embedding join-back, the single-group
+    // MMR agg partial, the k-row metadata join and the final sort —
+    // everything after the two arm scans is k-bounded
+    "pipeline_e2e_retrieve" -> 14,
     // hybrid RRF, measured 10: four are the fixture-only Spread gates,
     // three are agg partials (BM25 stats single row; the two global
     // TopKAgg arms move <=k rows per partition), and the rest shuffle
