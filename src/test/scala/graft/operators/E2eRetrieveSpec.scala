@@ -37,8 +37,8 @@ class E2eRetrieveSpec extends SparkSuite {
       fused.toSeq.collect { case (id, rrf) if emb.contains(id) => (rrf, id, emb(id)) }
         .sortBy { case (rrf, id, _) => (-rrf, id) })
     val sel = scala.collection.mutable.ArrayBuffer.empty[Seq[Double]]
-    val expect = Seq.newBuilder[(Long, Double)]
-    while (expect.result().length < SimilarityQueries.MmrK && pool.nonEmpty) {
+    val expect = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    while (expect.length < SimilarityQueries.MmrK && pool.nonEmpty) {
       val scored = pool.toSeq.map { case (rel, id, u) =>
         val s = if (sel.isEmpty) lam * rel
                 else lam * rel - (1.0 - lam) * sel.map(dot(u, _)).max
@@ -49,7 +49,7 @@ class E2eRetrieveSpec extends SparkSuite {
       sel += best._3
       expect += ((best._2, best._1))
     }
-    assert(got.map(r => (r._2, r._4)).toSeq == expect.result())
+    assert(got.map(r => (r._2, r._4)).toSeq == expect.toSeq)
 
     // metadata integrity: source/lang come from the documents table
     val docs = Tables.documents(spark, sf0001)
