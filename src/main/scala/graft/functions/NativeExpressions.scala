@@ -229,6 +229,49 @@ object NativeExpressions {
     }
   }
 
+  /** Adaptive-radius probe selection: cen_ids with cosine within `delta`
+    * of the best centroid, capped at `nMax`, ordered (cosine desc, cen_id
+    * asc) — see [[NativeKernels.adaptiveProbeIds]]. Same constant-centroid
+    * contract as [[TopNCosineIds]].
+    */
+  case class AdaptiveProbeIds(left: Expression, right: Expression,
+      cents: Seq[(Long, Seq[Double], Double)], nMax: Int, delta: Double)
+      extends BinaryExpression {
+    require(cents.nonEmpty, "adaptiveProbeIds needs at least one centroid")
+    require(nMax >= 1, s"probe cap must be >= 1, got $nMax")
+    require(delta >= 0.0, s"radius must be >= 0, got $delta")
+    private val cenIdsArr: Array[Long] = cents.map(_._1).toArray
+    private val cvsArr: Array[Array[Double]] = cents.map(_._2.toArray).toArray
+    private val cnrmsArr: Array[Double] = cents.map(_._3).toArray
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(DoubleType, _), DoubleType) => TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"graft_adaptive_probe expects (array<double>, double), got " +
+            s"${l.catalogString} and ${r.catalogString}")
+      }
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): AdaptiveProbeIds =
+      copy(left = l, right = r)
+
+    override protected def flatArguments: Iterator[Any] =
+      Iterator(left, right, s"nCentroids=${cenIdsArr.length}", s"nMax=$nMax",
+        s"delta=$delta")
+
+    override protected def nullSafeEval(v: Any, nrm: Any): Any =
+      NativeKernels.adaptiveProbeIds(v.asInstanceOf[ArrayData],
+        nrm.asInstanceOf[Double], cvsArr, cnrmsArr, cenIdsArr, nMax, delta)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ids = ctx.addReferenceObj("graftCenIds", cenIdsArr, "long[]")
+      val cvs = ctx.addReferenceObj("graftCvs", cvsArr, "double[][]")
+      val cnrms = ctx.addReferenceObj("graftCnrms", cnrmsArr, "double[]")
+      defineCodeGen(ctx, ev, (v, nrm) =>
+        s"$Kernels.adaptiveProbeIds($v, $nrm, $cvs, $cnrms, $ids, $nMax, $delta)")
+    }
+  }
+
   /** Product-quantization encode over a constant codebook (see
     * [[NativeKernels.pqEncode]]): `m` bytes per row, computed in-scan. The
     * codebook — ks full-dim reference vectors, small by construction —
@@ -616,6 +659,12 @@ object NativeExpressions {
                     n: Int): Column =
     GraftColumnBridge.column(TopNCosineIds(
       GraftColumnBridge.expression(v), GraftColumnBridge.expression(nrm), cents, n))
+  def adaptiveProbeIds(v: Column, nrm: Column,
+                       cents: Seq[(Long, Seq[Double], Double)],
+                       nMax: Int, delta: Double): Column =
+    GraftColumnBridge.column(AdaptiveProbeIds(
+      GraftColumnBridge.expression(v), GraftColumnBridge.expression(nrm),
+      cents, nMax, delta))
   def pqEncode(v: Column, codebook: Seq[Seq[Double]], m: Int): Column =
     GraftColumnBridge.column(PqEncode(GraftColumnBridge.expression(v), codebook, m))
   def pqAdc(q: Column, codes: Column, codebook: Seq[Seq[Double]], m: Int): Column =

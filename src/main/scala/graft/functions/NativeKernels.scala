@@ -509,6 +509,50 @@ object NativeKernels {
     ArrayData.toArrayData(out)
   }
 
+  /** Adaptive-radius probe selection: every cen_id whose cosine is within
+    * `delta` of the BEST centroid's cosine, capped at `nMax`, ordered
+    * (cosine desc, cen_id asc) — [[topNCosineIds]]' insertion with a
+    * post-hoc radius cutoff (sc(0) is the global max after the capped
+    * insertion, so the threshold needs no second pass). A fixed nProbe
+    * over-probes queries that land squarely in one list and under-probes
+    * queries near list boundaries; the radius rule spends the probe
+    * budget where ambiguity actually is. */
+  def adaptiveProbeIds(v: ArrayData, nrm: Double, cvs: Array[Array[Double]],
+                       cnrms: Array[Double], cenIds: Array[Long], nMax: Int,
+                       delta: Double): ArrayData = {
+    val dim = v.numElements()
+    val kk = math.min(nMax, cvs.length)
+    val sc = new Array[Double](kk)
+    val ix = new Array[Int](kk)
+    var filled = 0
+    var j = 0
+    while (j < cvs.length) {
+      val cv = cvs(j)
+      if (cv.length == dim) {
+        var acc = 0.0
+        var i = 0
+        while (i < dim) { acc += v.getDouble(i) * cv(i); i += 1 }
+        val score = acc / (nrm * cnrms(j))
+        var p = filled
+        while (p > 0 && (score > sc(p - 1) ||
+            (java.lang.Double.isNaN(score) && !java.lang.Double.isNaN(sc(p - 1))))) p -= 1
+        if (p < kk) {
+          var q = math.min(filled, kk - 1)
+          while (q > p) { sc(q) = sc(q - 1); ix(q) = ix(q - 1); q -= 1 }
+          sc(p) = score; ix(p) = j
+          if (filled < kk) filled += 1
+        }
+      }
+      j += 1
+    }
+    var keep = 0
+    while (keep < filled && sc(keep) >= sc(0) - delta) keep += 1
+    val out = new Array[Long](keep)
+    var r = 0
+    while (r < keep) { out(r) = cenIds(ix(r)); r += 1 }
+    ArrayData.toArrayData(out)
+  }
+
   /** Per-term occurrence counts of `terms` in the whitespace tokenization
     * of `u`, one pass, no regex and no explode: `out(j)` = number of
     * tokens equal to `terms(j)`. The BM25 front-end — turns the

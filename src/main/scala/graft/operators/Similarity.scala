@@ -362,6 +362,31 @@ object Similarity {
     topKPerQuery(scoreCandidates(assigned.join(broadcast(probes), "cen_id")), k)
   }
 
+  /** IVF top-k with ADAPTIVE-RADIUS probing: instead of a fixed nProbe,
+    * each query probes every list whose centroid cosine is within `delta`
+    * of its best centroid (capped at `nProbeMax`) — the in-scan
+    * [[graft.functions.NativeKernels.adaptiveProbeIds]] kernel. A fixed
+    * probe count is mis-sized two ways at once on a skewed quantizer:
+    * queries landing squarely inside one list waste nProbe−1 list scans,
+    * and queries near list boundaries miss neighbors that one more probe
+    * would have caught. The radius rule makes probe cost follow actual
+    * quantizer ambiguity, per query, with no index change and no extra
+    * pass — same centroids, same lists, same serving plan shape
+    * (broadcast probes, corpus in place). Deterministic (the cutoff is
+    * exact double arithmetic against the kernel's own best score), so
+    * the tier stays oracle-checkable. */
+  def ivfTopKAdaptive(corpus: DataFrame, queryPred: Column, nCentroids: Int,
+                      nProbeMax: Int, delta: Double, k: Int): DataFrame = {
+    val centSeq = collectCentroids(centroids(corpus, nCentroids))
+    val assigned = ivfAssignWith(corpus, centSeq)
+    val probes = corpus.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+      .withColumn("cen_id", explode(
+        NativeExpressions.adaptiveProbeIds(col("qv"), col("qnrm"), centSeq,
+          nProbeMax, delta)))
+    topKPerQuery(scoreCandidates(assigned.join(broadcast(probes), "cen_id")), k)
+  }
+
   /** Distributed ANN JOIN: top-k corpus neighbors for EVERY row of a query
     * relation that is itself corpus-sized — the "enrich dataset A with its
     * nearest neighbors in dataset B" shape (retrieval-based filtering,

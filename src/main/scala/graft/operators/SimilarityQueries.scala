@@ -66,6 +66,11 @@ object SimilarityQueries {
   val MmrN = 20
   val MmrK = 10
   val MmrLambda = 0.7
+  /** Adaptive probing: radius 0.15 below the best centroid cosine, capped
+    * at 8 lists — wide enough that boundary queries out-probe the fixed
+    * NProbe=4 tier and centered queries under-probe it. */
+  val ProbeDelta = 0.15
+  val NProbeMax = 8
 
   /** Range-search radius: cos >= 0.3 yields a handful of matches per query
     * on the near-isotropic fixture — small enough that the gate sees the
@@ -110,6 +115,22 @@ object SimilarityQueries {
     "sim_topk_ivf" -> ((s, dir) => {
       val corpus = Similarity.prepare(Tables.embeddings(s, dir)).persist()
       Similarity.ivfTopK(corpus, col("vec_id") < NQueries, NCentroids, NProbe, K)
+        .orderBy("query_id", "rank")
+    }),
+    // ADAPTIVE-RADIUS probing: probe every list within ProbeDelta of the
+    // best centroid (capped NProbeMax) instead of a fixed count — probe
+    // cost follows per-query quantizer ambiguity (see
+    // [[Similarity.ivfTopKAdaptive]]). Same serving plan shape as
+    // sim_topk_ivf; the probe rule is one in-scan kernel swap. Queries
+    // are NON-centroid vectors (the other sim_topk tiers' id<NQueries set
+    // IS the first centroids, whose best-list cosine is 1.0 — the radius
+    // rule would degenerate to 1 probe on them; measured spread on these
+    // queries is 2-7 lists at sf0.001).
+    "sim_topk_ivf_adaptive" -> ((s, dir) => {
+      val corpus = Similarity.prepare(Tables.embeddings(s, dir)).persist()
+      Similarity.ivfTopKAdaptive(corpus,
+          col("vec_id") >= NCentroids && col("vec_id") < NCentroids + NQueries,
+          NCentroids, NProbeMax, ProbeDelta, K)
         .orderBy("query_id", "rank")
     }),
     // RANGE (radius) search: all matches with cosine >= TauRange, not a
@@ -897,9 +918,14 @@ object SimilarityQueries {
     // WITH-chain up through the probed-candidate set `cand` — shared by
     // the top-k twin (rank over cand) and the range twin (tau over cand),
     // so the assign/probe definition cannot fork between them.
+    // `probeWhere` overrides the probe-selection rule (default: fixed
+    // top-NProbe); the inner select always exposes the probe cosine
+    // (`pcos`) and the per-query best (`best`) so a radius rule can gate
+    // on them — unused by the fixed-probe twins, zero result impact.
     def ivfCandCtes(centsSql: String, nQueries: Int = NQueries,
                     qPred: Option[String] = None,
-                    preCtes: String = ""): String =
+                    preCtes: String = "",
+                    probeWhere: Option[String] = None): String =
       s"""WITH e AS ($e), nn AS ($n),$preCtes
          |cents AS ($centsSql),
          |assigned AS (
@@ -913,9 +939,12 @@ object SimilarityQueries {
          |probes AS (
          |  SELECT query_id, qv, qnrm, cen_id FROM (
          |    SELECT q.query_id, q.qv, q.qnrm, cents.cen_id,
+         |      ${dotSql("q.qv", "cents.cv")} / (q.qnrm * cents.cnrm) AS pcos,
+         |      max(${dotSql("q.qv", "cents.cv")} / (q.qnrm * cents.cnrm))
+         |        OVER (PARTITION BY q.query_id) AS best,
          |      row_number() OVER (PARTITION BY q.query_id
          |        ORDER BY ${dotSql("q.qv", "cents.cv")} / (q.qnrm * cents.cnrm) DESC, cents.cen_id) AS prn
-         |    FROM q, cents) WHERE prn <= $NProbe),
+         |    FROM q, cents) WHERE ${probeWhere.getOrElse(s"prn <= $NProbe")}),
          |cand AS (
          |  SELECT p.query_id, a.vec_id,
          |    ${dotSql("p.qv", "a.v")} / (p.qnrm * a.nrm) AS cos
@@ -1109,8 +1138,9 @@ object SimilarityQueries {
     }
     def ivfOracle(centsSql: String, nQueries: Int = NQueries,
                   qPred: Option[String] = None, k: Int = K,
-                  preCtes: String = ""): String =
-      s"""${ivfCandCtes(centsSql, nQueries, qPred, preCtes)},
+                  preCtes: String = "",
+                  probeWhere: Option[String] = None): String =
+      s"""${ivfCandCtes(centsSql, nQueries, qPred, preCtes, probeWhere)},
          |ranked AS (
          |  SELECT query_id, vec_id, cos,
          |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
@@ -1379,6 +1409,16 @@ object SimilarityQueries {
            |FROM lp0 a JOIN lp1 b ON b.node = a.node JOIN lp2 c ON c.node = a.node
            |ORDER BY vec_id""".stripMargin
       },
+      // adaptive-radius probing: the SAME cand chain, the probe rule
+      // swapped to cap-then-radius — prn <= NProbeMax AND within
+      // ProbeDelta of the per-query best (the kernel thresholds against
+      // sc(0), the global max even under the cap, so cap-order is moot)
+      "sim_topk_ivf_adaptive" -> ivfOracle(
+        s"SELECT vec_id AS cen_id, v AS cv, nrm AS cnrm FROM nn WHERE vec_id < $NCentroids",
+        qPred = Some(
+          s"vec_id >= $NCentroids AND vec_id < ${NCentroids + NQueries}"),
+        probeWhere = Some(
+          s"prn <= $NProbeMax AND pcos >= best - $ProbeDelta")),
       // same probe machinery, stride-selected reindexed centers
       "sim_topk_ivf_fixed" -> ivfOracle(
         s"""SELECT (vec_id - 3) // 7 AS cen_id, v AS cv, nrm AS cnrm FROM nn
