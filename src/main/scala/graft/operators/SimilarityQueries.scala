@@ -71,6 +71,9 @@ object SimilarityQueries {
     * NProbe=4 tier and centered queries under-probe it. */
   val ProbeDelta = 0.15
   val NProbeMax = 8
+  /** Context-pack token budget: cuts the retrieved top-10 mid-list at
+    * every test SF (6/6/9 docs survive at sf0.001/0.01/0.1). */
+  val ContextBudget = 400L
 
   /** Range-search radius: cos >= 0.3 yields a handful of matches per query
     * on the near-isotropic fixture — small enough that the gate sees the
@@ -102,6 +105,28 @@ object SimilarityQueries {
           + when(col("vec_rank").isNotNull,
               lit(1.0) / (lit(RrfK0) + col("vec_rank")).cast("double"))
             .otherwise(lit(0.0))).as("rrf"))
+  }
+
+  /** E2E retrieval core: hybrid fusion → unit-vector pool → single-group
+    * MMR → metadata; `(rank, doc_id, rrf, mmr, source, lang)`, un-ordered
+    * — ONE builder behind `pipeline_e2e_retrieve` (orders and emits) and
+    * `pipeline_context_pack` (packs it into a token budget). */
+  private def retrieveRanked(s: SparkSession, dir: String): DataFrame = {
+    val emb = Similarity.prepare(Tables.embeddings(s, dir))
+    val pool = hybridRrfFused(s, dir)
+      .join(emb.select(col("vec_id").as("doc_id"),
+        transform(col("v"), x => x / col("nrm")).as("u")), Seq("doc_id"))
+    pool.groupBy(lit(1L).as("g"))
+      .agg(MmrAgg.column(2 * HybridK, MmrK, MmrLambda,
+        col("rrf"), col("doc_id"), col("u")).as("sel"))
+      .select(posexplode(col("sel")))
+      .select((col("pos") + 1).cast("long").as("rank"),
+        col("col._1").as("doc_id"), col("col._2").as("rrf"),
+        col("col._3").as("mmr"))
+      .join(Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("lang")), Seq("doc_id"))
+      .select(col("rank"), col("doc_id"), col("rrf"), col("mmr"),
+        col("source"), col("lang"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -231,22 +256,29 @@ object SimilarityQueries {
     // metadata attached last — metadata and text never enter the ranking
     // stages. Every stage is the already-pinned operator; the composition
     // adds only k-bounded joins.
-    "pipeline_e2e_retrieve" -> ((s, dir) => {
-      val emb = Similarity.prepare(Tables.embeddings(s, dir))
-      val pool = hybridRrfFused(s, dir)
-        .join(emb.select(col("vec_id").as("doc_id"),
-          transform(col("v"), x => x / col("nrm")).as("u")), Seq("doc_id"))
-      pool.groupBy(lit(1L).as("g"))
-        .agg(MmrAgg.column(2 * HybridK, MmrK, MmrLambda,
-          col("rrf"), col("doc_id"), col("u")).as("sel"))
-        .select(posexplode(col("sel")))
-        .select((col("pos") + 1).cast("long").as("rank"),
-          col("col._1").as("doc_id"), col("col._2").as("rrf"),
-          col("col._3").as("mmr"))
-        .join(Tables.documents(s, dir)
-          .select(col("doc_id"), col("source"), col("lang")), Seq("doc_id"))
-        .select(col("rank"), col("doc_id"), col("rrf"), col("mmr"),
-          col("source"), col("lang"))
+    "pipeline_e2e_retrieve" -> ((s, dir) =>
+      retrieveRanked(s, dir).orderBy("rank")),
+    // CONTEXT PACKING — the last serving step: fit the diversified
+    // ranking into a model's context budget. PREFIX packing (include
+    // ranks 1..m while the running token total fits — a lower-ranked doc
+    // never displaces a higher-ranked one), token counts from the shared
+    // tokenCount kernel. The running sum is a global Window over the
+    // ≤MmrK-row ranked frame — the one place a window is the right tool:
+    // the frame is k-bounded by construction (the repo's no-Window rule
+    // exists because corpus-sized window partitions can't split; a
+    // 10-row serving frame can't straggle).
+    "pipeline_context_pack" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val withTok = retrieveRanked(s, dir).join(
+        Tables.documents(s, dir).select(col("doc_id"),
+          graft.functions.TextFunctions.tokenCount(col("text"))
+            .cast("long").as("n_tokens")), Seq("doc_id"))
+      withTok
+        .withColumn("cum_tokens",
+          sum(col("n_tokens")).over(Window.orderBy(col("rank"))))
+        .filter(col("cum_tokens") <= ContextBudget)
+        .select(col("rank"), col("doc_id"), col("n_tokens"),
+          col("cum_tokens"), col("source"), col("lang"))
         .orderBy("rank")
     }),
     // Distributed RANGE join: radius semantics at join scale — the query
@@ -971,6 +1003,19 @@ object SimilarityQueries {
          |  COALESCE(1.0 / ($RrfK0 + l.lex_rank), 0.0)
          |    + COALESCE(1.0 / ($RrfK0 + v.vec_rank), 0.0) AS rrf
          |  FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id)""".stripMargin
+    // E2E retrieval chain ending in `rret(rank, doc_id, rrf, mmr, source,
+    // lang)` — the SQL mirror of retrieveRanked, shared by the
+    // pipeline_e2e_retrieve and pipeline_context_pack twins.
+    lazy val retrieveCtes: String =
+      s"""$hybridFusedCtes,
+         |pool AS MATERIALIZED (SELECT CAST(1 AS BIGINT) AS query_id,
+         |    f.doc_id AS vec_id, f.rrf AS rel,
+         |    list_transform(range(1, 65), ui -> nn.v[ui] / nn.nrm) AS u
+         |  FROM fused f JOIN nn ON nn.vec_id = f.doc_id),
+         |${mmrGreedyCtes(MmrK)},
+         |rret AS (SELECT s.rank, s.vec_id AS doc_id, s.rel AS rrf,
+         |    s.score AS mmr, d.source, d.lang
+         |  FROM sel$MmrK s JOIN documents d ON d.doc_id = s.vec_id)""".stripMargin
     // Unrolled greedy-MMR CTE steps over a preceding
     // `pool(query_id, vec_id, rel, u)`: sel1 = per-query relevance argmax
     // scored λ·rel, then one step per pick — ms{t} = each unpicked
@@ -1176,17 +1221,23 @@ object SimilarityQueries {
       // e2e retrieval: the SAME fused chain, unit vectors joined back as
       // the single-group MMR pool (rel = rrf), the SAME unrolled greedy
       // steps as the sim_mmr_rerank twin, doc metadata attached last
+      // (retrieveCtes ends in rret — shared with the context-pack twin)
       "pipeline_e2e_retrieve" ->
-        s"""WITH $hybridFusedCtes,
-           |pool AS MATERIALIZED (SELECT CAST(1 AS BIGINT) AS query_id,
-           |    f.doc_id AS vec_id, f.rrf AS rel,
-           |    list_transform(range(1, 65), ui -> nn.v[ui] / nn.nrm) AS u
-           |  FROM fused f JOIN nn ON nn.vec_id = f.doc_id),
-           |${mmrGreedyCtes(MmrK)}
-           |SELECT s.rank, s.vec_id AS doc_id, s.rel AS rrf, s.score AS mmr,
-           |  d.source, d.lang
-           |FROM sel$MmrK s JOIN documents d ON d.doc_id = s.vec_id
-           |ORDER BY s.rank""".stripMargin,
+        s"""WITH $retrieveCtes
+           |SELECT rank, doc_id, rrf, mmr, source, lang FROM rret
+           |ORDER BY rank""".stripMargin,
+      // context packing: the SAME rret chain, token counts from the
+      // shared ntok expression, prefix packing by running window sum
+      "pipeline_context_pack" ->
+        s"""WITH $retrieveCtes,
+           |tk AS (SELECT r.rank, r.doc_id, r.source, r.lang,
+           |    CAST(${graft.functions.TextQueries.sqlNTok} AS BIGINT) AS n_tokens
+           |  FROM rret r JOIN documents ON documents.doc_id = r.doc_id),
+           |pk AS (SELECT rank, doc_id, n_tokens, source, lang,
+           |    sum(n_tokens) OVER (ORDER BY rank) AS cum_tokens FROM tk)
+           |SELECT rank, doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           |  source, lang
+           |FROM pk WHERE cum_tokens <= $ContextBudget ORDER BY rank""".stripMargin,
       // SRP-LSH tier: same sig/band formulation as the dedup_srp_pairs
       // twin (shared srpSigSqlExpr builder — the planes cannot fork),
       // band-match candidate gate, then the standard ranked top-k tail

@@ -150,6 +150,10 @@ class ShuffleAuditSpec extends SparkSuite {
     // round 2's vote join + two agg partials, the two assembly joins on
     // node, and the final sort
     "sim_label_prop" -> 9,
+    // context pack = the e2e-retrieve chain + the token join + the
+    // single-partition window over the ≤k-row ranked frame (measured 12,
+    // same count as the chain it wraps — the extra legs are k-row-sized)
+    "pipeline_context_pack" -> 14,
     // e2e retrieve, measured 12: the hybrid fusion's own exchanges (its
     // BM25 single-row agg, the two arm top-k partials, the 2×20-row
     // fusion join) plus the ≤40-row embedding join-back, the single-group
