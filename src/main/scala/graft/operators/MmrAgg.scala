@@ -50,7 +50,12 @@ class MmrAgg(n: Int, k: Int, lambda: Double)
 
   override def reduce(buf: Vector[(Double, Long, Seq[Double])],
                       row: (Double, Long, Seq[Double])): Vector[(Double, Long, Seq[Double])] = {
-    if (buf.length == n && !lt(row, buf.last)) buf
+    // finish()'s greedy comparisons (`score > best`, `score == best`) are
+    // both false for NaN, which would degrade the (score desc, id asc)
+    // tie rule to pool-position order — enforce the zero-norm-drop
+    // invariant HERE rather than inherit it silently from upstream
+    if (row._1.isNaN) buf
+    else if (buf.length == n && !lt(row, buf.last)) buf
     else {
       val i = buf.indexWhere(b => lt(row, b)) match {
         case -1 => buf.length

@@ -496,6 +496,17 @@ object Similarity {
                           batch: DataFrame, nCentroids: Int, nProbe: Int,
                           k: Int): DataFrame = {
     val centSeq = collectCentroids(centroids(standing, nCentroids))
+    // the exactness contract above (centroids stay standing) would fail
+    // SILENTLY if a batch carried a centroid id — the quantizer would
+    // change and the result diverge from the rebuild oracle with no
+    // error. The centroid set is already driver-side; one batch-sized
+    // probe makes violations fail loudly instead.
+    val centIds = centSeq.map(_._1)
+    require(batch.filter(col("vec_id").isin(centIds.map(Long.box): _*))
+        .limit(1).count() == 0L,
+      s"knnGraphIncremental: batch contains centroid vec_id(s) of the " +
+        s"standing quantizer (centroid ids ${centIds.mkString(",")}) — " +
+        "incremental == rebuild requires the centroid set to stay standing")
     val assignedB = ivfAssignWith(batch, centSeq)
     val assignedAll = ivfAssignWith(standing, centSeq).unionByName(assignedB)
     val newB = topKPerQuery(

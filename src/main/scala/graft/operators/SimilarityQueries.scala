@@ -108,9 +108,12 @@ object SimilarityQueries {
   }
 
   /** E2E retrieval core: hybrid fusion → unit-vector pool → single-group
-    * MMR → metadata; `(rank, doc_id, rrf, mmr, source, lang)`, un-ordered
-    * — ONE builder behind `pipeline_e2e_retrieve` (orders and emits) and
-    * `pipeline_context_pack` (packs it into a token budget). */
+    * MMR → metadata; `(rank, doc_id, rrf, mmr, source, lang, n_tokens)`,
+    * un-ordered — ONE builder behind `pipeline_e2e_retrieve` (orders and
+    * emits the ranking columns) and `pipeline_context_pack` (packs it
+    * into a token budget). n_tokens rides the ONE documents join — the
+    * pack stage must not pay a second corpus-side join for a count the
+    * metadata join already had the text in hand for. */
   private def retrieveRanked(s: SparkSession, dir: String): DataFrame = {
     val emb = Similarity.prepare(Tables.embeddings(s, dir))
     val pool = hybridRrfFused(s, dir)
@@ -124,9 +127,11 @@ object SimilarityQueries {
         col("col._1").as("doc_id"), col("col._2").as("rrf"),
         col("col._3").as("mmr"))
       .join(Tables.documents(s, dir)
-        .select(col("doc_id"), col("source"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("lang"),
+          graft.functions.TextFunctions.tokenCount(col("text"))
+            .cast("long").as("n_tokens")), Seq("doc_id"))
       .select(col("rank"), col("doc_id"), col("rrf"), col("mmr"),
-        col("source"), col("lang"))
+        col("source"), col("lang"), col("n_tokens"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -257,7 +262,10 @@ object SimilarityQueries {
     // stages. Every stage is the already-pinned operator; the composition
     // adds only k-bounded joins.
     "pipeline_e2e_retrieve" -> ((s, dir) =>
-      retrieveRanked(s, dir).orderBy("rank")),
+      retrieveRanked(s, dir)
+        .select(col("rank"), col("doc_id"), col("rrf"), col("mmr"),
+          col("source"), col("lang"))
+        .orderBy("rank")),
     // CONTEXT PACKING — the last serving step: fit the diversified
     // ranking into a model's context budget. PREFIX packing (include
     // ranks 1..m while the running token total fits — a lower-ranked doc
@@ -269,11 +277,7 @@ object SimilarityQueries {
     // 10-row serving frame can't straggle).
     "pipeline_context_pack" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val withTok = retrieveRanked(s, dir).join(
-        Tables.documents(s, dir).select(col("doc_id"),
-          graft.functions.TextFunctions.tokenCount(col("text"))
-            .cast("long").as("n_tokens")), Seq("doc_id"))
-      withTok
+      retrieveRanked(s, dir)
         .withColumn("cum_tokens",
           sum(col("n_tokens")).over(Window.orderBy(col("rank"))))
         .filter(col("cum_tokens") <= ContextBudget)
@@ -1014,7 +1018,8 @@ object SimilarityQueries {
          |  FROM fused f JOIN nn ON nn.vec_id = f.doc_id),
          |${mmrGreedyCtes(MmrK)},
          |rret AS (SELECT s.rank, s.vec_id AS doc_id, s.rel AS rrf,
-         |    s.score AS mmr, d.source, d.lang
+         |    s.score AS mmr, d.source, d.lang,
+         |    CAST(${graft.functions.TextQueries.sqlNTok} AS BIGINT) AS n_tokens
          |  FROM sel$MmrK s JOIN documents d ON d.doc_id = s.vec_id)""".stripMargin
     // Unrolled greedy-MMR CTE steps over a preceding
     // `pool(query_id, vec_id, rel, u)`: sel1 = per-query relevance argmax
@@ -1230,11 +1235,8 @@ object SimilarityQueries {
       // shared ntok expression, prefix packing by running window sum
       "pipeline_context_pack" ->
         s"""WITH $retrieveCtes,
-           |tk AS (SELECT r.rank, r.doc_id, r.source, r.lang,
-           |    CAST(${graft.functions.TextQueries.sqlNTok} AS BIGINT) AS n_tokens
-           |  FROM rret r JOIN documents ON documents.doc_id = r.doc_id),
            |pk AS (SELECT rank, doc_id, n_tokens, source, lang,
-           |    sum(n_tokens) OVER (ORDER BY rank) AS cum_tokens FROM tk)
+           |    sum(n_tokens) OVER (ORDER BY rank) AS cum_tokens FROM rret)
            |SELECT rank, doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
            |  source, lang
            |FROM pk WHERE cum_tokens <= $ContextBudget ORDER BY rank""".stripMargin,
