@@ -80,21 +80,11 @@ object SimilarityQueries {
     * match-proportional output, non-empty for every query. */
   val TauRange = 0.3
 
-  /** Hybrid-retrieval fusion core: `(doc_id, lex_rank, vec_rank, rrf)`
-    * for both arms' top-[[HybridK]], un-ordered — ONE builder behind
-    * `sim_hybrid_rrf` (which orders and emits it) and the
-    * `pipeline_e2e_retrieve` composition (which feeds it to the MMR
-    * stage), so the fusion law cannot fork. */
-  private def hybridRrfFused(s: SparkSession, dir: String): DataFrame = {
-    val corpus = Similarity.prepare(Tables.embeddings(s, dir))
-    val vec = Similarity.bruteForceTopK(corpus,
-        corpus.filter(col("vec_id") === HybridQueryVec), HybridK)
-      .select(col("vec_id").as("doc_id"), col("rank").as("vec_rank"))
-    val lex = TrainingDataQueries.bm25Scored(s, dir)
-      .agg(TopKAgg.column(HybridK, col("score"), col("doc_id")).as("tk"))
-      .select(posexplode(col("tk")))
-      .select(col("col._2").as("doc_id"),
-        (col("pos") + 1).cast("long").as("lex_rank"))
+  /** RRF fusion law — ONE definition behind the in-query
+    * ([[hybridRrfFused]]) and served ([[hybridRrfServed]]) fusion cores:
+    * full-outer join of the two arm rankings, score = Σ 1/(k0+rank) over
+    * present arms, absent arm reads rank 0 / contributes 0. */
+  private def rrfFuse(lex: DataFrame, vec: DataFrame): DataFrame =
     lex.join(vec, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
         coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
@@ -105,6 +95,61 @@ object SimilarityQueries {
           + when(col("vec_rank").isNotNull,
               lit(1.0) / (lit(RrfK0) + col("vec_rank")).cast("double"))
             .otherwise(lit(0.0))).as("rrf"))
+
+  /** Lexical-arm top-[[HybridK]] over a `(doc_id, score)` relation via the
+    * bounded aggregate — shared by the in-query arm (scores computed per
+    * run) and the served arm (scores read from the persisted table). */
+  private def lexTopK(scored: DataFrame): DataFrame =
+    scored.agg(TopKAgg.column(HybridK, col("score"), col("doc_id")).as("tk"))
+      .select(posexplode(col("tk")))
+      .select(col("col._2").as("doc_id"),
+        (col("pos") + 1).cast("long").as("lex_rank"))
+
+  /** Hybrid-retrieval fusion core: `(doc_id, lex_rank, vec_rank, rrf)`
+    * for both arms' top-[[HybridK]], un-ordered — ONE builder behind
+    * `sim_hybrid_rrf` (which orders and emits it) and the
+    * `pipeline_e2e_retrieve` composition (which feeds it to the MMR
+    * stage), so the fusion law cannot fork. */
+  private def hybridRrfFused(s: SparkSession, dir: String): DataFrame = {
+    val corpus = Similarity.prepare(Tables.embeddings(s, dir))
+    val vec = Similarity.bruteForceTopK(corpus,
+        corpus.filter(col("vec_id") === HybridQueryVec), HybridK)
+      .select(col("vec_id").as("doc_id"), col("rank").as("vec_rank"))
+    val lex = lexTopK(TrainingDataQueries.bm25Scored(s, dir))
+    rrfFuse(lex, vec)
+  }
+
+  /** SERVED hybrid fusion core: both arms read PERSISTED artifacts — the
+    * production serving regime (the index is built once; queries only
+    * read). The vector arm probes the cen_id-bucketed IVF-PQ table (the
+    * `src_ivfpq_bucketed` layout) through [[probePqLists]] — coarse ADC
+    * bucket- and column-pruned, exact rescore of the survivors — instead
+    * of brute cosine over the raw corpus; the lexical arm reads the BM25
+    * scores materialized once into a scratch table instead of rescoring
+    * the corpus per query. Fusion/greedy/pack downstream are the SAME
+    * builders as the in-query chain ([[rrfFuse]], [[retrieveRankedFrom]]).
+    * `nProbe`/`candidates` parameterized for the exhaustive-probe spec
+    * (probe all lists + rescore everything == the brute arm row-for-row,
+    * ServedRetrieveSpec). */
+  private[operators] def hybridRrfServed(s: SparkSession, dir: String,
+      nProbe: Int = NProbe, candidates: Int = NCandidates): DataFrame = {
+    import graft.functions.NativeExpressions
+    val corpus = Similarity.prepare(Tables.embeddings(s, dir)).persist()
+    val (tbl, centSeq, codebook) = buildIvfPqServing(s, corpus)
+    val lexTbl = scratchTable(s, "graft_bm25_scores")
+    TrainingDataQueries.bm25Scored(s, dir)
+      .write.mode("overwrite").saveAsTable(lexTbl)
+    val lex = lexTopK(s.table(lexTbl))
+    val probeRows = corpus.filter(col("vec_id") === HybridQueryVec)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+      .withColumn("cen_id", explode(
+        NativeExpressions.topNCosineIds(col("qv"), col("qnrm"), centSeq, nProbe)))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2), r.getLong(3)))
+      .toSeq
+    val vec = probePqLists(s, tbl, codebook, PqM, probeRows, candidates, HybridK)
+      .select(col("vec_id").as("doc_id"), col("rank").as("vec_rank"))
+    rrfFuse(lex, vec)
   }
 
   /** E2E retrieval core: hybrid fusion → unit-vector pool → single-group
@@ -114,9 +159,21 @@ object SimilarityQueries {
     * into a token budget). n_tokens rides the ONE documents join — the
     * pack stage must not pay a second corpus-side join for a count the
     * metadata join already had the text in hand for. */
-  private def retrieveRanked(s: SparkSession, dir: String): DataFrame = {
+  private def retrieveRanked(s: SparkSession, dir: String): DataFrame =
+    retrieveRankedFrom(s, dir, hybridRrfFused(s, dir))
+
+  /** The served-chain ranking: [[retrieveRankedFrom]] over the persisted-
+    * artifact fusion — behind `pipeline_e2e_retrieve_served` and the
+    * context-pack stage (which packs the PRODUCTION ranking, not the
+    * in-query rebuild). */
+  private[operators] def retrieveServedRanked(s: SparkSession, dir: String,
+      nProbe: Int = NProbe, candidates: Int = NCandidates): DataFrame =
+    retrieveRankedFrom(s, dir, hybridRrfServed(s, dir, nProbe, candidates))
+
+  private def retrieveRankedFrom(s: SparkSession, dir: String,
+      fused: DataFrame): DataFrame = {
     val emb = Similarity.prepare(Tables.embeddings(s, dir))
-    val pool = hybridRrfFused(s, dir)
+    val pool = fused
       .join(emb.select(col("vec_id").as("doc_id"),
         transform(col("v"), x => x / col("nrm")).as("u")), Seq("doc_id"))
     pool.groupBy(lit(1L).as("g"))
@@ -266,18 +323,36 @@ object SimilarityQueries {
         .select(col("rank"), col("doc_id"), col("rrf"), col("mmr"),
           col("source"), col("lang"))
         .orderBy("rank")),
+    // SERVED e2e retrieval — the SAME pipeline over the PERSISTED
+    // artifacts: the vector arm probes the cen_id-bucketed IVF-PQ table
+    // (coarse ADC bucket+column-pruned, exact rescore of survivors — the
+    // src_ivfpq_bucketed read path), the lexical arm reads the BM25
+    // scores materialized once. This is the production regime: index
+    // built at write time, a query touches only probed buckets and a
+    // k-bounded tail — the in-query chain above re-scores the raw corpus
+    // per invocation and exists as the exact-arm yardstick. Fusion, MMR,
+    // metadata are the shared builders (rrfFuse/retrieveRankedFrom) — the
+    // two chains cannot fork past the arms. With exhaustive probing the
+    // two are row-identical (ServedRetrieveSpec).
+    "pipeline_e2e_retrieve_served" -> ((s, dir) =>
+      retrieveServedRanked(s, dir)
+        .select(col("rank"), col("doc_id"), col("rrf"), col("mmr"),
+          col("source"), col("lang"))
+        .orderBy("rank")),
     // CONTEXT PACKING — the last serving step: fit the diversified
     // ranking into a model's context budget. PREFIX packing (include
     // ranks 1..m while the running token total fits — a lower-ranked doc
     // never displaces a higher-ranked one), token counts from the shared
-    // tokenCount kernel. The running sum is a global Window over the
+    // tokenCount kernel. Packs the SERVED ranking — in production the
+    // pack stage sits behind the persisted-index read path, not an
+    // in-query index rebuild. The running sum is a global Window over the
     // ≤MmrK-row ranked frame — the one place a window is the right tool:
     // the frame is k-bounded by construction (the repo's no-Window rule
     // exists because corpus-sized window partitions can't split; a
     // 10-row serving frame can't straggle).
     "pipeline_context_pack" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      retrieveRanked(s, dir)
+      retrieveServedRanked(s, dir)
         .withColumn("cum_tokens",
           sum(col("n_tokens")).over(Window.orderBy(col("rank"))))
         .filter(col("cum_tokens") <= ContextBudget)
@@ -592,19 +667,7 @@ object SimilarityQueries {
     "src_ivfpq_bucketed" -> ((s, dir) => {
       import graft.functions.NativeExpressions
       val corpus = Similarity.prepare(Tables.embeddings(s, dir)).persist()
-      val all = Similarity.collectCentroids(
-        Similarity.centroids(corpus, math.max(NCentroids, PqCodewords)))
-      val centSeq = all.filter(_._1 < NCentroids)
-      val codebook: Seq[Seq[Double]] = all.filter(_._1 < PqCodewords).map(_._2)
-      require(codebook.length == PqCodewords, // dense-index oracle contract
-        s"PQ codebook collapsed to ${codebook.length}/$PqCodewords codewords")
-      val tbl = scratchTable(s, "graft_ivfpq_lists")
-      graft.sources.Layouts.writeBucketed(
-        Similarity.ivfAssignWith(corpus, centSeq)
-          .withColumn("codes", NativeExpressions.pqEncode(col("v"), codebook, PqM))
-          .select(col("vec_id"), col("cen_id"), col("codes"), col("nrm"), col("v")),
-        tbl, "cen_id", nBuckets = 16, sortCols = Seq("cen_id", "vec_id"))
-
+      val (tbl, centSeq, codebook) = buildIvfPqServing(s, corpus)
       val probeRows = corpus.filter(col("vec_id") < NQueriesServe)
         .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
         .withColumn("cen_id", explode(
@@ -841,6 +904,31 @@ object SimilarityQueries {
        |${(1 to PcaIters).map(iter).mkString(",\n")}""".stripMargin
   }
 
+  /** Builds (once per run) the persisted IVF-PQ serving artifact — the
+    * corpus assigned to the first-[[NCentroids]] quantizer, PQ-encoded
+    * against the first-[[PqCodewords]] codebook, written cen_id-bucketed
+    * carrying (vec_id, cen_id, codes, nrm, v) — and returns the table name
+    * with the collected quantizers. ONE constructor behind
+    * `src_ivfpq_bucketed` and the served retrieval chain
+    * ([[hybridRrfServed]]), so the index layout cannot fork. */
+  private def buildIvfPqServing(s: SparkSession, corpus: DataFrame)
+      : (String, Seq[(Long, Seq[Double], Double)], Seq[Seq[Double]]) = {
+    import graft.functions.NativeExpressions
+    val all = Similarity.collectCentroids(
+      Similarity.centroids(corpus, math.max(NCentroids, PqCodewords)))
+    val centSeq = all.filter(_._1 < NCentroids)
+    val codebook: Seq[Seq[Double]] = all.filter(_._1 < PqCodewords).map(_._2)
+    require(codebook.length == PqCodewords, // dense-index oracle contract
+      s"PQ codebook collapsed to ${codebook.length}/$PqCodewords codewords")
+    val tbl = scratchTable(s, "graft_ivfpq_lists")
+    graft.sources.Layouts.writeBucketed(
+      Similarity.ivfAssignWith(corpus, centSeq)
+        .withColumn("codes", NativeExpressions.pqEncode(col("v"), codebook, PqM))
+        .select(col("vec_id"), col("cen_id"), col("codes"), col("nrm"), col("v")),
+      tbl, "cen_id", nBuckets = 16, sortCols = Seq("cen_id", "vec_id"))
+    (tbl, centSeq, codebook)
+  }
+
   private def scratchTable(s: SparkSession, name: String): String = {
     // dead sessions' scratch tables are plain warehouse directories (the
     // in-memory catalog died with them) — age-gated sweep, see Scratch;
@@ -986,14 +1074,27 @@ object SimilarityQueries {
          |    ${dotSql("p.qv", "a.v")} / (p.qnrm * a.nrm) AS cos
          |  FROM probes p JOIN assigned a ON p.cen_id = a.cen_id
          |  WHERE a.vec_id <> p.query_id)""".stripMargin
+    // Shared fusion-law pieces: the lexical-arm ranking over the bm25
+    // chain's `s`, and the RRF fusion over any `lexr`/`vecr` pair — ONE
+    // definition each behind the in-query AND served hybrid twins, the
+    // SQL mirror of the Scala lexTopK/rrfFuse split.
+    val lexrCte: String =
+      s"""lexr AS (SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rank
+         |  FROM s WHERE score > 0.0 QUALIFY lex_rank <= $HybridK)""".stripMargin
+    val fusedCte: String =
+      s"""fused AS (SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+         |  COALESCE(l.lex_rank, 0) AS lex_rank,
+         |  COALESCE(v.vec_rank, 0) AS vec_rank,
+         |  COALESCE(1.0 / ($RrfK0 + l.lex_rank), 0.0)
+         |    + COALESCE(1.0 / ($RrfK0 + v.vec_rank), 0.0) AS rrf
+         |  FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id)""".stripMargin
     // Hybrid-fusion CTE chain ending in `fused(doc_id, lex_rank,
     // vec_rank, rrf)` — ONE builder behind the sim_hybrid_rrf and
     // pipeline_e2e_retrieve twins (the SQL mirror of hybridRrfFused).
     lazy val hybridFusedCtes: String =
       s"""${TrainingDataQueries.bm25Ctes},
-         |lexr AS (SELECT doc_id,
-         |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rank
-         |  FROM s WHERE score > 0.0 QUALIFY lex_rank <= $HybridK),
+         |$lexrCte,
          |e AS ($e), nn AS ($n),
          |hq AS (SELECT v AS qv, nrm AS qnrm FROM nn WHERE vec_id = $HybridQueryVec),
          |vp AS (SELECT c.vec_id, ${dotSql("hq.qv", "c.v")} / (hq.qnrm * c.nrm) AS cos
@@ -1001,18 +1102,26 @@ object SimilarityQueries {
          |vecr AS (SELECT vec_id AS doc_id,
          |    CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS vec_rank
          |  FROM vp QUALIFY vec_rank <= $HybridK),
-         |fused AS (SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
-         |  COALESCE(l.lex_rank, 0) AS lex_rank,
-         |  COALESCE(v.vec_rank, 0) AS vec_rank,
-         |  COALESCE(1.0 / ($RrfK0 + l.lex_rank), 0.0)
-         |    + COALESCE(1.0 / ($RrfK0 + v.vec_rank), 0.0) AS rrf
-         |  FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id)""".stripMargin
-    // E2E retrieval chain ending in `rret(rank, doc_id, rrf, mmr, source,
-    // lang)` — the SQL mirror of retrieveRanked, shared by the
-    // pipeline_e2e_retrieve and pipeline_context_pack twins.
-    lazy val retrieveCtes: String =
-      s"""$hybridFusedCtes,
-         |pool AS MATERIALIZED (SELECT CAST(1 AS BIGINT) AS query_id,
+         |$fusedCte""".stripMargin
+    // SERVED hybrid twin: the vector arm is the IVF-PQ serving replay
+    // (the shared ivfPqRankedCtes chain — identical to the
+    // src_ivfpq_bucketed twin's selection) restricted to the single
+    // retrieval query (nQueries=1 ⇔ query set {HybridQueryVec=0}), its
+    // per-query rank capped at HybridK; lexr/fused are the SAME pieces
+    // as the in-query twin — the arms differ, the fusion law cannot.
+    lazy val hybridServedCtes: String =
+      s"""${TrainingDataQueries.bm25Ctes},
+         |$lexrCte,
+         |e AS ($e), nn AS ($n),
+         |${ivfPqRankedCtes(1)},
+         |vecr AS (SELECT vec_id AS doc_id, rank AS vec_rank
+         |  FROM ranked WHERE rank <= $HybridK),
+         |$fusedCte""".stripMargin
+    // Pool→MMR→metadata tail over any preceding `fused`/`nn` — the SQL
+    // mirror of retrieveRankedFrom, ONE tail behind the in-query and
+    // served retrieval chains.
+    lazy val retrieveTailCtes: String =
+      s"""pool AS MATERIALIZED (SELECT CAST(1 AS BIGINT) AS query_id,
          |    f.doc_id AS vec_id, f.rrf AS rel,
          |    list_transform(range(1, 65), ui -> nn.v[ui] / nn.nrm) AS u
          |  FROM fused f JOIN nn ON nn.vec_id = f.doc_id),
@@ -1021,6 +1130,13 @@ object SimilarityQueries {
          |    s.score AS mmr, d.source, d.lang,
          |    CAST(${graft.functions.TextQueries.sqlNTok} AS BIGINT) AS n_tokens
          |  FROM sel$MmrK s JOIN documents d ON d.doc_id = s.vec_id)""".stripMargin
+    // E2E retrieval chain ending in `rret(rank, doc_id, rrf, mmr, source,
+    // lang, n_tokens)` — the SQL mirror of retrieveRanked (in-query arms)
+    // — and its served sibling (persisted-index arms), the mirror of
+    // retrieveServedRanked, shared by the pipeline_e2e_retrieve_served
+    // and pipeline_context_pack twins.
+    lazy val retrieveCtes: String = s"$hybridFusedCtes,\n$retrieveTailCtes"
+    lazy val retrieveServedCtes: String = s"$hybridServedCtes,\n$retrieveTailCtes"
     // Unrolled greedy-MMR CTE steps over a preceding
     // `pool(query_id, vec_id, rel, u)`: sel1 = per-query relevance argmax
     // scored λ·rel, then one step per pick — ms{t} = each unpicked
@@ -1231,10 +1347,19 @@ object SimilarityQueries {
         s"""WITH $retrieveCtes
            |SELECT rank, doc_id, rrf, mmr, source, lang FROM rret
            |ORDER BY rank""".stripMargin,
-      // context packing: the SAME rret chain, token counts from the
-      // shared ntok expression, prefix packing by running window sum
+      // served e2e retrieval: the SAME tail over the served fusion chain
+      // (IVF-PQ replay vector arm + the shared lexr/fused pieces) — the
+      // persisted-artifact arms change WHICH docs rank, never how the
+      // fusion/greedy/metadata tail treats them
+      "pipeline_e2e_retrieve_served" ->
+        s"""WITH $retrieveServedCtes
+           |SELECT rank, doc_id, rrf, mmr, source, lang FROM rret
+           |ORDER BY rank""".stripMargin,
+      // context packing: the SERVED rret chain (the pack stage sits
+      // behind the production read path), token counts from the shared
+      // ntok expression, prefix packing by running window sum
       "pipeline_context_pack" ->
-        s"""WITH $retrieveCtes,
+        s"""WITH $retrieveServedCtes,
            |pk AS (SELECT rank, doc_id, n_tokens, source, lang,
            |    sum(n_tokens) OVER (ORDER BY rank) AS cum_tokens FROM rret)
            |SELECT rank, doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
@@ -1631,10 +1756,23 @@ object SimilarityQueries {
       s"""SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |  FROM embeddings""".stripMargin
     val n = s"SELECT * FROM (SELECT vec_id, v, ${normSql("v")} AS nrm FROM e) WHERE nrm > 0.0"
+    s"""WITH e AS ($e), nn AS ($n),
+       |${ivfPqRankedCtes(nQueries)}
+       |SELECT query_id, rank, vec_id, cos FROM ranked
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** IVF-PQ replay chain over an in-scope `nn(vec_id, v, nrm)`: first-N
+    * quantizers, per-subspace argmin encode, ADC coarse rank bucket-
+    * restricted to the probed lists, exact rescore of the top-
+    * [[NCandidates]] — ending in `ranked(query_id, vec_id, cos, rank)`.
+    * ONE chain behind the `sim_topk_ivfpq` / `src_ivfpq_bucketed` twins
+    * and the SERVED retrieval twin's vector arm, so the index replay
+    * cannot fork from the serving read it mirrors. */
+  private def ivfPqRankedCtes(nQueries: Int): String = {
     val dsub = 8
     val sq = s"(nn.v[gs.s*$dsub + t] - cb.cv[gs.s*$dsub + t])"
-    s"""WITH e AS ($e), nn AS ($n),
-           |cents AS (SELECT vec_id AS cen_id, v AS cv, nrm AS cnrm FROM nn WHERE vec_id < $NCentroids),
+    s"""cents AS (SELECT vec_id AS cen_id, v AS cv, nrm AS cnrm FROM nn WHERE vec_id < $NCentroids),
            |assigned AS (
            |  SELECT vec_id, cen_id FROM (
            |    SELECT nn.vec_id, cents.cen_id,
@@ -1683,8 +1821,6 @@ object SimilarityQueries {
            |ranked AS (
            |  SELECT query_id, vec_id, cos,
            |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
-           |  FROM res)
-           |SELECT query_id, rank, vec_id, cos FROM ranked
-           |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+           |  FROM res)""".stripMargin
   }
 }

@@ -3,11 +3,12 @@ package graft.operators
 import org.apache.spark.sql.functions._
 import graft.{SparkSuite, Tables}
 
-/** Context packing (`pipeline_context_pack`): prefix-packs the
-  * `pipeline_e2e_retrieve` ranking into [[SimilarityQueries.ContextBudget]]
-  * tokens. Pins the prefix law (emitted = exactly ranks 1..m, running sums
-  * correct and within budget, rank m+1 would NOT have fit) and token-count
-  * parity with the shared kernel.
+/** Context packing (`pipeline_context_pack`): prefix-packs the SERVED
+  * ranking (`pipeline_e2e_retrieve_served` — the persisted-index read
+  * path) into [[SimilarityQueries.ContextBudget]] tokens. Pins the prefix
+  * law (emitted = exactly ranks 1..m, running sums correct and within
+  * budget, rank m+1 would NOT have fit) and token-count parity with the
+  * shared kernel.
   */
 class ContextPackSpec extends SparkSuite {
 
@@ -19,7 +20,7 @@ class ContextPackSpec extends SparkSuite {
     assert(packed.nonEmpty)
 
     // the unpacked ranking with independent token counts
-    val full = SimilarityQueries.queries("pipeline_e2e_retrieve")(spark, sf0001)
+    val full = SimilarityQueries.queries("pipeline_e2e_retrieve_served")(spark, sf0001)
       .select(col("rank"), col("doc_id"))
       .join(Tables.documents(spark, sf0001).select(col("doc_id"),
         graft.functions.TextFunctions.tokenCount(col("text"))

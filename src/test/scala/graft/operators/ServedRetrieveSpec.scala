@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.SparkSuite
+
+/** Served e2e retrieval (`pipeline_e2e_retrieve_served`): the retrieval
+  * chain whose arms read the PERSISTED artifacts — the cen_id-bucketed
+  * IVF-PQ table for the vector arm, the materialized BM25 score table for
+  * the lexical arm. Pins:
+  *
+  *  (a) '''row compatibility with the exact chain''': with exhaustive
+  *      probing (all lists probed, rescore pool ≥ corpus) the IVF-PQ arm's
+  *      exact-cosine rescore degenerates to brute force, so the whole
+  *      served ranking must equal `pipeline_e2e_retrieve` ROW FOR ROW —
+  *      the two chains share fusion/greedy/metadata builders and may
+  *      differ only in what the approximate arm surfaces;
+  *  (b) '''default-probe sanity''': full rank prefix, rrf/mmr laws intact
+  *      (mmr descends, rank 1 carries λ·rrf-max of the pool);
+  *  (c) '''serving plan shape''': the coarse ADC pass is bucket-pruned
+  *      (SelectedBucketsCount < total) and column-pruned (a scan reading
+  *      codes WITHOUT the full vector column), lists broadcast-joined —
+  *      never the shuffled side.
+  */
+class ServedRetrieveSpec extends SparkSuite {
+
+  test("exhaustive probing degenerates to the exact chain row-for-row") {
+    val corpusSize = graft.Tables.embeddings(spark, sf0001).count().toInt
+    val served = SimilarityQueries
+      .retrieveServedRanked(spark, sf0001,
+        nProbe = SimilarityQueries.NCentroids, candidates = corpusSize)
+      .select("rank", "doc_id", "rrf", "mmr", "source", "lang")
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    val exact = SimilarityQueries.queries("pipeline_e2e_retrieve")(spark, sf0001)
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    assert(served.nonEmpty)
+    assert(served.toSeq == exact.toSeq,
+      "exhaustive-probe served chain must equal the brute-arm chain")
+    spark.catalog.clearCache()
+  }
+
+  test("default probing: rank prefix, fused-score and greedy laws hold") {
+    val got = SimilarityQueries.queries("pipeline_e2e_retrieve_served")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(got.length == SimilarityQueries.MmrK)
+    assert(got.map(_._1).toSeq == (1 to SimilarityQueries.MmrK).map(_.toLong))
+    assert(got.map(_._2).distinct.length == got.length, "picks are distinct docs")
+    // first pick is the pool's relevance argmax with no diversity term
+    // yet: mmr(1) = λ·max(rrf). (Later picks' scores are NOT monotone —
+    // a negative max-cosine to the selection BOOSTS λ·rel, legitimately,
+    // on a near-isotropic corpus — so no descend assertion here; the
+    // greedy law itself is pinned by E2eRetrieveSpec / the DuckDB twin.)
+    val lam = SimilarityQueries.MmrLambda
+    assert(math.abs(got.head._4 - lam * got.map(_._3).max) < 1e-12)
+    spark.catalog.clearCache()
+  }
+
+  test("serving plan: coarse scan bucket-pruned and codes-only, lists never shuffle") {
+    val plan = SimilarityQueries.queries("pipeline_e2e_retrieve_served")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(m.isDefined, plan)
+    assert(m.get.group(1).toInt < m.get.group(2).toInt, m.get.matched)
+    val schemas = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(schemas.exists(l => l.contains("codes") && !l.contains("v:array")),
+      schemas.mkString("\n"))
+    // the pruned list scans are broadcast-joined against the probe set —
+    // the index is never the shuffled side of anything. (No blanket
+    // no-SortMergeJoin pin here: the RRF fusion is a full-outer join of
+    // the two ≤HybridK-row arm rankings, which cannot broadcast — a
+    // 2×20-row sort, not a corpus shuffle.)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    spark.catalog.clearCache()
+  }
+}

@@ -150,9 +150,9 @@ class ShuffleAuditSpec extends SparkSuite {
     // round 2's vote join + two agg partials, the two assembly joins on
     // node, and the final sort
     "sim_label_prop" -> 9,
-    // context pack = the e2e-retrieve chain + the token join + the
-    // single-partition window over the ≤k-row ranked frame (measured 12,
-    // same count as the chain it wraps — the extra legs are k-row-sized)
+    // context pack = the SERVED retrieve chain + the single-partition
+    // window over the ≤k-row ranked frame (the n_tokens count rides the
+    // chain's one documents join) — the extra legs are k-row-sized
     "pipeline_context_pack" -> 14,
     // e2e retrieve, measured 12: the hybrid fusion's own exchanges (its
     // BM25 single-row agg, the two arm top-k partials, the 2×20-row
@@ -160,6 +160,15 @@ class ShuffleAuditSpec extends SparkSuite {
     // MMR agg partial, the k-row metadata join and the final sort —
     // everything after the two arm scans is k-bounded
     "pipeline_e2e_retrieve" -> 14,
+    // served e2e retrieve, measured 10 — FEWER than the in-query chain
+    // (12) although it adds the coarse→rescore leg: both arms read
+    // persisted tables (the bucketed lists and the materialized BM25
+    // scores are exchange-free leaves; the corpus-side BM25 rebuild and
+    // brute-force arm shuffles are gone), leaving the two arm top-k
+    // partials, the coarse TopKAgg partials, the 2×20-row fusion join's
+    // sort legs, the single-group MMR partials, and the final sort —
+    // everything past the pruned scans is k-bounded
+    "pipeline_e2e_retrieve_served" -> 12,
     // hybrid RRF, measured 10: four are the fixture-only Spread gates,
     // three are agg partials (BM25 stats single row; the two global
     // TopKAgg arms move <=k rows per partition), and the rest shuffle
