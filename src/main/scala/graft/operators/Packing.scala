@@ -114,4 +114,33 @@ object Packing {
       .withColumn("pack_id", col("cum_before") div packTokens)
       .withColumn("pack_offset", pmod(col("cum_before"), lit(packTokens)))
   }
+
+  /** Per-pack document SPANS from concat-and-cut packing — the
+    * loss-mask / attention-boundary manifest a pretraining consumer needs:
+    * for every pack, `(pack_id, doc_id, token_start, token_end)` with
+    * pack-local half-open token coordinates, so cross-document attention
+    * can be masked at the (FlashAttention-varlen-style) document
+    * boundaries. A document starting in pack p at offset o with n tokens
+    * intersects packs p .. p + (o+n-1) div packTokens; its k-th span
+    * covers [o if k=0 else 0, min(packTokens, o + n − k·packTokens)).
+    * Zero-token documents emit no span, and spans TILE each pack exactly —
+    * no overlap, no gap (PackSpansSpec). Pure per-row explode on top of
+    * [[packAssignments]]'s prefix sum: the span emission is scan-shaped,
+    * no additional shuffle at any corpus size. */
+  def packSpans(df: DataFrame, orderCol: String, nTokensCol: String,
+                packTokens: Long): DataFrame = {
+    val n = col(nTokensCol)
+    val lastK = (col("pack_offset") + n - 1L) div packTokens
+    packAssignments(df, orderCol, nTokensCol, packTokens)
+      .filter(n > 0L)
+      .select(col(orderCol), n.as(nTokensCol), col("pack_id"), col("pack_offset"),
+        explode(sequence(lit(0L), lastK)).as("k"))
+      .select(
+        (col("pack_id") + col("k")).as("pack_id"),
+        col(orderCol),
+        when(col("k") === 0L, col("pack_offset")).otherwise(lit(0L))
+          .as("token_start"),
+        least(lit(packTokens),
+          col("pack_offset") + n - col("k") * packTokens).as("token_end"))
+  }
 }

@@ -647,6 +647,17 @@ object TrainingDataQueries {
         .orderBy("doc_id")
     }),
 
+    // Loss-mask / attention-boundary manifest at SPAN grain: every
+    // (pack, doc) intersection as pack-local half-open token coordinates
+    // — what a pretraining consumer feeds the attention mask so tokens
+    // never attend across document boundaries inside a packed sequence.
+    // Spans tile each pack exactly (PackSpansSpec); scan-shaped explode
+    // over the same prefix sum as pipeline_pack.
+    "pipeline_pack_spans" -> ((s, dir) => {
+      Packing.packSpans(docTokens(s, dir), "doc_id", "n_tokens", PackTokens)
+        .orderBy("pack_id", "token_start")
+    }),
+
     // Context-length chunking: per-document window split, pure map work.
     "pipeline_chunks" -> ((s, dir) => {
       Packing.chunks(docTokens(s, dir), "doc_id", "n_tokens", ChunkTokens)
@@ -1807,6 +1818,23 @@ object TrainingDataQueries {
          |  cum_before // $PackTokens AS pack_id,
          |  cum_before % $PackTokens AS pack_offset
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    "pipeline_pack_spans" ->
+      s"""WITH t AS (SELECT doc_id, CAST($ntokSql AS BIGINT) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |  FROM t),
+         |p AS (SELECT doc_id, n_tokens,
+         |  cum_before // $PackTokens AS p0,
+         |  cum_before % $PackTokens AS o
+         |  FROM c WHERE n_tokens > 0),
+         |e AS (SELECT doc_id, n_tokens, p0, o,
+         |  unnest(range(0, (o + n_tokens - 1) // $PackTokens + 1)) AS k FROM p)
+         |SELECT CAST(p0 + k AS BIGINT) AS pack_id, doc_id,
+         |  CAST(CASE WHEN k = 0 THEN o ELSE 0 END AS BIGINT) AS token_start,
+         |  CAST(LEAST($PackTokens, o + n_tokens - k * $PackTokens) AS BIGINT) AS token_end
+         |FROM e ORDER BY pack_id, token_start""".stripMargin,
 
     "pipeline_chunks" ->
       s"""WITH t AS (SELECT doc_id, CAST($ntokSql AS BIGINT) AS n_tokens

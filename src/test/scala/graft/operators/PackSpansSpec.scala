@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkSuite
+
+/** Span-grain pack manifest (`pipeline_pack_spans`): the loss-mask /
+  * attention-boundary contract. Pins
+  *
+  *  (a) '''tiling''': within every pack, spans sorted by token_start are
+  *      contiguous from 0 — no overlap, no gap; every pack except the last
+  *      ends exactly at [[TrainingDataQueries.PackTokens]];
+  *  (b) '''conservation''': each document's span lengths sum to its token
+  *      count, and the grand total equals the corpus token total;
+  *  (c) '''assignment parity''': each document's FIRST span sits exactly
+  *      where `pipeline_pack` says it starts (pack_id, pack_offset).
+  */
+class PackSpansSpec extends SparkSuite {
+
+  test("spans tile each pack exactly and conserve every document's tokens") {
+    val spans = TrainingDataQueries.queries("pipeline_pack_spans")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans.nonEmpty)
+    val pt = TrainingDataQueries.PackTokens
+
+    // (a) tiling per pack
+    val lastPack = spans.map(_._1).max
+    spans.groupBy(_._1).foreach { case (pack, ss) =>
+      val sorted = ss.sortBy(_._3)
+      assert(sorted.head._3 == 0L, s"pack $pack must start at 0")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 == b._3, s"pack $pack: span gap/overlap at $a -> $b")
+        case _ =>
+      }
+      sorted.foreach { case (_, _, s, e) =>
+        assert(s < e && e <= pt, s"pack $pack span bounds ($s,$e)") }
+      if (pack != lastPack)
+        assert(sorted.last._4 == pt, s"non-final pack $pack must fill to $pt")
+    }
+
+    // (b) conservation at doc and corpus grain
+    val assigns = TrainingDataQueries.queries("pipeline_pack")(spark, sf0001)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3), r.getLong(4))))
+      .toMap // doc_id -> (n_tokens, pack_id, pack_offset)
+    val perDoc = spans.groupBy(_._2).view.mapValues(_.map(s => s._4 - s._3).sum)
+    perDoc.foreach { case (doc, tot) =>
+      assert(tot == assigns(doc)._1, s"doc $doc spans must sum to its n_tokens") }
+    assert(spans.map(s => s._4 - s._3).sum ==
+      assigns.values.map(_._1).sum, "corpus token total conserved")
+
+    // (c) first span of each doc == its pipeline_pack assignment
+    spans.groupBy(_._2).foreach { case (doc, ss) =>
+      val first = ss.minBy(s => (s._1, s._3))
+      val (_, packId, off) = assigns(doc)
+      assert(first._1 == packId && first._3 == off,
+        s"doc $doc first span $first != assignment ($packId, $off)")
+    }
+  }
+}
