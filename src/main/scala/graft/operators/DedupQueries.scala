@@ -270,7 +270,21 @@ object DedupQueries {
     // corpus-side join is probe-adaptive ([[AdaptiveJoin]]): broadcast
     // while it fits — the corpus itself never shuffles to learn its
     // weights — shuffle-hash on a duplicate-heavy corpus.
-    "dedup_soft_weight" -> ((s, dir) => softWeightFrame(s, dir)),
+    "dedup_soft_weight" -> ((s, dir) => softWeightFrame(s, dir).drop("source")),
+
+    // The CONSUMER of the soft weights: draw a weight-proportional sample
+    // instead of hard-dropping duplicates — k docs per source stratum,
+    // inclusion probability ∝ weight_ppm. The draw is SEQUENTIAL POISSON
+    // (Ohlsson) order sampling, the integer-exact sibling of
+    // Efraimidis–Spirakes exponential keys: priority = u·10⁶ div weight
+    // with u a consistent hash of the doc key — smallest-k priorities win.
+    // No random(): rerun-, growth-, and partitioning-stable, like every
+    // other draw in the engine. Selection is TopKAgg (k-bounded mergeable
+    // aggregate, map-side partials) — only (sources × k) rows cross the
+    // shuffle, no per-stratum sort/window at any corpus size.
+    "pipeline_weighted_sample" -> ((s, dir) =>
+      weightedSampleFrom(softWeightFrame(s, dir), WeightedSampleK)
+        .orderBy("source", "draw_rank")),
 
     // Metadata-blocked n-gram (bigram) Jaccard: the "block by a cheap key,
     // verify only within blocks" pattern. Blocking trades recall for a
@@ -634,13 +648,46 @@ object DedupQueries {
       "canonical_id")
       .select(col("id").as("doc_id"), col("canonical_id"), col("n_members"))
       .persist())
-    AdaptiveJoin(docsSpread(s, dir).select(col("doc_id")), sized,
+    AdaptiveJoin(docsSpread(s, dir).select(col("doc_id"), col("source")), sized,
       Seq("doc_id"), "left", maxRows)
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("source"),
         coalesce(col("canonical_id"), col("doc_id")).as("cluster_id"),
         coalesce(col("n_members"), lit(1L)).as("n_members"))
       .withColumn("weight_ppm", lit(1000000L) div col("n_members"))
       .orderBy("doc_id")
+  }
+
+  /** Draws per stratum in `pipeline_weighted_sample` — 5 of the fixture's
+    * 25 docs/source, so the draw visibly cuts every stratum. */
+  val WeightedSampleK = 5
+
+  /** Weight-proportional sample over a `(doc_id, source, weight_ppm)`
+    * frame: sequential-Poisson priorities (u·10⁶ div weight_ppm, k
+    * smallest win), with u the consistent polyHash of "wsamp"+doc_id
+    * passed through an LCG scramble — integer-exact end to end, no
+    * transcendentals in the compared surface. The scramble is LOAD-
+    * BEARING: ids differing only in a short numeric suffix polyHash into
+    * a ~|Σsuffix|-wide band (the hash is a low-degree polynomial of the
+    * few varying trailing chars), so raw-hash priority MAGNITUDE would
+    * encode id length, not chance — the planted 8:1 fixture draws 100/100
+    * heavy without it, 86/100 (closed form 88.9) with it. One multiply
+    * spreads a 30k-wide band across the whole modulus (same trick as
+    * BloomFilterAgg.position). Selection is per-source TopKAgg
+    * (score = −priority, exact in a double at ≤2⁵³).
+    * `(source, draw_rank, doc_id, priority)`, un-ordered. Parameterized
+    * over the frame so WeightedSampleSpec can drive a planted two-weight
+    * fixture through the exact production draw. */
+  private[operators] def weightedSampleFrom(w: DataFrame, k: Int): DataFrame = {
+    import Packing.DivOps
+    w.withColumn("pri",
+        (pmod(TextFunctions.polyHash(concat(lit("wsamp"), col("doc_id").cast(StringType)))
+            * lit(1103515245L) + lit(12345L), lit(1000000007L))
+          * lit(1000000L)) div col("weight_ppm"))
+      .groupBy(col("source"))
+      .agg(TopKAgg.column(k, -col("pri").cast("double"), col("doc_id")).as("tk"))
+      .select(col("source"), posexplode(col("tk")))
+      .select(col("source"), (col("pos") + 1).cast(LongType).as("draw_rank"),
+        col("col._2").as("doc_id"), (-col("col._1")).cast(LongType).as("priority"))
   }
 
   /** `pipeline_corpus_prep`'s frame, budget-parameterized so DedupSpec can
@@ -760,6 +807,21 @@ object DedupQueries {
        |    AND len(list_filter(range(1, $Bands + 1), bi -> a.bands[bi] = b.bands[bi])) > 0
        |  WHERE ${jaccardSql("a.shh", "b.shh")} >= 0.5),
        |$reachTail""".stripMargin
+
+  /** Soft-weight chain over a preceding `reach` — clusters sized, every
+    * doc joined to its cluster weight: ends in `sw(doc_id, source,
+    * cluster_id, n_members, weight_ppm)`. The twin of [[softWeightFrame]],
+    * shared by the dedup_soft_weight and pipeline_weighted_sample oracles
+    * so the weight law cannot fork between producer and consumer. */
+  private def softWeightCtes: String =
+    s"""cl AS (SELECT s AS id, least(s, min(d)) AS canonical_id FROM reach GROUP BY s),
+       |sz AS (SELECT canonical_id, count(*) AS n FROM cl GROUP BY canonical_id),
+       |sw AS (SELECT d.doc_id, d.source,
+       |  COALESCE(cl.canonical_id, d.doc_id) AS cluster_id,
+       |  COALESCE(sz.n, CAST(1 AS BIGINT)) AS n_members,
+       |  1000000 // COALESCE(sz.n, CAST(1 AS BIGINT)) AS weight_ppm
+       |FROM documents d LEFT JOIN cl ON d.doc_id = cl.id
+       |LEFT JOIN sz ON cl.canonical_id = sz.canonical_id)""".stripMargin
 
   /** The editdist candidate+verify CTE chain ending in `p`
     * (id_a, id_b, dist) — the twin of [[editDistPairs]], shared by the
@@ -995,14 +1057,27 @@ object DedupQueries {
 
     "dedup_soft_weight" ->
       s"""WITH RECURSIVE $reachCtes,
-         |cl AS (SELECT s AS id, least(s, min(d)) AS canonical_id FROM reach GROUP BY s),
-         |sz AS (SELECT canonical_id, count(*) AS n FROM cl GROUP BY canonical_id)
-         |SELECT d.doc_id, COALESCE(cl.canonical_id, d.doc_id) AS cluster_id,
-         |  COALESCE(sz.n, CAST(1 AS BIGINT)) AS n_members,
-         |  1000000 // COALESCE(sz.n, CAST(1 AS BIGINT)) AS weight_ppm
-         |FROM documents d LEFT JOIN cl ON d.doc_id = cl.id
-         |LEFT JOIN sz ON cl.canonical_id = sz.canonical_id
-         |ORDER BY d.doc_id""".stripMargin,
+         |$softWeightCtes
+         |SELECT doc_id, cluster_id, n_members, weight_ppm
+         |FROM sw ORDER BY doc_id""".stripMargin,
+
+    // weighted sampling: the SAME sw weights chain, sequential-Poisson
+    // integer priorities (the exact polyHash the kernel computes), k
+    // smallest per source by (pri, doc_id) — the twin of TopKAgg's
+    // (score desc, id) on score = −pri
+    "pipeline_weighted_sample" ->
+      s"""WITH RECURSIVE $reachCtes,
+         |$softWeightCtes,
+         |pw AS (SELECT doc_id, source, weight_ppm,
+         |  (((${ph("('wsamp' || CAST(doc_id AS VARCHAR))", "wi")} * 1103515245 + 12345) % 1000000007)
+         |    * 1000000) // weight_ppm AS pri
+         |  FROM sw),
+         |rw AS (SELECT source, doc_id, pri,
+         |  CAST(row_number() OVER (PARTITION BY source ORDER BY pri, doc_id) AS BIGINT) AS draw_rank
+         |  FROM pw)
+         |SELECT source, draw_rank, doc_id, CAST(pri AS BIGINT) AS priority
+         |FROM rw WHERE draw_rank <= $WeightedSampleK
+         |ORDER BY source, draw_rank""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH t0 AS ($thCte),
