@@ -744,6 +744,20 @@ object DedupQueries {
     s"list_sort(list_distinct($combined))"
   }
 
+  /** Signed-count bucket embedding over an in-scope token-hash list `th`
+    * (mirrors NativeKernels.hashEmbed) — shared by the dedup_semantic_text
+    * and sim_maxsim_topk twins so the embedder cannot fork. */
+  private[operators] def hashEmbedSql(dim: Int): String =
+    s"list_transform(range(0, $dim), b -> " +
+      s"CAST(len(list_filter(th, h -> h % $dim = b AND (h // $dim) % 2 = 1)) - " +
+      s"len(list_filter(th, h -> h % $dim = b AND (h // $dim) % 2 = 0)) AS DOUBLE))"
+
+  /** Per-token polyHash list over an in-scope token list `ctk` (the chunk
+    * grain of [[tokenHashesSql]] — tokens are whitespace-free, so hashing
+    * the slice equals re-tokenizing the joined chunk text). */
+  private[operators] val chunkTokenHashesSql =
+    s"list_transform(ctk, t -> ${ph("t", "ci")})"
+
   /** CTE producing (doc_id, source, th) — evaluate token hashes once. */
   private[operators] val thCte = s"SELECT doc_id, source, $tokenHashesSql AS th FROM documents"
 
@@ -1188,9 +1202,7 @@ object DedupQueries {
     // integer counts cast to double, so accumulation order is irrelevant
     "dedup_semantic_text" ->
       s"""WITH t AS ($thCte),
-         |hv AS (SELECT doc_id AS vec_id, list_transform(range(0, 64), b ->
-         |  CAST(len(list_filter(th, h -> h % 64 = b AND (h // 64) % 2 = 1)) -
-         |       len(list_filter(th, h -> h % 64 = b AND (h // 64) % 2 = 0)) AS DOUBLE)) AS v
+         |hv AS (SELECT doc_id AS vec_id, ${hashEmbedSql(64)} AS v
          |  FROM t),
          |nn AS (SELECT * FROM (SELECT vec_id, v, ${normSql("v")} AS nrm FROM hv) WHERE nrm > 0.0),
          |cents AS (SELECT vec_id AS cen_id, v AS cv, nrm AS cnrm FROM nn WHERE vec_id < 16),

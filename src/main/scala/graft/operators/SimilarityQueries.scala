@@ -80,6 +80,51 @@ object SimilarityQueries {
     * match-proportional output, non-empty for every query. */
   val TauRange = 0.3
 
+  /** Late-interaction (ColBERT-style maxsim) shape: the query is doc
+    * [[MaxsimQueryDoc]]'s chunk set, docs rank by Σ over query chunks of
+    * the max cosine to any doc chunk, top-[[MaxsimK]] emitted. */
+  val MaxsimQueryDoc = 0L
+  val MaxsimK = 10
+  val MaxsimDim = 64
+
+  /** Multi-vector LATE-INTERACTION retrieval (the ColBERT maxsim law,
+    * Khattab/Zaharia 2020): both sides split into overlap chunks (the
+    * shared [[TrainingDataQueries.chunkOverlapFrame]] unit), each chunk
+    * embedded by the integer-exact in-scan hashEmbed kernel; a doc's
+    * score is Σ over QUERY chunks of its best doc-chunk cosine — a
+    * multi-topic doc scores on EVERY query aspect it covers, where a
+    * single whole-doc vector dilutes minority topics away (the planted
+    * fixture in MaxsimSpec). Hash-exactness: per-(doc, query-chunk) MAX
+    * of exact-fold cosines is order-free; the cross-chunk SUM is made
+    * order-free by fixed-point flooring each max at 2²⁰ before the
+    * integer sum (the engine's standing reproducible-sum trick). Scale
+    * shape: the query side is ONE doc's chunks (broadcast literal-sized),
+    * scoring is one scan over corpus chunks + two partial-aggregable
+    * doc_id aggs + the global TopKAgg — no corpus self-join, no window;
+    * at index scale the scan arm would route through the chunk-grain IVF
+    * tier exactly like the single-vector family. */
+  private[operators] def maxsimTopK(docs: DataFrame, k: Int): DataFrame = {
+    import graft.functions.NativeExpressions
+    val ch = TrainingDataQueries.chunkOverlapFrame(docs)
+      .select(col("doc_id"), col("chunk_idx"),
+        NativeExpressions.hashEmbed(col("chunk_text"), MaxsimDim).as("v"))
+      .withColumn("nrm", Dedup.l2norm(col("v")))
+      .filter(col("nrm") > 0.0)
+    val q = ch.filter(col("doc_id") === MaxsimQueryDoc)
+      .select(col("chunk_idx").as("qi"), col("v").as("qv"), col("nrm").as("qnrm"))
+    ch.filter(col("doc_id") =!= MaxsimQueryDoc)
+      .crossJoin(broadcast(q))
+      .withColumn("cos", Dedup.cosine(col("qv"), col("v"), col("qnrm"), col("nrm")))
+      .groupBy(col("doc_id"), col("qi"))
+      .agg(max(col("cos")).as("m"))
+      .groupBy(col("doc_id"))
+      .agg(sum(floor(col("m") * lit(1048576.0)).cast("long")).as("maxsim_fp"))
+      .agg(TopKAgg.column(k, col("maxsim_fp").cast("double"), col("doc_id")).as("tk"))
+      .select(posexplode(col("tk")))
+      .select((col("pos") + 1).cast("long").as("rank"),
+        col("col._2").as("doc_id"), col("col._1").cast("long").as("maxsim_fp"))
+  }
+
   /** RRF fusion law — ONE definition behind the in-query
     * ([[hybridRrfFused]]) and served ([[hybridRrfServed]]) fusion cores:
     * full-outer join of the two arm rankings, score = Σ 1/(k0+rank) over
@@ -310,6 +355,13 @@ object SimilarityQueries {
     // exact reciprocals — hash-exact.
     "sim_hybrid_rrf" -> ((s, dir) =>
       hybridRrfFused(s, dir).orderBy(col("rrf").desc, col("doc_id"))),
+    // LATE-INTERACTION retrieval — see [[maxsimTopK]]; the one retrieval
+    // law the single-vector family cannot express (a whole-doc embedding
+    // averages topics; maxsim scores each query aspect against the
+    // best-matching chunk independently).
+    "sim_maxsim_topk" -> ((s, dir) =>
+      maxsimTopK(Spread.ifNarrow(Tables.documents(s, dir), col("doc_id")),
+        MaxsimK).orderBy("rank")),
     // E2E RETRIEVAL composition — the serving-side pipeline the ingestion
     // operators exist to feed: hybrid lexical+vector fusion
     // ([[hybridRrfFused]], shared with sim_hybrid_rrf — no fork), unit
@@ -1339,6 +1391,34 @@ object SimilarityQueries {
         s"""WITH $hybridFusedCtes
            |SELECT doc_id, lex_rank, vec_rank, rrf FROM fused
            |ORDER BY rrf DESC, doc_id""".stripMargin,
+      // late-interaction maxsim: the SHARED chunk chain (chunkCtes — the
+      // pipeline_chunk_overlap unit verbatim), per-chunk hashEmbed (the
+      // shared hashEmbedSql embedder), max cosine per (doc, query chunk)
+      // (order-free), fixed-point floor at 2^20 before the integer sum
+      // (the reproducible-sum trick), rank by (maxsim_fp DESC, doc_id)
+      "sim_maxsim_topk" ->
+        s"""WITH ${TrainingDataQueries.chunkCtes},
+           |chtok AS (SELECT doc_id, CAST(u.ci AS BIGINT) AS chunk_idx,
+           |  toks[u.st+1:u.st+${TrainingDataQueries.ChunkTokens}] AS ctk FROM e),
+           |chh AS (SELECT doc_id, chunk_idx,
+           |  ${DedupQueries.chunkTokenHashesSql} AS th FROM chtok),
+           |hv AS (SELECT doc_id, chunk_idx, ${DedupQueries.hashEmbedSql(MaxsimDim)} AS v FROM chh),
+           |cn AS (SELECT * FROM (SELECT doc_id, chunk_idx, v, ${normSql("v")} AS nrm FROM hv)
+           |  WHERE nrm > 0.0),
+           |q AS (SELECT chunk_idx AS qi, v AS qv, nrm AS qnrm FROM cn
+           |  WHERE doc_id = $MaxsimQueryDoc),
+           |mc AS (SELECT c.doc_id, q.qi,
+           |    max(${dotSql("q.qv", "c.v")} / (q.qnrm * c.nrm)) AS m
+           |  FROM cn c, q WHERE c.doc_id <> $MaxsimQueryDoc
+           |  GROUP BY c.doc_id, q.qi),
+           |fp AS (SELECT doc_id,
+           |  CAST(SUM(CAST(floor(m * 1048576.0) AS BIGINT)) AS BIGINT) AS maxsim_fp
+           |  FROM mc GROUP BY doc_id),
+           |rk AS (SELECT doc_id, maxsim_fp,
+           |  CAST(row_number() OVER (ORDER BY maxsim_fp DESC, doc_id) AS BIGINT) AS rank
+           |  FROM fp)
+           |SELECT rank, doc_id, maxsim_fp FROM rk
+           |WHERE rank <= $MaxsimK ORDER BY rank""".stripMargin,
       // e2e retrieval: the SAME fused chain, unit vectors joined back as
       // the single-group MMR pool (rel = rrf), the SAME unrolled greedy
       // steps as the sim_mmr_rerank twin, doc metadata attached last

@@ -636,6 +636,38 @@ object TrainingDataQueries {
   val BpeVocabCap = 100000
   val CmsProbeTerms = Seq("join", "hash", "scan", "query", "window", "zzz_absent")
 
+  /** Sliding-window overlap chunker over a `(doc_id, text)` relation —
+    * the retrieval/embedding chunk unit: window starts step by
+    * [[ChunkStride]], the FINAL window right-aligns at n−W so every token
+    * is covered and no window is strictly contained in another; a doc of
+    * n ≤ W tokens yields exactly one chunk. Pure map-side explode — ONE
+    * builder behind `pipeline_chunk_overlap` and the late-interaction
+    * retrieval chunking ([[SimilarityQueries]] `sim_maxsim_topk`), so the
+    * chunk unit cannot fork between the pipeline and its consumer. */
+  private[operators] def chunkOverlapFrame(docs: DataFrame): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") > 0)
+    val starts = when(col("n") <= ChunkTokens, array(lit(0)))
+      .otherwise(concat(
+        filter(
+          transform(
+            sequence(lit(0), floor((col("n") - 1) / ChunkStride).cast("int")),
+            i => i * ChunkStride),
+          st => st + ChunkTokens < col("n")),
+        array(col("n") - ChunkTokens)))
+    base.withColumn("sts", starts)
+      .select(col("doc_id"), col("n"), col("toks"),
+        posexplode(col("sts")).as(Seq("chunk_idx", "start_tok")))
+      .select(col("doc_id"),
+        col("chunk_idx").cast(LongType).as("chunk_idx"),
+        col("start_tok").cast(LongType).as("start_tok"),
+        least(lit(ChunkTokens), col("n") - col("start_tok")).cast(LongType).as("n_tok"),
+        array_join(slice(col("toks"), col("start_tok") + 1, lit(ChunkTokens)), " ")
+          .as("chunk_text"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Concat-and-cut sequence packing: exclusive global prefix sum of
@@ -673,30 +705,8 @@ object TrainingDataQueries {
     // normalized token join) — the unit a downstream embedder consumes.
     // Pure map-side explode: chunking a 100 TB corpus is scan-shaped,
     // no shuffle, and chunk ids (doc_id, chunk_idx) are deterministic.
-    "pipeline_chunk_overlap" -> ((s, dir) => {
-      val base = docsSpread(s, dir)
-        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
-        .withColumn("n", size(col("toks")))
-        .filter(col("n") > 0)
-      val starts = when(col("n") <= ChunkTokens, array(lit(0)))
-        .otherwise(concat(
-          filter(
-            transform(
-              sequence(lit(0), floor((col("n") - 1) / ChunkStride).cast("int")),
-              i => i * ChunkStride),
-            st => st + ChunkTokens < col("n")),
-          array(col("n") - ChunkTokens)))
-      base.withColumn("sts", starts)
-        .select(col("doc_id"), col("n"), col("toks"),
-          posexplode(col("sts")).as(Seq("chunk_idx", "start_tok")))
-        .select(col("doc_id"),
-          col("chunk_idx").cast(LongType).as("chunk_idx"),
-          col("start_tok").cast(LongType).as("start_tok"),
-          least(lit(ChunkTokens), col("n") - col("start_tok")).cast(LongType).as("n_tok"),
-          array_join(slice(col("toks"), col("start_tok") + 1, lit(ChunkTokens)), " ")
-            .as("chunk_text"))
-        .orderBy("doc_id", "chunk_idx")
-    }),
+    "pipeline_chunk_overlap" -> ((s, dir) =>
+      chunkOverlapFrame(docsSpread(s, dir)).orderBy("doc_id", "chunk_idx")),
 
     // Whole-document SHELF packing — the padding-aware alternative to
     // concat-and-cut: no document is ever split across sequences
@@ -1694,6 +1704,24 @@ object TrainingDataQueries {
 
   private val ntokSql = graft.functions.TextQueries.sqlNTok
 
+  /** The overlap-chunker CTE chain ending in `e(doc_id, n, toks, u)` with
+    * `u = {ci: chunk index, st: start token}` — the twin of
+    * [[chunkOverlapFrame]], shared by the pipeline_chunk_overlap and
+    * sim_maxsim_topk oracles so the chunk unit cannot fork. */
+  private[operators] val chunkCtes: String =
+    s"""tk AS (SELECT doc_id,
+       |  list_filter(string_split_regex(trim(text), '\\s+'), t9 -> t9 <> '') AS toks
+       |  FROM documents),
+       |b AS (SELECT doc_id, toks, len(toks) AS n FROM tk WHERE len(toks) > 0),
+       |st AS (SELECT doc_id, toks, n,
+       |  CASE WHEN n <= $ChunkTokens THEN [0]
+       |       ELSE list_append(list_filter(list_transform(
+       |         range(0, (n-1)//$ChunkStride + 1), i -> i*$ChunkStride),
+       |         s2 -> s2 + $ChunkTokens < n), n - $ChunkTokens) END AS sts
+       |  FROM b),
+       |e AS (SELECT doc_id, n, toks,
+       |  unnest(list_transform(range(0, len(sts)), j -> {'ci': j, 'st': sts[j+1]})) AS u FROM st)""".stripMargin
+
   /** DuckDB twin of [[bm25Scored]]: CTE chain ending in
     * `s(doc_id, score)` — docs with >= 1 matching term; callers apply the
     * `score > 0.0` gate that mirrors the Scala filter. Shared by the
@@ -1847,18 +1875,7 @@ object TrainingDataQueries {
          |FROM e ORDER BY doc_id, chunk_id""".stripMargin,
 
     "pipeline_chunk_overlap" ->
-      s"""WITH tk AS (SELECT doc_id,
-         |  list_filter(string_split_regex(trim(text), '\\s+'), t9 -> t9 <> '') AS toks
-         |  FROM documents),
-         |b AS (SELECT doc_id, toks, len(toks) AS n FROM tk WHERE len(toks) > 0),
-         |st AS (SELECT doc_id, toks, n,
-         |  CASE WHEN n <= $ChunkTokens THEN [0]
-         |       ELSE list_append(list_filter(list_transform(
-         |         range(0, (n-1)//$ChunkStride + 1), i -> i*$ChunkStride),
-         |         s2 -> s2 + $ChunkTokens < n), n - $ChunkTokens) END AS sts
-         |  FROM b),
-         |e AS (SELECT doc_id, n, toks,
-         |  unnest(list_transform(range(0, len(sts)), j -> {'ci': j, 'st': sts[j+1]})) AS u FROM st)
+      s"""WITH $chunkCtes
          |SELECT doc_id, CAST(u.ci AS BIGINT) AS chunk_idx, CAST(u.st AS BIGINT) AS start_tok,
          |  CAST(LEAST($ChunkTokens, n - u.st) AS BIGINT) AS n_tok,
          |  array_to_string(toks[u.st+1:u.st+$ChunkTokens], ' ') AS chunk_text

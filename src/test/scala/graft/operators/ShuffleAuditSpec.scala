@@ -183,7 +183,12 @@ class ShuffleAuditSpec extends SparkSuite {
     // plan text, of which ~8 are the decontamination stage's persisted
     // contaminated set reprinting its build lineage under the
     // InMemoryRelation (runtime shuffles stay ~12)
-    "pipeline_e2e_incremental" -> 22
+    "pipeline_e2e_incremental" -> 22,
+    // weighted sampling = the dedup_soft_weight chain (LSH→CC cluster
+    // sizing + the corpus-side weight join) + the per-source TopKAgg's
+    // two agg partials and the final sort — measured 7; everything past
+    // the weight frame moves ≤ sources×k rows
+    "pipeline_weighted_sample" -> 9
   ).withDefaultValue(6)
 
   test("every query plan builds, and its shuffle count stays within the audited bound") {
