@@ -123,49 +123,71 @@ object Bench {
     //   1. full names, integer centiseconds ("qunit":"centisec");
     //   2. prefix-compressed names plus an inline "prefix" legend;
     //   3. the legend dropped (the mapping is documented here);
-    //   4. cheapest successful entries trimmed (failures never trim).
-    val prefixes = Seq("dedup_" -> "D", "sim_topk_" -> "S", "text_" -> "T",
-      "pipeline_" -> "P", "pu_" -> "U", "q_" -> "Q", "src_" -> "R", "mm_" -> "M")
+    //   4. POSITIONAL codes ("qenc":"pos36"): prefix char + base-36 rank
+    //      of the query within its prefix group, full names sorted
+    //      ascending — ~3 chars/name vs ~12, which keeps 200+ queries
+    //      inside the window with no (or few) drops. Reconstruct the
+    //      mapping by sorting the query names from bench_out.json (or the
+    //      round's oracle_sql.json) and re-deriving rank-within-prefix;
+    //      non-prefixed names stay literal.
+    //   5. cheapest successful entries trimmed (failures never trim).
+    // order matters: first match wins, so sim_topk_ must precede sim_
+    val prefixes = Seq("dedup_" -> "D", "sim_topk_" -> "S", "sim_" -> "V",
+      "text_" -> "T", "pipeline_" -> "P", "pu_" -> "U", "q_" -> "Q",
+      "src_" -> "R", "mm_" -> "M", "prob_" -> "B")
     def short(n: String): String =
       prefixes.find { case (p, _) => n.startsWith(p) }
         .map { case (p, c) => c + n.substring(p.length) }.getOrElse(n)
+    val codeOf: Map[String, String] = results.map(_._1).sorted
+      .groupBy(n => prefixes.find { case (p, _) => n.startsWith(p) })
+      .toSeq.flatMap {
+        case (Some((_, c)), ns) => ns.zipWithIndex.map { case (n, i) =>
+          n -> (c + java.lang.Long.toString(i.toLong, 36)) }
+        case (None, ns) => ns.map(n => n -> n)
+      }.toMap
     val shortIsUnique =
       results.map(r => short(r._1)).distinct.length == results.length
-    def line(qrs: Seq[(String, Double)], shorten: Boolean, legend: Boolean): String = {
+    val codeIsUnique =
+      codeOf.values.toSeq.distinct.length == results.length
+    // naming modes: 0 full, 1 short+legend, 2 short, 3 positional codes
+    def name(n: String, mode: Int): String =
+      if (mode >= 3) codeOf(n) else if (mode >= 1) short(n) else n
+    def line(qrs: Seq[(String, Double)], mode: Int): String = {
       val qs = qrs.map { case (k, v) =>
-        "\"" + (if (shorten) short(k) else k) + "\":" +
+        "\"" + name(k, mode) + "\":" +
           (if (v < 0) "-100" else math.round(v * 100).toString) // csec; -100 = failed
       }.mkString("{", ",", "}")
-      val leg = if (legend) ",\"prefix\":" + prefixes
+      val leg = if (mode == 1) ",\"prefix\":" + prefixes
         .map { case (p, c) => "\"" + c + "\":\"" + p + "\"" }
         .mkString("{", ",", "}") else ""
+      val enc = if (mode >= 3) ""","qenc":"pos36"""" else ""
       // sf as basename: the full path spends 15 chars of the window on
       // "/root/testdata/" the driver already knows. "trimmed" makes the
-      // step-4 drop EXPLICIT (no silent cap): n cheapest successful
+      // final-step drop EXPLICIT (no silent cap): n cheapest successful
       // entries absent here, all present in bench_out.json; total covers
       // every query either way.
       val trm = if (qrs.length < results.length)
         s""","trimmed":${results.length - qrs.length}""" else ""
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"qunit":"centisec"$leg$trm,"cold_total_sec":$coldTotal%.2f,"sf":"${sfDir.split('/').last}"}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"qunit":"centisec"$enc$leg$trm,"cold_total_sec":$coldTotal%.2f,"sf":"${sfDir.split('/').last}"}"""
     }
     val budget = 1850
-    val variants = Seq((false, false)) ++
-      (if (shortIsUnique) Seq((true, true), (true, false)) else Nil)
+    val variants = Seq(0) ++ (if (shortIsUnique) Seq(1, 2) else Nil) ++
+      (if (codeIsUnique) Seq(3) else Nil)
     // failure sentinels sort FIRST so they are never trimmed — the driver
     // must always see a failed query; then descending cost, so the cheapest
     // successful entries are dropped first if space runs out
     var keep = results.sortBy { case (_, v) =>
       if (v < 0) Double.NegativeInfinity else -v
     }
-    val (doShorten, doLegend) = variants
-      .find { case (sh, lg) => line(keep.sortBy(_._1), sh, lg).length <= budget }
+    val mode = variants
+      .find(m => line(keep.sortBy(_._1), m).length <= budget)
       .getOrElse(variants.last)
-    while (line(keep.sortBy(_._1), doShorten, doLegend).length > budget && keep.nonEmpty)
+    while (line(keep.sortBy(_._1), mode).length > budget && keep.nonEmpty)
       keep = keep.dropRight(1)
     // Stop Spark BEFORE printing: executor/shutdown WARN logs otherwise land
     // between the JSON line and end-of-stream, pushing it out of the
     // driver's 2000-char tail window.
     spark.stop()
-    println(line(keep.sortBy(_._1), doShorten, doLegend))
+    println(line(keep.sortBy(_._1), mode))
   }
 }
