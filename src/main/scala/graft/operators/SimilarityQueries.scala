@@ -391,6 +391,24 @@ object SimilarityQueries {
         .select(col("rank"), col("doc_id"), col("rrf"), col("mmr"),
           col("source"), col("lang"))
         .orderBy("rank")),
+    // SERVING-FIDELITY report — the acceptance check a serving migration
+    // runs before cutting traffic to the compressed index: the exact
+    // (brute-arm) and served (IVF-PQ-arm) rankings full-outer-joined per
+    // doc, rank 0 = absent from that arm. Composes the two REGISTERED
+    // chains verbatim (shared builders — the report can never describe
+    // other parameters); everything past the two chains is a k×k-row
+    // join. The gate pins the per-doc rank displacement table itself, so
+    // a quantizer/probe change that moves the served ranking shows up as
+    // a hash diff here even when both chains stay internally green.
+    "sim_retrieve_fidelity" -> ((s, dir) => {
+      val ex = retrieveRanked(s, dir).select(col("doc_id"), col("rank").as("rank_exact"))
+      val sv = retrieveServedRanked(s, dir).select(col("doc_id"), col("rank").as("rank_served"))
+      ex.join(sv, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("rank_exact"), lit(0L)).as("rank_exact"),
+          coalesce(col("rank_served"), lit(0L)).as("rank_served"))
+        .orderBy("doc_id")
+    }),
     // CONTEXT PACKING — the last serving step: fit the diversified
     // ranking into a model's context budget. PREFIX packing (include
     // ranks 1..m while the running token total fits — a lower-ranked doc
@@ -717,17 +735,37 @@ object SimilarityQueries {
     // same as sim_topk_ivfpq) -> hash-exact oracle at the serving query
     // count.
     "src_ivfpq_bucketed" -> ((s, dir) => {
-      import graft.functions.NativeExpressions
       val corpus = Similarity.prepare(Tables.embeddings(s, dir)).persist()
       val (tbl, centSeq, codebook) = buildIvfPqServing(s, corpus)
-      val probeRows = corpus.filter(col("vec_id") < NQueriesServe)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
-        .withColumn("cen_id", explode(
-          NativeExpressions.topNCosineIds(col("qv"), col("qnrm"), centSeq, NProbe)))
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2), r.getLong(3)))
-        .toSeq
-      probePqLists(s, tbl, codebook, PqM, probeRows, NCandidates, K)
+      probePqLists(s, tbl, codebook, PqM,
+        serveProbeRows(corpus, centSeq), NCandidates, K)
+    }),
+    // Append-maintained IVF-PQ serving — the daily-ingest arm of the
+    // compressed index (the src_ivf_append lifecycle, PQ edition): the
+    // base corpus builds the bucketed coded table ONCE; a later batch is
+    // assigned AND PQ-ENCODED in-scan with the SAME quantizers (coarse
+    // centroids and codebook are properties of the index, never retrained
+    // per ingest — retraining would silently re-code the standing lists)
+    // and appended into the same bucket layout. The probe is
+    // hash-identical to a full rebuild over base ∪ increment (same
+    // ivfPqOracle as src_ivfpq_bucketed — the base's first-N quantizers
+    // ARE the full corpus's first-N, require-pinned): ingest must not
+    // change answers.
+    "src_ivfpq_append" -> ((s, dir) => {
+      val corpus = Similarity.prepare(Tables.embeddings(s, dir)).persist()
+      val base = corpus.filter(col("vec_id") < 400)
+      val incr = corpus.filter(col("vec_id") >= 400)
+      // quantizers from the BASE partition — identical to full-corpus
+      // training by construction (centroids() takes vec_id < 16 ⊂ base),
+      // which is exactly why the full-rebuild oracle applies verbatim
+      val (centSeq, codebook) = ivfPqQuantizers(base)
+      require(centSeq.length == NCentroids,
+        s"coarse quantizer collapsed to ${centSeq.length}/$NCentroids")
+      val tbl = scratchTable(s, "graft_ivfpq_append")
+      writeIvfPq(base, tbl, centSeq, codebook)
+      writeIvfPq(incr, tbl, centSeq, codebook, mode = "append")
+      probePqLists(s, tbl, codebook, PqM,
+        serveProbeRows(corpus, centSeq), NCandidates, K)
     }),
     "src_ivf_append" -> ((s, dir) => {
       val corpus = Similarity.prepare(Tables.embeddings(s, dir)).persist()
@@ -965,20 +1003,54 @@ object SimilarityQueries {
     * ([[hybridRrfServed]]), so the index layout cannot fork. */
   private def buildIvfPqServing(s: SparkSession, corpus: DataFrame)
       : (String, Seq[(Long, Seq[Double], Double)], Seq[Seq[Double]]) = {
-    import graft.functions.NativeExpressions
+    val (centSeq, codebook) = ivfPqQuantizers(corpus)
+    val tbl = scratchTable(s, "graft_ivfpq_lists")
+    writeIvfPq(corpus, tbl, centSeq, codebook)
+    (tbl, centSeq, codebook)
+  }
+
+  /** The deterministic serving quantizers: first-[[NCentroids]] coarse
+    * centroids + first-[[PqCodewords]] codebook by vec_id, collected once
+    * (bounded driver state at any corpus size). */
+  private def ivfPqQuantizers(corpus: DataFrame)
+      : (Seq[(Long, Seq[Double], Double)], Seq[Seq[Double]]) = {
     val all = Similarity.collectCentroids(
       Similarity.centroids(corpus, math.max(NCentroids, PqCodewords)))
     val centSeq = all.filter(_._1 < NCentroids)
     val codebook: Seq[Seq[Double]] = all.filter(_._1 < PqCodewords).map(_._2)
     require(codebook.length == PqCodewords, // dense-index oracle contract
       s"PQ codebook collapsed to ${codebook.length}/$PqCodewords codewords")
-    val tbl = scratchTable(s, "graft_ivfpq_lists")
+    (centSeq, codebook)
+  }
+
+  /** The serving-regime probe set ([[NQueriesServe]] queries ×
+    * [[NProbe]] lists), collected once — shared by every bucketed-PQ
+    * probe caller. */
+  private def serveProbeRows(corpus: DataFrame,
+      centSeq: Seq[(Long, Seq[Double], Double)]): Seq[(Long, Seq[Double], Double, Long)] = {
+    import graft.functions.NativeExpressions
+    corpus.filter(col("vec_id") < NQueriesServe)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+      .withColumn("cen_id", explode(
+        NativeExpressions.topNCosineIds(col("qv"), col("qnrm"), centSeq, NProbe)))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2), r.getLong(3)))
+      .toSeq
+  }
+
+  /** One assign+encode+write pass of `part` into the cen_id-bucketed
+    * IVF-PQ layout under FIXED quantizers — shared by the base build and
+    * the append arm (the quantizer is a property of the index, never
+    * retrained per ingest). */
+  private def writeIvfPq(part: DataFrame, tbl: String,
+      centSeq: Seq[(Long, Seq[Double], Double)], codebook: Seq[Seq[Double]],
+      mode: String = "overwrite"): Unit = {
+    import graft.functions.NativeExpressions
     graft.sources.Layouts.writeBucketed(
-      Similarity.ivfAssignWith(corpus, centSeq)
+      Similarity.ivfAssignWith(part, centSeq)
         .withColumn("codes", NativeExpressions.pqEncode(col("v"), codebook, PqM))
         .select(col("vec_id"), col("cen_id"), col("codes"), col("nrm"), col("v")),
-      tbl, "cen_id", nBuckets = 16, sortCols = Seq("cen_id", "vec_id"))
-    (tbl, centSeq, codebook)
+      tbl, "cen_id", nBuckets = 16, sortCols = Seq("cen_id", "vec_id"), mode = mode)
   }
 
   private def scratchTable(s: SparkSession, name: String): String = {
@@ -1435,6 +1507,17 @@ object SimilarityQueries {
         s"""WITH $retrieveServedCtes
            |SELECT rank, doc_id, rrf, mmr, source, lang FROM rret
            |ORDER BY rank""".stripMargin,
+      // serving fidelity: both registered chains as derived tables (their
+      // CTE chains share names, so each nests in its own scope), rank 0 =
+      // absent from that arm
+      "sim_retrieve_fidelity" ->
+        s"""SELECT COALESCE(e.doc_id, v.doc_id) AS doc_id,
+           |  COALESCE(e.rank, 0) AS rank_exact,
+           |  COALESCE(v.rank, 0) AS rank_served
+           |FROM (WITH $retrieveCtes SELECT rank, doc_id FROM rret) e
+           |FULL OUTER JOIN (WITH $retrieveServedCtes SELECT rank, doc_id FROM rret) v
+           |ON e.doc_id = v.doc_id
+           |ORDER BY doc_id""".stripMargin,
       // context packing: the SERVED rret chain (the pack stage sits
       // behind the production read path), token counts from the shared
       // ntok expression, prefix packing by running window sum
@@ -1756,6 +1839,10 @@ object SimilarityQueries {
       // construction) at the serving regime's NQueriesServe.
       "sim_topk_ivfpq" -> ivfPqOracle(NQueries),
       "src_ivfpq_bucketed" -> ivfPqOracle(NQueriesServe),
+      // append arm: base ∪ increment must answer exactly like the one-shot
+      // build — same oracle verbatim (quantizers are base-trained ==
+      // full-corpus first-N by construction)
+      "src_ivfpq_append" -> ivfPqOracle(NQueriesServe),
       "sim_recall_report" ->
         s"""${ivfCandCtes(s"SELECT vec_id AS cen_id, v AS cv, nrm AS cnrm FROM nn WHERE vec_id < $NCentroids")},
            |ivfr AS (SELECT query_id, vec_id FROM (

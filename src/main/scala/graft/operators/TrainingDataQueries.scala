@@ -916,6 +916,25 @@ object TrainingDataQueries {
         .orderBy("pack_id")
     }),
 
+    // The cu_seqlens contract at PACK grain — what a FlashAttention-varlen
+    // consumer actually passes to the kernel: per pack, the ordered
+    // boundary offsets [0, end_1, …, end_m] (span ends tile the pack, so
+    // prepending 0 to the ordered ends IS the cumulative-sequence-length
+    // array). Derived from the same spans as pipeline_pack_spans — one
+    // pack_id agg; the array folds to the portable combine hash per the
+    // standing scalar-surface convention, alongside the two scalars a
+    // sanity monitor reads (boundary count, pack fill).
+    "pipeline_pack_attention" -> ((s, dir) => {
+      Packing.packSpans(docTokens(s, dir), "doc_id", "n_tokens", PackTokens)
+        .groupBy(col("pack_id"))
+        .agg(count(lit(1)).cast(LongType).as("n_spans"),
+          max(col("token_end")).as("fill"),
+          NativeExpressions.polyCombine(
+            concat(array(lit(0L)), array_sort(collect_list(col("token_end")))))
+            .as("cu_seqlens_hash"))
+        .orderBy("pack_id")
+    }),
+
     // Deterministic GLOBAL SHUFFLE into training shards — the step between
     // "corpus is ready" and "trainer reads it": shard = consistent-hash of
     // the doc key mod NShards, within-shard order = a SECOND independent
@@ -1704,6 +1723,27 @@ object TrainingDataQueries {
 
   private val ntokSql = graft.functions.TextQueries.sqlNTok
 
+  /** The pack-span CTE chain ending in
+    * `spans(pack_id, doc_id, token_start, token_end)` — the twin of
+    * [[Packing.packSpans]], shared by the pipeline_pack_spans and
+    * pipeline_pack_attention oracles so the span law cannot fork. */
+  private[operators] lazy val packSpanCtes: String =
+    s"""t AS (SELECT doc_id, CAST($ntokSql AS BIGINT) AS n_tokens FROM documents),
+       |c AS (SELECT doc_id, n_tokens,
+       |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+       |  FROM t),
+       |p AS (SELECT doc_id, n_tokens,
+       |  cum_before // $PackTokens AS p0,
+       |  cum_before % $PackTokens AS o
+       |  FROM c WHERE n_tokens > 0),
+       |e AS (SELECT doc_id, n_tokens, p0, o,
+       |  unnest(range(0, (o + n_tokens - 1) // $PackTokens + 1)) AS k FROM p),
+       |spans AS (SELECT CAST(p0 + k AS BIGINT) AS pack_id, doc_id,
+       |  CAST(CASE WHEN k = 0 THEN o ELSE 0 END AS BIGINT) AS token_start,
+       |  CAST(LEAST($PackTokens, o + n_tokens - k * $PackTokens) AS BIGINT) AS token_end
+       |FROM e)""".stripMargin
+
   /** The overlap-chunker CTE chain ending in `e(doc_id, n, toks, u)` with
     * `u = {ci: chunk index, st: start token}` — the twin of
     * [[chunkOverlapFrame]], shared by the pipeline_chunk_overlap and
@@ -1848,21 +1888,19 @@ object TrainingDataQueries {
          |FROM c ORDER BY doc_id""".stripMargin,
 
     "pipeline_pack_spans" ->
-      s"""WITH t AS (SELECT doc_id, CAST($ntokSql AS BIGINT) AS n_tokens FROM documents),
-         |c AS (SELECT doc_id, n_tokens,
-         |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
-         |  FROM t),
-         |p AS (SELECT doc_id, n_tokens,
-         |  cum_before // $PackTokens AS p0,
-         |  cum_before % $PackTokens AS o
-         |  FROM c WHERE n_tokens > 0),
-         |e AS (SELECT doc_id, n_tokens, p0, o,
-         |  unnest(range(0, (o + n_tokens - 1) // $PackTokens + 1)) AS k FROM p)
-         |SELECT CAST(p0 + k AS BIGINT) AS pack_id, doc_id,
-         |  CAST(CASE WHEN k = 0 THEN o ELSE 0 END AS BIGINT) AS token_start,
-         |  CAST(LEAST($PackTokens, o + n_tokens - k * $PackTokens) AS BIGINT) AS token_end
-         |FROM e ORDER BY pack_id, token_start""".stripMargin,
+      s"""WITH $packSpanCtes
+         |SELECT pack_id, doc_id, token_start, token_end
+         |FROM spans ORDER BY pack_id, token_start""".stripMargin,
+
+    // cu_seqlens per pack: 0 prepended to the ordered span ends, folded
+    // to the portable combine hash (same spans chain — one definition)
+    "pipeline_pack_attention" ->
+      s"""WITH $packSpanCtes
+         |SELECT pack_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |  max(token_end) AS fill,
+         |  ${DedupQueries.combineSql(
+               "list_prepend(CAST(0 AS BIGINT), list(token_end ORDER BY token_end))")} AS cu_seqlens_hash
+         |FROM spans GROUP BY pack_id ORDER BY pack_id""".stripMargin,
 
     "pipeline_chunks" ->
       s"""WITH t AS (SELECT doc_id, CAST($ntokSql AS BIGINT) AS n_tokens

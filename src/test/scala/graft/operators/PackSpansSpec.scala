@@ -56,5 +56,21 @@ class PackSpansSpec extends SparkSuite {
       assert(first._1 == packId && first._3 == off,
         s"doc $doc first span $first != assignment ($packId, $off)")
     }
+
+    // (d) the cu_seqlens contract (pipeline_pack_attention) agrees with
+    // the spans at every pack: boundary count, fill, and the folded
+    // [0 ++ ordered ends] array recomputed independently
+    val att = TrainingDataQueries.queries("pipeline_pack_attention")(spark, sf0001)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    def fold(xs: Seq[Long]): Long = // NativeKernels.polyCombine law
+      xs.foldLeft(0L)((a, h) => (a * 31 + h) % 1000000007L)
+    spans.groupBy(_._1).foreach { case (pack, ss) =>
+      val (n, fill, h) = att(pack)
+      assert(n == ss.length, s"pack $pack boundary count")
+      assert(fill == ss.map(_._4).max, s"pack $pack fill")
+      assert(h == fold(0L +: ss.map(_._4).sorted), s"pack $pack cu_seqlens hash")
+    }
   }
 }

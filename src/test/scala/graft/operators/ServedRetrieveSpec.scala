@@ -55,6 +55,32 @@ class ServedRetrieveSpec extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("IVF-PQ append arm == the one-shot build, row for row") {
+    val once = SimilarityQueries.queries("src_ivfpq_bucketed")(spark, sf0001)
+      .collect().map(_.toSeq)
+    spark.catalog.clearCache()
+    val appended = SimilarityQueries.queries("src_ivfpq_append")(spark, sf0001)
+      .collect().map(_.toSeq)
+    assert(once.nonEmpty && once.toSeq == appended.toSeq,
+      "ingest must not change answers")
+    spark.catalog.clearCache()
+  }
+
+  test("fidelity report covers both arms and flags their disagreement") {
+    val fid = SimilarityQueries.queries("sim_retrieve_fidelity")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val k = SimilarityQueries.MmrK
+    assert(fid.count(_._2 > 0) == k && fid.count(_._3 > 0) == k,
+      s"both arms contribute their full top-$k: $fid")
+    assert(fid.map(_._1).distinct.length == fid.length)
+    // exact rows must BE pipeline_e2e_retrieve's ranking
+    val exact = SimilarityQueries.queries("pipeline_e2e_retrieve")(spark, sf0001)
+      .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+    fid.filter(_._2 > 0).foreach { case (doc, re, _) =>
+      assert(exact(doc) == re, s"doc $doc exact-rank parity") }
+    spark.catalog.clearCache()
+  }
+
   test("serving plan: coarse scan bucket-pruned and codes-only, lists never shuffle") {
     val plan = SimilarityQueries.queries("pipeline_e2e_retrieve_served")(spark, sf0001)
       .queryExecution.executedPlan.toString

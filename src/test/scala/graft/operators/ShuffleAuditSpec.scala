@@ -188,7 +188,12 @@ class ShuffleAuditSpec extends SparkSuite {
     // sizing + the corpus-side weight join) + the per-source TopKAgg's
     // two agg partials and the final sort — measured 7; everything past
     // the weight frame moves ≤ sources×k rows
-    "pipeline_weighted_sample" -> 9
+    "pipeline_weighted_sample" -> 9,
+    // fidelity report = BOTH full retrieval chains side by side by
+    // design (the in-query exact arm's 12 + the served arm's 10) plus
+    // the k×k-row comparison join and final sort — measured 26; the
+    // report is an offline acceptance check, its cost IS two chains
+    "sim_retrieve_fidelity" -> 28
   ).withDefaultValue(6)
 
   test("every query plan builds, and its shuffle count stays within the audited bound") {
