@@ -106,11 +106,19 @@ object Packing {
   }
 
   /** (everything in `df`) + pack_id / pack_offset from concat-and-cut
-    * packing at `packTokens` per sequence, in ascending `orderCol` order. */
+    * packing at `packTokens` per sequence, in ascending `orderCol` order.
+    * `base` shifts every cumulative position by a constant — the
+    * APPEND-ONLY ingest hook: when a batch's keys all sort after the
+    * standing corpus, packing the batch at base = the standing token
+    * total reproduces exactly the spans a full repack would give the
+    * batch (the prefix sum of an ordered union decomposes), so daily
+    * ingest packs only its batch. */
   def packAssignments(df: DataFrame, orderCol: String, nTokensCol: String,
-                      packTokens: Long): DataFrame = {
+                      packTokens: Long, base: Long = 0L): DataFrame = {
     require(packTokens >= 1, s"packTokens must be >= 1, got $packTokens")
-    globalCumSum(df, orderCol, nTokensCol, "cum_before")
+    require(base >= 0, s"base token offset must be >= 0, got $base")
+    globalCumSum(df, orderCol, nTokensCol, "cum_raw")
+      .withColumn("cum_before", col("cum_raw") + base).drop("cum_raw")
       .withColumn("pack_id", col("cum_before") div packTokens)
       .withColumn("pack_offset", pmod(col("cum_before"), lit(packTokens)))
   }
@@ -128,10 +136,10 @@ object Packing {
     * [[packAssignments]]'s prefix sum: the span emission is scan-shaped,
     * no additional shuffle at any corpus size. */
   def packSpans(df: DataFrame, orderCol: String, nTokensCol: String,
-                packTokens: Long): DataFrame = {
+                packTokens: Long, base: Long = 0L): DataFrame = {
     val n = col(nTokensCol)
     val lastK = (col("pack_offset") + n - 1L) div packTokens
-    packAssignments(df, orderCol, nTokensCol, packTokens)
+    packAssignments(df, orderCol, nTokensCol, packTokens, base)
       .filter(n > 0L)
       .select(col(orderCol), n.as(nTokensCol), col("pack_id"), col("pack_offset"),
         explode(sequence(lit(0L), lastK)).as("k"))

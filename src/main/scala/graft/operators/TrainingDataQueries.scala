@@ -51,6 +51,9 @@ object TrainingDataQueries {
 
   /** Pack budget (tokens per training sequence) and chunk width. */
   val PackTokens = 2048L
+  /** Append-only split for the incremental packing arm: docs with id
+    * below play the standing corpus, the rest the ingest batch. */
+  val PackIncrSplit = 400L
   val ChunkTokens = 64
   /** Sliding-window chunk stride (overlap = ChunkTokens - ChunkStride):
     * the retrieval/embedding-prep chunker's step, vs [[ChunkTokens]]-wide
@@ -687,6 +690,26 @@ object TrainingDataQueries {
     // over the same prefix sum as pipeline_pack.
     "pipeline_pack_spans" -> ((s, dir) => {
       Packing.packSpans(docTokens(s, dir), "doc_id", "n_tokens", PackTokens)
+        .orderBy("pack_id", "token_start")
+    }),
+
+    // Daily-ingest arm of the packing family (the standing pattern:
+    // batch + incremental arms everywhere): an append-only batch (keys
+    // sort after the standing corpus) packs WITHOUT repacking anything —
+    // the standing token total is one agg scalar, and the batch's spans
+    // at that base offset are exactly what a full repack would emit for
+    // the batch (the ordered union's prefix sum decomposes; oracle = the
+    // full chain restricted to batch docs, PackSpansSpec pins the
+    // in-engine equality + the mid-pack splice point in closed form).
+    // Cost per ingest: one base-total agg + batch-sized span work; the
+    // standing corpus is scanned once for a sum, never re-packed.
+    "pipeline_pack_spans_incremental" -> ((s, dir) => {
+      val toks = docTokens(s, dir)
+      val baseTotal = toks.filter(col("doc_id") < PackIncrSplit)
+        .agg(coalesce(sum(col("n_tokens")), lit(0L)).as("t"))
+        .collect()(0).getLong(0)
+      Packing.packSpans(toks.filter(col("doc_id") >= PackIncrSplit),
+        "doc_id", "n_tokens", PackTokens, baseTotal)
         .orderBy("pack_id", "token_start")
     }),
 
@@ -1891,6 +1914,14 @@ object TrainingDataQueries {
       s"""WITH $packSpanCtes
          |SELECT pack_id, doc_id, token_start, token_end
          |FROM spans ORDER BY pack_id, token_start""".stripMargin,
+
+    // incremental arm: the FULL spans chain restricted to batch docs —
+    // the decomposition claim verbatim (same shared chain, no fork)
+    "pipeline_pack_spans_incremental" ->
+      s"""WITH $packSpanCtes
+         |SELECT pack_id, doc_id, token_start, token_end
+         |FROM spans WHERE doc_id >= $PackIncrSplit
+         |ORDER BY pack_id, token_start""".stripMargin,
 
     // cu_seqlens per pack: 0 prepended to the ordered span ends, folded
     // to the portable combine hash (same spans chain — one definition)

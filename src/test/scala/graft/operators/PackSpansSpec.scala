@@ -73,4 +73,24 @@ class PackSpansSpec extends SparkSuite {
       assert(h == fold(0L +: ss.map(_._4).sorted), s"pack $pack cu_seqlens hash")
     }
   }
+
+  test("incremental arm == full repack restricted to the batch, spliced mid-pack") {
+    val split = TrainingDataQueries.PackIncrSplit
+    val full = TrainingDataQueries.queries("pipeline_pack_spans")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val incr = TrainingDataQueries.queries("pipeline_pack_spans_incremental")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(incr.nonEmpty)
+    assert(incr.sorted.toSeq == full.filter(_._2 >= split).sorted.toSeq,
+      "incremental must equal the full repack's batch rows")
+    // splice point in closed form: the batch's first span starts exactly
+    // where the standing corpus's token total left off
+    val baseTotal = full.filter(_._2 < split).map(s => s._4 - s._3).sum
+    val pt = TrainingDataQueries.PackTokens
+    val first = incr.minBy(s => (s._1, s._3))
+    assert(first._1 == baseTotal / pt && first._3 == baseTotal % pt,
+      s"first batch span $first vs baseTotal=$baseTotal")
+    assert(baseTotal % pt != 0L,
+      "fixture must splice MID-pack or the offset path is vacuous")
+  }
 }
