@@ -86,6 +86,8 @@ object SimilarityQueries {
   val MaxsimQueryDoc = 0L
   val MaxsimK = 10
   val MaxsimDim = 64
+  /** Chunk-grain IVF probe width for the maxsim scale arm. */
+  val MaxsimNProbe = 4
 
   /** Multi-vector LATE-INTERACTION retrieval (the ColBERT maxsim law,
     * Khattab/Zaharia 2020): both sides split into overlap chunks (the
@@ -103,19 +105,24 @@ object SimilarityQueries {
     * doc_id aggs + the global TopKAgg — no corpus self-join, no window;
     * at index scale the scan arm would route through the chunk-grain IVF
     * tier exactly like the single-vector family. */
-  private[operators] def maxsimTopK(docs: DataFrame, k: Int): DataFrame = {
+  /** Unit-of-retrieval chunk vectors: the shared chunker + the in-scan
+    * embedder, zero-norm chunks dropped — ONE front-end behind the exact
+    * ([[maxsimTopK]]) and IVF ([[maxsimTopKIvf]]) late-interaction arms. */
+  private def chunkVecs(docs: DataFrame): DataFrame = {
     import graft.functions.NativeExpressions
-    val ch = TrainingDataQueries.chunkOverlapFrame(docs)
+    TrainingDataQueries.chunkOverlapFrame(docs)
       .select(col("doc_id"), col("chunk_idx"),
         NativeExpressions.hashEmbed(col("chunk_text"), MaxsimDim).as("v"))
       .withColumn("nrm", Dedup.l2norm(col("v")))
       .filter(col("nrm") > 0.0)
-    val q = ch.filter(col("doc_id") === MaxsimQueryDoc)
-      .select(col("chunk_idx").as("qi"), col("v").as("qv"), col("nrm").as("qnrm"))
-    ch.filter(col("doc_id") =!= MaxsimQueryDoc)
-      .crossJoin(broadcast(q))
-      .withColumn("cos", Dedup.cosine(col("qv"), col("v"), col("qnrm"), col("nrm")))
-      .groupBy(col("doc_id"), col("qi"))
+  }
+
+  /** The maxsim scoring tail over a (doc-chunk × query-chunk) candidate
+    * relation `(doc_id, qi, cos)`: order-free per-(doc, query-chunk) max,
+    * fixed-point floor at 2²⁰, integer sum, global top-k — shared by both
+    * arms so the scoring law cannot fork. */
+  private def maxsimTail(cand: DataFrame, k: Int): DataFrame =
+    cand.groupBy(col("doc_id"), col("qi"))
       .agg(max(col("cos")).as("m"))
       .groupBy(col("doc_id"))
       .agg(sum(floor(col("m") * lit(1048576.0)).cast("long")).as("maxsim_fp"))
@@ -123,6 +130,47 @@ object SimilarityQueries {
       .select(posexplode(col("tk")))
       .select((col("pos") + 1).cast("long").as("rank"),
         col("col._2").as("doc_id"), col("col._1").cast("long").as("maxsim_fp"))
+
+  private[operators] def maxsimTopK(docs: DataFrame, k: Int): DataFrame = {
+    val ch = chunkVecs(docs)
+    val q = ch.filter(col("doc_id") === MaxsimQueryDoc)
+      .select(col("chunk_idx").as("qi"), col("v").as("qv"), col("nrm").as("qnrm"))
+    maxsimTail(
+      ch.filter(col("doc_id") =!= MaxsimQueryDoc)
+        .crossJoin(broadcast(q))
+        .withColumn("cos", Dedup.cosine(col("qv"), col("v"), col("qnrm"), col("nrm"))),
+      k)
+  }
+
+  /** The 100 TB arm of late interaction: chunk-grain IVF. Chunks are
+    * assigned in-scan to a deterministic chunk-grain quantizer (first
+    * chunk of the first [[NCentroids]] docs — the oracle-able stand-in,
+    * same convention as the vector family's first-N tiers); each QUERY
+    * chunk probes its top-[[MaxsimNProbe]] lists and scores only the doc
+    * chunks living there, so the corpus side is one pruned
+    * scan-and-shuffle-free pass per query instead of an all-chunks cross
+    * join. Approximation law (twin-replayable): a query chunk with no
+    * candidate in its probed lists contributes nothing to that doc's sum
+    * (exact maxsim would contribute that doc's global best — possibly
+    * negative — for the chunk). MaxsimSpec pins top-1 agreement with the
+    * exact arm on the planted fixture. */
+  private[operators] def maxsimTopKIvf(docs: DataFrame, k: Int): DataFrame = {
+    import graft.functions.NativeExpressions
+    val ch = chunkVecs(docs).persist() // feeds centroids, assignment, query side
+    val centSeq = Similarity.collectCentroids(
+      ch.filter(col("chunk_idx") === 0L && col("doc_id") < NCentroids)
+        .select(col("doc_id").as("cen_id"), col("v").as("cv"), col("nrm").as("cnrm")))
+    val assigned = ch.withColumn("cen_id",
+      NativeExpressions.argMaxCosine(col("v"), col("nrm"), centSeq))
+    val q = ch.filter(col("doc_id") === MaxsimQueryDoc)
+      .select(col("chunk_idx").as("qi"), col("v").as("qv"), col("nrm").as("qnrm"))
+      .withColumn("cen_id", explode(
+        NativeExpressions.topNCosineIds(col("qv"), col("qnrm"), centSeq, MaxsimNProbe)))
+    maxsimTail(
+      assigned.filter(col("doc_id") =!= MaxsimQueryDoc)
+        .join(broadcast(q), "cen_id")
+        .withColumn("cos", Dedup.cosine(col("qv"), col("v"), col("qnrm"), col("nrm"))),
+      k)
   }
 
   /** RRF fusion law — ONE definition behind the in-query
@@ -361,6 +409,11 @@ object SimilarityQueries {
     // best-matching chunk independently).
     "sim_maxsim_topk" -> ((s, dir) =>
       maxsimTopK(Spread.ifNarrow(Tables.documents(s, dir), col("doc_id")),
+        MaxsimK).orderBy("rank")),
+    // scale arm of late interaction — chunk-grain IVF probing instead of
+    // the all-chunks cross join (see [[maxsimTopKIvf]])
+    "sim_maxsim_ivf" -> ((s, dir) =>
+      maxsimTopKIvf(Spread.ifNarrow(Tables.documents(s, dir), col("doc_id")),
         MaxsimK).orderBy("rank")),
     // E2E RETRIEVAL composition — the serving-side pipeline the ingestion
     // operators exist to feed: hybrid lexical+vector fusion
@@ -1261,6 +1314,31 @@ object SimilarityQueries {
     // and pipeline_context_pack twins.
     lazy val retrieveCtes: String = s"$hybridFusedCtes,\n$retrieveTailCtes"
     lazy val retrieveServedCtes: String = s"$hybridServedCtes,\n$retrieveTailCtes"
+    // Late-interaction shared pieces: chunk→vector→query front (ends in
+    // `cn(doc_id, chunk_idx, v, nrm)` + `q(qi, qv, qnrm)`) and the
+    // max→fixed-point-sum→rank tail over a preceding `mc(doc_id, qi, m)`
+    // — the twins of chunkVecs / maxsimTail, shared by the exact and IVF
+    // maxsim oracles so neither the embedder nor the scoring law can fork.
+    lazy val maxsimBaseCtes: String =
+      s"""${TrainingDataQueries.chunkCtes},
+         |chtok AS (SELECT doc_id, CAST(u.ci AS BIGINT) AS chunk_idx,
+         |  toks[u.st+1:u.st+${TrainingDataQueries.ChunkTokens}] AS ctk FROM e),
+         |chh AS (SELECT doc_id, chunk_idx,
+         |  ${DedupQueries.chunkTokenHashesSql} AS th FROM chtok),
+         |hv AS (SELECT doc_id, chunk_idx, ${DedupQueries.hashEmbedSql(MaxsimDim)} AS v FROM chh),
+         |cn AS (SELECT * FROM (SELECT doc_id, chunk_idx, v, ${normSql("v")} AS nrm FROM hv)
+         |  WHERE nrm > 0.0),
+         |q AS (SELECT chunk_idx AS qi, v AS qv, nrm AS qnrm FROM cn
+         |  WHERE doc_id = $MaxsimQueryDoc)""".stripMargin
+    lazy val maxsimTailSql: String =
+      s"""fp AS (SELECT doc_id,
+         |  CAST(SUM(CAST(floor(m * 1048576.0) AS BIGINT)) AS BIGINT) AS maxsim_fp
+         |  FROM mc GROUP BY doc_id),
+         |rk AS (SELECT doc_id, maxsim_fp,
+         |  CAST(row_number() OVER (ORDER BY maxsim_fp DESC, doc_id) AS BIGINT) AS rank
+         |  FROM fp)
+         |SELECT rank, doc_id, maxsim_fp FROM rk
+         |WHERE rank <= $MaxsimK ORDER BY rank""".stripMargin
     // Unrolled greedy-MMR CTE steps over a preceding
     // `pool(query_id, vec_id, rel, u)`: sel1 = per-query relevance argmax
     // scored λ·rel, then one step per pick — ms{t} = each unpicked
@@ -1467,30 +1545,41 @@ object SimilarityQueries {
       // pipeline_chunk_overlap unit verbatim), per-chunk hashEmbed (the
       // shared hashEmbedSql embedder), max cosine per (doc, query chunk)
       // (order-free), fixed-point floor at 2^20 before the integer sum
-      // (the reproducible-sum trick), rank by (maxsim_fp DESC, doc_id)
+      // (the reproducible-sum trick), rank by (maxsim_fp DESC, doc_id).
+      // maxsimBaseCtes (chunks→vectors→query) and maxsimTailSql
+      // (max→fp→rank) are shared with the IVF arm below; the arms differ
+      // only in WHICH (doc-chunk, query-chunk) pairs feed `mc`.
       "sim_maxsim_topk" ->
-        s"""WITH ${TrainingDataQueries.chunkCtes},
-           |chtok AS (SELECT doc_id, CAST(u.ci AS BIGINT) AS chunk_idx,
-           |  toks[u.st+1:u.st+${TrainingDataQueries.ChunkTokens}] AS ctk FROM e),
-           |chh AS (SELECT doc_id, chunk_idx,
-           |  ${DedupQueries.chunkTokenHashesSql} AS th FROM chtok),
-           |hv AS (SELECT doc_id, chunk_idx, ${DedupQueries.hashEmbedSql(MaxsimDim)} AS v FROM chh),
-           |cn AS (SELECT * FROM (SELECT doc_id, chunk_idx, v, ${normSql("v")} AS nrm FROM hv)
-           |  WHERE nrm > 0.0),
-           |q AS (SELECT chunk_idx AS qi, v AS qv, nrm AS qnrm FROM cn
-           |  WHERE doc_id = $MaxsimQueryDoc),
+        s"""WITH $maxsimBaseCtes,
            |mc AS (SELECT c.doc_id, q.qi,
            |    max(${dotSql("q.qv", "c.v")} / (q.qnrm * c.nrm)) AS m
            |  FROM cn c, q WHERE c.doc_id <> $MaxsimQueryDoc
            |  GROUP BY c.doc_id, q.qi),
-           |fp AS (SELECT doc_id,
-           |  CAST(SUM(CAST(floor(m * 1048576.0) AS BIGINT)) AS BIGINT) AS maxsim_fp
-           |  FROM mc GROUP BY doc_id),
-           |rk AS (SELECT doc_id, maxsim_fp,
-           |  CAST(row_number() OVER (ORDER BY maxsim_fp DESC, doc_id) AS BIGINT) AS rank
-           |  FROM fp)
-           |SELECT rank, doc_id, maxsim_fp FROM rk
-           |WHERE rank <= $MaxsimK ORDER BY rank""".stripMargin,
+           |$maxsimTailSql""".stripMargin,
+      // IVF arm: chunks assigned to the first-chunk-of-first-N quantizer
+      // (argmax cosine, ties to lowest cen_id — the ivf family's rule),
+      // each query chunk probes its top-MaxsimNProbe lists, pairs exist
+      // only inside probed lists; the scoring tail is shared verbatim
+      "sim_maxsim_ivf" ->
+        s"""WITH $maxsimBaseCtes,
+           |mcents AS (SELECT doc_id AS cen_id, v AS cv, nrm AS cnrm FROM cn
+           |  WHERE chunk_idx = 0 AND doc_id < $NCentroids),
+           |asg AS (SELECT doc_id, chunk_idx, v, nrm, cen_id FROM (
+           |  SELECT c.doc_id, c.chunk_idx, c.v, c.nrm, mcents.cen_id,
+           |    row_number() OVER (PARTITION BY c.doc_id, c.chunk_idx
+           |      ORDER BY ${dotSql("c.v", "mcents.cv")} / (c.nrm * mcents.cnrm) DESC, mcents.cen_id) AS arn
+           |  FROM cn c, mcents) WHERE arn = 1),
+           |qp AS (SELECT qi, qv, qnrm, cen_id FROM (
+           |  SELECT q.qi, q.qv, q.qnrm, mcents.cen_id,
+           |    row_number() OVER (PARTITION BY q.qi
+           |      ORDER BY ${dotSql("q.qv", "mcents.cv")} / (q.qnrm * mcents.cnrm) DESC, mcents.cen_id) AS prn
+           |  FROM q, mcents) WHERE prn <= $MaxsimNProbe),
+           |mc AS (SELECT a.doc_id, p.qi,
+           |    max(${dotSql("p.qv", "a.v")} / (p.qnrm * a.nrm)) AS m
+           |  FROM qp p JOIN asg a ON a.cen_id = p.cen_id
+           |  WHERE a.doc_id <> $MaxsimQueryDoc
+           |  GROUP BY a.doc_id, p.qi),
+           |$maxsimTailSql""".stripMargin,
       // e2e retrieval: the SAME fused chain, unit vectors joined back as
       // the single-group MMR pool (rel = rrf), the SAME unrolled greedy
       // steps as the sim_mmr_rerank twin, doc metadata attached last

@@ -69,5 +69,23 @@ class MaxsimSpec extends SparkSuite {
     val re = SimilarityQueries.maxsimTopK(docs.repartition(7), 4).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
     assert(re.toSeq == got.toSeq)
+    spark.catalog.clearCache()
+  }
+
+  test("IVF arm tracks the exact arm: top-1 agreement on the fixture, high overlap on the corpus") {
+    // real corpus: the probed arm must find most of what brute maxsim finds
+    val k = SimilarityQueries.MaxsimK
+    val exact = SimilarityQueries.queries("sim_maxsim_topk")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    spark.catalog.clearCache()
+    val ivf = SimilarityQueries.queries("sim_maxsim_ivf")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    spark.catalog.clearCache()
+    assert(exact.length == k && ivf.length == k)
+    assert(exact.head._2 == ivf.head._2,
+      s"top-1 must agree: exact=${exact.head} ivf=${ivf.head}")
+    val overlap = exact.map(_._2).toSet.intersect(ivf.map(_._2).toSet).size
+    assert(overlap >= k * 6 / 10,
+      s"recall@$k must be >= 0.6 at 4/16 probes on the near-isotropic fixture, got $overlap/$k")
   }
 }
