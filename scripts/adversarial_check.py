@@ -125,6 +125,10 @@ def build_fixture(dest: Path) -> None:
 def main() -> int:
     work = Path(sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfadv")
     out = Path(str(work) + "_out")
+    # stale outputs from a previous sweep would be compared as if current
+    # (a thrown query leaves its OLD parquet behind) — always start clean
+    if out.exists():
+        shutil.rmtree(out)
     build_fixture(work)
     print(f"fixture at {work}; running graft.Verify ...", flush=True)
     r = subprocess.run(

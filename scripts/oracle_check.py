@@ -29,6 +29,14 @@ def main():
         con.sql(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     sqls = json.load(open(f"{out_dir}/oracle_sql.json"))
     ok, bad = 0, 0
+    # A query that THREW leaves no output directory — without this it
+    # would be silently absent from the sweep (exactly how the PQ-family
+    # zero-vector collapse hid from the adversarial sweep for two rounds).
+    failures_path = f"{out_dir}/verify_failures.json"
+    if os.path.exists(failures_path):
+        for name, err in sorted(json.load(open(failures_path)).items()):
+            print(f"VERIFY_FAILED    {name}: {err}")
+            bad += 1
     names = sorted(os.listdir(out_dir))
     for name in names:
         path = f"{out_dir}/{name}"

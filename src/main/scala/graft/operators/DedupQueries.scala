@@ -351,6 +351,10 @@ object DedupQueries {
       val e = embSpread(s, dir).select(
         col("vec_id"), col("label"), toDoubleArray(col("embedding")).as("v"))
         .withColumn("nrm", l2norm(col("v")))
+        // a zero vector has no defined cosine — drop it like every other
+        // family (prepare's rule); without this the ANSI division throws
+        // on a zero-norm corpus row (adversarial fixture)
+        .filter(col("nrm") > 0.0)
         .persist()
       gridBlockedPairs(e, "label", "vec_id")
         .withColumn("cos", cosine(col("v_a"), col("v_b"), col("nrm_a"), col("nrm_b")))
@@ -1149,7 +1153,8 @@ object DedupQueries {
       s"""WITH e AS (SELECT vec_id, label,
          |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |  FROM embeddings),
-         |n AS (SELECT vec_id, label, v, ${normSql("v")} AS nrm FROM e)
+         |n AS (SELECT * FROM (SELECT vec_id, label, v, ${normSql("v")} AS nrm FROM e)
+         |  WHERE nrm > 0.0)
          |SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
          |  ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
          |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id

@@ -697,14 +697,16 @@ object Similarity {
     */
   def pqTopK(corpus: DataFrame, queryPred: Column, ks: Int, m: Int,
              candidates: Int, k: Int): DataFrame = {
+    // lowest-ks SURVIVING ids, not vec_id < ks: a zero-norm vector inside
+    // the first-ks prefix must not collapse the code space (it is dropped
+    // by prepare, and the next surviving id takes its codebook slot —
+    // mirrored by the twin's ORDER BY vec_id LIMIT ks). The require now
+    // only guards a corpus with fewer than ks usable vectors.
     val codebook: Seq[Seq[Double]] =
-      collectCentroids(centroids(corpus, ks)).map(_._2)
-    // the oracle indexes a dense list(cv ORDER BY j) by codeword id — a
-    // zero-norm vector inside the first-ks prefix would silently desync
-    // engine codes (dense positional) from oracle codes (sparse j)
+      collectCentroids(lowestIdCentroids(corpus, ks)).map(_._2)
     require(codebook.length == ks,
       s"PQ codebook collapsed to ${codebook.length}/$ks codewords " +
-        "(zero-norm vector in the first-ks prefix?)")
+        "(fewer than ks nonzero vectors in the corpus?)")
     pqTopKWith(corpus, queryPred, codebook, m, candidates, k)
   }
 
@@ -746,12 +748,14 @@ object Similarity {
     */
   def ivfPqTopK(corpus: DataFrame, queryPred: Column, nCentroids: Int,
                 nProbe: Int, ks: Int, m: Int, candidates: Int, k: Int): DataFrame = {
-    // one driver collect covers both constant sets (each is a first-N
-    // prefix by id — two separate jobs would scan the corpus twice for
-    // the same rows)
-    val all = collectCentroids(centroids(corpus, math.max(nCentroids, ks)))
-    val centSeq = all.filter(_._1 < nCentroids)
-    val codebook: Seq[Seq[Double]] = all.filter(_._1 < ks).map(_._2)
+    // one driver collect covers both constant sets (each is a lowest-N
+    // prefix of the SURVIVING ids — two separate jobs would scan the
+    // corpus twice for the same rows); see pqTopK for why lowest-N
+    // survivors, not vec_id < N
+    val all = collectCentroids(
+      lowestIdCentroids(corpus, math.max(nCentroids, ks)))
+    val centSeq = all.take(nCentroids)
+    val codebook: Seq[Seq[Double]] = all.take(ks).map(_._2)
     require(codebook.length == ks, // same dense-index contract as pqTopK
       s"PQ codebook collapsed to ${codebook.length}/$ks codewords")
     ivfPqTopKWith(centSeq, codebook, corpus, queryPred, nProbe, m, candidates, k)
@@ -949,9 +953,18 @@ object Similarity {
     // in cosine (d^2 = 2 - 2cos), so the join's distance bound is a real
     // cosine floor (cos >= 1 - maxDist^2/2) instead of a scale-dependent
     // cutoff that can prune a parallel-but-longer true neighbor
+    // guarded divisor: prepare() already dropped nrm == 0 rows, but the
+    // LSH model's hash-UDF predicate is a Filter that Catalyst may
+    // evaluate BEFORE the nrm > 0 predicate (conjunct order inside a
+    // collapsed Filter is unspecified), and under ANSI the division then
+    // throws on the dropped-anyway zero row (adversarial fixture,
+    // zero-vector doc). The otherwise-branch value is never observable —
+    // those rows cannot survive the filter.
     val prepared = prepare(embeddings)
       .withColumn("features", array_to_vector(
-        transform(col("v"), x => x / col("nrm")).cast("array<double>")))
+        transform(col("v"),
+          x => x / when(col("nrm") > 0.0, col("nrm")).otherwise(lit(1.0)))
+          .cast("array<double>")))
     val lsh = new BucketedRandomProjectionLSH()
       .setInputCol("features").setOutputCol("hashes")
       .setNumHashTables(numHashTables).setBucketLength(bucketLength).setSeed(42L)

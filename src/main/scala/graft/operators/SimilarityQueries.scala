@@ -1067,10 +1067,12 @@ object SimilarityQueries {
     * (bounded driver state at any corpus size). */
   private def ivfPqQuantizers(corpus: DataFrame)
       : (Seq[(Long, Seq[Double], Double)], Seq[Seq[Double]]) = {
+    // lowest-N SURVIVORS (not vec_id < N): a zero-norm vector among the
+    // first ids must not collapse the code space — see Similarity.pqTopK
     val all = Similarity.collectCentroids(
-      Similarity.centroids(corpus, math.max(NCentroids, PqCodewords)))
-    val centSeq = all.filter(_._1 < NCentroids)
-    val codebook: Seq[Seq[Double]] = all.filter(_._1 < PqCodewords).map(_._2)
+      Similarity.lowestIdCentroids(corpus, math.max(NCentroids, PqCodewords)))
+    val centSeq = all.take(NCentroids)
+    val codebook: Seq[Seq[Double]] = all.take(PqCodewords).map(_._2)
     require(codebook.length == PqCodewords, // dense-index oracle contract
       s"PQ codebook collapsed to ${codebook.length}/$PqCodewords codewords")
     (centSeq, codebook)
@@ -1911,7 +1913,8 @@ object SimilarityQueries {
       // first-N vectors for sim_topk_pq, the stride-Lloyd-trained
       // composite codewords for sim_topk_pq_lloyd.
       "sim_topk_pq" -> pqOracle(
-        s"SELECT vec_id AS j, v AS cv FROM nn WHERE vec_id < $PqCodewords"),
+        s"""SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS j, v AS cv
+           |  FROM (SELECT vec_id, v FROM nn ORDER BY vec_id LIMIT $PqCodewords)""".stripMargin),
       // trained-codebook twin: training REPLAYED in SQL — all PqM
       // per-subspace Lloyd chains unroll as one subspace-grouped CTE
       // sequence (same sample ranks, stride init, in-order folds, tie
@@ -2028,14 +2031,19 @@ object SimilarityQueries {
   private def ivfPqRankedCtes(nQueries: Int): String = {
     val dsub = 8
     val sq = s"(nn.v[gs.s*$dsub + t] - cb.cv[gs.s*$dsub + t])"
-    s"""cents AS (SELECT vec_id AS cen_id, v AS cv, nrm AS cnrm FROM nn WHERE vec_id < $NCentroids),
+    // quantizers = lowest-N SURVIVING ids (ORDER BY vec_id LIMIT n), the
+    // twin of Similarity.lowestIdCentroids: a zero-norm vector among the
+    // first ids shifts the prefix instead of collapsing it; the codebook
+    // renumbers j densely 0..ks-1 because recon indexes positionally
+    s"""cents AS (SELECT vec_id AS cen_id, v AS cv, nrm AS cnrm FROM nn ORDER BY vec_id LIMIT $NCentroids),
            |assigned AS (
            |  SELECT vec_id, cen_id FROM (
            |    SELECT nn.vec_id, cents.cen_id,
            |      row_number() OVER (PARTITION BY nn.vec_id
            |        ORDER BY ${dotSql("nn.v", "cents.cv")} / (nn.nrm * cents.cnrm) DESC, cents.cen_id) AS crn
            |    FROM nn, cents) WHERE crn = 1),
-           |cb AS (SELECT vec_id AS j, v AS cv FROM nn WHERE vec_id < $PqCodewords),
+           |cb AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS j, v AS cv
+           |  FROM (SELECT vec_id, v FROM nn ORDER BY vec_id LIMIT $PqCodewords)),
            |cbl AS (SELECT list(cv ORDER BY j) AS cbs FROM cb),
            |sub AS (
            |  SELECT nn.vec_id, gs.s, cb.j,

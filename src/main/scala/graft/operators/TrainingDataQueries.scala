@@ -1550,8 +1550,12 @@ object TrainingDataQueries {
         .select(col("doc_id"),
           col("top")(0)("tok").as("kw1"),
           (-col("top")(0)("ns")).as("kw1_score"),
-          coalesce(col("top")(1)("tok"), lit("")).as("kw2"),
-          coalesce(col("top")(2)("tok"), lit("")).as("kw3"))
+          // get(), not apply: a doc with < 3 distinct tokens has a short
+          // array, and ANSI ordinal access THROWS instead of nulling (the
+          // coalesce never ran — adversarial single-token docs). Index 0
+          // is safe: a doc_id group exists only with >= 1 term.
+          coalesce(get(col("top"), lit(1))("tok"), lit("")).as("kw2"),
+          coalesce(get(col("top"), lit(2))("tok"), lit("")).as("kw3"))
         .orderBy("doc_id")
     }),
 

@@ -54,6 +54,22 @@ class GradualReductionPULearner[
     var curGain = newRelNegCount
     var totalRelNegCount = entry.totalRelNeg
 
+    // DEGENERATE-ENTRY GUARD (robustness beyond the reference, which
+    // would crash inside the classifier with an empty/one-class training
+    // set): if entry thresholding yields NO reliable negatives — every
+    // unlabeled row scored >= threshold — or the frame has no positives,
+    // a real estimator has nothing to refit on; PU-LEA degenerates to the
+    // zero-step weighting. On any non-degenerate input this branch never
+    // fires and the reference loop runs unchanged. (Mid-loop the
+    // while-condition `totalPosCount < totalRelNegCount` already exits
+    // before a refit could see an emptied negative set.) A
+    // [[DegenerateFitSafe]] classifier (the deterministic stub) is exempt:
+    // its train() is total, and the hash-exact stub twins define the loop
+    // THROUGH the degenerate entry.
+    if ((totalRelNegCount == 0L || totalPosCount == 0L) &&
+        !classifier.isInstanceOf[DegenerateFitSafe])
+      return curDF.drop(ProbabilisticClassifierConfig.featuresName)
+
     do {
       // refit on positives + current reliable negatives, rescore all (reference :56-66)
       curDF = refitAndRescore(curDF, curLabel, finalLabel)

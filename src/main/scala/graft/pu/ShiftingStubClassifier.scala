@@ -29,8 +29,17 @@ import org.apache.spark.sql.Dataset
   * Driver-side mutable state (`fits`) is safe: fits happen sequentially on
   * the driver, and each query constructs a fresh instance.
   */
+/** Marker for classifiers whose `train` is TOTAL — well-defined on an
+  * empty or one-class training set (a deterministic stub that ignores its
+  * input). PU loop guards that protect a real estimator from a degenerate
+  * refit must NOT fire for these: the stub twins define the loop's
+  * semantics through the degenerate entry, and forcing an early return
+  * would fork engine from oracle (caught on the adversarial fixture). */
+trait DegenerateFitSafe
+
 class ShiftingStubClassifier(override val uid: String, delta: Double)
-  extends ProbabilisticClassifier[Vector, ShiftingStubClassifier, ShiftingStubModel] {
+  extends ProbabilisticClassifier[Vector, ShiftingStubClassifier, ShiftingStubModel]
+  with DegenerateFitSafe {
   def this(delta: Double) = this(Identifiable.randomUID("shiftstub"), delta)
   private var fits = 0
   override def train(dataset: Dataset[_]): ShiftingStubModel = {
