@@ -694,6 +694,14 @@ object DedupQueries {
         col("col._2").as("doc_id"), (-col("col._1")).cast(LongType).as("priority"))
   }
 
+  /** SQL twin of [[weightedSampleFrom]]'s priority over a weight
+    * expression — ONE formula behind every weighted-draw oracle
+    * (soft-dedup ppm weights, DSIR importance weights), so a consumer
+    * twin can never fork the draw law. */
+  private[operators] def samplePrioritySql(weightExpr: String): String =
+    s"(((${ph("('wsamp' || CAST(doc_id AS VARCHAR))", "wi")} * 1103515245 + 12345) % 1000000007)" +
+      s" * 1000000) // ($weightExpr)"
+
   /** `pipeline_corpus_prep`'s frame, budget-parameterized so DedupSpec can
     * force the degrade arm (see the query comment). */
   private[operators] def corpusPrepFrame(s: SparkSession, dir: String,
@@ -1087,8 +1095,7 @@ object DedupQueries {
       s"""WITH RECURSIVE $reachCtes,
          |$softWeightCtes,
          |pw AS (SELECT doc_id, source, weight_ppm,
-         |  (((${ph("('wsamp' || CAST(doc_id AS VARCHAR))", "wi")} * 1103515245 + 12345) % 1000000007)
-         |    * 1000000) // weight_ppm AS pri
+         |  ${samplePrioritySql("weight_ppm")} AS pri
          |  FROM sw),
          |rw AS (SELECT source, doc_id, pri,
          |  CAST(row_number() OVER (PARTITION BY source ORDER BY pri, doc_id) AS BIGINT) AS draw_rank

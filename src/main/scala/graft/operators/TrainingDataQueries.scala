@@ -54,6 +54,8 @@ object TrainingDataQueries {
   /** Append-only split for the incremental packing arm: docs with id
     * below play the standing corpus, the rest the ingest batch. */
   val PackIncrSplit = 400L
+  /** Draws per source stratum in the DSIR resampling step. */
+  val DsirSampleK = 5
   val ChunkTokens = 64
   /** Sliding-window chunk stride (overlap = ChunkTokens - ChunkStride):
     * the retrieval/embedding-prep chunker's step, vs [[ChunkTokens]]-wide
@@ -1223,6 +1225,24 @@ object TrainingDataQueries {
       dsirRanked(s, dir).orderBy("doc_id")
     }),
 
+    // DSIR's actual RESAMPLING step (Xie et al. 2023 — Data Selection via
+    // Importance RESAMPLING): draw k docs per source with inclusion
+    // probability ∝ importance weight, completing the recipe
+    // pipeline_dsir_weights's rank-quartile keep only approximates. The
+    // double importance score fixes to an integer weight
+    // (floor(score·2²⁰)+1 — score doubles are bit-identical cross-engine,
+    // so the floor is too) and feeds the SAME sequential-Poisson draw as
+    // pipeline_weighted_sample ([[DedupQueries.weightedSampleFrom]]) —
+    // one draw law, two weight producers.
+    "pipeline_dsir_sample" -> ((s, dir) => {
+      val w = dsirRanked(s, dir)
+        .join(docsSpread(s, dir).select(col("doc_id"), col("source")), Seq("doc_id"))
+        .withColumn("weight_ppm",
+          (floor(col("score") * lit(1048576.0)).cast(LongType) + lit(1L)))
+      DedupQueries.weightedSampleFrom(w, DsirSampleK)
+        .orderBy("source", "draw_rank")
+    }),
+
     // INCREMENTAL substring dedup — the daily-ingest arm of the span
     // pass: excise a new batch (top ~20% of ids, the incremental chain's
     // batch rule) against STANDING corpus state without touching the
@@ -2240,6 +2260,24 @@ object TrainingDataQueries {
          |$dsirCtes
          |SELECT doc_id, n_feats, score, dsir_rank, dsir_rank * 4 <= n.total AS keep
          |FROM r2 CROSS JOIN n ORDER BY doc_id""".stripMargin,
+
+    // DSIR resampling: the SAME dsir chain, fixed-point integer weight,
+    // the SHARED sequential-Poisson priority (samplePrioritySql — one
+    // draw law with pipeline_weighted_sample)
+    "pipeline_dsir_sample" ->
+      s"""WITH t AS ($thCte),
+         |$dsirCtes,
+         |w AS (SELECT r2.doc_id, d.source,
+         |  CAST(floor(r2.score * 1048576.0) AS BIGINT) + 1 AS wppm
+         |  FROM r2 JOIN documents d ON d.doc_id = r2.doc_id),
+         |pw AS (SELECT doc_id, source, wppm,
+         |  ${DedupQueries.samplePrioritySql("wppm")} AS pri FROM w),
+         |rw AS (SELECT source, doc_id, pri,
+         |  CAST(row_number() OVER (PARTITION BY source ORDER BY pri, doc_id) AS BIGINT) AS draw_rank
+         |  FROM pw)
+         |SELECT source, draw_rank, doc_id, CAST(pri AS BIGINT) AS priority
+         |FROM rw WHERE draw_rank <= $DsirSampleK
+         |ORDER BY source, draw_rank""".stripMargin,
 
     "pipeline_e2e_surgical" ->
       s"""WITH t AS ($thCte),

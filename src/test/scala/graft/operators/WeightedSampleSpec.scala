@@ -60,4 +60,16 @@ class WeightedSampleSpec extends SparkSuite {
       .sortBy(_._2)
     assert(re.toSeq == got.toSeq)
   }
+
+  test("DSIR resampling pulls importance upward: sampled mean score beats the corpus mean") {
+    val scores = TrainingDataQueries.queries("pipeline_dsir_weights")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val drawn = TrainingDataQueries.queries("pipeline_dsir_sample")(spark, sf0001)
+      .collect().map(_.getLong(2))
+    assert(drawn.nonEmpty && drawn.distinct.length == drawn.length)
+    val sampleMean = drawn.map(scores).sum / drawn.length
+    val corpusMean = scores.values.sum / scores.size
+    assert(sampleMean > corpusMean,
+      s"importance-weighted draw must raise the mean: $sampleMean <= $corpusMean")
+  }
 }
