@@ -88,6 +88,8 @@ object SimilarityQueries {
   val MaxsimDim = 64
   /** Chunk-grain IVF probe width for the maxsim scale arm. */
   val MaxsimNProbe = 4
+  /** Query-batch size for the multi-query served retrieval. */
+  val MultiNQueries = 4
 
   /** Multi-vector LATE-INTERACTION retrieval (the ColBERT maxsim law,
     * Khattab/Zaharia 2020): both sides split into overlap chunks (the
@@ -444,6 +446,33 @@ object SimilarityQueries {
         .select(col("rank"), col("doc_id"), col("rrf"), col("mmr"),
           col("source"), col("lang"))
         .orderBy("rank")),
+    // MULTI-QUERY served retrieval — the true serving regime: a BATCH of
+    // queries against the persisted IVF-PQ index, each diversified by its
+    // OWN MMR group. The per-query pool is the served top-MmrN (exact
+    // rescore over probed lists, the src_ivfpq_bucketed read), rel = the
+    // exact cosine; MMR runs as ONE mergeable aggregate per query group —
+    // the aggregate's partition key IS the query id, so a thousand
+    // concurrent queries diversify in parallel with ~10 KB state each and
+    // no window anywhere. Twin: the shared ivfPqRankedCtes chain at 4
+    // queries feeding the shared per-query mmrGreedyCtes steps.
+    "pipeline_retrieve_multi" -> ((s, dir) => {
+      val corpus = Similarity.prepare(Tables.embeddings(s, dir)).persist()
+      val (tbl, centSeq, codebook) = buildIvfPqServing(s, corpus)
+      val topn = probePqLists(s, tbl, codebook, PqM,
+          serveProbeRows(corpus, centSeq, MultiNQueries), NCandidates, MmrN)
+        .select(col("query_id"), col("vec_id").as("doc_id"), col("cos"))
+      val pool = topn.join(
+        corpus.select(col("vec_id").as("doc_id"),
+          transform(col("v"), x => x / col("nrm")).as("u")), Seq("doc_id"))
+      pool.groupBy(col("query_id"))
+        .agg(MmrAgg.column(MmrN, MmrK, MmrLambda,
+          col("cos"), col("doc_id"), col("u")).as("sel"))
+        .select(col("query_id"), posexplode(col("sel")))
+        .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+          col("col._1").as("doc_id"), col("col._2").as("cos"),
+          col("col._3").as("mmr"))
+        .orderBy("query_id", "rank")
+    }),
     // SERVING-FIDELITY report — the acceptance check a serving migration
     // runs before cutting traffic to the compressed index: the exact
     // (brute-arm) and served (IVF-PQ-arm) rankings full-outer-joined per
@@ -1082,9 +1111,10 @@ object SimilarityQueries {
     * [[NProbe]] lists), collected once — shared by every bucketed-PQ
     * probe caller. */
   private def serveProbeRows(corpus: DataFrame,
-      centSeq: Seq[(Long, Seq[Double], Double)]): Seq[(Long, Seq[Double], Double, Long)] = {
+      centSeq: Seq[(Long, Seq[Double], Double)],
+      nQueries: Int = NQueriesServe): Seq[(Long, Seq[Double], Double, Long)] = {
     import graft.functions.NativeExpressions
-    corpus.filter(col("vec_id") < NQueriesServe)
+    corpus.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
       .withColumn("cen_id", explode(
         NativeExpressions.topNCosineIds(col("qv"), col("qnrm"), centSeq, NProbe)))
@@ -1598,6 +1628,19 @@ object SimilarityQueries {
         s"""WITH $retrieveServedCtes
            |SELECT rank, doc_id, rrf, mmr, source, lang FROM rret
            |ORDER BY rank""".stripMargin,
+      // multi-query served retrieval: the shared IVF-PQ replay at 4
+      // queries (rank <= MmrN pools), unit vectors joined back, the
+      // SHARED per-query greedy-MMR steps, emitted per (query, rank)
+      "pipeline_retrieve_multi" ->
+        s"""WITH e AS ($e), nn AS ($n),
+           |${ivfPqRankedCtes(MultiNQueries)},
+           |pool AS MATERIALIZED (SELECT r.query_id, r.vec_id, r.cos AS rel,
+           |    list_transform(range(1, 65), ui -> nn.v[ui] / nn.nrm) AS u
+           |  FROM ranked r JOIN nn ON nn.vec_id = r.vec_id
+           |  WHERE r.rank <= $MmrN),
+           |${mmrGreedyCtes(MmrK)}
+           |SELECT query_id, rank, vec_id AS doc_id, rel AS cos, score AS mmr
+           |FROM sel$MmrK ORDER BY query_id, rank""".stripMargin,
       // serving fidelity: both registered chains as derived tables (their
       // CTE chains share names, so each nests in its own scope), rank 0 =
       // absent from that arm

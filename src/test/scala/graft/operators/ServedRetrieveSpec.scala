@@ -81,6 +81,27 @@ class ServedRetrieveSpec extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("multi-query serving: each query gets its own full MMR group with intact laws") {
+    val got = SimilarityQueries.queries("pipeline_retrieve_multi")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    val k = SimilarityQueries.MmrK
+    val groups = got.groupBy(_._1)
+    assert(groups.keySet == (0L until SimilarityQueries.MultiNQueries).toSet)
+    val lam = SimilarityQueries.MmrLambda
+    groups.foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to k).toSeq, s"query $q rank prefix")
+      assert(sorted.map(_._3).distinct.length == k, s"query $q distinct picks")
+      assert(!sorted.exists(_._3 == q), s"query $q must not retrieve itself")
+      // first pick is the pool's relevance argmax: its mmr = λ·rel and its
+      // rel is the max over the group's picks (picks ⊆ pool, argmax picked)
+      assert(math.abs(sorted.head._5 - lam * rows.map(_._4).max) < 1e-12,
+        s"query $q first-pick law")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("serving plan: coarse scan bucket-pruned and codes-only, lists never shuffle") {
     val plan = SimilarityQueries.queries("pipeline_e2e_retrieve_served")(spark, sf0001)
       .queryExecution.executedPlan.toString
