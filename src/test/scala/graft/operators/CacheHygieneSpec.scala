@@ -10,6 +10,10 @@ class CacheHygieneSpec extends graft.SparkSuite {
 
   test("bucketed ANN serving leaves only the corpus persist behind — no probe-set cache leak") {
     spark.catalog.clearCache()
+    // drain OTHER suites' tracked localCheckpoint blocks too — they show
+    // in getPersistentRDDs but catalog.clearCache never touches them, so
+    // without this the assertion depends on suite order
+    graft.CheckpointUtil.releaseStragglers()
     graft.SparkEntry.queries("src_ivf_bucketed")(spark, sf0001)
       .write.format("noop").mode("overwrite").save()
     val cached = spark.sparkContext.getPersistentRDDs

@@ -70,6 +70,7 @@ class MaxsimSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
     assert(re.toSeq == got.toSeq)
     spark.catalog.clearCache()
+    graft.CheckpointUtil.releaseStragglers()
   }
 
   test("IVF arm tracks the exact arm: top-1 agreement on the fixture, high overlap on the corpus") {
@@ -87,5 +88,6 @@ class MaxsimSpec extends SparkSuite {
     val overlap = exact.map(_._2).toSet.intersect(ivf.map(_._2).toSet).size
     assert(overlap >= k * 6 / 10,
       s"recall@$k must be >= 0.6 at 4/16 probes on the near-isotropic fixture, got $overlap/$k")
+    graft.CheckpointUtil.releaseStragglers()
   }
 }

@@ -72,6 +72,7 @@ class PackSpansSpec extends SparkSuite {
       assert(fill == ss.map(_._4).max, s"pack $pack fill")
       assert(h == fold(0L +: ss.map(_._4).sorted), s"pack $pack cu_seqlens hash")
     }
+    drain()
   }
 
   test("incremental arm == full repack restricted to the batch, spliced mid-pack") {
@@ -92,5 +93,14 @@ class PackSpansSpec extends SparkSuite {
       s"first batch span $first vs baseTotal=$baseTotal")
     assert(baseTotal % pt != 0L,
       "fixture must splice MID-pack or the offset path is vacuous")
+    drain()
+  }
+
+  /** The packing chain localCheckpoints its range-partitioned frame
+    * (globalCumSum) — drain it so later suites' cache-budget assertions
+    * never depend on this suite having run. */
+  private def drain(): Unit = {
+    spark.catalog.clearCache()
+    graft.CheckpointUtil.releaseStragglers()
   }
 }

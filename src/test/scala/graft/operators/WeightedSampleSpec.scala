@@ -59,6 +59,7 @@ class WeightedSampleSpec extends SparkSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .sortBy(_._2)
     assert(re.toSeq == got.toSeq)
+    drain()
   }
 
   test("DSIR resampling pulls importance upward: sampled mean score beats the corpus mean") {
@@ -71,5 +72,13 @@ class WeightedSampleSpec extends SparkSuite {
     val corpusMean = scores.values.sum / scores.size
     assert(sampleMean > corpusMean,
       s"importance-weighted draw must raise the mean: $sampleMean <= $corpusMean")
+    drain()
+  }
+
+  /** The weight chains persist/localCheckpoint tracked intermediates —
+    * drain so later cache-budget assertions don't depend on suite order. */
+  private def drain(): Unit = {
+    spark.catalog.clearCache()
+    graft.CheckpointUtil.releaseStragglers()
   }
 }
