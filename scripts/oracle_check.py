@@ -33,14 +33,22 @@ def main():
     # would be silently absent from the sweep (exactly how the PQ-family
     # zero-vector collapse hid from the adversarial sweep for two rounds).
     failures_path = f"{out_dir}/verify_failures.json"
+    failed_names = set()
     if os.path.exists(failures_path):
         for name, err in sorted(json.load(open(failures_path)).items()):
             print(f"VERIFY_FAILED    {name}: {err}")
+            failed_names.add(name)
             bad += 1
     names = sorted(os.listdir(out_dir))
     for name in names:
         path = f"{out_dir}/{name}"
         if not os.path.isdir(path):
+            continue
+        # A thrown query's STALE parquet dir from a previous sweep (Verify
+        # only overwrites on success) must not also print a misleading OK
+        # line — adversarial_check got the equivalent rmtree fix earlier.
+        if name in failed_names:
+            print(f"STALE_SKIPPED    {name} (failed this sweep; dir is from a prior run)")
             continue
         got = con.sql(f"SELECT * FROM '{path}/*.parquet'").df()
         if name not in sqls:

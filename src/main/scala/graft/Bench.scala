@@ -130,11 +130,42 @@ object Bench {
     //      mapping by sorting the query names from bench_out.json (or the
     //      round's oracle_sql.json) and re-deriving rank-within-prefix;
     //      non-prefixed names stay literal.
-    //   5. cheapest successful entries trimmed (failures never trim).
-    // order matters: first match wins, so sim_topk_ must precede sim_
-    val prefixes = Seq("dedup_" -> "D", "sim_topk_" -> "S", "sim_" -> "V",
+    //   5. pos36 codes + DECISECOND values ("qunit":"decisec", failed =
+    //      -10): one digit shorter per typical sub-10 s entry, which buys
+    //      roughly a query-per-char of headroom past ~205 queries. The
+    //      resolution loss is stdout-only — bench_out.json keeps full
+    //      doubles — and a 0.1 s grid still separates every regression the
+    //      judge has ever adjudicated (the threshold is 1.5x on seconds).
+    //   6. names dropped entirely ("qv":[…], "qenc":"sorted-names"):
+    //      decisecond values as one array, positions = the query names
+    //      sorted ascending (the same list bench_out.json / the round's
+    //      oracle_sql.json carries) — ~3.3 chars/query, which holds ~500
+    //      queries untrimmed. Never trimmed (a trimmed array would shift
+    //      every later position).
+    //   7. only past ~500 queries: cheapest successful entries trimmed in
+    //      the best OBJECT mode (failures never trim — the driver must
+    //      always see a failed query by name/code).
+    // Stop Spark BEFORE printing: executor/shutdown WARN logs otherwise land
+    // between the JSON line and end-of-stream, pushing it out of the
+    // driver's 2000-char tail window.
+    spark.stop()
+    println(BenchStdout.render(results, total, coldTotal, sfDir))
+  }
+}
+
+/** The stdout-window encoder, factored off `Bench.main` so a spec can
+  * prove the degradation ladder keeps a simulated 220+-query surface
+  * untrimmed WITHOUT running a bench (`BenchStdoutSpec`). Pure string
+  * work — no Spark. */
+object BenchStdout {
+  // order matters: first match wins, so sim_topk_ must precede sim_
+  val prefixes: Seq[(String, String)] =
+    Seq("dedup_" -> "D", "sim_topk_" -> "S", "sim_" -> "V",
       "text_" -> "T", "pipeline_" -> "P", "pu_" -> "U", "q_" -> "Q",
       "src_" -> "R", "mm_" -> "M", "prob_" -> "B")
+
+  def render(results: Seq[(String, Double)], total: Double,
+             coldTotal: Double, sfDir: String, budget: Int = 1850): String = {
     def short(n: String): String =
       prefixes.find { case (p, _) => n.startsWith(p) }
         .map { case (p, c) => c + n.substring(p.length) }.getOrElse(n)
@@ -149,18 +180,32 @@ object Bench {
       results.map(r => short(r._1)).distinct.length == results.length
     val codeIsUnique =
       codeOf.values.toSeq.distinct.length == results.length
-    // naming modes: 0 full, 1 short+legend, 2 short, 3 positional codes
+    // naming modes: 0 full, 1 short+legend, 2 short, 3-4 positional codes
+    // (mode 4 additionally degrades values centisec -> decisec),
+    // 5 nameless sorted array
     def name(n: String, mode: Int): String =
       if (mode >= 3) codeOf(n) else if (mode >= 1) short(n) else n
+    val sfBase = sfDir.split('/').last
     def line(qrs: Seq[(String, Double)], mode: Int): String = {
+      val deci = mode >= 4
+      def v10(v: Double) = if (v < 0) "-10" else math.round(v * 10).toString
+      if (mode >= 5) {
+        // position i = i-th query name in ascending sort; qrs is already
+        // name-sorted and MUST be the full surface (no trimming here)
+        val vs = qrs.map { case (_, v) => v10(v) }.mkString("[", ",", "]")
+        return f"""{"metric":"total","value":$total%.2f,"unit":"sec","qv":$vs,"qunit":"decisec","qenc":"sorted-names","cold_total_sec":$coldTotal%.2f,"sf":"$sfBase"}"""
+      }
       val qs = qrs.map { case (k, v) =>
         "\"" + name(k, mode) + "\":" +
-          (if (v < 0) "-100" else math.round(v * 100).toString) // csec; -100 = failed
+          (if (deci) v10(v)
+           else if (v < 0) "-100" // sentinel = failed
+           else math.round(v * 100).toString)
       }.mkString("{", ",", "}")
       val leg = if (mode == 1) ",\"prefix\":" + prefixes
         .map { case (p, c) => "\"" + c + "\":\"" + p + "\"" }
         .mkString("{", ",", "}") else ""
       val enc = if (mode >= 3) ""","qenc":"pos36"""" else ""
+      val unit = if (deci) "decisec" else "centisec"
       // sf as basename: the full path spends 15 chars of the window on
       // "/root/testdata/" the driver already knows. "trimmed" makes the
       // final-step drop EXPLICIT (no silent cap): n cheapest successful
@@ -168,26 +213,25 @@ object Bench {
       // every query either way.
       val trm = if (qrs.length < results.length)
         s""","trimmed":${results.length - qrs.length}""" else ""
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"qunit":"centisec"$enc$leg$trm,"cold_total_sec":$coldTotal%.2f,"sf":"${sfDir.split('/').last}"}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"qunit":"$unit"$enc$leg$trm,"cold_total_sec":$coldTotal%.2f,"sf":"$sfBase"}"""
     }
-    val budget = 1850
     val variants = Seq(0) ++ (if (shortIsUnique) Seq(1, 2) else Nil) ++
-      (if (codeIsUnique) Seq(3) else Nil)
-    // failure sentinels sort FIRST so they are never trimmed — the driver
-    // must always see a failed query; then descending cost, so the cheapest
-    // successful entries are dropped first if space runs out
-    var keep = results.sortBy { case (_, v) =>
-      if (v < 0) Double.NegativeInfinity else -v
+      (if (codeIsUnique) Seq(3, 4) else Nil) ++ Seq(5)
+    val sorted = results.sortBy(_._1)
+    variants.find(m => line(sorted, m).length <= budget) match {
+      case Some(m) => line(sorted, m)
+      case None =>
+        // last resort (~500+ queries): trim in the best OBJECT mode.
+        // failure sentinels sort FIRST so they are never trimmed — the
+        // driver must always see a failed query; then descending cost, so
+        // the cheapest successful entries are dropped first
+        val m = variants.filter(_ <= 4).last
+        var keep = results.sortBy { case (_, v) =>
+          if (v < 0) Double.NegativeInfinity else -v
+        }
+        while (line(keep.sortBy(_._1), m).length > budget && keep.nonEmpty)
+          keep = keep.dropRight(1)
+        line(keep.sortBy(_._1), m)
     }
-    val mode = variants
-      .find(m => line(keep.sortBy(_._1), m).length <= budget)
-      .getOrElse(variants.last)
-    while (line(keep.sortBy(_._1), mode).length > budget && keep.nonEmpty)
-      keep = keep.dropRight(1)
-    // Stop Spark BEFORE printing: executor/shutdown WARN logs otherwise land
-    // between the JSON line and end-of-stream, pushing it out of the
-    // driver's 2000-char tail window.
-    spark.stop()
-    println(line(keep.sortBy(_._1), mode))
   }
 }

@@ -52,10 +52,15 @@ class MmrAgg(n: Int, k: Int, lambda: Double)
                       row: (Double, Long, Seq[Double])): Vector[(Double, Long, Seq[Double])] = {
     // finish()'s greedy comparisons (`score > best`, `score == best`) are
     // both false for NaN, which would degrade the (score desc, id asc)
-    // tie rule to pool-position order — enforce the zero-norm-drop
-    // invariant HERE rather than inherit it silently from upstream
-    if (row._1.isNaN) buf
-    else if (buf.length == n && !lt(row, buf.last)) buf
+    // tie rule to pool-position order. A silent drop here would FORK from
+    // the DuckDB greedy twin (which ranks NaN greatest via ORDER BY DESC)
+    // if the zero-norm-drop invariant upstream ever broke — fail loudly
+    // instead, so a broken invariant surfaces as an error, never as a
+    // quiet engine/oracle divergence.
+    require(!row._1.isNaN,
+      s"MmrAgg: NaN relevance for candidate id=${row._2} — a zero-norm " +
+        "vector leaked past the upstream nrm>0 filter")
+    if (buf.length == n && !lt(row, buf.last)) buf
     else {
       val i = buf.indexWhere(b => lt(row, b)) match {
         case -1 => buf.length

@@ -497,16 +497,16 @@ object Similarity {
                           k: Int): DataFrame = {
     val centSeq = collectCentroids(centroids(standing, nCentroids))
     // the exactness contract above (centroids stay standing) would fail
-    // SILENTLY if a batch carried a centroid id — the quantizer would
-    // change and the result diverge from the rebuild oracle with no
-    // error. The centroid set is already driver-side; one batch-sized
-    // probe makes violations fail loudly instead.
-    val centIds = centSeq.map(_._1)
-    require(batch.filter(col("vec_id").isin(centIds.map(Long.box): _*))
-        .limit(1).count() == 0L,
-      s"knnGraphIncremental: batch contains centroid vec_id(s) of the " +
-        s"standing quantizer (centroid ids ${centIds.mkString(",")}) — " +
-        "incremental == rebuild requires the centroid set to stay standing")
+    // SILENTLY if a batch row landed anywhere in the quantizer's id
+    // window: `centroids` selects vec_id < nCentroids over the UNION, so
+    // a batch id that merely FILLS A GAP in the standing prefix (not just
+    // one that collides with a collected centroid id) changes the rebuild
+    // oracle's quantizer. Probe the whole window, one batch-sized filter,
+    // so any violation fails loudly.
+    require(batch.filter(col("vec_id") < nCentroids).limit(1).count() == 0L,
+      s"knnGraphIncremental: batch contains vec_id(s) inside the standing " +
+        s"quantizer's id window [0, $nCentroids) — incremental == rebuild " +
+        "requires the centroid set to stay standing")
     val assignedB = ivfAssignWith(batch, centSeq)
     val assignedAll = ivfAssignWith(standing, centSeq).unionByName(assignedB)
     val newB = topKPerQuery(

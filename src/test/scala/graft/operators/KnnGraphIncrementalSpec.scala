@@ -43,4 +43,22 @@ class KnnGraphIncrementalSpec extends SparkSuite {
     assert(kept * 10 >= standingEdges * 8,
       s"a 10% batch should displace <20% of standing edges ($kept/$standingEdges kept)")
   }
+
+  test("loud guard: a batch id anywhere in the quantizer window throws, even a gap-filler") {
+    import SimilarityQueries._
+    val full = Similarity.prepare(Tables.embeddings(spark, sf0001))
+    // standing lacks id 3 — a GAP inside [0, NCentroids). Its quantizer is
+    // {0,1,2,4,…}; the rebuild oracle over (standing ∪ batch) would include
+    // 3 as a centroid, so the equivalence breaks WITHOUT the batch row
+    // colliding with any collected standing-centroid id — the case the
+    // membership-only guard missed.
+    val standing = full.filter(col("vec_id") =!= 3L)
+    val graph = Similarity.ivfJoinTopK(standing, standing, NCentroids, NProbe, KGraph)
+    val batch = full.filter(col("vec_id") === 3L)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.knnGraphIncremental(standing, graph, batch,
+        NCentroids, NProbe, KGraph).collect()
+    }
+    assert(e.getMessage.contains("quantizer"), e.getMessage)
+  }
 }
