@@ -230,11 +230,8 @@ object SimilarityQueries {
       nProbe: Int = NProbe, candidates: Int = NCandidates): DataFrame = {
     import graft.functions.NativeExpressions
     val corpus = Similarity.prepare(Tables.embeddings(s, dir)).persist()
-    val (tbl, centSeq, codebook) = buildIvfPqServing(s, corpus)
-    val lexTbl = scratchTable(s, "graft_bm25_scores")
-    TrainingDataQueries.bm25Scored(s, dir)
-      .write.mode("overwrite").saveAsTable(lexTbl)
-    val lex = lexTopK(s.table(lexTbl))
+    val (tbl, centSeq, codebook) = ivfPqServing(s, dir, corpus)
+    val lex = lexTopK(s.table(bm25Served(s, dir)))
     val probeRows = corpus.filter(col("vec_id") === HybridQueryVec)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
       .withColumn("cen_id", explode(
@@ -457,7 +454,7 @@ object SimilarityQueries {
     // queries feeding the shared per-query mmrGreedyCtes steps.
     "pipeline_retrieve_multi" -> ((s, dir) => {
       val corpus = Similarity.prepare(Tables.embeddings(s, dir)).persist()
-      val (tbl, centSeq, codebook) = buildIvfPqServing(s, corpus)
+      val (tbl, centSeq, codebook) = ivfPqServing(s, dir, corpus)
       val topn = probePqLists(s, tbl, codebook, PqM,
           serveProbeRows(corpus, centSeq, MultiNQueries), NCandidates, MmrN)
         .select(col("query_id"), col("vec_id").as("doc_id"), col("cos"))
@@ -544,6 +541,20 @@ object SimilarityQueries {
       Similarity.ivfJoinTopKSalted(corpus, corpus.filter(col("vec_id") % 5 === 2),
           NCentroids, NProbe, K, s = 4,
           hotThreshold = math.max(1L, corpus.count() / NCentroids))
+        .orderBy("query_id", "rank")
+    }),
+    // BULK ANN over the PERSISTED index: the same 20%-of-corpus query
+    // relation as sim_join_ivf, but the corpus side is the
+    // src_ivfpq_bucketed artifact — coarse ADC on the codes column inside
+    // the cen_id shuffle-hash join (bucketed side exchange-free, v never
+    // read for losers), exact rescore of the TopKAgg survivors. See
+    // joinPqTopK for the shuffle story; oracle = the shared
+    // ivfPqRankedCtes replay at this query predicate.
+    "sim_join_pq" -> ((s, dir) => {
+      val corpus = Similarity.prepare(Tables.embeddings(s, dir)).persist()
+      val (tbl, centSeq, codebook) = ivfPqServing(s, dir, corpus)
+      joinPqTopK(s, tbl, codebook, PqM, corpus.filter(col("vec_id") % 5 === 2),
+          centSeq, NProbe, NCandidates, K)
         .orderBy("query_id", "rank")
     }),
     // FILTERED ANN: one full-corpus index, attribute predicate applied at
@@ -818,7 +829,7 @@ object SimilarityQueries {
     // count.
     "src_ivfpq_bucketed" -> ((s, dir) => {
       val corpus = Similarity.prepare(Tables.embeddings(s, dir)).persist()
-      val (tbl, centSeq, codebook) = buildIvfPqServing(s, corpus)
+      val (tbl, centSeq, codebook) = ivfPqServing(s, dir, corpus)
       probePqLists(s, tbl, codebook, PqM,
         serveProbeRows(corpus, centSeq), NCandidates, K)
     }),
@@ -1083,12 +1094,65 @@ object SimilarityQueries {
     * with the collected quantizers. ONE constructor behind
     * `src_ivfpq_bucketed` and the served retrieval chain
     * ([[hybridRrfServed]]), so the index layout cannot fork. */
-  private def buildIvfPqServing(s: SparkSession, corpus: DataFrame)
-      : (String, Seq[(Long, Seq[Double], Double)], Seq[Seq[Double]]) = {
+  /** The table name is DIR-TAGGED: a session that serves two corpora (a
+    * spec suite touching two SFs, the adversarial sweep) must not have the
+    * second build overwrite the table a first-dir memo entry still points
+    * at. */
+  private def buildIvfPqServing(s: SparkSession, dir: String,
+      corpus: DataFrame): ServingArtifact = {
     val (centSeq, codebook) = ivfPqQuantizers(corpus)
-    val tbl = scratchTable(s, "graft_ivfpq_lists")
+    val tbl = scratchTable(s, "graft_ivfpq_lists" + dirTag(dir))
     writeIvfPq(corpus, tbl, centSeq, codebook)
     (tbl, centSeq, codebook)
+  }
+
+  private def dirTag(dir: String): String =
+    "_" + dir.replaceAll("[^a-zA-Z0-9]", "").takeRight(12)
+
+  private type ServingArtifact =
+    (String, Seq[(Long, Seq[Double], Double)], Seq[Seq[Double]])
+  /** Per-session serving-build memos, keyed weakly on the session (the
+    * [[Spread]] pattern) then by corpus dir: `hybridRrfServed` is invoked
+    * independently by `pipeline_e2e_retrieve_served`, `pipeline_context_pack`,
+    * `sim_retrieve_fidelity`, `pipeline_retrieve_multi` and now the bulk
+    * join — without the memo each of them rebuilt the SAME IVF-PQ table
+    * and re-materialized the SAME BM25 scores per run (the index is built
+    * once in production; queries only read). `computeIfAbsent` under the
+    * synchronized map also removes the old strictly-sequential-execution
+    * assumption on the shared scratch-table name. */
+  private val servingCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, ServingArtifact]]())
+  private val bm25Cache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, String]]())
+
+  /** The memoized (tbl, centSeq, codebook) IVF-PQ serving artifact for
+    * `dir`'s corpus — built at most once per (session, dir); rebuilt only
+    * if something dropped the scratch table out from under the memo. */
+  private[operators] def ivfPqServing(s: SparkSession, dir: String,
+      corpus: => DataFrame): ServingArtifact = {
+    val memo = servingCache.computeIfAbsent(s,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, ServingArtifact]())
+    val got = memo.computeIfAbsent(dir, _ => buildIvfPqServing(s, dir, corpus))
+    if (s.catalog.tableExists(got._1)) got
+    else { memo.remove(dir); memo.computeIfAbsent(dir, _ => buildIvfPqServing(s, dir, corpus)) }
+  }
+
+  /** The memoized materialized-BM25 scratch table for `dir` (the served
+    * lexical arm's artifact) — same lifecycle as [[ivfPqServing]]. */
+  private def bm25Served(s: SparkSession, dir: String): String = {
+    val memo = bm25Cache.computeIfAbsent(s,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, String]())
+    def build(): String = {
+      val lexTbl = scratchTable(s, "graft_bm25_scores" + dirTag(dir))
+      TrainingDataQueries.bm25Scored(s, dir)
+        .write.mode("overwrite").saveAsTable(lexTbl)
+      lexTbl
+    }
+    val got = memo.computeIfAbsent(dir, _ => build())
+    if (s.catalog.tableExists(got)) got
+    else { memo.remove(dir); memo.computeIfAbsent(dir, _ => build()) }
   }
 
   /** The deterministic serving quantizers: first-[[NCentroids]] coarse
@@ -1217,6 +1281,64 @@ object SimilarityQueries {
       .withColumn("cos", graft.operators.Dedup.cosine(
         col("qv"), col("v"), col("qnrm"), col("nrm")))
     Similarity.topKPerQuery(rescored, k).orderBy("query_id", "rank")
+  }
+
+  /** BULK served ANN: a corpus-sized DISTRIBUTED query relation joined
+    * against the persisted cen_id-bucketed PQ-coded table — the
+    * embedding-refresh / graph-rebuild regime where the serving tiers'
+    * collect-probes-to-the-driver step ([[serveProbeRows]]) is exactly
+    * wrong. Composition of [[Similarity.ivfJoinTopK]]'s shuffle-hash shape
+    * with the `src_ivfpq_bucketed` artifact (the r14 "What's missing"
+    * item 1):
+    *
+    *  - query rows get their probe lists IN-SCAN (topNCosineIds against
+    *    the constant quantizer, exploded to nProbe rows) — no driver
+    *    roundtrip anywhere;
+    *  - the sides meet in ONE shuffle-hash join on cen_id, where the
+    *    bucketed table side is EXCHANGE-FREE (its layout already IS the
+    *    join partitioning) and is column-pruned to codes+nrm — the
+    *    full-vector column never deserializes for coarse losers;
+    *  - coarse ADC ranks candidates inside the join, [[TopKAgg]] bounds
+    *    each query to `candidates` survivors (map-side partial — probed
+    *    hot lists cannot straggle the selection);
+    *  - exact rescore joins the survivors back to the query relation and
+    *    to the table's full vectors, both SHUFFLE-HASH: every relation in
+    *    the rescore is |Q|-proportional, so nothing is broadcast (a
+    *    forced broadcast here is the anti-pattern the r12 sweep removed).
+    *
+    * At 100 TB: table-side wire cost is zero on the coarse leg (bucketed)
+    * and one (vec_id, v, nrm) shuffle on the rescore leg; the query side
+    * crosses once per leg; no |Q|x|C| expansion beyond the probed lists.
+    * Hot-list skew degrades through AQE's skew-join split exactly as in
+    * `sim_join_ivf` (the salted variant remains the manual knob). */
+  private[operators] def joinPqTopK(s: SparkSession, tbl: String,
+      codebook: Seq[Seq[Double]], m: Int, queries: DataFrame,
+      centSeq: Seq[(Long, Seq[Double], Double)], nProbe: Int,
+      candidates: Int, k: Int): DataFrame = {
+    import graft.functions.NativeExpressions
+    val probes = queries
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+      .withColumn("cen_id", explode(
+        NativeExpressions.topNCosineIds(col("qv"), col("qnrm"), centSeq, nProbe)))
+    val coarse = s.table(tbl)
+      .select(col("vec_id"), col("cen_id"), col("codes"), col("nrm"))
+      .join(probes.hint("shuffle_hash"), "cen_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("coarse",
+        NativeExpressions.pqAdc(col("qv"), col("codes"), codebook, m) /
+          (col("qnrm") * col("nrm")))
+      .groupBy(col("query_id"))
+      .agg(TopKAgg.column(candidates, col("coarse"), col("vec_id")).as("ck"))
+      .select(col("query_id"), explode(col("ck")("_2")).as("vec_id"))
+    val withQ = coarse.join(
+      queries.select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm")).hint("shuffle_hash"), "query_id")
+    val rescored = s.table(tbl)
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .join(withQ.hint("shuffle_hash"), "vec_id")
+      .withColumn("cos", graft.operators.Dedup.cosine(
+        col("qv"), col("v"), col("qnrm"), col("nrm")))
+    Similarity.topKPerQuery(rescored, k)
   }
 
   /** The shared serving read: collected probe rows (query_id, qv, qnrm,
@@ -1973,6 +2095,7 @@ object SimilarityQueries {
       // serving roundtrip (src_ivfpq_bucketed — row-identical by
       // construction) at the serving regime's NQueriesServe.
       "sim_topk_ivfpq" -> ivfPqOracle(NQueries),
+      "sim_join_pq" -> ivfPqOracleWhere("vec_id % 5 = 2"),
       "src_ivfpq_bucketed" -> ivfPqOracle(NQueriesServe),
       // append arm: base ∪ increment must answer exactly like the one-shot
       // build — same oracle verbatim (quantizers are base-trained ==
@@ -2053,13 +2176,19 @@ object SimilarityQueries {
     )
   }
 
-  private def ivfPqOracle(nQueries: Int): String = {
+  private def ivfPqOracle(nQueries: Int): String =
+    ivfPqOracleWhere(s"vec_id < $nQueries")
+
+  /** The IVF-PQ replay at an arbitrary query predicate — `sim_join_pq`'s
+    * bulk query relation (`vec_id % 5 = 2`) shares the chain verbatim with
+    * the serving twins' `vec_id < n`. */
+  private def ivfPqOracleWhere(qPredSql: String): String = {
     val e =
       s"""SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |  FROM embeddings""".stripMargin
     val n = s"SELECT * FROM (SELECT vec_id, v, ${normSql("v")} AS nrm FROM e) WHERE nrm > 0.0"
     s"""WITH e AS ($e), nn AS ($n),
-       |${ivfPqRankedCtes(nQueries)}
+       |${ivfPqRankedCtesWhere(qPredSql)}
        |SELECT query_id, rank, vec_id, cos FROM ranked
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
   }
@@ -2071,7 +2200,10 @@ object SimilarityQueries {
     * ONE chain behind the `sim_topk_ivfpq` / `src_ivfpq_bucketed` twins
     * and the SERVED retrieval twin's vector arm, so the index replay
     * cannot fork from the serving read it mirrors. */
-  private def ivfPqRankedCtes(nQueries: Int): String = {
+  private def ivfPqRankedCtes(nQueries: Int): String =
+    ivfPqRankedCtesWhere(s"vec_id < $nQueries")
+
+  private def ivfPqRankedCtesWhere(qPredSql: String): String = {
     val dsub = 8
     val sq = s"(nn.v[gs.s*$dsub + t] - cb.cv[gs.s*$dsub + t])"
     // quantizers = lowest-N SURVIVING ids (ORDER BY vec_id LIMIT n), the
@@ -2103,7 +2235,7 @@ object SimilarityQueries {
            |  SELECT c.vec_id, list_transform(range(1, ${PqM * dsub + 1}),
            |    i -> cbl.cbs[CAST(c.code[CAST((i-1)//$dsub AS BIGINT) + 1] AS BIGINT) + 1][i]) AS rv
            |  FROM codes c, cbl),
-           |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM nn WHERE vec_id < $nQueries),
+           |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM nn WHERE $qPredSql),
            |probes AS (
            |  SELECT query_id, qv, qnrm, cen_id FROM (
            |    SELECT q.query_id, q.qv, q.qnrm, cents.cen_id,

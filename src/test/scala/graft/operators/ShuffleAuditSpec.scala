@@ -193,7 +193,16 @@ class ShuffleAuditSpec extends SparkSuite {
     // design (the in-query exact arm's 12 + the served arm's 10) plus
     // the k×k-row comparison join and final sort — measured 26; the
     // report is an offline acceptance check, its cost IS two chains
-    "sim_retrieve_fidelity" -> 28
+    "sim_retrieve_fidelity" -> 28,
+    // bulk served ANN, measured 9 in plan text: runtime shuffles are the
+    // probes' cen_id exchange INTO the bucket partitioning (the table
+    // side is exchange-free — bucketed read), the coarse TopKAgg
+    // exchange, the rescore join's two vec_id exchanges (survivors and
+    // the table's full-vector leg — the one corpus-sized wire crossing of
+    // the regime), the final TopKAgg exchange and the output sort; the
+    // persisted corpus's Spread REPARTITION_BY_COL reprints under its two
+    // InMemoryRelation references as in the sim_topk_* entries
+    "sim_join_pq" -> 11
   ).withDefaultValue(6)
 
   test("every query plan builds, and its shuffle count stays within the audited bound") {
