@@ -52,6 +52,44 @@ object DedupQueries {
     connectedComponents(pairs)
   }
 
+  /** Standalone keep-first paragraph dedup body (`dedup_paragraph`).
+    * `wide = true` swaps the mod-1e9+7 window hash for the full 64-bit
+    * kernel ([[graft.functions.NativeExpressions.windowHashes64]]) — the
+    * 100 TB arm: at ~10¹¹ paragraphs the 31-bit space is past its
+    * birthday bound (n²/2P false merges excise REAL text), the wide
+    * space defers that to n ≈ 2³². The substring family's r12 convention
+    * applies verbatim: mod-P stays the driver-oracle surface (DuckDB
+    * BIGINT errors on 64-bit overflow), the wide arm is pinned by
+    * DedupStressSpec's 200k-paragraph containment/contrast arm. */
+  private[operators] def paragraphDedup(docs: DataFrame,
+      wide: Boolean = false): DataFrame = {
+    import graft.functions.NativeExpressions
+    val w = 20
+    val wh = if (wide) NativeExpressions.windowHashes64(col("text"), w)
+             else NativeExpressions.windowHashes(col("text"), w)
+    // persist: the exploded paragraph set feeds the canonical agg AND the
+    // join-back — without it the scan + kernel pass runs twice
+    val paras = docs
+      .select(col("doc_id"), posexplode(wh))
+      .select(col("doc_id"), col("pos").cast(LongType).as("pidx"),
+        col("col").as("h"))
+      .persist()
+    val canon = paras.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pidx"))).as("c"))
+      .select(col("h"), col("c").getField("doc_id").as("c_doc"),
+        col("c").getField("pidx").as("c_pidx"))
+    paras.join(canon, "h")
+      .withColumn("kept",
+        col("doc_id") === col("c_doc") && col("pidx") === col("c_pidx"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_dup"),
+        NativeExpressions.polyCombine(
+          transform(array_sort(collect_list(when(col("kept"),
+            struct(col("pidx"), col("h"))))), e => e.getField("h")))
+          .as("kept_hash"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "dedup_exact" -> ((s, dir) => {
@@ -375,33 +413,8 @@ object DedupQueries {
     // (group by hash, join back by hash) and the per-doc re-aggregation —
     // never a window, never a self-join. Docs with zero tokens have no
     // paragraphs and are absent by construction (both engines).
-    "dedup_paragraph" -> ((s, dir) => {
-      import graft.functions.NativeExpressions
-      val w = 20
-      // persist: the exploded paragraph set feeds the canonical agg AND the
-      // join-back — without it the scan + kernel pass runs twice
-      val paras = docsSpread(s, dir)
-        .select(col("doc_id"),
-          posexplode(NativeExpressions.windowHashes(col("text"), w)))
-        .select(col("doc_id"), col("pos").cast(LongType).as("pidx"),
-          col("col").as("h"))
-        .persist()
-      val canon = paras.groupBy(col("h"))
-        .agg(min(struct(col("doc_id"), col("pidx"))).as("c"))
-        .select(col("h"), col("c").getField("doc_id").as("c_doc"),
-          col("c").getField("pidx").as("c_pidx"))
-      paras.join(canon, "h")
-        .withColumn("kept",
-          col("doc_id") === col("c_doc") && col("pidx") === col("c_pidx"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_paras"),
-          sum(when(col("kept"), 0L).otherwise(1L)).as("n_dup"),
-          graft.functions.NativeExpressions.polyCombine(
-            transform(array_sort(collect_list(when(col("kept"),
-              struct(col("pidx"), col("h"))))), e => e.getField("h")))
-            .as("kept_hash"))
-        .orderBy("doc_id")
-    }),
+    "dedup_paragraph" -> ((s, dir) =>
+      paragraphDedup(docsSpread(s, dir)).orderBy("doc_id")),
 
     // Semantic dedup at the 100 TB shape (SemDeDup-style): embeddings are
     // coarse-quantized onto IVF lists (centroids broadcast, assignment

@@ -328,13 +328,22 @@ object TrainingDataQueries {
     * broadcast arm; the degraded arm pays one h-grain exchange of the
     * paragraph set. Both arms pinned in ParagraphHygieneSpec. */
   private[operators] def boilerplateAgg(docs: DataFrame,
-      maxBoilerBroadcast: Long = SpanOwnersExactMax): DataFrame = {
+      maxBoilerBroadcast: Long = SpanOwnersExactMax,
+      wide: Boolean = false): DataFrame = {
     val w = ParaWindow
+    // `wide` selects the 64-bit window-hash space — the 100 TB arm (the
+    // paragraph population of a web corpus sits far past the mod-P
+    // birthday bound, where a false h-merge inflates a paragraph's
+    // document frequency and drops CLEAN text as boilerplate); mod-P
+    // stays the driver-oracle surface, the wide arm is spec-pinned
+    // (ParagraphHygieneSpec: identical drop decisions on the clean
+    // fixture) — the substring family's r12 convention.
+    val wh = if (wide) NativeExpressions.windowHashes64(col("text"), w)
+             else NativeExpressions.windowHashes(col("text"), w)
     // persist: the exploded paragraph set feeds the frequency chain AND
     // the drop join — without it the scan + kernel pass runs twice
     val paras = graft.CheckpointUtil.trackPersist(docs
-      .select(col("doc_id"),
-        posexplode(NativeExpressions.windowHashes(col("text"), w)))
+      .select(col("doc_id"), posexplode(wh))
       .select(col("doc_id"), col("pos").cast(LongType).as("pidx"),
         col("col").as("h"))
       .persist())

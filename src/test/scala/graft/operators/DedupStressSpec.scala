@@ -129,6 +129,36 @@ class DedupStressSpec extends SparkSuite {
     graft.CheckpointUtil.releaseStragglers()
   }
 
+  test("STANDALONE dedup_paragraph wide arm: containment in mod-P and zero extras at 200k paragraphs") {
+    // the r14 directive-2 gap: paragraphAgg (the e2e stage) got the wide
+    // flag in r12, the standalone query body did not. Same fixture, same
+    // laws: the wide arm recovers exactly the planted structure (its
+    // birthday bound is n²/2⁶⁵), its dup set is CONTAINED in the mod-P
+    // arm's (a 64-bit window equality is a mod-P equality up to the
+    // ~2⁻⁶⁴ reverse-collision odds), and the mod-P excess stays inside
+    // the n²/2P budget that r11 measured at exactly 20.
+    val expected = leaders.flatMap { l =>
+      Seq(l + 1 -> 4L, l + 2 -> 4L, l + 3 -> 3L, l + 4 -> 1L)
+    }.toMap
+    val modp = DedupQueries.paragraphDedup(corpus)
+      .filter(col("n_dup") > 0).select(col("doc_id"), col("n_dup"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val wide = DedupQueries.paragraphDedup(corpus, wide = true)
+      .filter(col("n_dup") > 0).select(col("doc_id"), col("n_dup"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(wide == expected,
+      s"standalone wide arm extras: ${(wide -- expected.keys).take(5)}")
+    // containment: every wide dup doc is a mod-P dup doc with >= count
+    val escaped = wide.filter { case (d, n) => !modp.get(d).exists(_ >= n) }
+    assert(escaped.isEmpty, s"wide dups escaping mod-P: ${escaped.take(5)}")
+    val extras = modp -- expected.keys
+    info(s"standalone mod-P birthday extras: ${extras.size}")
+    assert(extras.size <= 40 && extras.values.forall(_ == 1L),
+      s"mod-P extras beyond the birthday budget: ${extras.take(8)}")
+    spark.catalog.clearCache()
+    graft.CheckpointUtil.releaseStragglers()
+  }
+
   test("pointer-doubling CC recovers exactly the planted clusters, in logarithmic rounds") {
     val d = corpus
       .select(col("doc_id"),

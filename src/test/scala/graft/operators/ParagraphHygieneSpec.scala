@@ -61,6 +61,23 @@ class ParagraphHygieneSpec extends SparkSuite {
       col("kept_hash") =!= 0L).count() == 0)
   }
 
+  test("boilerplate wide (64-bit) arm: identical drop decisions on the collision-free fixture") {
+    // the 100 TB arm swaps the hash SPACE, not the law: on a fixture with
+    // no mod-P birthday collisions the per-doc (n_paras, n_boiler) counts
+    // must be identical; kept_hash legitimately differs (it combines the
+    // h values themselves)
+    val docs = Tables.documents(spark, sf0001)
+    val modp = TrainingDataQueries.boilerplateAgg(docs)
+      .select("doc_id", "n_paras", "n_boiler").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val wide = TrainingDataQueries.boilerplateAgg(docs, wide = true)
+      .select("doc_id", "n_paras", "n_boiler").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(wide == modp)
+    assert(wide.values.map(_._2).sum > 0, "drop path not exercised")
+    graft.CheckpointUtil.releaseStragglers()
+  }
+
   test("in-doc dedup: drops are exactly the later same-doc repeats") {
     val q = SparkEntry.queries("pipeline_indoc_dedup")(spark, sf0001).persist()
     // independent formulation over the AUGMENTED text: explode + window
