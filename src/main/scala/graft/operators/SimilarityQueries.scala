@@ -175,6 +175,53 @@ object SimilarityQueries {
       k)
   }
 
+  /** PERSISTED late-interaction serving (`src_maxsim_bucketed`): the
+    * chunk-grain table written bucketed by cen_id ONCE (the `writeIvfPq`
+    * lifecycle, chunk edition), probed per query batch — the serving
+    * story [[maxsimTopKIvf]] lacked (it rebuilt its index in-query; a
+    * ColBERT-style serving fleet amortizes chunking/embedding/assignment
+    * across every query batch). The probe read is the
+    * [[probeListsPruned]] shape: probe lists enter as LITERALS (bucket
+    * pruning needs a constant predicate), the query doc's chunk rows as a
+    * broadcast local relation, and everything downstream of the pruned
+    * scan is the SHARED [[maxsimTail]] — so the persisted path cannot
+    * fork from the in-query arm it must equal row-for-row (the driver
+    * oracle is sim_maxsim_ivf's verbatim; MaxsimServedSpec pins the
+    * bucket pruning). */
+  private[operators] def maxsimServed(s: SparkSession, docs: DataFrame,
+      k: Int): DataFrame = {
+    import graft.functions.NativeExpressions
+    import s.implicits._
+    val ch = chunkVecs(docs).persist()
+    val centSeq = Similarity.collectCentroids(
+      ch.filter(col("chunk_idx") === 0L && col("doc_id") < NCentroids)
+        .select(col("doc_id").as("cen_id"), col("v").as("cv"), col("nrm").as("cnrm")))
+    val assigned = ch.withColumn("cen_id",
+      NativeExpressions.argMaxCosine(col("v"), col("nrm"), centSeq))
+    val tbl = scratchTable(s, "graft_maxsim_lists")
+    graft.sources.Layouts.writeBucketed(assigned, tbl, "cen_id",
+      nBuckets = 16, sortCols = Seq("cen_id", "doc_id", "chunk_idx"))
+    // serve batch: ONE query doc's chunks x their top-nProbe lists — a
+    // bounded constant (the serving regime), collected once like every
+    // bucketed-probe caller
+    val probeRows = ch.filter(col("doc_id") === MaxsimQueryDoc)
+      .select(col("chunk_idx").as("qi"), col("v").as("qv"), col("nrm").as("qnrm"))
+      .withColumn("cen_id", explode(
+        NativeExpressions.topNCosineIds(col("qv"), col("qnrm"), centSeq, MaxsimNProbe)))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2), r.getLong(3)))
+      .toSeq
+    val probes = probeRows.toDF("qi", "qv", "qnrm", "cen_id")
+    val probeIds = probeRows.map(_._4).distinct.sorted
+    maxsimTail(
+      s.table(tbl)
+        .filter(col("cen_id").isin(probeIds.map(Long.box): _*))
+        .filter(col("doc_id") =!= MaxsimQueryDoc)
+        .join(broadcast(probes), "cen_id")
+        .withColumn("cos", Dedup.cosine(col("qv"), col("v"), col("qnrm"), col("nrm"))),
+      k)
+  }
+
   /** RRF fusion law — ONE definition behind the in-query
     * ([[hybridRrfFused]]) and served ([[hybridRrfServed]]) fusion cores:
     * full-outer join of the two arm rankings, score = Σ 1/(k0+rank) over
@@ -413,6 +460,12 @@ object SimilarityQueries {
     // the all-chunks cross join (see [[maxsimTopKIvf]])
     "sim_maxsim_ivf" -> ((s, dir) =>
       maxsimTopKIvf(Spread.ifNarrow(Tables.documents(s, dir), col("doc_id")),
+        MaxsimK).orderBy("rank")),
+    // PERSISTED maxsim serving — the chunk table bucketed by cen_id once,
+    // probed per query batch (see [[maxsimServed]]); row-identical to the
+    // in-query IVF arm (same oracle verbatim), bucket pruning spec-pinned
+    "src_maxsim_bucketed" -> ((s, dir) =>
+      maxsimServed(s, Spread.ifNarrow(Tables.documents(s, dir), col("doc_id")),
         MaxsimK).orderBy("rank")),
     // E2E RETRIEVAL composition — the serving-side pipeline the ingestion
     // operators exist to feed: hybrid lexical+vector fusion
@@ -1493,6 +1546,33 @@ object SimilarityQueries {
          |  FROM fp)
          |SELECT rank, doc_id, maxsim_fp FROM rk
          |WHERE rank <= $MaxsimK ORDER BY rank""".stripMargin
+    // IVF arm of late interaction, factored: chunks assigned to the
+    // first-chunk-of-first-N quantizer (argmax cosine, ties to lowest
+    // cen_id — the ivf family's rule), each query chunk probes its
+    // top-MaxsimNProbe lists, pairs exist only inside probed lists; the
+    // scoring tail is shared verbatim. ONE string behind sim_maxsim_ivf
+    // (in-query index) and src_maxsim_bucketed (persisted index) — the
+    // two must rank identically by construction.
+    lazy val maxsimIvfOracleSql: String =
+      s"""WITH $maxsimBaseCtes,
+         |mcents AS (SELECT doc_id AS cen_id, v AS cv, nrm AS cnrm FROM cn
+         |  WHERE chunk_idx = 0 AND doc_id < $NCentroids),
+         |asg AS (SELECT doc_id, chunk_idx, v, nrm, cen_id FROM (
+         |  SELECT c.doc_id, c.chunk_idx, c.v, c.nrm, mcents.cen_id,
+         |    row_number() OVER (PARTITION BY c.doc_id, c.chunk_idx
+         |      ORDER BY ${dotSql("c.v", "mcents.cv")} / (c.nrm * mcents.cnrm) DESC, mcents.cen_id) AS arn
+         |  FROM cn c, mcents) WHERE arn = 1),
+         |qp AS (SELECT qi, qv, qnrm, cen_id FROM (
+         |  SELECT q.qi, q.qv, q.qnrm, mcents.cen_id,
+         |    row_number() OVER (PARTITION BY q.qi
+         |      ORDER BY ${dotSql("q.qv", "mcents.cv")} / (q.qnrm * mcents.cnrm) DESC, mcents.cen_id) AS prn
+         |  FROM q, mcents) WHERE prn <= $MaxsimNProbe),
+         |mc AS (SELECT a.doc_id, p.qi,
+         |    max(${dotSql("p.qv", "a.v")} / (p.qnrm * a.nrm)) AS m
+         |  FROM qp p JOIN asg a ON a.cen_id = p.cen_id
+         |  WHERE a.doc_id <> $MaxsimQueryDoc
+         |  GROUP BY a.doc_id, p.qi),
+         |$maxsimTailSql""".stripMargin
     // Unrolled greedy-MMR CTE steps over a preceding
     // `pool(query_id, vec_id, rel, u)`: sel1 = per-query relevance argmax
     // scored λ·rel, then one step per pick — ms{t} = each unpicked
@@ -1714,26 +1794,11 @@ object SimilarityQueries {
       // (argmax cosine, ties to lowest cen_id — the ivf family's rule),
       // each query chunk probes its top-MaxsimNProbe lists, pairs exist
       // only inside probed lists; the scoring tail is shared verbatim
-      "sim_maxsim_ivf" ->
-        s"""WITH $maxsimBaseCtes,
-           |mcents AS (SELECT doc_id AS cen_id, v AS cv, nrm AS cnrm FROM cn
-           |  WHERE chunk_idx = 0 AND doc_id < $NCentroids),
-           |asg AS (SELECT doc_id, chunk_idx, v, nrm, cen_id FROM (
-           |  SELECT c.doc_id, c.chunk_idx, c.v, c.nrm, mcents.cen_id,
-           |    row_number() OVER (PARTITION BY c.doc_id, c.chunk_idx
-           |      ORDER BY ${dotSql("c.v", "mcents.cv")} / (c.nrm * mcents.cnrm) DESC, mcents.cen_id) AS arn
-           |  FROM cn c, mcents) WHERE arn = 1),
-           |qp AS (SELECT qi, qv, qnrm, cen_id FROM (
-           |  SELECT q.qi, q.qv, q.qnrm, mcents.cen_id,
-           |    row_number() OVER (PARTITION BY q.qi
-           |      ORDER BY ${dotSql("q.qv", "mcents.cv")} / (q.qnrm * mcents.cnrm) DESC, mcents.cen_id) AS prn
-           |  FROM q, mcents) WHERE prn <= $MaxsimNProbe),
-           |mc AS (SELECT a.doc_id, p.qi,
-           |    max(${dotSql("p.qv", "a.v")} / (p.qnrm * a.nrm)) AS m
-           |  FROM qp p JOIN asg a ON a.cen_id = p.cen_id
-           |  WHERE a.doc_id <> $MaxsimQueryDoc
-           |  GROUP BY a.doc_id, p.qi),
-           |$maxsimTailSql""".stripMargin,
+      "sim_maxsim_ivf" -> maxsimIvfOracleSql,
+      // persisted maxsim serving: the SAME replay verbatim — writing the
+      // assigned chunk table bucketed and probing it must change the read
+      // path, never the ranking
+      "src_maxsim_bucketed" -> maxsimIvfOracleSql,
       // e2e retrieval: the SAME fused chain, unit vectors joined back as
       // the single-group MMR pool (rel = rrf), the SAME unrolled greedy
       // steps as the sim_mmr_rerank twin, doc metadata attached last
