@@ -396,6 +396,40 @@ object TrainingDataQueries {
       .orderBy("tok")
   }
 
+  /** Drift-gated incremental BPE (`pipeline_bpe_incremental`) — the one
+    * expensive artifact that had no batch+incremental pair (r14 directive
+    * 5). Under corpus append (base = doc_id <= the 4/5 boundary, batch
+    * above it), retraining the merge table per ingest is wasted work
+    * while the token distribution holds and silent tokenizer rot once it
+    * doesn't — so the gate IS `pipeline_token_drift`'s law reduced to a
+    * scalar: sum |delta_ppm| over the top-[[DriftTopK]] head. Below
+    * [[BpeDriftGatePpm]] the STANDING base-trained table is kept and
+    * applied to the full corpus (batch tokens unseen at train time still
+    * segment — rank-order apply is total); above it the table retrains on
+    * the full corpus, where retrain == fresh training by construction
+    * (same [[bpeMerges]], same inputs — the equivalence oracle). The gate
+    * scalar and decision ride the output as constant columns, so the
+    * compared hash pins the METRIC and the BRANCH, not just the pieces.
+    * 100 TB shape: the gate is two token-grain aggs reduced to one
+    * number; the keep arm never rescans the base corpus for training. */
+  private[operators] def bpeIncremental(docs: DataFrame): DataFrame = {
+    val drift = tokenDrift(docs)
+      .agg(coalesce(sum(abs(col("delta_ppm"))), lit(0L)).as("d"))
+      .head.getLong(0) // scalar — the sanctioned bounded collect
+    val retrain = drift > BpeDriftGatePpm
+    val trainSet =
+      if (retrain) docs else docs.filter(col("doc_id") <= idBoundary(docs))
+    val merges = bpeMerges(trainSet)
+    docs
+      .select(col("doc_id"), NativeExpressions.bpeStats(col("text"), merges).as("b"))
+      .select(col("doc_id"),
+        col("b").getItem(0).as("n_tokens"),
+        col("b").getItem(1).as("n_pieces"),
+        col("b").getItem(2).as("pieces_hash"))
+      .withColumn("drift_ppm", lit(drift))
+      .withColumn("retrained", lit(retrain))
+  }
+
   /** `pipeline_ngram_novelty`'s frame (see the query comment).
     * Frame-parameterized so the spec can plant closed-form novelty. */
   private[operators] def ngramNovelty(docs: DataFrame): DataFrame = {
@@ -648,6 +682,15 @@ object TrainingDataQueries {
     * the word-frequency histogram). */
   val BpeRounds = 8
   val BpeVocabCap = 100000
+  /** Retrain gate for `pipeline_bpe_incremental`: retrain iff the summed
+    * |delta_ppm| over the [[DriftTopK]] head (the `pipeline_token_drift`
+    * law) exceeds this — ~10% aggregate rate shift across the head
+    * vocabulary. The driver fixtures sit at 17k–70k ppm natural drift
+    * (measured at all 3 SFs), so they exercise the KEEP-BASE arm — the
+    * incremental regime's point; BpeIncrementalSpec plants batches on
+    * both sides of the boundary. Integer-exact and replayed in the twin,
+    * so the branch can never disagree cross-engine whatever the value. */
+  val BpeDriftGatePpm = 100000L
   val CmsProbeTerms = Seq("join", "hash", "scan", "query", "window", "zzz_absent")
 
   /** Sliding-window overlap chunker over a `(doc_id, text)` relation —
@@ -1453,6 +1496,14 @@ object TrainingDataQueries {
         .orderBy("doc_id")
     }),
 
+    // Drift-gated incremental BPE (see [[bpeIncremental]]): keep the
+    // standing base-trained merge table while the head-vocabulary drift
+    // holds under the gate, retrain on the full corpus past it — the
+    // batch+incremental pair for the tokenizer artifact, with the gate
+    // metric and branch pinned inside the compared hash.
+    "pipeline_bpe_incremental" -> ((s, dir) =>
+      bpeIncremental(docsSpread(s, dir)).orderBy("doc_id")),
+
     // TOKENIZER FERTILITY report — the QA table a tokenizer change ships
     // with: per source, how many BPE pieces the corpus's own learned
     // merge table spends per whitespace token (fertility, in ppm so the
@@ -1866,7 +1917,8 @@ object TrainingDataQueries {
     * left-joins them. Shared by the `pipeline_bpe` oracle and the e2e
     * curation twin (which tokenizes its SURVIVORS) — one trainer twin,
     * no fork. */
-  private[operators] def bpeChainCtes(docsRel: String): String = {
+  private[operators] def bpeChainCtes(docsRel: String,
+      trainRel: String = null): String = {
     def fm(seg: String, l: String, r: String): String =
       s"list_reduce(list_prepend(CAST([] AS VARCHAR[]), list_transform($seg, s0 -> [s0])), " +
         s"(acc, x) -> CASE WHEN len(acc) > 0 AND acc[len(acc)] = $l AND x[1] = $r " +
@@ -1881,15 +1933,25 @@ object TrainingDataQueries {
     }.mkString(",\n")
     val mtList = (1 to BpeRounds).map(k => s"b$k.pr").mkString(", ")
     val mtFrom = (1 to BpeRounds).map(k => s"b$k").mkString(", ")
-    s"""tk AS MATERIALIZED (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-       |       ELSE list_filter(string_split_regex(trim(text), '\\s+'), t9 -> t9 <> '') END AS toks FROM $docsRel),
-       |e0 AS (SELECT unnest(toks) AS tok FROM tk),
+    // the merge table is learned from `trainRel`'s histogram (default:
+    // the apply corpus itself — the one-shot trainer); the APPLY
+    // vocabulary `ahist` is always the apply corpus's, so an
+    // incremental-regime batch token unseen at train time still
+    // segments (rank-order apply is total on any token)
+    val tokCase =
+      s"""CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         |       ELSE list_filter(string_split_regex(trim(text), '\\s+'), t9 -> t9 <> '') END""".stripMargin
+    val trainTk = if (trainRel == null) "tk"
+      else s"(SELECT doc_id, $tokCase AS toks FROM $trainRel)"
+    s"""tk AS MATERIALIZED (SELECT doc_id, $tokCase AS toks FROM $docsRel),
+       |e0 AS (SELECT unnest(toks) AS tok FROM $trainTk),
        |hist AS MATERIALIZED (SELECT tok, count(*) AS w FROM e0 GROUP BY tok),
        |v0 AS MATERIALIZED (SELECT tok, w, list_transform(range(1, length(tok)+1), c0 -> tok[c0]) AS seg
        |       FROM hist QUALIFY row_number() OVER (ORDER BY w DESC, tok) <= $BpeVocabCap),
        |$rounds,
        |mt AS MATERIALIZED (SELECT [$mtList] AS mtl FROM $mtFrom),
-       |va AS MATERIALIZED (SELECT tok, list_transform(range(1, length(tok)+1), c1 -> tok[c1]) AS seg FROM hist),
+       |ahist AS (SELECT DISTINCT unnest(toks) AS tok FROM tk),
+       |va AS MATERIALIZED (SELECT tok, list_transform(range(1, length(tok)+1), c1 -> tok[c1]) AS seg FROM ahist),
        |rec AS (
        |  SELECT tok, seg FROM va
        |  UNION ALL
@@ -2393,6 +2455,46 @@ object TrainingDataQueries {
          |  CASE WHEN ag.hl IS NULL THEN 0 ELSE ${DedupQueries.combineSql("ag.hl")} END AS pieces_hash
          |FROM tk LEFT JOIN ag ON tk.doc_id = ag.doc_id
          |ORDER BY tk.doc_id""".stripMargin,
+
+    // Incremental-BPE twin: the drift gate replayed verbatim from the
+    // pipeline_token_drift chain (d-prefixed CTEs — bpeChainCtes owns the
+    // bare names), reduced to one scalar; the merge chain's TRAIN relation
+    // is conditionally the base slice or the full corpus on that scalar —
+    // both engines take the same branch because the gate is integer ppm
+    // arithmetic. Apply is always the full corpus.
+    "pipeline_bpe_incremental" -> {
+      val gateCtes =
+        s"""bd AS (SELECT COALESCE(max(doc_id), -1) * 4 // 5 AS boundary FROM documents),
+           |dtk AS (SELECT d.doc_id <= (SELECT boundary FROM bd) AS base,
+           |  unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+           |    t9 -> t9 <> '')) AS tok FROM documents d),
+           |dc AS (SELECT tok,
+           |  CAST(SUM(CASE WHEN base THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+           |  CAST(SUM(CASE WHEN base THEN 0 ELSE 1 END) AS BIGINT) AS n_new
+           |  FROM dtk GROUP BY tok),
+           |dtot AS (SELECT CAST(SUM(n_base) AS BIGINT) AS t_base,
+           |  CAST(SUM(n_new) AS BIGINT) AS t_new FROM dc),
+           |dtop AS (SELECT * FROM dc ORDER BY n_base DESC, tok LIMIT $DriftTopK),
+           |dr AS (SELECT
+           |  CASE WHEN t_base <= 0 THEN 0 ELSE n_base * 1000000 // t_base END AS base_ppm,
+           |  CASE WHEN t_new <= 0 THEN 0 ELSE n_new * 1000000 // t_new END AS new_ppm
+           |  FROM dtop CROSS JOIN dtot),
+           |gate AS (SELECT CAST(COALESCE(SUM(abs(new_ppm - base_ppm)), 0) AS BIGINT) AS drift FROM dr)""".stripMargin
+      val trainRel =
+        s"""(SELECT * FROM documents
+           |  WHERE doc_id <= (SELECT boundary FROM bd)
+           |     OR (SELECT drift FROM gate) > $BpeDriftGatePpm)""".stripMargin
+      s"""WITH RECURSIVE
+         |$gateCtes,
+         |${bpeChainCtes("documents", trainRel)}
+         |SELECT tk.doc_id, CAST(len(tk.toks) AS BIGINT) AS n_tokens,
+         |  COALESCE(ag.n_pieces, 0) AS n_pieces,
+         |  CASE WHEN ag.hl IS NULL THEN 0 ELSE ${DedupQueries.combineSql("ag.hl")} END AS pieces_hash,
+         |  (SELECT drift FROM gate) AS drift_ppm,
+         |  (SELECT drift FROM gate) > $BpeDriftGatePpm AS retrained
+         |FROM tk LEFT JOIN ag ON tk.doc_id = ag.doc_id
+         |ORDER BY tk.doc_id""".stripMargin
+    },
 
     "pipeline_tokenizer_report" ->
       s"""WITH RECURSIVE
