@@ -81,6 +81,47 @@ object Multimodal {
       MediaFeatures(r.id, r.data.length.toLong, checksum, histHash)
     }
 
+  /** Perceptual decode row: the fine (64-bin, byte % 64) payload
+    * histogram alongside the byte-exact checksum — the signature pair
+    * `mm_perceptual_dedup` keys on. A re-ENCODED copy (bytes reordered by
+    * a codec round-trip; here: a deterministic byte rotation) keeps the
+    * histogram and loses the checksum, which is exactly the miss class of
+    * exact payload dedup. */
+  case class MediaPerceptual(id: Long, n_bytes: Long, checksum: Long,
+                             hist: Array[Long])
+
+  /** The perceptual stand-in for "decode then downsample": one byte pass
+    * accumulating the rolling checksum AND the 64-bin histogram (the
+    * 16-bin [[decodeBatch]] pass, refined — an aHash/dHash would
+    * THRESHOLD these bins, but mean-threshold bits are degenerate on a
+    * shared-alphabet corpus: measured 1673 distinct 64-bit sigs over
+    * 5000 sf0.1 payloads → 3.3M banded candidate pairs, so the exact
+    * bin counts themselves are the discriminative signature and the
+    * near-tolerance moves to the BANDING, editdist-pigeonhole style). */
+  def decodePerceptualBatch(rows: Iterator[MediaRow]): Iterator[MediaPerceptual] =
+    rows.map { r =>
+      var checksum = 0L
+      val hist = new Array[Long](64)
+      var i = 0
+      while (i < r.data.length) {
+        val b = r.data(i) & 0xff
+        checksum = (checksum * TextFunctions.HashBase + b) % P
+        hist(b % 64) += 1
+        i += 1
+      }
+      MediaPerceptual(r.id, r.data.length.toLong, checksum, hist)
+    }
+
+  /** perceptual decode over the media table: typed mapPartitions — same
+    * plumbing contract as [[decodeFeatures]] (payloads never shuffle). */
+  def decodePerceptual(spark: SparkSession, media: DataFrame): Dataset[MediaPerceptual] = {
+    import spark.implicits._
+    media.select(col("id"), col("meta.mime").as("mime"),
+        col("meta.width").as("width"), col("meta.height").as("height"), col("data"))
+      .as[MediaRow]
+      .mapPartitions(decodePerceptualBatch)
+  }
+
   /** decode/feature-extract over the media table: typed mapPartitions. */
   def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._

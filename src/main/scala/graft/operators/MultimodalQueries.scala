@@ -23,6 +23,51 @@ object MultimodalQueries {
     * cut logic (mid-payload straddle included) is actually exercised. */
   val ShardBytes = 16384L
 
+  /** Perceptual-dedup verify budget: candidate pairs whose 64-bin
+    * histograms differ by at most this L1 mass are near-dups. A one-byte
+    * lossy change moves 2 units; natural sf0.1 pairs passing 8 were
+    * measured at exactly 8 of 24.7k candidates. */
+  val PerceptualL1Max = 8L
+
+  /** PERCEPTUAL near-dup pairs over perceptual decode rows
+    * `(id, n_bytes, checksum, hist)` — the banded candidate + verify
+    * split of every dedup family here, pigeonhole edition: the 64-bin
+    * histogram is cut into 4 bands of 16 exact counts, candidates share
+    * (band_idx, n_bytes, band counts) — a lossy re-encode disturbing <= 3
+    * bins leaves >= 1 band intact, an order-only re-encode (the common
+    * codec round-trip) matches all 4 — then survivors verify on full-
+    * histogram L1 <= [[PerceptualL1Max]]. (An aHash over these bins was
+    * measured degenerate on a shared-alphabet corpus — see
+    * [[Multimodal.decodePerceptualBatch]].) Only (id, n_bytes, 16
+    * counts) rows cross the candidate shuffle; payload bytes never
+    * leave their scan task; output is near-dup-proportional.
+    * `byte_identical` carries whether exact dedup would ALSO have caught
+    * the pair — false is this operator's reason to exist. */
+  private[operators] def perceptualPairs(feats: DataFrame): DataFrame = {
+    val f = feats.persist() // bands + two verify join-backs
+    val bands = f
+      .withColumn("bi", explode(sequence(lit(0L), lit(3L))))
+      .select(col("id"), col("bi"), col("n_bytes"),
+        slice(col("hist"), (col("bi") * 16 + 1).cast("int"), lit(16)).as("bc"))
+    val cand = bands.as("a")
+      .join(bands.as("b").hint("shuffle_hash"),
+        col("a.bi") === col("b.bi") && col("a.n_bytes") === col("b.n_bytes")
+          && col("a.bc") === col("b.bc") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(f.select(col("id").as("id_a"), col("hist").as("h_a"),
+        col("checksum").as("cs_a")), "id_a")
+      .join(f.select(col("id").as("id_b"), col("hist").as("h_b"),
+        col("checksum").as("cs_b")), "id_b")
+      .withColumn("l1", aggregate(
+        zip_with(col("h_a"), col("h_b"), (x, y) => abs(x - y)),
+        lit(0L), (acc, d) => acc + d))
+      .filter(col("l1") <= PerceptualL1Max)
+      .select(col("id_a"), col("id_b"), col("l1"),
+        (col("cs_a") === col("cs_b")).as("byte_identical"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_features" -> ((s, dir) => {
       Multimodal.decodeFeatures(s, media(s, dir)).toDF().orderBy("id")
@@ -58,6 +103,22 @@ object MultimodalQueries {
         .select(col("canonical_id"), col("n_copies"), col("ids_hash"),
           col("n_bytes"), col("checksum"))
         .orderBy("canonical_id")
+    }),
+    // PERCEPTUAL near-dup over media payloads — the class exact payload
+    // dedup is structurally blind to: a re-ENCODED copy (codec
+    // round-trip; simulated as a deterministic BYTE ROTATION of every
+    // 11th payload under a shifted id — binary-level in both engines, so
+    // no text-indexing semantics can diverge) keeps the content
+    // distribution and loses the checksum. See [[perceptualPairs]].
+    "mm_perceptual_dedup" -> ((s, dir) => {
+      val base = media(s, dir)
+      val copies = base.filter(pmod(col("id"), lit(11)) === 0)
+        .select((col("id") + 20000000L).as("id"), col("meta"),
+          concat(expr("substring(data, 8, length(data))"),
+            expr("substring(data, 1, 7)")).as("data"))
+      perceptualPairs(
+        Multimodal.decodePerceptual(s, base.unionByName(copies)).toDF())
+        .orderBy("id_a", "id_b")
     }),
     // Size-bounded SHARD assembly — the WebDataset/tar-shard builder step
     // of a media corpus: payloads laid head-to-tail in id order and cut
@@ -172,6 +233,32 @@ object MultimodalQueries {
          |  FROM f GROUP BY n_bytes, checksum, hist_hash)
          |SELECT canonical_id, n_copies, ${roll("ids")} AS ids_hash, n_bytes, checksum
          |FROM g WHERE n_copies > 1 ORDER BY canonical_id""".stripMargin,
+    // perceptual twin: same byte expansion, the rotation replayed as a
+    // list rotation, 64-bin histogram, 4x16 pigeonhole bands + n_bytes,
+    // L1 verify — every step integer-exact
+    "mm_perceptual_dedup" ->
+      s"""WITH c AS (SELECT doc_id AS id, $codes AS cp FROM documents),
+         |u AS (SELECT id, cp FROM c
+         |  UNION ALL SELECT id + 20000000 AS id,
+         |    list_concat(cp[8:], cp[1:7]) AS cp FROM c WHERE id % 11 = 0),
+         |h AS (SELECT id, CAST(len(cp) AS BIGINT) AS n_bytes,
+         |  ${roll("cp")} AS checksum,
+         |  list_transform(range(0, 64), b -> CAST(len(list_filter(cp, x -> x % 64 = b)) AS BIGINT)) AS hist
+         |  FROM u),
+         |b AS (SELECT id, n_bytes, hist, unnest(range(0, 4)) AS bi FROM h),
+         |bb AS (SELECT id, bi, n_bytes,
+         |  hist[CAST(bi*16+1 AS BIGINT):CAST(bi*16+16 AS BIGINT)] AS bc FROM b),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b2.id AS id_b FROM bb a JOIN bb b2
+         |  ON a.bi = b2.bi AND a.n_bytes = b2.n_bytes AND a.bc = b2.bc
+         |  AND a.id < b2.id),
+         |v AS (SELECT id_a, id_b,
+         |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(range(0, 64), j -> abs(ha.hist[j+1] - hb.hist[j+1]))),
+         |    (x, y) -> x + y) AS BIGINT) AS l1,
+         |  (ha.checksum = hb.checksum) AS byte_identical
+         |  FROM cand JOIN h ha ON ha.id = cand.id_a JOIN h hb ON hb.id = cand.id_b)
+         |SELECT id_a, id_b, l1, byte_identical FROM v
+         |WHERE l1 <= $PerceptualL1Max ORDER BY id_a, id_b""".stripMargin,
     "mm_shard_manifest" ->
       s"""WITH c AS (SELECT doc_id AS id, $codes AS cp FROM documents),
          |f AS (SELECT id, CAST(len(cp) AS BIGINT) AS n_bytes FROM c),
