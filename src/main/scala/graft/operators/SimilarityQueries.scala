@@ -190,20 +190,43 @@ object SimilarityQueries {
     * bucket pruning). */
   private[operators] def maxsimServed(s: SparkSession, docs: DataFrame,
       k: Int): DataFrame = {
-    import graft.functions.NativeExpressions
-    import s.implicits._
     val ch = chunkVecs(docs).persist()
-    val centSeq = Similarity.collectCentroids(
+    val centSeq = maxsimCentroids(ch)
+    val tbl = scratchTable(s, "graft_maxsim_lists")
+    writeMaxsimChunks(ch, tbl, centSeq)
+    maxsimProbeServed(s, tbl, ch, centSeq, k)
+  }
+
+  /** The chunk-grain coarse quantizer: first chunk of the first
+    * [[NCentroids]] docs (the oracle-able stand-in — same convention as
+    * the in-query arm), collected once. */
+  private def maxsimCentroids(ch: DataFrame): Seq[(Long, Seq[Double], Double)] =
+    Similarity.collectCentroids(
       ch.filter(col("chunk_idx") === 0L && col("doc_id") < NCentroids)
         .select(col("doc_id").as("cen_id"), col("v").as("cv"), col("nrm").as("cnrm")))
-    val assigned = ch.withColumn("cen_id",
-      NativeExpressions.argMaxCosine(col("v"), col("nrm"), centSeq))
-    val tbl = scratchTable(s, "graft_maxsim_lists")
-    graft.sources.Layouts.writeBucketed(assigned, tbl, "cen_id",
-      nBuckets = 16, sortCols = Seq("cen_id", "doc_id", "chunk_idx"))
-    // serve batch: ONE query doc's chunks x their top-nProbe lists — a
-    // bounded constant (the serving regime), collected once like every
-    // bucketed-probe caller
+
+  /** One assign+write pass of chunk rows into the cen_id-bucketed layout
+    * under FIXED centroids — shared by the base build, the append-ingest
+    * arm, and the pre-compaction writes (the quantizer is a property of
+    * the index, never retrained per ingest). */
+  private def writeMaxsimChunks(part: DataFrame, tbl: String,
+      centSeq: Seq[(Long, Seq[Double], Double)], mode: String = "overwrite"): Unit = {
+    import graft.functions.NativeExpressions
+    graft.sources.Layouts.writeBucketed(
+      part.withColumn("cen_id",
+        NativeExpressions.argMaxCosine(col("v"), col("nrm"), centSeq)),
+      tbl, "cen_id", nBuckets = 16,
+      sortCols = Seq("cen_id", "doc_id", "chunk_idx"), mode = mode)
+  }
+
+  /** The served maxsim probe: ONE query doc's chunks x their
+    * top-[[MaxsimNProbe]] lists (a bounded serve batch, collected once
+    * like every bucketed-probe caller), pruned scan + broadcast probes +
+    * the shared [[maxsimTail]]. */
+  private def maxsimProbeServed(s: SparkSession, tbl: String, ch: DataFrame,
+      centSeq: Seq[(Long, Seq[Double], Double)], k: Int): DataFrame = {
+    import graft.functions.NativeExpressions
+    import s.implicits._
     val probeRows = ch.filter(col("doc_id") === MaxsimQueryDoc)
       .select(col("chunk_idx").as("qi"), col("v").as("qv"), col("nrm").as("qnrm"))
       .withColumn("cen_id", explode(
@@ -221,6 +244,12 @@ object SimilarityQueries {
         .withColumn("cos", Dedup.cosine(col("qv"), col("v"), col("qnrm"), col("nrm"))),
       k)
   }
+
+  /** Chunk-doc id boundary for the maxsim ingest arms: base = docs below,
+    * increment above — covers the quantizer window (doc_id <
+    * [[NCentroids]]) and the query doc at every SF, which is exactly why
+    * the full-rebuild oracle applies verbatim to the append. */
+  val MaxsimSplit = 400L
 
   /** RRF fusion law — ONE definition behind the in-query
     * ([[hybridRrfFused]]) and served ([[hybridRrfServed]]) fusion cores:
@@ -467,6 +496,47 @@ object SimilarityQueries {
     "src_maxsim_bucketed" -> ((s, dir) =>
       maxsimServed(s, Spread.ifNarrow(Tables.documents(s, dir), col("doc_id")),
         MaxsimK).orderBy("rank")),
+    // Append-maintained maxsim chunk index — the daily-ingest arm of the
+    // late-interaction table (the src_ivf_append lifecycle, chunk
+    // edition): the base docs' chunks build the bucketed table ONCE; a
+    // later doc batch is chunked, embedded, and assigned in-scan with the
+    // SAME centroids (base covers the quantizer window — require-pinned,
+    // which is exactly why the full-rebuild oracle applies verbatim) and
+    // appended into the same bucket layout. Probe == full rebuild.
+    "src_maxsim_append" -> ((s, dir) => {
+      val ch = chunkVecs(
+        Spread.ifNarrow(Tables.documents(s, dir), col("doc_id"))).persist()
+      val base = ch.filter(col("doc_id") < MaxsimSplit)
+      val centSeq = maxsimCentroids(base)
+      require(centSeq.length == NCentroids,
+        s"maxsim quantizer collapsed to ${centSeq.length}/$NCentroids — " +
+          "base slice must cover the centroid window")
+      val tbl = scratchTable(s, "graft_maxsim_append")
+      writeMaxsimChunks(base, tbl, centSeq)
+      writeMaxsimChunks(ch.filter(col("doc_id") >= MaxsimSplit), tbl, centSeq,
+        mode = "append")
+      maxsimProbeServed(s, tbl, ch, centSeq, MaxsimK).orderBy("rank")
+    }),
+    // Chunk-index COMPACTION under the serving layout (the
+    // src_ivf_compact lifecycle, chunk edition): base write + append
+    // leave one file per (writer pass x bucket); compact rewrites into a
+    // fresh table under the SAME bucket spec, and the probe of the
+    // compacted table must be row-identical to the in-flight index —
+    // the shared full-rebuild oracle proves it.
+    "src_maxsim_compact" -> ((s, dir) => {
+      val ch = chunkVecs(
+        Spread.ifNarrow(Tables.documents(s, dir), col("doc_id"))).persist()
+      val base = ch.filter(col("doc_id") < MaxsimSplit)
+      val centSeq = maxsimCentroids(base)
+      val tbl = scratchTable(s, "graft_maxsim_precompact")
+      val compacted = scratchTable(s, "graft_maxsim_compacted")
+      writeMaxsimChunks(base, tbl, centSeq)
+      writeMaxsimChunks(ch.filter(col("doc_id") >= MaxsimSplit), tbl, centSeq,
+        mode = "append")
+      graft.sources.Layouts.compactBucketed(s, tbl, compacted, "cen_id",
+        nBuckets = 16, sortCols = Seq("cen_id", "doc_id", "chunk_idx"))
+      maxsimProbeServed(s, compacted, ch, centSeq, MaxsimK).orderBy("rank")
+    }),
     // E2E RETRIEVAL composition — the serving-side pipeline the ingestion
     // operators exist to feed: hybrid lexical+vector fusion
     // ([[hybridRrfFused]], shared with sim_hybrid_rrf — no fork), unit
@@ -1797,8 +1867,12 @@ object SimilarityQueries {
       "sim_maxsim_ivf" -> maxsimIvfOracleSql,
       // persisted maxsim serving: the SAME replay verbatim — writing the
       // assigned chunk table bucketed and probing it must change the read
-      // path, never the ranking
+      // path, never the ranking; likewise the ingest-append and
+      // compaction arms (base-slice centroids == full-corpus centroids by
+      // the require-pinned window containment)
       "src_maxsim_bucketed" -> maxsimIvfOracleSql,
+      "src_maxsim_append" -> maxsimIvfOracleSql,
+      "src_maxsim_compact" -> maxsimIvfOracleSql,
       // e2e retrieval: the SAME fused chain, unit vectors joined back as
       // the single-group MMR pool (rel = rrf), the SAME unrolled greedy
       // steps as the sim_mmr_rerank twin, doc metadata attached last

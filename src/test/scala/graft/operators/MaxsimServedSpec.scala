@@ -27,6 +27,22 @@ class MaxsimServedSpec extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("append and compacted arms == the one-shot build, row for row") {
+    // ingest must not change answers, and neither may the file-layout
+    // rewrite — all three read paths share the full-rebuild oracle; this
+    // pins the identity in-engine too
+    val once = SimilarityQueries.queries("src_maxsim_bucketed")(spark, sf0001)
+      .collect().map(_.toSeq)
+    val appended = SimilarityQueries.queries("src_maxsim_append")(spark, sf0001)
+      .collect().map(_.toSeq)
+    val compacted = SimilarityQueries.queries("src_maxsim_compact")(spark, sf0001)
+      .collect().map(_.toSeq)
+    assert(once.nonEmpty)
+    assert(appended.toSeq == once.toSeq)
+    assert(compacted.toSeq == once.toSeq)
+    spark.catalog.clearCache()
+  }
+
   test("plan: chunk scan bucket-pruned to probed lists, probes broadcast, lists never shuffle") {
     val df = SimilarityQueries.queries("src_maxsim_bucketed")(spark, sf0001)
     df.collect()
