@@ -507,10 +507,16 @@ object SimilarityQueries {
       val ch = chunkVecs(
         Spread.ifNarrow(Tables.documents(s, dir), col("doc_id"))).persist()
       val base = ch.filter(col("doc_id") < MaxsimSplit)
+      // base-slice centroids == full-corpus centroids BY CONTAINMENT:
+      // the quantizer window (doc_id < NCentroids) sits inside the base
+      // slice, so whatever chunks survive the zero-norm drop survive
+      // identically on both sides — a degenerate corpus collapses the
+      // set the same way in engine and oracle (a fixed-cardinality
+      // require here broke the adversarial fixture, which legitimately
+      // loses first-chunks)
+      require(NCentroids <= MaxsimSplit,
+        "maxsim centroid window must sit inside the base slice")
       val centSeq = maxsimCentroids(base)
-      require(centSeq.length == NCentroids,
-        s"maxsim quantizer collapsed to ${centSeq.length}/$NCentroids — " +
-          "base slice must cover the centroid window")
       val tbl = scratchTable(s, "graft_maxsim_append")
       writeMaxsimChunks(base, tbl, centSeq)
       writeMaxsimChunks(ch.filter(col("doc_id") >= MaxsimSplit), tbl, centSeq,
