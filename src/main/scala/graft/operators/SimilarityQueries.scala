@@ -110,7 +110,7 @@ object SimilarityQueries {
   /** Unit-of-retrieval chunk vectors: the shared chunker + the in-scan
     * embedder, zero-norm chunks dropped — ONE front-end behind the exact
     * ([[maxsimTopK]]) and IVF ([[maxsimTopKIvf]]) late-interaction arms. */
-  private def chunkVecs(docs: DataFrame): DataFrame = {
+  private[graft] def chunkVecs(docs: DataFrame): DataFrame = {
     import graft.functions.NativeExpressions
     TrainingDataQueries.chunkOverlapFrame(docs)
       .select(col("doc_id"), col("chunk_idx"),
@@ -200,7 +200,7 @@ object SimilarityQueries {
   /** The chunk-grain coarse quantizer: first chunk of the first
     * [[NCentroids]] docs (the oracle-able stand-in — same convention as
     * the in-query arm), collected once. */
-  private def maxsimCentroids(ch: DataFrame): Seq[(Long, Seq[Double], Double)] =
+  private[graft] def maxsimCentroids(ch: DataFrame): Seq[(Long, Seq[Double], Double)] =
     Similarity.collectCentroids(
       ch.filter(col("chunk_idx") === 0L && col("doc_id") < NCentroids)
         .select(col("doc_id").as("cen_id"), col("v").as("cv"), col("nrm").as("cnrm")))
@@ -209,7 +209,7 @@ object SimilarityQueries {
     * under FIXED centroids — shared by the base build, the append-ingest
     * arm, and the pre-compaction writes (the quantizer is a property of
     * the index, never retrained per ingest). */
-  private def writeMaxsimChunks(part: DataFrame, tbl: String,
+  private[graft] def writeMaxsimChunks(part: DataFrame, tbl: String,
       centSeq: Seq[(Long, Seq[Double], Double)], mode: String = "overwrite"): Unit = {
     import graft.functions.NativeExpressions
     graft.sources.Layouts.writeBucketed(
@@ -250,6 +250,55 @@ object SimilarityQueries {
     * [[NCentroids]]) and the query doc at every SF, which is exactly why
     * the full-rebuild oracle applies verbatim to the append. */
   val MaxsimSplit = 400L
+
+  /** Query-doc chunk rows `(qdoc, qi, qv, qnrm)` — the query side of the
+    * multi-query maxsim serve, shared by the driver query and the
+    * streaming arm ([[graft.streaming.StreamingDedup.maxsimServeStream]])
+    * so a stream batch and the batch query chunk/embed identically. */
+  private[graft] def maxsimQueryChunks(docs: DataFrame): DataFrame =
+    chunkVecs(docs).select(col("doc_id").as("qdoc"), col("chunk_idx").as("qi"),
+      col("v").as("qv"), col("nrm").as("qnrm"))
+
+  /** MULTI-QUERY late-interaction serving: a BATCH of query docs against
+    * the persisted chunk table — the true serving regime (one probe pass
+    * per batch, not per query; the `pipeline_retrieve_multi` shape for
+    * the maxsim family). Per batch: the query docs' chunks x their
+    * top-[[MaxsimNProbe]] lists are ONE bounded driver roundtrip (the
+    * serving-regime collect, like every bucketed-probe caller); the
+    * pruned scan joins the broadcast probe set once; scoring is the
+    * maxsim law per (query doc, candidate, query chunk) — order-free max,
+    * fixed-point floor, integer sum — and the per-query ranking is a
+    * [[TopKAgg]] keyed on qdoc, so a thousand concurrent queries rank in
+    * parallel with O(k) state each and no window anywhere. */
+  private[graft] def maxsimProbeMulti(s: SparkSession, tbl: String,
+      qchunks: DataFrame, centSeq: Seq[(Long, Seq[Double], Double)],
+      k: Int): DataFrame = {
+    import graft.functions.NativeExpressions
+    import s.implicits._
+    val probeRows = qchunks
+      .withColumn("cen_id", explode(
+        NativeExpressions.topNCosineIds(col("qv"), col("qnrm"), centSeq, MaxsimNProbe)))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2),
+        r.getDouble(3), r.getLong(4)))
+      .toSeq
+    val probes = probeRows.toDF("qdoc", "qi", "qv", "qnrm", "cen_id")
+    val probeIds = probeRows.map(_._5).distinct.sorted
+    val cand = s.table(tbl)
+      .filter(col("cen_id").isin(probeIds.map(Long.box): _*))
+      .join(broadcast(probes), "cen_id")
+      .filter(col("doc_id") =!= col("qdoc"))
+      .withColumn("cos", Dedup.cosine(col("qv"), col("v"), col("qnrm"), col("nrm")))
+    cand.groupBy(col("qdoc"), col("doc_id"), col("qi"))
+      .agg(max(col("cos")).as("m"))
+      .groupBy(col("qdoc"), col("doc_id"))
+      .agg(sum(floor(col("m") * lit(1048576.0)).cast("long")).as("maxsim_fp"))
+      .groupBy(col("qdoc"))
+      .agg(TopKAgg.column(k, col("maxsim_fp").cast("double"), col("doc_id")).as("tk"))
+      .select(col("qdoc"), posexplode(col("tk")))
+      .select(col("qdoc"), (col("pos") + 1).cast("long").as("rank"),
+        col("col._2").as("doc_id"), col("col._1").cast("long").as("maxsim_fp"))
+  }
 
   /** RRF fusion law — ONE definition behind the in-query
     * ([[hybridRrfFused]]) and served ([[hybridRrfServed]]) fusion cores:
@@ -522,6 +571,22 @@ object SimilarityQueries {
       writeMaxsimChunks(ch.filter(col("doc_id") >= MaxsimSplit), tbl, centSeq,
         mode = "append")
       maxsimProbeServed(s, tbl, ch, centSeq, MaxsimK).orderBy("rank")
+    }),
+    // MULTI-QUERY maxsim serving — a batch of query docs against the
+    // persisted chunk index, each ranked by its own TopKAgg group (see
+    // [[maxsimProbeMulti]]; the pipeline_retrieve_multi regime for the
+    // late-interaction family). Also the per-micro-batch body of the
+    // streaming serve arm.
+    "src_maxsim_multi" -> ((s, dir) => {
+      val ch = chunkVecs(
+        Spread.ifNarrow(Tables.documents(s, dir), col("doc_id"))).persist()
+      val centSeq = maxsimCentroids(ch)
+      val tbl = scratchTable(s, "graft_maxsim_multi")
+      writeMaxsimChunks(ch, tbl, centSeq)
+      val q = ch.filter(col("doc_id") < MultiNQueries)
+        .select(col("doc_id").as("qdoc"), col("chunk_idx").as("qi"),
+          col("v").as("qv"), col("nrm").as("qnrm"))
+      maxsimProbeMulti(s, tbl, q, centSeq, MaxsimK).orderBy("qdoc", "rank")
     }),
     // Chunk-index COMPACTION under the serving layout (the
     // src_ivf_compact lifecycle, chunk edition): base write + append
@@ -1649,6 +1714,39 @@ object SimilarityQueries {
          |  WHERE a.doc_id <> $MaxsimQueryDoc
          |  GROUP BY a.doc_id, p.qi),
          |$maxsimTailSql""".stripMargin
+    // Multi-query maxsim serve twin: the SAME assignment/probe/scoring
+    // laws with every aggregation additionally keyed by the query doc and
+    // the rank window partitioned per query — the src_maxsim_multi read.
+    lazy val maxsimMultiOracleSql: String =
+      s"""WITH $maxsimBaseCtes,
+         |qm AS (SELECT doc_id AS qdoc, chunk_idx AS qi, v AS qv, nrm AS qnrm
+         |  FROM cn WHERE doc_id < $MultiNQueries),
+         |mcents AS (SELECT doc_id AS cen_id, v AS cv, nrm AS cnrm FROM cn
+         |  WHERE chunk_idx = 0 AND doc_id < $NCentroids),
+         |asg AS (SELECT doc_id, chunk_idx, v, nrm, cen_id FROM (
+         |  SELECT c.doc_id, c.chunk_idx, c.v, c.nrm, mcents.cen_id,
+         |    row_number() OVER (PARTITION BY c.doc_id, c.chunk_idx
+         |      ORDER BY ${dotSql("c.v", "mcents.cv")} / (c.nrm * mcents.cnrm) DESC, mcents.cen_id) AS arn
+         |  FROM cn c, mcents) WHERE arn = 1),
+         |qp AS (SELECT qdoc, qi, qv, qnrm, cen_id FROM (
+         |  SELECT q.qdoc, q.qi, q.qv, q.qnrm, mcents.cen_id,
+         |    row_number() OVER (PARTITION BY q.qdoc, q.qi
+         |      ORDER BY ${dotSql("q.qv", "mcents.cv")} / (q.qnrm * mcents.cnrm) DESC, mcents.cen_id) AS prn
+         |  FROM qm q, mcents) WHERE prn <= $MaxsimNProbe),
+         |mc AS (SELECT p.qdoc, a.doc_id, p.qi,
+         |    max(${dotSql("p.qv", "a.v")} / (p.qnrm * a.nrm)) AS m
+         |  FROM qp p JOIN asg a ON a.cen_id = p.cen_id
+         |  WHERE a.doc_id <> p.qdoc
+         |  GROUP BY p.qdoc, a.doc_id, p.qi),
+         |fpm AS (SELECT qdoc, doc_id,
+         |  CAST(SUM(CAST(floor(m * 1048576.0) AS BIGINT)) AS BIGINT) AS maxsim_fp
+         |  FROM mc GROUP BY qdoc, doc_id),
+         |rkm AS (SELECT qdoc, doc_id, maxsim_fp,
+         |  CAST(row_number() OVER (PARTITION BY qdoc
+         |    ORDER BY maxsim_fp DESC, doc_id) AS BIGINT) AS rank
+         |  FROM fpm)
+         |SELECT qdoc, rank, doc_id, maxsim_fp FROM rkm
+         |WHERE rank <= $MaxsimK ORDER BY qdoc, rank""".stripMargin
     // Unrolled greedy-MMR CTE steps over a preceding
     // `pool(query_id, vec_id, rel, u)`: sel1 = per-query relevance argmax
     // scored λ·rel, then one step per pick — ms{t} = each unpicked
@@ -1879,6 +1977,7 @@ object SimilarityQueries {
       "src_maxsim_bucketed" -> maxsimIvfOracleSql,
       "src_maxsim_append" -> maxsimIvfOracleSql,
       "src_maxsim_compact" -> maxsimIvfOracleSql,
+      "src_maxsim_multi" -> maxsimMultiOracleSql,
       // e2e retrieval: the SAME fused chain, unit vectors joined back as
       // the single-group MMR pool (rel = rrf), the SAME unrolled greedy
       // steps as the sim_mmr_rerank twin, doc metadata attached last

@@ -180,6 +180,30 @@ object StreamingDedup {
     }
   }
 
+  /** Streaming LATE-INTERACTION serving against the persisted maxsim
+    * chunk table (`src_maxsim_bucketed`'s layout): each micro-batch of
+    * query DOCUMENTS `(id, text)` is chunked and embedded by the SHARED
+    * query front ([[graft.operators.SimilarityQueries.maxsimQueryChunks]]
+    * — a stream batch and the batch query cannot tokenize differently),
+    * then served through the SHARED multi-query probe body
+    * ([[graft.operators.SimilarityQueries.maxsimProbeMulti]]): one
+    * bounded probe collect per batch, one bucket- and literal-pruned scan,
+    * per-query [[graft.operators.TopKAgg]] ranking. Answers equal the
+    * batch serving path row-for-row (stream==batch spec). Emits
+    * `(qdoc, rank, doc_id, maxsim_fp)` per batch. */
+  def maxsimServeStream(queries: DataFrame, idCol: String, textCol: String,
+      tbl: String, cents: Seq[(Long, Seq[Double], Double)], k: Int)(
+      emit: (DataFrame, Long) => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    queries.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      emit(graft.operators.SimilarityQueries.maxsimProbeMulti(
+        batch.sparkSession, tbl,
+        graft.operators.SimilarityQueries.maxsimQueryChunks(
+          batch.select(col(idCol).as("doc_id"), col(textCol).as("text"))),
+        cents, k), batchId)
+    }
+  }
+
   /** The shared per-batch probe-row collection of the persisted-index
     * serving paths ([[annServeBucketed]], [[annServePq]]): cast, zero-norm
     * filter (cosine is undefined there), nProbe nearest lists per query —
