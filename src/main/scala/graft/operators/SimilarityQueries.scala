@@ -751,6 +751,18 @@ object SimilarityQueries {
           centSeq, NProbe, NCandidates, K)
         .orderBy("query_id", "rank")
     }),
+    // the skew arm of the bulk PQ join: above-mean lists split 4-ways
+    // (both the salted and tail paths exercised on the near-uniform
+    // fixture, as in sim_join_ivf_salted); row-identical to sim_join_pq —
+    // the oracle is shared verbatim
+    "sim_join_pq_salted" -> ((s, dir) => {
+      val corpus = Similarity.prepare(Tables.embeddings(s, dir)).persist()
+      val (tbl, centSeq, codebook) = ivfPqServing(s, dir, corpus)
+      joinPqTopK(s, tbl, codebook, PqM, corpus.filter(col("vec_id") % 5 === 2),
+          centSeq, NProbe, NCandidates, K,
+          saltS = 4, hotThreshold = math.max(1L, corpus.count() / NCentroids))
+        .orderBy("query_id", "rank")
+    }),
     // FILTERED ANN: one full-corpus index, attribute predicate applied at
     // query time inside the probed lists (pre-filter — exact within lists,
     // never short of k the way post-filtering is); label=3 is a ~10%
@@ -1508,15 +1520,29 @@ object SimilarityQueries {
   private[operators] def joinPqTopK(s: SparkSession, tbl: String,
       codebook: Seq[Seq[Double]], m: Int, queries: DataFrame,
       centSeq: Seq[(Long, Seq[Double], Double)], nProbe: Int,
-      candidates: Int, k: Int): DataFrame = {
+      candidates: Int, k: Int,
+      saltS: Int = 1, hotThreshold: Long = Long.MaxValue): DataFrame = {
     import graft.functions.NativeExpressions
     val probes = queries
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
       .withColumn("cen_id", explode(
         NativeExpressions.topNCosineIds(col("qv"), col("qnrm"), centSeq, nProbe)))
-    val coarse = s.table(tbl)
+    val coded = s.table(tbl)
       .select(col("vec_id"), col("cen_id"), col("codes"), col("nrm"))
-      .join(probes.hint("shuffle_hash"), "cen_id")
+    // saltS > 1 = the manual skew knob ([[SaltedJoin.joinSkewAware]] on
+    // cen_id, the sim_join_ivf_salted pattern): hot lists split s-ways at
+    // the DELIBERATE price of the bucketed side's exchange-free read —
+    // the coded rows re-shuffle on (cen_id, salt), which is exactly what
+    // splitting a hot list means. Row-identical either way (the shared
+    // oracle proves it); the unsalted arm stays the default because AQE's
+    // skew split already handles moderate skew without losing the
+    // bucketed scan.
+    val joined =
+      if (saltS > 1)
+        SaltedJoin.joinSkewAware(coded, probes, "cen_id",
+          hash(col("vec_id")), saltS, hotThreshold)
+      else coded.join(probes.hint("shuffle_hash"), "cen_id")
+    val coarse = joined
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("coarse",
         NativeExpressions.pqAdc(col("qv"), col("codes"), codebook, m) /
@@ -2340,6 +2366,7 @@ object SimilarityQueries {
       // construction) at the serving regime's NQueriesServe.
       "sim_topk_ivfpq" -> ivfPqOracle(NQueries),
       "sim_join_pq" -> ivfPqOracleWhere("vec_id % 5 = 2"),
+      "sim_join_pq_salted" -> ivfPqOracleWhere("vec_id % 5 = 2"),
       "src_ivfpq_bucketed" -> ivfPqOracle(NQueriesServe),
       // append arm: base ∪ increment must answer exactly like the one-shot
       // build — same oracle verbatim (quantizers are base-trained ==

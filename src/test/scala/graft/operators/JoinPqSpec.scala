@@ -43,6 +43,24 @@ class JoinPqSpec extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("salted arm is row-identical, and both hot and tail paths are exercised") {
+    val plain = SimilarityQueries.queries("sim_join_pq")(spark, sf0001)
+      .collect().map(_.toSeq)
+    val salted = SimilarityQueries.queries("sim_join_pq_salted")(spark, sf0001)
+      .collect().map(_.toSeq)
+    assert(plain.nonEmpty && salted.toSeq == plain.toSeq)
+    // non-vacuity: with hotThreshold = the MEAN list size, the
+    // near-uniform fixture must have lists on BOTH sides of it
+    val corpus = Similarity.prepare(Tables.embeddings(spark, sf0001)).persist()
+    val (tbl, _, _) = SimilarityQueries.ivfPqServing(spark, sf0001, corpus)
+    val sizes = spark.table(tbl).groupBy("cen_id").count()
+      .collect().map(_.getLong(1))
+    val mean = corpus.count() / SimilarityQueries.NCentroids
+    assert(sizes.exists(_ > mean) && sizes.exists(_ <= mean),
+      s"fixture exercises only one salt arm: sizes=${sizes.toSeq.sorted}")
+    spark.catalog.clearCache()
+  }
+
   test("plan: bucketed coarse leg codes-only and exchange-free, all joins shuffle-hash, no driver collect") {
     val df = SimilarityQueries.queries("sim_join_pq")(spark, sf0001)
     df.collect() // finalize the AQE plan

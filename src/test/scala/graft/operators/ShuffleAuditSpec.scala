@@ -202,7 +202,12 @@ class ShuffleAuditSpec extends SparkSuite {
     // the regime), the final TopKAgg exchange and the output sort; the
     // persisted corpus's Spread REPARTITION_BY_COL reprints under its two
     // InMemoryRelation references as in the sim_topk_* entries
-    "sim_join_pq" -> 11
+    "sim_join_pq" -> 11,
+    // the salted arm, measured 8: the skew-stats key agg + the salted
+    // (cen_id, salt) exchange REPLACE the plain arm's single cen_id
+    // exchange and forfeit the bucketed read by design (splitting a hot
+    // list IS re-shuffling it); the rescore/final legs are sim_join_pq's
+    "sim_join_pq_salted" -> 10
   ).withDefaultValue(6)
 
   test("every query plan builds, and its shuffle count stays within the audited bound") {
