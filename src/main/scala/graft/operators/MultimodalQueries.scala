@@ -29,6 +29,21 @@ object MultimodalQueries {
     * measured at exactly 8 of 24.7k candidates. */
   val PerceptualL1Max = 8L
 
+  /** Band-value document-frequency cap: a (band, length, counts) value
+    * shared by more members than this is the cohort's BACKGROUND
+    * distribution, not near-dup evidence, and generates no candidates —
+    * the BoilerplateDf convention applied to perceptual features. The
+    * 1M-payload probe measured why this is load-bearing: a weakly
+    * discriminative corpus (narrow alphabet) put ~50k equal-length
+    * payloads on ONE identical space-count band = ~1.25B candidate pairs
+    * from a single bucket. Pairs that also share ANY sub-cap band (every
+    * planted re-encode class does — the digit-distribution bands stay
+    * discriminative) are unaffected; a pair indistinguishable from a
+    * super-cap cohort on EVERY band is below the evidence floor by
+    * design. sf0.1's natural max bucket is 21 — the cap is inactive on
+    * the driver fixture. */
+  val PerceptualBandDf = 64L
+
   /** PERCEPTUAL near-dup pairs over perceptual decode rows
     * `(id, n_bytes, checksum, hist)` — the banded candidate + verify
     * split of every dedup family here, pigeonhole edition: the 64-bin
@@ -45,10 +60,32 @@ object MultimodalQueries {
     * the pair — false is this operator's reason to exist. */
   private[operators] def perceptualPairs(feats: DataFrame): DataFrame = {
     val f = feats.persist() // bands + two verify join-backs
-    val bands = f
+    // only NONZERO bands generate candidates: an all-zero band is the
+    // absence of evidence, and on a same-length cohort it matches every
+    // member — the 1M-payload scale probe measured the blowup (a ~50k-doc
+    // equal-length class sharing an empty band is ~1.25B candidate
+    // pairs). The standard ignore-empty-features LSH rule; the planted
+    // re-encode classes keep >= 1 nonzero intact band by construction
+    // (any nonempty payload has one), and the twin applies the same gate.
+    val allBands = f
       .withColumn("bi", explode(sequence(lit(0L), lit(3L))))
       .select(col("id"), col("bi"), col("n_bytes"),
         slice(col("hist"), (col("bi") * 16 + 1).cast("int"), lit(16)).as("bc"))
+      .filter(aggregate(col("bc"), lit(0L), (a, x) => a + x) > 0)
+      .persist()
+    // the frequency cap (see [[PerceptualBandDf]]): one band-grain agg +
+    // anti-join. The hot set is tiny on any discriminative corpus (a
+    // value is hot because many rows share it, so there are few such
+    // values) but adversarially it is corpus-proportional (bands/cap), so
+    // the join degrades through AdaptiveJoin, never a forced broadcast.
+    val hot = graft.CheckpointUtil.trackPersist(
+      allBands.groupBy(col("bi"), col("n_bytes"), col("bc"))
+        .agg(count(lit(1)).as("m"))
+        .filter(col("m") > PerceptualBandDf)
+        .select(col("bi"), col("n_bytes"), col("bc"))
+        .persist())
+    val bands = AdaptiveJoin(allBands, hot, Seq("bi", "n_bytes", "bc"),
+      "left_anti", AdaptiveJoin.DefaultMaxBroadcastRows)
     val cand = bands.as("a")
       .join(bands.as("b").hint("shuffle_hash"),
         col("a.bi") === col("b.bi") && col("a.n_bytes") === col("b.n_bytes")
@@ -246,8 +283,15 @@ object MultimodalQueries {
          |  list_transform(range(0, 64), b -> CAST(len(list_filter(cp, x -> x % 64 = b)) AS BIGINT)) AS hist
          |  FROM u),
          |b AS (SELECT id, n_bytes, hist, unnest(range(0, 4)) AS bi FROM h),
-         |bb AS (SELECT id, bi, n_bytes,
-         |  hist[CAST(bi*16+1 AS BIGINT):CAST(bi*16+16 AS BIGINT)] AS bc FROM b),
+         |bbn AS (SELECT id, bi, n_bytes, bc FROM (
+         |  SELECT id, bi, n_bytes,
+         |    hist[CAST(bi*16+1 AS BIGINT):CAST(bi*16+16 AS BIGINT)] AS bc FROM b)
+         |  WHERE list_sum(bc) > 0),
+         |hotb AS (SELECT bi, n_bytes, bc FROM bbn
+         |  GROUP BY bi, n_bytes, bc HAVING count(*) > $PerceptualBandDf),
+         |bb AS (SELECT bbn.* FROM bbn WHERE NOT EXISTS (
+         |  SELECT 1 FROM hotb h WHERE h.bi = bbn.bi
+         |    AND h.n_bytes = bbn.n_bytes AND h.bc = bbn.bc)),
          |cand AS (SELECT DISTINCT a.id AS id_a, b2.id AS id_b FROM bb a JOIN bb b2
          |  ON a.bi = b2.bi AND a.n_bytes = b2.n_bytes AND a.bc = b2.bc
          |  AND a.id < b2.id),

@@ -207,7 +207,14 @@ class ShuffleAuditSpec extends SparkSuite {
     // (cen_id, salt) exchange REPLACE the plain arm's single cen_id
     // exchange and forfeit the bucketed read by design (splitting a hot
     // list IS re-shuffling it); the rescore/final legs are sim_join_pq's
-    "sim_join_pq_salted" -> 10
+    "sim_join_pq_salted" -> 10,
+    // perceptual near-dup, measured 8 in plan text: the band self-join's
+    // two sides, the hot-band-cap agg (its anti-join broadcasts on the
+    // fixture), the candidate distinct, the two verify join-backs against
+    // the persisted feature frame, and the final sort — everything past
+    // the banding is candidate-proportional, and payload bytes never
+    // shuffle (only 4x24-byte band rows + 64-long histograms do)
+    "mm_perceptual_dedup" -> 10
   ).withDefaultValue(6)
 
   test("every query plan builds, and its shuffle count stays within the audited bound") {
