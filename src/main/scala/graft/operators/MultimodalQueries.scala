@@ -58,7 +58,17 @@ object MultimodalQueries {
     * leave their scan task; output is near-dup-proportional.
     * `byte_identical` carries whether exact dedup would ALSO have caught
     * the pair — false is this operator's reason to exist. */
-  private[operators] def perceptualPairs(feats: DataFrame): DataFrame = {
+  /** `batchMin`: the INCREMENTAL arm — only pairs whose higher id is a
+    * batch member (id >= batchMin) are emitted, and only batch bands sit
+    * on the join's build side, so the per-ingest work is batch x
+    * (standing ∪ batch), never standing x standing re-done. Complete
+    * under the standing ingest convention (new payloads get higher ids —
+    * the src_*_append id-split convention), because the pair orientation
+    * is id_a < id_b. The hot-band cap is computed over the UNION exactly
+    * as the full arm computes it, so incremental == full-restricted holds
+    * by construction (spec- and oracle-pinned). */
+  private[operators] def perceptualPairs(feats: DataFrame,
+      batchMin: Option[Long] = None): DataFrame = {
     val f = feats.persist() // bands + two verify join-backs
     // only NONZERO bands generate candidates: an all-zero band is the
     // absence of evidence, and on a same-length cohort it matches every
@@ -86,8 +96,9 @@ object MultimodalQueries {
         .persist())
     val bands = AdaptiveJoin(allBands, hot, Seq("bi", "n_bytes", "bc"),
       "left_anti", AdaptiveJoin.DefaultMaxBroadcastRows)
+    val bSide = batchMin.fold(bands)(m => bands.filter(col("id") >= m))
     val cand = bands.as("a")
-      .join(bands.as("b").hint("shuffle_hash"),
+      .join(bSide.as("b").hint("shuffle_hash"),
         col("a.bi") === col("b.bi") && col("a.n_bytes") === col("b.n_bytes")
           && col("a.bc") === col("b.bc") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -155,6 +166,23 @@ object MultimodalQueries {
             expr("substring(data, 1, 7)")).as("data"))
       perceptualPairs(
         Multimodal.decodePerceptual(s, base.unionByName(copies)).toDF())
+        .orderBy("id_a", "id_b")
+    }),
+    // INCREMENTAL perceptual dedup — the per-ingest arm: the re-uploaded
+    // batch (the rotated copies, arriving under higher ids — the standing
+    // ingest convention) is banded against standing ∪ batch; standing x
+    // standing pairs are never re-examined. Oracle = the full twin
+    // restricted to pairs whose higher id is in the batch — the
+    // decomposition claim verbatim.
+    "mm_perceptual_incremental" -> ((s, dir) => {
+      val base = media(s, dir)
+      val copies = base.filter(pmod(col("id"), lit(11)) === 0)
+        .select((col("id") + 20000000L).as("id"), col("meta"),
+          concat(expr("substring(data, 8, length(data))"),
+            expr("substring(data, 1, 7)")).as("data"))
+      perceptualPairs(
+        Multimodal.decodePerceptual(s, base.unionByName(copies)).toDF(),
+        batchMin = Some(20000000L))
         .orderBy("id_a", "id_b")
     }),
     // Size-bounded SHARD assembly — the WebDataset/tar-shard builder step
@@ -233,6 +261,38 @@ object MultimodalQueries {
   private def roll(l: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), $l), (a, x) -> (a*31 + x) % 1000000007)"
 
+  /** The perceptual-dedup replay up to the verified pair relation `v` —
+    * ONE chain behind the full and incremental twins, which differ only
+    * in the final pair restriction. */
+  private lazy val perceptualCtes: String =
+    s"""c AS (SELECT doc_id AS id, $codes AS cp FROM documents),
+       |u AS (SELECT id, cp FROM c
+       |  UNION ALL SELECT id + 20000000 AS id,
+       |    list_concat(cp[8:], cp[1:7]) AS cp FROM c WHERE id % 11 = 0),
+       |h AS (SELECT id, CAST(len(cp) AS BIGINT) AS n_bytes,
+       |  ${roll("cp")} AS checksum,
+       |  list_transform(range(0, 64), b -> CAST(len(list_filter(cp, x -> x % 64 = b)) AS BIGINT)) AS hist
+       |  FROM u),
+       |b AS (SELECT id, n_bytes, hist, unnest(range(0, 4)) AS bi FROM h),
+       |bbn AS (SELECT id, bi, n_bytes, bc FROM (
+       |  SELECT id, bi, n_bytes,
+       |    hist[CAST(bi*16+1 AS BIGINT):CAST(bi*16+16 AS BIGINT)] AS bc FROM b)
+       |  WHERE list_sum(bc) > 0),
+       |hotb AS (SELECT bi, n_bytes, bc FROM bbn
+       |  GROUP BY bi, n_bytes, bc HAVING count(*) > $PerceptualBandDf),
+       |bb AS (SELECT bbn.* FROM bbn WHERE NOT EXISTS (
+       |  SELECT 1 FROM hotb h WHERE h.bi = bbn.bi
+       |    AND h.n_bytes = bbn.n_bytes AND h.bc = bbn.bc)),
+       |cand AS (SELECT DISTINCT a.id AS id_a, b2.id AS id_b FROM bb a JOIN bb b2
+       |  ON a.bi = b2.bi AND a.n_bytes = b2.n_bytes AND a.bc = b2.bc
+       |  AND a.id < b2.id),
+       |v AS (SELECT id_a, id_b,
+       |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(range(0, 64), j -> abs(ha.hist[j+1] - hb.hist[j+1]))),
+       |    (x, y) -> x + y) AS BIGINT) AS l1,
+       |  (ha.checksum = hb.checksum) AS byte_identical
+       |  FROM cand JOIN h ha ON ha.id = cand.id_a JOIN h hb ON hb.id = cand.id_b)""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "mm_decode_features" ->
       s"""WITH c AS (SELECT doc_id AS id, $codes AS cp FROM documents)
@@ -274,35 +334,16 @@ object MultimodalQueries {
     // list rotation, 64-bin histogram, 4x16 pigeonhole bands + n_bytes,
     // L1 verify — every step integer-exact
     "mm_perceptual_dedup" ->
-      s"""WITH c AS (SELECT doc_id AS id, $codes AS cp FROM documents),
-         |u AS (SELECT id, cp FROM c
-         |  UNION ALL SELECT id + 20000000 AS id,
-         |    list_concat(cp[8:], cp[1:7]) AS cp FROM c WHERE id % 11 = 0),
-         |h AS (SELECT id, CAST(len(cp) AS BIGINT) AS n_bytes,
-         |  ${roll("cp")} AS checksum,
-         |  list_transform(range(0, 64), b -> CAST(len(list_filter(cp, x -> x % 64 = b)) AS BIGINT)) AS hist
-         |  FROM u),
-         |b AS (SELECT id, n_bytes, hist, unnest(range(0, 4)) AS bi FROM h),
-         |bbn AS (SELECT id, bi, n_bytes, bc FROM (
-         |  SELECT id, bi, n_bytes,
-         |    hist[CAST(bi*16+1 AS BIGINT):CAST(bi*16+16 AS BIGINT)] AS bc FROM b)
-         |  WHERE list_sum(bc) > 0),
-         |hotb AS (SELECT bi, n_bytes, bc FROM bbn
-         |  GROUP BY bi, n_bytes, bc HAVING count(*) > $PerceptualBandDf),
-         |bb AS (SELECT bbn.* FROM bbn WHERE NOT EXISTS (
-         |  SELECT 1 FROM hotb h WHERE h.bi = bbn.bi
-         |    AND h.n_bytes = bbn.n_bytes AND h.bc = bbn.bc)),
-         |cand AS (SELECT DISTINCT a.id AS id_a, b2.id AS id_b FROM bb a JOIN bb b2
-         |  ON a.bi = b2.bi AND a.n_bytes = b2.n_bytes AND a.bc = b2.bc
-         |  AND a.id < b2.id),
-         |v AS (SELECT id_a, id_b,
-         |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |    list_transform(range(0, 64), j -> abs(ha.hist[j+1] - hb.hist[j+1]))),
-         |    (x, y) -> x + y) AS BIGINT) AS l1,
-         |  (ha.checksum = hb.checksum) AS byte_identical
-         |  FROM cand JOIN h ha ON ha.id = cand.id_a JOIN h hb ON hb.id = cand.id_b)
+      s"""WITH $perceptualCtes
          |SELECT id_a, id_b, l1, byte_identical FROM v
          |WHERE l1 <= $PerceptualL1Max ORDER BY id_a, id_b""".stripMargin,
+    // incremental arm: the SAME chain restricted to pairs whose higher id
+    // is a batch member — the decomposition claim verbatim
+    "mm_perceptual_incremental" ->
+      s"""WITH $perceptualCtes
+         |SELECT id_a, id_b, l1, byte_identical FROM v
+         |WHERE l1 <= $PerceptualL1Max AND id_b >= 20000000
+         |ORDER BY id_a, id_b""".stripMargin,
     "mm_shard_manifest" ->
       s"""WITH c AS (SELECT doc_id AS id, $codes AS cp FROM documents),
          |f AS (SELECT id, CAST(len(cp) AS BIGINT) AS n_bytes FROM c),

@@ -572,6 +572,24 @@ object SimilarityQueries {
         mode = "append")
       maxsimProbeServed(s, tbl, ch, centSeq, MaxsimK).orderBy("rank")
     }),
+    // Late-interaction SERVING-FIDELITY report — the acceptance check a
+    // maxsim serving migration runs: the exact all-chunks ranking and the
+    // persisted chunk-IVF ranking full-outer-joined per doc, rank 0 =
+    // absent from that arm. Composes the two REGISTERED chains verbatim
+    // (maxsimTopK / maxsimServed — shared front and tail builders);
+    // everything past the two chains is a k x k-row join.
+    "sim_maxsim_fidelity" -> ((s, dir) => {
+      val docs = Spread.ifNarrow(Tables.documents(s, dir), col("doc_id"))
+      val ex = maxsimTopK(docs, MaxsimK)
+        .select(col("doc_id"), col("rank").as("rank_exact"))
+      val sv = maxsimServed(s, docs, MaxsimK)
+        .select(col("doc_id"), col("rank").as("rank_served"))
+      ex.join(sv, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("rank_exact"), lit(0L)).as("rank_exact"),
+          coalesce(col("rank_served"), lit(0L)).as("rank_served"))
+        .orderBy("doc_id")
+    }),
     // MULTI-QUERY maxsim serving — a batch of query docs against the
     // persisted chunk index, each ranked by its own TopKAgg group (see
     // [[maxsimProbeMulti]]; the pipeline_retrieve_multi regime for the
@@ -1713,6 +1731,16 @@ object SimilarityQueries {
          |  FROM fp)
          |SELECT rank, doc_id, maxsim_fp FROM rk
          |WHERE rank <= $MaxsimK ORDER BY rank""".stripMargin
+    // Exact arm of late interaction, factored — shared by the
+    // sim_maxsim_topk twin and the exact leg of the maxsim fidelity
+    // report (one scoring law, no fork).
+    lazy val maxsimExactOracleSql: String =
+      s"""WITH $maxsimBaseCtes,
+         |mc AS (SELECT c.doc_id, q.qi,
+         |    max(${dotSql("q.qv", "c.v")} / (q.qnrm * c.nrm)) AS m
+         |  FROM cn c, q WHERE c.doc_id <> $MaxsimQueryDoc
+         |  GROUP BY c.doc_id, q.qi),
+         |$maxsimTailSql""".stripMargin
     // IVF arm of late interaction, factored: chunks assigned to the
     // first-chunk-of-first-N quantizer (argmax cosine, ties to lowest
     // cen_id — the ivf family's rule), each query chunk probes its
@@ -1983,13 +2011,7 @@ object SimilarityQueries {
       // maxsimBaseCtes (chunks→vectors→query) and maxsimTailSql
       // (max→fp→rank) are shared with the IVF arm below; the arms differ
       // only in WHICH (doc-chunk, query-chunk) pairs feed `mc`.
-      "sim_maxsim_topk" ->
-        s"""WITH $maxsimBaseCtes,
-           |mc AS (SELECT c.doc_id, q.qi,
-           |    max(${dotSql("q.qv", "c.v")} / (q.qnrm * c.nrm)) AS m
-           |  FROM cn c, q WHERE c.doc_id <> $MaxsimQueryDoc
-           |  GROUP BY c.doc_id, q.qi),
-           |$maxsimTailSql""".stripMargin,
+      "sim_maxsim_topk" -> maxsimExactOracleSql,
       // IVF arm: chunks assigned to the first-chunk-of-first-N quantizer
       // (argmax cosine, ties to lowest cen_id — the ivf family's rule),
       // each query chunk probes its top-MaxsimNProbe lists, pairs exist
@@ -2004,6 +2026,17 @@ object SimilarityQueries {
       "src_maxsim_append" -> maxsimIvfOracleSql,
       "src_maxsim_compact" -> maxsimIvfOracleSql,
       "src_maxsim_multi" -> maxsimMultiOracleSql,
+      // late-interaction fidelity: BOTH registered maxsim chains as
+      // nested derived tables (the sim_retrieve_fidelity pattern), rank
+      // 0 = absent from that arm — the acceptance gate a maxsim serving
+      // migration runs before cutting traffic to the chunk-IVF index
+      "sim_maxsim_fidelity" ->
+        s"""SELECT COALESCE(e.doc_id, v.doc_id) AS doc_id,
+           |  COALESCE(e.rank, 0) AS rank_exact,
+           |  COALESCE(v.rank, 0) AS rank_served
+           |FROM ($maxsimExactOracleSql) e
+           |FULL OUTER JOIN ($maxsimIvfOracleSql) v ON e.doc_id = v.doc_id
+           |ORDER BY doc_id""".stripMargin,
       // e2e retrieval: the SAME fused chain, unit vectors joined back as
       // the single-group MMR pool (rel = rrf), the SAME unrolled greedy
       // steps as the sim_mmr_rerank twin, doc metadata attached last

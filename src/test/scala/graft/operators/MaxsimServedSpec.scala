@@ -43,6 +43,25 @@ class MaxsimServedSpec extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("fidelity report covers both arms with full rank prefixes") {
+    val got = SimilarityQueries.queries("sim_maxsim_fidelity")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val k = SimilarityQueries.MaxsimK
+    // each arm contributes its full 1..k ranking exactly once; rank 0
+    // rows are docs present in only one arm
+    assert(got.map(_._2).filter(_ > 0).sorted.toSeq == (1L to k))
+    assert(got.map(_._3).filter(_ > 0).sorted.toSeq == (1L to k))
+    assert(got.forall(r => r._2 > 0 || r._3 > 0))
+    // and the report composes the REGISTERED chains: the exact column
+    // matches sim_maxsim_topk's ranking row for row
+    val exact = SimilarityQueries.queries("sim_maxsim_topk")(spark, sf0001)
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toMap // doc -> rank
+    got.filter(_._2 > 0).foreach { r =>
+      assert(exact.get(r._1).contains(r._2), s"fidelity exact column drifted: $r")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("plan: chunk scan bucket-pruned to probed lists, probes broadcast, lists never shuffle") {
     val df = SimilarityQueries.queries("src_maxsim_bucketed")(spark, sf0001)
     df.collect()

@@ -51,6 +51,21 @@ class MmPerceptualSpec extends SparkSuite {
     }
   }
 
+  test("incremental arm == full arm restricted to batch-touching pairs") {
+    val full = MultimodalQueries.queries("mm_perceptual_dedup")(spark, sf0001)
+      .collect().map(_.toSeq)
+    val incr = MultimodalQueries.queries("mm_perceptual_incremental")(spark, sf0001)
+      .collect().map(_.toSeq)
+    val restricted = full.filter(_.apply(1).asInstanceOf[Long] >= 20000000L)
+    assert(incr.nonEmpty && incr.toSeq == restricted.toSeq)
+    // the restriction is non-vacuous in BOTH directions on this fixture:
+    // the full arm has batch pairs (the planted copies) and would also
+    // have standing-only pairs if any exist — either way incremental must
+    // never exceed full
+    assert(incr.length <= full.length)
+    spark.catalog.clearCache()
+  }
+
   test("lossy in-band edit is caught through the pigeonhole bands; unrelated payloads are not") {
     val s = spark
     import s.implicits._

@@ -214,7 +214,14 @@ class ShuffleAuditSpec extends SparkSuite {
     // the persisted feature frame, and the final sort — everything past
     // the banding is candidate-proportional, and payload bytes never
     // shuffle (only 4x24-byte band rows + 64-long histograms do)
-    "mm_perceptual_dedup" -> 10
+    "mm_perceptual_dedup" -> 10,
+    // the incremental arm shares the full arm's plan with one extra
+    // batch filter on the join's build side — measured 8, same legs
+    "mm_perceptual_incremental" -> 10,
+    // fidelity = BOTH registered maxsim chains by design (the exact
+    // all-chunks arm's aggs + the served probe's aggs) + the k x k-row
+    // comparison join and final sort — measured 9
+    "sim_maxsim_fidelity" -> 11
   ).withDefaultValue(6)
 
   test("every query plan builds, and its shuffle count stays within the audited bound") {
