@@ -31,6 +31,16 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE's post-shuffle coalescing costs partitions in BYTES; the hot
+      // columns here are compute-dense (shingle/BPE/embedding kernels run
+      // tens of CPU-seconds per MB of text), so the default 1 MB floor
+      // coalesces every small shuffle to ONE task and serializes kernel
+      // work. A 16k floor keeps those stages parallel at bench scale; at
+      // production scale every shuffle partition sits far above any floor,
+      // so the knob is inert there (parameterized for cluster overrides —
+      // guide §2.2/§2.5: partitioning must adapt to data, not local mode).
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCED", "16k"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

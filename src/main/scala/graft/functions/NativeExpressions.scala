@@ -411,6 +411,26 @@ object NativeExpressions {
       defineCodeGen(ctx, ev, c => s"$Kernels.positionalShingleHashes64($c, $n)")
   }
 
+  /** Positional mod-P shingle hashes (see
+    * [[NativeKernels.positionalShingleHashes]]) — the oracle-surface arm
+    * of the positional-shingle stream; bit-identical to the interpreted
+    * `transform(range, i -> aggregate(slice(th, i, n), …))` HOF chain it
+    * replaces in the hot scans. */
+  case class PositionalShingleHashes(child: Expression, n: Int)
+      extends UnaryExpression {
+    require(n >= 1, s"shingle width must be >= 1, got $n")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def withNewChildInternal(
+        newChild: Expression): PositionalShingleHashes =
+      copy(child = newChild)
+
+    override protected def nullSafeEval(input: Any): Any =
+      NativeKernels.positionalShingleHashes(input.asInstanceOf[UTF8String], n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Kernels.positionalShingleHashes($c, $n)")
+  }
+
   /** MinHash signature over a shingle-hash set (see
     * [[NativeKernels.minhashSignature]]). */
   case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
@@ -677,6 +697,9 @@ object NativeExpressions {
     GraftColumnBridge.column(ShingleHashes(GraftColumnBridge.expression(text), n))
   def shingleHashes64(text: Column, n: Int): Column =
     GraftColumnBridge.column(ShingleHashes64(GraftColumnBridge.expression(text), n))
+  def positionalShingleHashes(text: Column, n: Int): Column =
+    GraftColumnBridge.column(
+      PositionalShingleHashes(GraftColumnBridge.expression(text), n))
   def positionalShingleHashes64(text: Column, n: Int): Column =
     GraftColumnBridge.column(
       PositionalShingleHashes64(GraftColumnBridge.expression(text), n))

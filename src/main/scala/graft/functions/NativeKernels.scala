@@ -125,6 +125,32 @@ object NativeKernels {
     ArrayData.toArrayData(if (w == m) out else java.util.Arrays.copyOf(out, w))
   }
 
+  /** POSITIONAL [[shingleHashes]] (mod-P space): no distinct, no sort —
+    * the array index IS the 0-based start-token position, so `posexplode`
+    * recovers the (pos, sh) grain directly. Bit-identical to the HOF chain
+    * `transform(range, i -> aggregate(slice(th, i, n), 0, (a,h) ->
+    * pmod(a*31+h, P)))` over [[tokenHashes]] (all operands non-negative,
+    * so pmod == %). Empty when the doc has < n tokens — the mod-P sibling
+    * of [[positionalShingleHashes64]]. */
+  def positionalShingleHashes(u: UTF8String, n: Int): ArrayData = {
+    val th = tokenHashesArray(u.toString)
+    if (th.length < n) return ArrayData.toArrayData(Array.empty[Long])
+    val m = th.length - n + 1
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var acc = 0L
+      var j = 0
+      while (j < n) {
+        acc = (acc * 31L + th(i + j)) % P
+        j += 1
+      }
+      out(i) = acc
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
   /** splitmix64 finalizer — avalanches the 64-bit polynomial accumulators
     * of every wide (64-bit) kernel: [[windowHashes64]] and the shingle
     * family share this ONE copy of the constants. */

@@ -152,6 +152,14 @@ object TextFunctions {
   def positionalShingleHashes64(text: Column, n: Int): Column =
     NativeExpressions.positionalShingleHashes64(text, n)
 
+  /** Positional mod-P shingle hashes — [[positionalShingleHashes64]]'s
+    * oracle-surface sibling, bit-identical to the interpreted
+    * `transform(range, i -> aggregate(slice(th, i, n), …, pmod))` HOF
+    * chain it replaces in the positional-shingle scans (pinned by
+    * NativeExpressionsSpec). */
+  def positionalShingleHashes(text: Column, n: Int): Column =
+    NativeExpressions.positionalShingleHashes(text, n)
+
   // --------------------------------------------------------------------
   // Quality scoring (length / punctuation / stopword ratios)
   // --------------------------------------------------------------------

@@ -1233,23 +1233,23 @@ object SimilarityQueries {
     // before/after) are bit-reproducible and the twin compares them
     // exactly. One scan, zero shuffles past the presentation sort.
     "sim_whiten_topdrop" -> ((s, dir) => {
+      import graft.functions.NativeExpressions.dot
       val (v, _) = pcaDirection(s, dir)
       val vLit = array(v.toSeq.map(lit): _*)
-      val y = aggregate(
-        zip_with(col("embedding"), vLit, (e, w) => e.cast("double") * w),
-        lit(0.0), (a, x) => a + x)
-      val nb = aggregate(
-        transform(col("embedding"), e => e.cast("double") * e.cast("double")),
-        lit(0.0), (a, x) => a + x)
-      Tables.embeddings(s, dir)
+      val ed = Dedup.toDoubleArray(col("embedding"))
+      // native sequential dots — bit-identical to the interpreted
+      // aggregate(zip_with...) HOFs they replace (DotProduct's contract)
+      val y = dot(ed, vLit)
+      val nb = dot(ed, ed)
+      Spread.ifNarrow(Tables.embeddings(s, dir), col("vec_id"))
         .select(col("vec_id"), col("embedding"), y.as("y"), nb.as("norm2_before"))
-        .select(col("vec_id"), col("y"), col("norm2_before"),
-          aggregate(
-            zip_with(col("embedding"), vLit, (e, w) => {
-              val d = e.cast("double") - col("y") * w
-              d * d
-            }),
-            lit(0.0), (a, x) => a + x).as("norm2_after"))
+        .select(col("vec_id"), col("y"), col("norm2_before"), {
+          // residual array once, then the native self-dot: Σ d_i² in the
+          // same ascending-index order as the aggregate fold it replaces
+          val d = zip_with(col("embedding"), vLit,
+            (e, w) => e.cast("double") - col("y") * w)
+          dot(d, d).as("norm2_after")
+        })
         .orderBy("vec_id")
     })
   )
@@ -1258,14 +1258,19 @@ object SimilarityQueries {
     * fixed-point mat-vec (see `sim_pca_power`), returning the final unit
     * direction and the last round's integer sums. */
   private def pcaDirection(s: SparkSession, dir: String): (Array[Double], Array[Long]) = {
-    val emb = Tables.embeddings(s, dir).select(col("embedding"))
+    // spread: the single-file bench scan is otherwise ONE task, and each
+    // power-iteration round re-scans it — 4 serial kernel passes. Gated
+    // (Spread.ifNarrow), so a real multi-split corpus never repartitions.
+    val emb = Spread.ifNarrow(Tables.embeddings(s, dir), col("vec_id"))
+      .select(col("embedding"))
     var v = Array.fill(64)(0.125)
     var su = Array.fill(64)(0L)
     for (_ <- 0 until PcaIters) {
       val vLit = array(v.toSeq.map(lit): _*)
-      val y = aggregate(
-        zip_with(col("embedding"), vLit, (e, w) => e.cast("double") * w),
-        lit(0.0), (a, x) => a + x)
+      // native sequential dot (bit-identical to the aggregate(zip_with...)
+      // HOF by DotProduct's contract) — the HOF is interpreted per row
+      val y = graft.functions.NativeExpressions.dot(
+        Dedup.toDoubleArray(col("embedding")), vLit)
       val sums = emb.select(y.as("y"), posexplode(col("embedding")).as(Seq("j", "e")))
         .select(col("j"),
           floor(col("y") * col("e").cast("double") * 1048576.0)

@@ -179,19 +179,16 @@ object TrainingDataQueries {
           posexplode(TextFunctions.positionalShingleHashes64(col("text"), n)))
         .select(col("doc_id"), col("source"),
           (col("pos") + 1).cast(LongType).as("pos"), col("col").as("sh"))
-    else {
-      val th = TextFunctions.tokenHashes(col("text"))
-      val posSh = when(size(th) >= n,
-        transform(sequence(lit(1), size(th) - (n - 1)),
-          i => struct(i.cast(LongType).as("pos"),
-            aggregate(slice(th, i, lit(n)), lit(0L),
-              (a, h) => pmod(a * 31 + h, lit(P))).as("sh"))))
-        .otherwise(array().cast("array<struct<pos:bigint,sh:bigint>>"))
+    else
+      // one fused in-scan kernel (bit-identical to the interpreted
+      // transform+aggregate(slice) HOF chain it replaced — that chain
+      // re-sliced the token array per position and dominated the
+      // substring family's CPU profile; see PositionalShingleHashes)
       docs
-        .select(col("doc_id"), col("source"), explode(posSh).as("u"))
         .select(col("doc_id"), col("source"),
-          col("u.pos").as("pos"), col("u.sh").as("sh"))
-    }
+          posexplode(TextFunctions.positionalShingleHashes(col("text"), n)))
+        .select(col("doc_id"), col("source"),
+          (col("pos") + 1).cast(LongType).as("pos"), col("col").as("sh"))
   }
 
   /** Per-(doc_id, pos) eval-set hit rows: the 1-based token index of every
@@ -493,12 +490,13 @@ object TrainingDataQueries {
     counts.foreach { r => ratio(r.getLong(0).toInt) =
       (r.getLong(1) + 1).toDouble / (r.getLong(2) + 1).toDouble }
     val ratioLit = array(ratio.toSeq.map(lit): _*)
-    val th = TextFunctions.tokenHashes(col("text"))
-    val fb = when(size(th) >= 2,
-      transform(sequence(lit(1), size(th) - 1),
-        i => pmod(aggregate(slice(th, i, lit(2)), lit(0L),
-          (a, h) => pmod(a * 31 + h, lit(P))), lit(DsirBuckets.toLong))))
-      .otherwise(array().cast("array<bigint>"))
+    // bigram features from the fused positional-shingle kernel (the
+    // per-position aggregate(slice) HOF it replaced is interpreted and
+    // was this model's dominant cost); pmod == % here — both operands
+    // non-negative
+    val fb = transform(
+      TextFunctions.positionalShingleHashes(col("text"), 2),
+      sh => pmod(sh, lit(DsirBuckets.toLong)))
     val scored = docsSpread(s, dir).filter(col("source") =!= "src19")
       .select(col("doc_id"), fb.as("fb"))
       .select(col("doc_id"), size(col("fb")).cast(LongType).as("n_feats"),

@@ -18,7 +18,13 @@ object PU {
     * `ml.linalg.Vector` via `array_to_vector`.
     */
   def puEmbeddings(spark: SparkSession, sfDir: String, posClass: Int = 5): DataFrame =
-    Tables.embeddings(spark, sfDir)
+    // spread: the single-file bench scan is ONE task, and every ML fit
+    // downstream (treeAggregate per LBFGS/RF iteration) inherits that
+    // serial partitioning. Gated (Spread.ifNarrow) — a real multi-split
+    // corpus never repartitions — and CAPPED: each fit iteration is a
+    // whole job, so task dispatch scales with iterations × partitions
+    // (see Spread.ifNarrow's maxParts doc).
+    graft.operators.Spread.ifNarrow(Tables.embeddings(spark, sfDir), col("vec_id"), 8)
       .withColumn("puLabel",
         when(col("label") === posClass && col("vec_id") % 2 === 0, 1).otherwise(0))
       .withColumn("holdoutPos",
@@ -40,7 +46,10 @@ object PU {
   def puDocuments(spark: SparkSession, sfDir: String,
                   posToken: String = "dup"): DataFrame = {
     import org.apache.spark.ml.feature.{HashingTF, IDF, Tokenizer}
-    val docs = Tables.documents(spark, sfDir)
+    // spread before tokenize/TF/IDF: same serial-scan reasoning (and the
+    // same iteration-job cap) as puEmbeddings
+    val docs = graft.operators.Spread.ifNarrow(
+      Tables.documents(spark, sfDir), col("doc_id"), 8)
     val toks = new Tokenizer().setInputCol("text").setOutputCol("toks")
       .transform(docs)
     val tf = new HashingTF().setInputCol("toks").setOutputCol("tf")

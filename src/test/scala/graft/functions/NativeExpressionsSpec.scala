@@ -164,6 +164,31 @@ class NativeExpressionsSpec extends SparkSuite {
     assert(diff == 0)
   }
 
+  test("PositionalShingleHashes == transform(aggregate(slice)) HOF on corpus + edges") {
+    import spark.implicits._
+    val P = 1000000007L
+    // the HOF chain positionalShingles'/dsirRanked's scans used before the
+    // fused kernel replaced it (r16 optimization) — reconstructed verbatim
+    def hofPositional(n: Int) = {
+      val th = NativeExpressions.tokenHashes(col("text"))
+      when(size(th) >= n,
+        transform(sequence(lit(1), size(th) - lit(n - 1)), i =>
+          aggregate(slice(th, i, lit(n)), lit(0L),
+            (acc, h) => pmod(acc * lit(31L) + h, lit(P)))))
+        .otherwise(array().cast("array<bigint>"))
+    }
+    val corpus = Tables.documents(spark, sf0001).select(col("text"))
+      .unionAll(Seq("", "   ", "one", "a b", "a b c", "a b c d e a b c",
+        " a  b\tc\r\nd ").toDF("text"))
+    for (n <- Seq(2, 4, 8)) {
+      val diff = corpus.select(
+        NativeExpressions.positionalShingleHashes(col("text"), n).as("native"),
+        hofPositional(n).as("hof"))
+        .filter(not(col("native") === col("hof"))).count()
+      assert(diff == 0, s"n=$n")
+    }
+  }
+
   test("DotProduct == aggregate(zip_with) formulation on embeddings") {
     val e = Tables.embeddings(spark, sf0001)
       .select(transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
