@@ -35,12 +35,15 @@ object Bench {
       // columns here are compute-dense (shingle/BPE/embedding kernels run
       // tens of CPU-seconds per MB of text), so the default 1 MB floor
       // coalesces every small shuffle to ONE task and serializes kernel
-      // work. A 16k floor keeps those stages parallel at bench scale; at
+      // work. A 64k floor keeps those stages parallel at bench scale while
+      // leaving genuinely tiny iterative frames (CC label rounds, serve
+      // probes) on few tasks — measured: lower floors tax the
+      // iteration-job queries without helping the kernel ones further. At
       // production scale every shuffle partition sits far above any floor,
       // so the knob is inert there (parameterized for cluster overrides —
       // guide §2.2/§2.5: partitioning must adapt to data, not local mode).
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCED", "16k"))
+        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCED", "64k"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

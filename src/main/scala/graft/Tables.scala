@@ -66,7 +66,7 @@ object Tables {
       .config("spark.sql.adaptive.enabled", "true")
       // same compute-dense-partition floor as Bench (see Bench.scala)
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCED", "16k"))
+        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCED", "64k"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // Fail LOUDLY if any generated code stops compiling (e.g. a kernel

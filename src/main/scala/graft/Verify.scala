@@ -19,7 +19,7 @@ object Verify {
       .config("spark.sql.adaptive.enabled", "true")
       // same compute-dense-partition floor as Bench (see Bench.scala)
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCED", "16k"))
+        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCED", "64k"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

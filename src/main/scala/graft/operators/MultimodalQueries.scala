@@ -69,7 +69,11 @@ object MultimodalQueries {
     * by construction (spec- and oracle-pinned). */
   private[operators] def perceptualPairs(feats: DataFrame,
       batchMin: Option[Long] = None): DataFrame = {
-    val f = feats.persist() // bands + two verify join-backs
+    // registry-tracked (ADVICE r15): both persists outlive this builder —
+    // the between-queries sweep frees them instead of accumulating blocks
+    // over a 212-query bench session
+    val f = graft.CheckpointUtil.trackPersist(
+      feats.persist()) // bands + two verify join-backs
     // only NONZERO bands generate candidates: an all-zero band is the
     // absence of evidence, and on a same-length cohort it matches every
     // member — the 1M-payload scale probe measured the blowup (a ~50k-doc
@@ -83,6 +87,7 @@ object MultimodalQueries {
         slice(col("hist"), (col("bi") * 16 + 1).cast("int"), lit(16)).as("bc"))
       .filter(aggregate(col("bc"), lit(0L), (a, x) => a + x) > 0)
       .persist()
+    graft.CheckpointUtil.trackPersist(allBands)
     // the frequency cap (see [[PerceptualBandDf]]): one band-grain agg +
     // anti-join. The hot set is tiny on any discriminative corpus (a
     // value is hot because many rows share it, so there are few such

@@ -188,13 +188,45 @@ object SimilarityQueries {
     * fork from the in-query arm it must equal row-for-row (the driver
     * oracle is sim_maxsim_ivf's verbatim; MaxsimServedSpec pins the
     * bucket pruning). */
-  private[operators] def maxsimServed(s: SparkSession, docs: DataFrame,
-      k: Int): DataFrame = {
-    val ch = chunkVecs(docs).persist()
-    val centSeq = maxsimCentroids(ch)
-    val tbl = scratchTable(s, "graft_maxsim_lists")
-    writeMaxsimChunks(ch, tbl, centSeq)
-    maxsimProbeServed(s, tbl, ch, centSeq, k)
+  private[operators] def maxsimServed(s: SparkSession, dir: String,
+      docs: DataFrame, k: Int): DataFrame = {
+    val (tbl, centSeq) = maxsimServing(s, dir, docs)
+    // query side: only the query doc's chunks — chunking is per-doc, so
+    // chunking the filtered frame equals filtering the chunked frame
+    maxsimProbeServed(s, tbl,
+      chunkVecs(docs.filter(col("doc_id") === MaxsimQueryDoc)), centSeq, k)
+  }
+
+  private type MaxsimArtifact = (String, Seq[(Long, Seq[Double], Double)])
+  private val maxsimCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, MaxsimArtifact]]())
+
+  /** The memoized (tbl, centSeq) maxsim chunk-serving artifact for `dir`'s
+    * corpus — the [[ivfPqServing]] lifecycle for the late-interaction
+    * family: `src_maxsim_bucketed`, `sim_maxsim_fidelity`, and
+    * `src_maxsim_multi` all serve the SAME full-corpus chunk table (built
+    * once in production; queries only read), and the shared scratch-table
+    * name previously assumed strictly sequential execution (ADVICE r15). */
+  private[operators] def maxsimServing(s: SparkSession, dir: String,
+      docs: => DataFrame): MaxsimArtifact = {
+    def build(): MaxsimArtifact = {
+      // scoped persist: the chunk frame feeds the centroid collect AND the
+      // bucketed write, both materialized inside this call — released here,
+      // not left for the between-queries sweep
+      val ch = chunkVecs(docs).persist()
+      try {
+        val centSeq = maxsimCentroids(ch)
+        val tbl = scratchTable(s, "graft_maxsim_lists" + dirTag(dir))
+        writeMaxsimChunks(ch, tbl, centSeq)
+        (tbl, centSeq)
+      } finally graft.CheckpointUtil.releasePersist(ch)
+    }
+    val memo = maxsimCache.computeIfAbsent(s,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, MaxsimArtifact]())
+    val got = memo.computeIfAbsent(dir, _ => build())
+    if (s.catalog.tableExists(got._1)) got
+    else { memo.remove(dir); memo.computeIfAbsent(dir, _ => build()) }
   }
 
   /** The chunk-grain coarse quantizer: first chunk of the first
@@ -270,6 +302,14 @@ object SimilarityQueries {
     * fixed-point floor, integer sum — and the per-query ranking is a
     * [[TopKAgg]] keyed on qdoc, so a thousand concurrent queries rank in
     * parallel with O(k) state each and no window anywhere. */
+  /** Serve-batch probe-collect bound (ADVICE r15): every batch caller is
+    * constant-bounded (MultiNQueries, a stream micro-batch), but the
+    * collect below would silently pull a corpus-sized frame if a future
+    * caller handed it one — the exact mistake `joinPqTopK` exists to
+    * avoid. 1<<16 probe rows ≈ 16k query chunks/batch: far above any
+    * serve batch, far below corpus scale. */
+  val MaxsimProbeRowsMax: Int = 1 << 16
+
   private[graft] def maxsimProbeMulti(s: SparkSession, tbl: String,
       qchunks: DataFrame, centSeq: Seq[(Long, Seq[Double], Double)],
       k: Int): DataFrame = {
@@ -278,10 +318,16 @@ object SimilarityQueries {
     val probeRows = qchunks
       .withColumn("cen_id", explode(
         NativeExpressions.topNCosineIds(col("qv"), col("qnrm"), centSeq, MaxsimNProbe)))
+      .limit(MaxsimProbeRowsMax + 1)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2),
         r.getDouble(3), r.getLong(4)))
       .toSeq
+    require(probeRows.length <= MaxsimProbeRowsMax,
+      s"maxsimProbeMulti: serve batch exceeds $MaxsimProbeRowsMax probe rows " +
+        "— this is the driver-collect serving path; route corpus-sized " +
+        "query relations through the distributed join arm (joinPqTopK's " +
+        "shape), not a driver probe collect")
     val probes = probeRows.toDF("qdoc", "qi", "qv", "qnrm", "cen_id")
     val probeIds = probeRows.map(_._5).distinct.sorted
     val cand = s.table(tbl)
@@ -543,7 +589,8 @@ object SimilarityQueries {
     // probed per query batch (see [[maxsimServed]]); row-identical to the
     // in-query IVF arm (same oracle verbatim), bucket pruning spec-pinned
     "src_maxsim_bucketed" -> ((s, dir) =>
-      maxsimServed(s, Spread.ifNarrow(Tables.documents(s, dir), col("doc_id")),
+      maxsimServed(s, dir,
+        Spread.ifNarrow(Tables.documents(s, dir), col("doc_id")),
         MaxsimK).orderBy("rank")),
     // Append-maintained maxsim chunk index — the daily-ingest arm of the
     // late-interaction table (the src_ivf_append lifecycle, chunk
@@ -553,8 +600,10 @@ object SimilarityQueries {
     // which is exactly why the full-rebuild oracle applies verbatim) and
     // appended into the same bucket layout. Probe == full rebuild.
     "src_maxsim_append" -> ((s, dir) => {
-      val ch = chunkVecs(
-        Spread.ifNarrow(Tables.documents(s, dir), col("doc_id"))).persist()
+      // registry-tracked: the probe below consumes ch lazily, so the
+      // persist outlives this builder — the between-queries sweep frees it
+      val ch = graft.CheckpointUtil.trackPersist(chunkVecs(
+        Spread.ifNarrow(Tables.documents(s, dir), col("doc_id"))).persist())
       val base = ch.filter(col("doc_id") < MaxsimSplit)
       // base-slice centroids == full-corpus centroids BY CONTAINMENT:
       // the quantizer window (doc_id < NCentroids) sits inside the base
@@ -582,7 +631,7 @@ object SimilarityQueries {
       val docs = Spread.ifNarrow(Tables.documents(s, dir), col("doc_id"))
       val ex = maxsimTopK(docs, MaxsimK)
         .select(col("doc_id"), col("rank").as("rank_exact"))
-      val sv = maxsimServed(s, docs, MaxsimK)
+      val sv = maxsimServed(s, dir, docs, MaxsimK)
         .select(col("doc_id"), col("rank").as("rank_served"))
       ex.join(sv, Seq("doc_id"), "full_outer")
         .select(col("doc_id"),
@@ -596,12 +645,11 @@ object SimilarityQueries {
     // late-interaction family). Also the per-micro-batch body of the
     // streaming serve arm.
     "src_maxsim_multi" -> ((s, dir) => {
-      val ch = chunkVecs(
-        Spread.ifNarrow(Tables.documents(s, dir), col("doc_id"))).persist()
-      val centSeq = maxsimCentroids(ch)
-      val tbl = scratchTable(s, "graft_maxsim_multi")
-      writeMaxsimChunks(ch, tbl, centSeq)
-      val q = ch.filter(col("doc_id") < MultiNQueries)
+      val docs = Spread.ifNarrow(Tables.documents(s, dir), col("doc_id"))
+      // same full-corpus chunk table as src_maxsim_bucketed — the memoized
+      // serving build (one table per (session, dir), ADVICE r15)
+      val (tbl, centSeq) = maxsimServing(s, dir, docs)
+      val q = chunkVecs(docs.filter(col("doc_id") < MultiNQueries))
         .select(col("doc_id").as("qdoc"), col("chunk_idx").as("qi"),
           col("v").as("qv"), col("nrm").as("qnrm"))
       maxsimProbeMulti(s, tbl, q, centSeq, MaxsimK).orderBy("qdoc", "rank")
@@ -613,8 +661,8 @@ object SimilarityQueries {
     // compacted table must be row-identical to the in-flight index —
     // the shared full-rebuild oracle proves it.
     "src_maxsim_compact" -> ((s, dir) => {
-      val ch = chunkVecs(
-        Spread.ifNarrow(Tables.documents(s, dir), col("doc_id"))).persist()
+      val ch = graft.CheckpointUtil.trackPersist(chunkVecs(
+        Spread.ifNarrow(Tables.documents(s, dir), col("doc_id"))).persist())
       val base = ch.filter(col("doc_id") < MaxsimSplit)
       val centSeq = maxsimCentroids(base)
       val tbl = scratchTable(s, "graft_maxsim_precompact")
@@ -1335,8 +1383,15 @@ object SimilarityQueries {
     (tbl, centSeq, codebook)
   }
 
-  private def dirTag(dir: String): String =
-    "_" + dir.replaceAll("[^a-zA-Z0-9]", "").takeRight(12)
+  /** Collision-free table tag for a corpus dir: hex MD5 prefix of the FULL
+    * path (a truncated sanitized suffix let two distinct dirs map to one
+    * scratch table, with the second build overwriting the first while its
+    * memo entry still passed the tableExists check — ADVICE r15). */
+  private def dirTag(dir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    "_" + md.take(6).map(b => f"$b%02x").mkString
+  }
 
   private type ServingArtifact =
     (String, Seq[(Long, Seq[Double], Double)], Seq[Seq[Double]])
@@ -1358,7 +1413,14 @@ object SimilarityQueries {
 
   /** The memoized (tbl, centSeq, codebook) IVF-PQ serving artifact for
     * `dir`'s corpus — built at most once per (session, dir); rebuilt only
-    * if something dropped the scratch table out from under the memo. */
+    * if something dropped the scratch table out from under the memo.
+    *
+    * STATIC-DIR-PER-SESSION ASSUMPTION (ADVICE r15): the memo carries no
+    * data fingerprint, so a caller that rewrites `dir`'s parquet files
+    * mid-session would be served the stale index. Every harness (driver
+    * Verify/Bench, the spec suites) reads immutable fixture dirs; a spec
+    * that regenerates a fixture in place must drop the scratch table (or
+    * use a fresh dir) to invalidate. */
   private[operators] def ivfPqServing(s: SparkSession, dir: String,
       corpus: => DataFrame): ServingArtifact = {
     val memo = servingCache.computeIfAbsent(s,

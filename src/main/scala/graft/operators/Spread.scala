@@ -31,24 +31,17 @@ object Spread {
     * regression on the cheapest dedup queries. Stale only if the files
     * under an identical plan change mid-session, which no caller does.
     */
-  def ifNarrow(df: DataFrame, key: Column): DataFrame =
-    ifNarrow(df, key, Int.MaxValue)
-
-  /** [[ifNarrow]] with a parallelism CAP for iteration-heavy consumers:
-    * an ML fit pins its input partitioning into every LBFGS/RF/IDF
-    * iteration JOB, so task-dispatch overhead scales with
-    * (iterations × partitions) while per-task compute shrinks — past a
-    * few thousand rows per partition the dispatch dominates. Callers that
-    * feed dozens of iteration jobs cap the spread (the gate itself is
-    * unchanged: a wide real corpus never repartitions here). */
-  def ifNarrow(df: DataFrame, key: Column, maxParts: Int): DataFrame = {
-    val target =
-      math.min(df.sparkSession.sparkContext.defaultParallelism, maxParts)
+  def ifNarrow(df: DataFrame, key: Column): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
     val perSession = sessionProbes(df.sparkSession)
     if (perSession.size > 256) perSession.clear() // bases are few; bound anyway
     val n = perSession.computeIfAbsent(
       planKey(df.queryExecution.analyzed.canonicalized), _ => df.rdd.getNumPartitions)
-    if (n < target) df.repartition(target, key) else df
+    // no explicit partition count: the spread exchange stays AQE-coalescible,
+    // so its width adapts to the frame's measured bytes (floor =
+    // coalescePartitions.minPartitionSize) instead of pinning full
+    // parallelism onto cheap frames
+    if (n < target) df.repartition(key) else df
   }
 
   /** Session-free fingerprint of a canonicalized plan. The canonical tree

@@ -18,13 +18,12 @@ object PU {
     * `ml.linalg.Vector` via `array_to_vector`.
     */
   def puEmbeddings(spark: SparkSession, sfDir: String, posClass: Int = 5): DataFrame =
-    // spread: the single-file bench scan is ONE task, and every ML fit
-    // downstream (treeAggregate per LBFGS/RF iteration) inherits that
-    // serial partitioning. Gated (Spread.ifNarrow) — a real multi-split
-    // corpus never repartitions — and CAPPED: each fit iteration is a
-    // whole job, so task dispatch scales with iterations × partitions
-    // (see Spread.ifNarrow's maxParts doc).
-    graft.operators.Spread.ifNarrow(Tables.embeddings(spark, sfDir), col("vec_id"), 8)
+    // deliberately NOT spread (r16 measured): an ML fit pins its input
+    // partitioning into every LBFGS/RF iteration JOB, so task dispatch
+    // scales with iterations × partitions while per-task compute shrinks —
+    // at fixture scale the dispatch dominates (spread-8 doubled every LR
+    // query). A real multi-split corpus parallelizes at the scan.
+    Tables.embeddings(spark, sfDir)
       .withColumn("puLabel",
         when(col("label") === posClass && col("vec_id") % 2 === 0, 1).otherwise(0))
       .withColumn("holdoutPos",
@@ -46,10 +45,9 @@ object PU {
   def puDocuments(spark: SparkSession, sfDir: String,
                   posToken: String = "dup"): DataFrame = {
     import org.apache.spark.ml.feature.{HashingTF, IDF, Tokenizer}
-    // spread before tokenize/TF/IDF: same serial-scan reasoning (and the
-    // same iteration-job cap) as puEmbeddings
-    val docs = graft.operators.Spread.ifNarrow(
-      Tables.documents(spark, sfDir), col("doc_id"), 8)
+    // deliberately NOT spread — same iteration-job measurement as
+    // puEmbeddings (LBFGS dispatch dominates at fixture scale)
+    val docs = Tables.documents(spark, sfDir)
     val toks = new Tokenizer().setInputCol("text").setOutputCol("toks")
       .transform(docs)
     val tf = new HashingTF().setInputCol("toks").setOutputCol("tf")
