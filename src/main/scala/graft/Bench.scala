@@ -31,25 +31,29 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
-      // AQE's post-shuffle coalescing costs partitions in BYTES; the hot
-      // columns here are compute-dense (shingle/BPE/embedding kernels run
-      // tens of CPU-seconds per MB of text), so the default 1 MB floor
-      // coalesces every small shuffle to ONE task and serializes kernel
-      // work. A 64k floor keeps those stages parallel at bench scale while
-      // leaving genuinely tiny iterative frames (CC label rounds, serve
-      // probes) on few tasks — measured: lower floors tax the
-      // iteration-job queries without helping the kernel ones further. At
-      // production scale every shuffle partition sits far above any floor,
-      // so the knob is inert there (parameterized for cluster overrides —
-      // guide §2.2/§2.5: partitioning must adapt to data, not local mode).
+      // AQE post-shuffle coalescing floor: STOCK 1 MB default (r17). The
+      // r16 global 64k floor kept extra post-shuffle partitions alive on
+      // tiny iterative frames (LBFGS fits, CC label rounds) and the extra
+      // per-job task dispatch regressed whole code-untouched families on
+      // the driver bench (pu 0.66x, q 0.80x — VERDICT r16); r17 re-measured
+      // the same on this box (stock floor: dedup 0.83x, q/pu 0.89x). The
+      // few genuinely compute-dense small-byte frames (PCA/whiten scans)
+      // are instead spread with an explicit pinned width at their source
+      // (Spread.pinIfNarrow), which AQE cannot re-coalesce — guide §1.2:
+      // fix the algorithm's partitioning, not a global config. Env knob
+      // kept for cluster overrides; at production scale every shuffle
+      // partition sits far above any floor, so the knob is inert there.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCED", "64k"))
+        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCED", "1m"))
       // AQE runtime SMJ->SHJ conversion (guide 3.1): convert a sort-merge
       // join to shuffled-hash when every post-shuffle partition is under
       // this bound -- drops both sort passes; bucketed-table joins have no
       // shuffle stage, so their sorted-bucket SMJ is untouched. 128m per
       // partition is far under executor memory at any sane config.
-      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "128m")
+      // Parameterized (r17) so the conversion's effect is A/B-able; "0"
+      // restores the stock off state.
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHJ_THRESHOLD", "128m"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

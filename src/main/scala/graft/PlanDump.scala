@@ -19,13 +19,14 @@ object PlanDump {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCED", "64k"))
+        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCED", "1m"))
       // AQE runtime SMJ->SHJ conversion (guide 3.1): convert a sort-merge
       // join to shuffled-hash when every post-shuffle partition is under
       // this bound -- drops both sort passes; bucketed-table joins have no
       // shuffle stage, so their sorted-bucket SMJ is untouched. 128m per
       // partition is far under executor memory at any sane config.
-      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "128m")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHJ_THRESHOLD", "128m"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -64,15 +64,16 @@ object Tables {
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
-      // same compute-dense-partition floor as Bench (see Bench.scala)
+      // same stock coalescing floor + pinned-spread policy as Bench (see Bench.scala)
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCED", "64k"))
+        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCED", "1m"))
       // AQE runtime SMJ->SHJ conversion (guide 3.1): convert a sort-merge
       // join to shuffled-hash when every post-shuffle partition is under
       // this bound -- drops both sort passes; bucketed-table joins have no
       // shuffle stage, so their sorted-bucket SMJ is untouched. 128m per
       // partition is far under executor memory at any sane config.
-      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "128m")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHJ_THRESHOLD", "128m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // Fail LOUDLY if any generated code stops compiling (e.g. a kernel

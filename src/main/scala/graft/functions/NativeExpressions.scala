@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftColumnBridge
@@ -100,6 +100,37 @@ object NativeExpressions {
            |  ${ev.isNull} = true;
            |} else {
            |  ${ev.value} = $Kernels.dot($a, $b);
+           |}
+         """.stripMargin)
+  }
+
+  /** Fused residual self-dot ‖a − y·w‖² — IEEE-identical to
+    * `dot(zip_with(a, w, (e, v) -> e - y*v), same)` (see
+    * [[NativeKernels.residualNorm2]]) without the interpreted zip_with
+    * lambda or the intermediate array. Null semantics mirror the HOF
+    * chain: any null input → null, ragged lengths → null.
+    */
+  case class ResidualNorm2(first: Expression, second: Expression,
+      third: Expression) extends TernaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true // also null on ragged lengths
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): ResidualNorm2 =
+      copy(first = f, second = s, third = t)
+
+    override protected def nullSafeEval(a: Any, w: Any, y: Any): Any = {
+      val (aa, ww) = (a.asInstanceOf[ArrayData], w.asInstanceOf[ArrayData])
+      if (aa.numElements() != ww.numElements()) null
+      else NativeKernels.residualNorm2(aa, ww, y.asInstanceOf[Double])
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, w, y) =>
+        s"""
+           |if ($a.numElements() != $w.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  ${ev.value} = $Kernels.residualNorm2($a, $w, $y);
            |}
          """.stripMargin)
   }
@@ -672,6 +703,10 @@ object NativeExpressions {
   def intDot(a: Column, b: Column): Column =
     GraftColumnBridge.column(IntDot(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  def residualNorm2(a: Column, w: Column, y: Column): Column =
+    GraftColumnBridge.column(ResidualNorm2(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(w),
+      GraftColumnBridge.expression(y)))
   def argMaxCosine(v: Column, nrm: Column, cents: Seq[(Long, Seq[Double], Double)]): Column =
     GraftColumnBridge.column(ArgMaxCosine(
       GraftColumnBridge.expression(v), GraftColumnBridge.expression(nrm), cents))

@@ -342,6 +342,24 @@ object NativeKernels {
     acc
   }
 
+  /** Squared norm of the residual a − y·w in one ascending-index pass —
+    * IEEE-identical to building d = zip_with(a, w, (e, v) -> e - y*v) and
+    * then [[dot]](d, d): per element the same (e - y*v) double, then the
+    * same single-accumulator sum of squares starting at 0.0. The fused form
+    * skips the interpreted zip_with lambda AND the intermediate array.
+    */
+  def residualNorm2(a: ArrayData, w: ArrayData, y: Double): Double = {
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getDouble(i) - y * w.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
   /** Ascending-index single-accumulator dot product (IEEE order matches the
     * `aggregate(zip_with(...))` HOF twin).
     */

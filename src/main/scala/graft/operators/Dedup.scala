@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
 
 import graft.functions.TextFunctions
 
@@ -235,7 +235,13 @@ object Dedup {
 
   /** Array<float> → array<double>, element-exact (the only cast both
     * engines perform identically). */
-  def toDoubleArray(emb: Column): Column = transform(emb, x => x.cast(DoubleType))
+  // plain array cast, NOT transform(_, cast): higher-order functions are
+  // CodegenFallback (interpreted per element, per row), while Cast over an
+  // array is whole-stage-codegen native — element-wise result is identical
+  // (same float→double cast, same null handling). This runs under every
+  // dot-product consumer in the sim/dedup family, so the interpreted form
+  // taxed dozens of hot scans (r17 profile: visible per-row milliseconds).
+  def toDoubleArray(emb: Column): Column = emb.cast(ArrayType(DoubleType))
 
   /** Sequential-order dot product of two double arrays (acc := acc + a_i*b_i,
     * i ascending) — matches the oracle's list_reduce order, so results are

@@ -1289,15 +1289,20 @@ object SimilarityQueries {
       // aggregate(zip_with...) HOFs they replace (DotProduct's contract)
       val y = dot(ed, vLit)
       val nb = dot(ed, ed)
-      Spread.ifNarrow(Tables.embeddings(s, dir), col("vec_id"))
+      // pinned for the same reason as pcaDirection's scan: the whiten pass
+      // is three native dots per row on a small-byte frame — AQE's byte
+      // floor would re-serialize the unpinned spread to one task
+      Spread.pinIfNarrow(Tables.embeddings(s, dir), col("vec_id"))
         .select(col("vec_id"), col("embedding"), y.as("y"), nb.as("norm2_before"))
-        .select(col("vec_id"), col("y"), col("norm2_before"), {
-          // residual array once, then the native self-dot: Σ d_i² in the
-          // same ascending-index order as the aggregate fold it replaces
-          val d = zip_with(col("embedding"), vLit,
-            (e, w) => e.cast("double") - col("y") * w)
-          dot(d, d).as("norm2_after")
-        })
+        // fused native residual self-dot: per element the same
+        // (e − y·w) double and the same ascending-index sum of squares as
+        // the zip_with + dot(d, d) chain it replaces (ResidualNorm2's
+        // contract) — zip_with is interpreted per row, the kernel is
+        // whole-stage codegen
+        .select(col("vec_id"), col("y"), col("norm2_before"),
+          graft.functions.NativeExpressions.residualNorm2(
+            Dedup.toDoubleArray(col("embedding")), vLit, col("y"))
+            .as("norm2_after"))
         .orderBy("vec_id")
     })
   )
@@ -1306,30 +1311,55 @@ object SimilarityQueries {
     * fixed-point mat-vec (see `sim_pca_power`), returning the final unit
     * direction and the last round's integer sums. */
   private def pcaDirection(s: SparkSession, dir: String): (Array[Double], Array[Long]) = {
-    // spread: the single-file bench scan is otherwise ONE task, and each
-    // power-iteration round re-scans it — 4 serial kernel passes. Gated
-    // (Spread.ifNarrow), so a real multi-split corpus never repartitions.
-    val emb = Spread.ifNarrow(Tables.embeddings(s, dir), col("vec_id"))
-      .select(col("embedding"))
+    // spread PINNED: the single-file bench scan is otherwise ONE task, and
+    // each power-iteration round re-scans it — 4 serial kernel passes. The
+    // unpinned spread is AQE-coalescible and the stock 1 MB byte floor
+    // re-serializes this small-byte/compute-dense frame (measured 1.65x
+    // slower); pinIfNarrow keeps the 4 rounds parallel. Gated, so a real
+    // multi-split corpus never repartitions. Persisted across the rounds:
+    // every round re-reads the SAME spread frame — without the persist the
+    // scan + spread exchange re-runs per round (4 identical shuffles).
+    val emb = graft.CheckpointUtil.trackPersist(
+      Spread.pinIfNarrow(Tables.embeddings(s, dir), col("vec_id"))
+        .select(col("embedding")).persist())
     var v = Array.fill(64)(0.125)
     var su = Array.fill(64)(0L)
-    for (_ <- 0 until PcaIters) {
-      val vLit = array(v.toSeq.map(lit): _*)
-      // native sequential dot (bit-identical to the aggregate(zip_with...)
-      // HOF by DotProduct's contract) — the HOF is interpreted per row
-      val y = graft.functions.NativeExpressions.dot(
-        Dedup.toDoubleArray(col("embedding")), vLit)
-      val sums = emb.select(y.as("y"), posexplode(col("embedding")).as(Seq("j", "e")))
-        .select(col("j"),
-          floor(col("y") * col("e").cast("double") * 1048576.0)
-            .cast("long").as("u"))
-        .groupBy(col("j")).agg(sum(col("u")).as("su"))
-        .collect()
-      su = Array.fill(64)(0L)
-      sums.foreach(r => su(r.getInt(0)) = r.getLong(1))
-      val z = su.map(_.toDouble / 1048576.0)
-      val norm = math.sqrt(z.foldLeft(0.0)((a, x) => a + x * x))
-      v = z.map(_ / norm)
+    // AQE off for the loop's own tiny actions: each round is ONE 64-long
+    // aggregate over the persisted spread frame, but under AQE every
+    // exchange materializes as its own job (plus re-planning), so the
+    // 4-round loop ran 14 driver jobs of pure orchestration (profiled:
+    // stage time 0.4 s vs 1.4 s wall). With AQE off each round is exactly
+    // one 2-stage job. Scoped and restored — only the loop's internal
+    // actions are affected, and its output is collected literals.
+    val aqePrev = s.conf.get("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for (_ <- 0 until PcaIters) {
+        val vLit = array(v.toSeq.map(lit): _*)
+        // native sequential dot (bit-identical to the aggregate(zip_with...)
+        // HOF by DotProduct's contract) — the HOF is interpreted per row
+        val y = graft.functions.NativeExpressions.dot(
+          Dedup.toDoubleArray(col("embedding")), vLit)
+        // 64 ungrouped sums instead of posexplode + groupBy(j): the explode
+        // multiplied every row 64x through a hash aggregation; per-dim sums
+        // of the SAME floor(y*e_j*2^20) long terms are associative, so the
+        // result is bit-identical while the whole round stays one
+        // partial-agg pass with a 64-long row per task (guide §2.3:
+        // aggregate before you shuffle).
+        val sumCols = (0 until 64).map(j =>
+          sum(floor(col("y") * element_at(col("embedding"), j + 1).cast("double")
+            * 1048576.0).cast("long")).as(s"s$j"))
+        val row = emb.select(y.as("y"), col("embedding"))
+          .agg(sumCols.head, sumCols.tail: _*)
+          .collect()(0)
+        su = Array.tabulate(64)(j => if (row.isNullAt(j)) 0L else row.getLong(j))
+        val z = su.map(_.toDouble / 1048576.0)
+        val norm = math.sqrt(z.foldLeft(0.0)((a, x) => a + x * x))
+        v = z.map(_ / norm)
+      }
+    } finally {
+      s.conf.set("spark.sql.adaptive.enabled", aqePrev)
+      graft.CheckpointUtil.releasePersist(emb)
     }
     (v, su)
   }

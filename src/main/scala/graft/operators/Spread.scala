@@ -32,16 +32,36 @@ object Spread {
     * under an identical plan change mid-session, which no caller does.
     */
   def ifNarrow(df: DataFrame, key: Column): DataFrame = {
+    // no explicit partition count: the spread exchange stays AQE-coalescible,
+    // so its width adapts to the frame's measured bytes (floor =
+    // coalescePartitions.minPartitionSize) instead of pinning full
+    // parallelism onto cheap frames
+    spreadIfNarrow(df, w => if (w) df.repartition(key) else df)
+  }
+
+  /** [[ifNarrow]] with the spread width PINNED to the session's default
+    * parallelism (an explicit-count repartition is not AQE-coalescible).
+    * For the handful of compute-dense frames whose downstream kernels run
+    * tens of CPU-seconds per MB: AQE's byte-based coalescing (stock 1 MB
+    * `coalescePartitions.minPartitionSize` floor) re-serializes a keyed
+    * spread of a small-byte frame to ONE task — bytes are the wrong cost
+    * proxy for kernel work (r16/r17 measured: the PCA power-iteration scan
+    * lost 1.6x when its spread coalesced). Do NOT use on cheap frames: the
+    * same pin measured as a regression when applied to every ifNarrow site
+    * (32 tasks of dispatch on sub-millisecond work). Same gate as
+    * [[ifNarrow]], so a real multi-split corpus never repartitions. */
+  def pinIfNarrow(df: DataFrame, key: Column): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    spreadIfNarrow(df, w => if (w) df.repartition(target, key) else df)
+  }
+
+  private def spreadIfNarrow(df: DataFrame, apply: Boolean => DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     val perSession = sessionProbes(df.sparkSession)
     if (perSession.size > 256) perSession.clear() // bases are few; bound anyway
     val n = perSession.computeIfAbsent(
       planKey(df.queryExecution.analyzed.canonicalized), _ => df.rdd.getNumPartitions)
-    // no explicit partition count: the spread exchange stays AQE-coalescible,
-    // so its width adapts to the frame's measured bytes (floor =
-    // coalescePartitions.minPartitionSize) instead of pinning full
-    // parallelism onto cheap frames
-    if (n < target) df.repartition(key) else df
+    apply(n < target)
   }
 
   /** Session-free fingerprint of a canonicalized plan. The canonical tree

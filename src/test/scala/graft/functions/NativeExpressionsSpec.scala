@@ -267,4 +267,41 @@ class NativeExpressionsSpec extends SparkSuite {
       "SELECT CAST(array(1,2,3) AS array<tinyint>) a, CAST(array(1,2) AS array<tinyint>) b")
     assert(row.select(NativeExpressions.intDot(col("a"), col("b"))).head.isNullAt(0))
   }
+
+  test("ResidualNorm2 == dot(zip_with residual) formulation on embeddings") {
+    // the exact whiten-pass formulation it replaces: d_i = e_i - y*w_i
+    // (ascending), then the sequential self-dot — bit-equality required
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("embedding").cast("array<double>").as("v"))
+    val w = (0 until 64).map(j => math.sin(j + 1) / 3.0)
+    val wLit = array(w.map(lit): _*)
+    val y = NativeExpressions.dot(col("v"), wLit)
+    val pairs = e.select(col("v"), y.as("y"))
+    val d = zip_with(col("v"), wLit, (x, wv) => x - col("y") * wv)
+    val diff = pairs.select(
+      NativeExpressions.residualNorm2(col("v"), wLit, col("y")).as("native"),
+      NativeExpressions.dot(d, d).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(diff == 0)
+  }
+
+  test("ResidualNorm2 nulls: null input and ragged lengths, like the HOF twin") {
+    val row = spark.sql(
+      "SELECT CAST(array(1.0,2.0,3.0) AS array<double>) a, " +
+        "CAST(array(1.0,2.0) AS array<double>) w")
+    assert(row.select(NativeExpressions.residualNorm2(col("a"), col("w"), lit(0.5)))
+      .head.isNullAt(0))
+    assert(row.select(NativeExpressions.residualNorm2(
+        lit(null).cast("array<double>"), col("w"), lit(0.5))).head.isNullAt(0))
+  }
+
+  test("toDoubleArray cast == transform(_, cast) on embeddings (incl. null)") {
+    val e = Tables.embeddings(spark, sf0001).select(col("embedding"))
+      .unionAll(spark.sql("SELECT CAST(NULL AS array<float>) AS embedding"))
+    val diff = e.select(
+      graft.operators.Dedup.toDoubleArray(col("embedding")).as("native"),
+      transform(col("embedding"), x => x.cast(DoubleType)).as("hof"))
+      .filter(not(col("native") <=> col("hof"))).count()
+    assert(diff == 0)
+  }
 }
