@@ -45,15 +45,15 @@ object Bench {
       // partition sits far above any floor, so the knob is inert there.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
         sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCED", "1m"))
-      // AQE runtime SMJ->SHJ conversion (guide 3.1): convert a sort-merge
-      // join to shuffled-hash when every post-shuffle partition is under
-      // this bound -- drops both sort passes; bucketed-table joins have no
-      // shuffle stage, so their sorted-bucket SMJ is untouched. 128m per
-      // partition is far under executor memory at any sane config.
-      // Parameterized (r17) so the conversion's effect is A/B-able; "0"
-      // restores the stock off state.
+      // AQE runtime SMJ->SHJ conversion: DEFAULT OFF ("0" = stock). The
+      // r16 128m threshold shipped with no runtime plan evidence and the
+      // r17 full-bench A/B (bench_r17_mid1 vs bench_r17_shj0) measured
+      // off as equal-or-better (208.7s vs 213.0s total, geomean 0.972,
+      // no family regression) — an unverified knob stays out of the
+      // comparison surface (VERDICT r16 item 2). Env knob kept so a
+      // cluster with measured SMJ-sort pain can re-enable it.
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-        sys.env.getOrElse("SPARK_GRAFT_SHJ_THRESHOLD", "128m"))
+        sys.env.getOrElse("SPARK_GRAFT_SHJ_THRESHOLD", "0"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

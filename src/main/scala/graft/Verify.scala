@@ -20,13 +20,10 @@ object Verify {
       // same stock coalescing floor + pinned-spread policy as Bench (see Bench.scala)
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
         sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCED", "1m"))
-      // AQE runtime SMJ->SHJ conversion (guide 3.1): convert a sort-merge
-      // join to shuffled-hash when every post-shuffle partition is under
-      // this bound -- drops both sort passes; bucketed-table joins have no
-      // shuffle stage, so their sorted-bucket SMJ is untouched. 128m per
-      // partition is far under executor memory at any sane config.
+      // AQE runtime SMJ->SHJ conversion: DEFAULT OFF ("0" = stock) — see
+      // Bench.scala for the r17 A/B that retired the r16 128m setting.
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-        sys.env.getOrElse("SPARK_GRAFT_SHJ_THRESHOLD", "128m"))
+        sys.env.getOrElse("SPARK_GRAFT_SHJ_THRESHOLD", "0"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

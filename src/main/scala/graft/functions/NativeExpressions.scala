@@ -135,6 +135,117 @@ object NativeExpressions {
          """.stripMargin)
   }
 
+  /** DSIR bigram importance score over a shingle-hash array — see
+    * [[NativeKernels.dsirScore]]. Null input → null (callers coalesce to
+    * the empty-feature score per the table contract). */
+  case class DsirScore(child: Expression, ratios: Seq[Double], buckets: Long)
+      extends UnaryExpression {
+    private val ratiosArr: Array[Double] = ratios.toArray
+    override def dataType: DataType = DoubleType
+    override protected def withNewChildInternal(newChild: Expression): DsirScore =
+      copy(child = newChild)
+    override protected def flatArguments: Iterator[Any] =
+      Iterator(child, ratios, buckets)
+
+    override protected def nullSafeEval(sh: Any): Any =
+      NativeKernels.dsirScore(sh.asInstanceOf[ArrayData], ratiosArr, buckets)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val r = ctx.addReferenceObj("graftDsirRatios", ratiosArr, "double[]")
+      defineCodeGen(ctx, ev, sh => s"$Kernels.dsirScore($sh, $r, ${buckets}L)")
+    }
+  }
+
+  /** max(|v_i|) — identical to `array_max(transform(v, abs))` incl. the
+    * empty-array → null contract. See [[NativeKernels.maxAbs]]. */
+  case class MaxAbs(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true // empty array → null (array_max)
+    override protected def withNewChildInternal(newChild: Expression): MaxAbs =
+      copy(child = newChild)
+
+    override protected def nullSafeEval(v: Any): Any = {
+      val a = v.asInstanceOf[ArrayData]
+      if (a.numElements() == 0) null else NativeKernels.maxAbs(a)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"""
+           |if ($a.numElements() == 0) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  ${ev.value} = $Kernels.maxAbs($a);
+           |}
+         """.stripMargin)
+  }
+
+  /** round(v_i * scale) as array<tinyint> — identical to
+    * `transform(v, x -> round(x * scale).cast("tinyint"))`. See
+    * [[NativeKernels.scaleRoundInt8]]. */
+  case class ScaleRoundInt8(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): ScaleRoundInt8 =
+      copy(left = l, right = r)
+
+    override protected def nullSafeEval(v: Any, s: Any): Any =
+      NativeKernels.scaleRoundInt8(v.asInstanceOf[ArrayData], s.asInstanceOf[Double])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (v, s) => s"$Kernels.scaleRoundInt8($v, $s)")
+  }
+
+  /** v_i / d as array<double> — identical to `transform(v, x -> x / d)`.
+    * See [[NativeKernels.divArray]]. */
+  case class DivArray(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): DivArray =
+      copy(left = l, right = r)
+
+    override protected def nullSafeEval(v: Any, d: Any): Any =
+      NativeKernels.divArray(v.asInstanceOf[ArrayData], d.asInstanceOf[Double])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (v, d) => s"$Kernels.divArray($v, $d)")
+  }
+
+  /** Fused unigram-LM stats [sum, min] over sorted-vocabulary lookups —
+    * see [[NativeKernels.lmScoreStats]]. Null on any null input (the HOF
+    * chain's transform/aggregate null-propagation). */
+  case class LmScoreStats(first: Expression, second: Expression,
+      third: Expression) extends TernaryExpression {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): LmScoreStats =
+      copy(first = f, second = s, third = t)
+
+    override protected def nullSafeEval(toks: Any, keys: Any, vals: Any): Any =
+      NativeKernels.lmScoreStats(toks.asInstanceOf[ArrayData],
+        keys.asInstanceOf[ArrayData], vals.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (t, k, v) => s"$Kernels.lmScoreStats($t, $k, $v)")
+  }
+
+  /** Sorted-vocabulary long-id lookup (0 = absent/OOV) — see
+    * [[NativeKernels.sortedLookupLongs]]. Null on any null input. */
+  case class SortedLookupLongs(first: Expression, second: Expression,
+      third: Expression) extends TernaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): SortedLookupLongs =
+      copy(first = f, second = s, third = t)
+
+    override protected def nullSafeEval(toks: Any, keys: Any, vals: Any): Any =
+      NativeKernels.sortedLookupLongs(toks.asInstanceOf[ArrayData],
+        keys.asInstanceOf[ArrayData], vals.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (t, k, v) => s"$Kernels.sortedLookupLongs($t, $k, $v)")
+  }
+
   /** Exact int8·int8 dot product as long — the quantized-ANN coarse
     * scorer. Same null semantics as [[DotProduct]]: ragged lengths → null
     * (matching the `aggregate(zip_with(...))` twin, where the pad null
@@ -707,6 +818,25 @@ object NativeExpressions {
     GraftColumnBridge.column(ResidualNorm2(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(w),
       GraftColumnBridge.expression(y)))
+  def maxAbs(v: Column): Column =
+    GraftColumnBridge.column(MaxAbs(GraftColumnBridge.expression(v)))
+  def dsirScore(sh: Column, ratios: Seq[Double], buckets: Long): Column =
+    GraftColumnBridge.column(DsirScore(
+      GraftColumnBridge.expression(sh), ratios, buckets))
+  def scaleRoundInt8(v: Column, scale: Column): Column =
+    GraftColumnBridge.column(ScaleRoundInt8(
+      GraftColumnBridge.expression(v), GraftColumnBridge.expression(scale)))
+  def divArray(v: Column, d: Column): Column =
+    GraftColumnBridge.column(DivArray(
+      GraftColumnBridge.expression(v), GraftColumnBridge.expression(d)))
+  def lmScoreStats(toks: Column, keys: Column, vals: Column): Column =
+    GraftColumnBridge.column(LmScoreStats(
+      GraftColumnBridge.expression(toks), GraftColumnBridge.expression(keys),
+      GraftColumnBridge.expression(vals)))
+  def sortedLookupLongs(toks: Column, keys: Column, vals: Column): Column =
+    GraftColumnBridge.column(SortedLookupLongs(
+      GraftColumnBridge.expression(toks), GraftColumnBridge.expression(keys),
+      GraftColumnBridge.expression(vals)))
   def argMaxCosine(v: Column, nrm: Column, cents: Seq[(Long, Seq[Double], Double)]): Column =
     GraftColumnBridge.column(ArgMaxCosine(
       GraftColumnBridge.expression(v), GraftColumnBridge.expression(nrm), cents))

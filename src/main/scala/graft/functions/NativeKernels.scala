@@ -342,6 +342,128 @@ object NativeKernels {
     acc
   }
 
+  /** Binary search of `key` in `keys` (UTF8String binary order, the order
+    * `array_sort` over a string-first struct produces). Returns the index
+    * or -1. */
+  private def searchSorted(keys: ArrayData, key: UTF8String): Int = {
+    var lo = 0
+    var hi = keys.numElements() - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val c = keys.getUTF8String(mid).compareTo(key)
+      if (c == 0) return mid
+      else if (c < 0) lo = mid + 1
+      else hi = mid - 1
+    }
+    -1
+  }
+
+  /** Fused unigram-LM scoring stats: for each token, its probability from
+    * the sorted (keys, vals) vocabulary (0.0 when absent), folded into
+    * [sum, min] in ONE ascending pass. IEEE-identical to the HOF chain
+    * `ps = transform(toks, t -> coalesce(element_at(pmap, t), 0.0))` +
+    * `aggregate(ps, 0.0, +)` + `array_min(ps)`: same per-token lookups,
+    * same ascending single-accumulator sum (min is order-free). The HOF
+    * chain is interpreted per row AND element_at on a map literal is a
+    * LINEAR scan of the vocabulary per token — this is one codegen'd
+    * O(tokens · log vocab) pass. min is 0.0 for empty input (callers gate
+    * empty docs on size() before reading it). */
+  def lmScoreStats(toks: ArrayData, keys: ArrayData, vals: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    var sum = 0.0
+    var mn = Double.PositiveInfinity
+    var i = 0
+    while (i < n) {
+      val idx = searchSorted(keys, toks.getUTF8String(i))
+      val p = if (idx >= 0) vals.getDouble(idx) else 0.0
+      sum += p
+      if (p < mn) mn = p
+      i += 1
+    }
+    ArrayData.toArrayData(Array(sum, if (n == 0) 0.0 else mn))
+  }
+
+  /** Sorted-vocabulary id lookup: toks → array of vals (long) with 0 for
+    * absent tokens — identical to
+    * `transform(toks, t -> coalesce(element_at(vmap, t), 0L))` but one
+    * codegen'd O(tokens · log vocab) pass instead of an interpreted
+    * per-token linear map scan. */
+  def sortedLookupLongs(toks: ArrayData, keys: ArrayData, vals: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val idx = searchSorted(keys, toks.getUTF8String(i))
+      out(i) = if (idx >= 0) vals.getLong(idx) else 0L
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  /** DSIR bigram importance score: Σ ratios[sh_i mod buckets] folded in
+    * ascending index order from 0.0 — identical to
+    * `aggregate(transform(sh, x -> pmod(x, buckets)), 0.0,
+    *   (a, b) -> a + element_at(ratios, b + 1))`
+    * (same bucket per element: floorMod == pmod; same literal-array lookup;
+    * same single-accumulator ascending sum). */
+  def dsirScore(sh: ArrayData, ratios: Array[Double], buckets: Long): Double = {
+    val n = sh.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += ratios(java.lang.Math.floorMod(sh.getLong(i), buckets).toInt)
+      i += 1
+    }
+    acc
+  }
+
+  /** max(|v_i|) in one pass — identical to `array_max(transform(v, abs))`
+    * on non-null-element double arrays (inputs here are cast float arrays).
+    * Empty array → the caller's expression layer returns null (array_max's
+    * contract), see [[graft.functions.NativeExpressions.MaxAbs]]. */
+  def maxAbs(v: ArrayData): Double = {
+    val n = v.numElements()
+    var mx = Double.NegativeInfinity
+    var i = 0
+    while (i < n) {
+      val a = math.abs(v.getDouble(i))
+      if (a > mx) mx = a
+      i += 1
+    }
+    mx
+  }
+
+  /** Symmetric int8 quantization pass: round(v_i * scale) as tinyint —
+    * identical to `transform(v, x -> round(x * scale).cast("tinyint"))`:
+    * same multiply, the same HALF_UP decimal rounding Spark's `round`
+    * performs on doubles, then the same integral cast. */
+  def scaleRoundInt8(v: ArrayData, scale: Double): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      out(i) = java.math.BigDecimal.valueOf(v.getDouble(i) * scale)
+        .setScale(0, java.math.RoundingMode.HALF_UP)
+        .doubleValue().toByte
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  /** Element-wise division v_i / d — identical to
+    * `transform(v, x -> x / d)` (same IEEE division per element). The
+    * L2-normalize step of every cosine tier. */
+  def divArray(v: ArrayData, d: Double): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      out(i) = v.getDouble(i) / d
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
   /** Squared norm of the residual a − y·w in one ascending-index pass —
     * IEEE-identical to building d = zip_with(a, w, (e, v) -> e - y*v) and
     * then [[dot]](d, d): per element the same (e - y*v) double, then the

@@ -13,6 +13,12 @@ object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Deterministic listener-event drain for dev tooling (graft.Profile):
+    * `SparkContext.listenerBus` is `private[spark]`, so the wait goes
+    * through this in-package shim. */
+  def waitForListeners(spark: SparkSession, timeoutMs: Long): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMs)
+
   /** Register a function into a LIVE session's registry (the
     * SparkSessionExtensions path only applies at session construction). */
   def registerFunction(

@@ -144,21 +144,29 @@ object TextQueries {
         TextFunctions.tokens(col("text")).as("toks"): _*).persist()
     val counts = base.select(explode(col("toks")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-    val pmap = counts.crossJoin(broadcast(counts.agg(sum(col("cnt")).as("total"))))
+    // sorted (keys, vals) ARRAYS, not a map: element_at on a map literal is
+    // a linear scan of the whole vocabulary per token AND the HOF chain
+    // around it is interpreted per row — the fused LmScoreStats kernel
+    // binary-searches the same sorted entries and folds the same ascending
+    // [sum, min] in one codegen pass (bit-identical; NativeExpressionsSpec
+    // pins it). The one-row transform() below runs once per QUERY, not per
+    // corpus row.
+    val parr = counts.crossJoin(broadcast(counts.agg(sum(col("cnt")).as("total"))))
       .select(col("tok"),
         (col("cnt").cast("double") / col("total").cast("double")).as("p"))
-      .agg(map_from_entries(
-        array_sort(collect_list(struct(col("tok"), col("p"))))).as("pmap"))
-    base.crossJoin(broadcast(pmap))
-      .withColumn("ps", transform(col("toks"),
-        t => coalesce(element_at(col("pmap"), t), lit(0.0))))
+      .agg(array_sort(collect_list(struct(col("tok"), col("p")))).as("ents"))
+      .select(transform(col("ents"), e => e.getField("tok")).as("pk"),
+        transform(col("ents"), e => e.getField("p")).as("pv"))
+    base.crossJoin(broadcast(parr))
+      .withColumn("st",
+        NativeExpressions.lmScoreStats(col("toks"), col("pk"), col("pv")))
       .select(col("doc_id") +: extra.map { case (n, _) => col(n) } :+
         size(col("toks")).cast(LongType).as("n_tokens") :+
         when(size(col("toks")) === 0, lit(0.0))
-          .otherwise(aggregate(col("ps"), lit(0.0), (a, x) => a + x)
+          .otherwise(element_at(col("st"), 1)
             / size(col("toks")).cast("double")).as("mean_p") :+
         when(size(col("toks")) === 0, lit(0.0))
-          .otherwise(array_min(col("ps"))).as("min_p"): _*)
+          .otherwise(element_at(col("st"), 2)).as("min_p"): _*)
   }
 
   val sqlToks = "list_filter(string_split_regex(trim(text), '\\s+'), t9 -> t9 <> '')"

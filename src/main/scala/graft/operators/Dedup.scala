@@ -375,16 +375,40 @@ object Dedup {
 
   /** [[connectedComponents]] plus the number of rounds taken (spec hook for
     * the O(log diameter) bound). */
+  // NOTE (r17, measured): do NOT scope AQE off around this loop. The
+  // VERDICT-r16 hypothesis was that the ~130 AQE orchestration jobs are
+  // the cost; an AQE-off A/B DOUBLED sim_cluster_knn (5.4 s → 11.3 s
+  // bench; 220 s executor CPU) because AQE's runtime small-join broadcast
+  // conversion is what keeps each round's label joins shuffle-free — with
+  // it off, the checkpointed frames' unknown stats force 32-partition
+  // sort-merge joins every round. The orchestration jobs are the cheap
+  // part.
   def connectedComponentsWithStats(pairs: DataFrame, maxIters: Int = 20): (DataFrame, Int) = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct()
-      .persist()
-    var labels = edges.groupBy(col("src"))
+    // Checkpoints carry their ORIGIN PLAN's estimated statistics into the
+    // LogicalRDD leaf (Spark 4.1), and a CC round's plan references
+    // `labels` several times, so the carried sizeInBytes MULTIPLIES every
+    // round — measured: 2^(growing) BigInt stats reaching millions of bits
+    // by round 16 (and 200M+ with multi-level jumping), with round-11
+    // planning alone taking 110 s in BigInteger math, while the inflated
+    // estimates also disqualify every static broadcast join. The fix:
+    // persist + materialize (count) each generation — a materialized
+    // InMemoryRelation reports its ACTUAL cached bytes, so every round
+    // plans against real (tiny) sizes, picks broadcast joins statically,
+    // and the next checkpoint carries real numbers instead of the product.
+    def pinStats(df: DataFrame): DataFrame = {
+      val cached = graft.CheckpointUtil.track(df.persist())
+      cached.count()
+      cached
+    }
+    val edges = pinStats(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .distinct()
+        .localCheckpoint(true))
+    var labels = pinStats(edges.groupBy(col("src"))
       .agg(least(col("src"), min(col("dst"))).as("canonical_id"))
       .select(col("src").as("id"), col("canonical_id"))
-      .localCheckpoint(true)
-    graft.CheckpointUtil.track(labels)
+      .localCheckpoint(true))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -401,7 +425,11 @@ object Dedup {
       // (2) pointer doubling: follow my (propagated) label's label. Label
       // values are always ids present in `labels` (they are minima over
       // ids), so the left join only misses when the label is already the
-      // component minimum — coalesce keeps it.
+      // component minimum — coalesce keeps it. (r17 measured: extra jump
+      // levels per round do NOT cut the round count on random-id graphs —
+      // the binding constraint is adjacent pointer-tree merging via the
+      // edge step, one tree per round, not pointer depth — so one jump is
+      // the right cost.)
       val byId = labels.select(col("id").as("lbl"), col("canonical_id").as("grand"))
       val doubled = half.join(byId, half("half_label") === byId("lbl"), "left")
         .select(col("id"), col("old_label"),
@@ -419,7 +447,7 @@ object Dedup {
         .observe(metricName, sum(when(col("canonical_id") =!= col("old_label"), 1L)
           .otherwise(0L)).as("changed"))
         .select(col("id"), col("canonical_id"))
-      val next = graft.CheckpointUtil.track(preCheckpoint.localCheckpoint(true))
+      val next = pinStats(preCheckpoint.localCheckpoint(true))
       val changed = preCheckpoint.queryExecution.observedMetrics.get(metricName)
         .flatMap(r => Option(r.getAs[Long]("changed"))).getOrElse(0L)
       // safe: `next` is EAGER and its plan is its own bare leaf, so the
@@ -428,7 +456,7 @@ object Dedup {
       labels = next
       converged = changed == 0L
     }
-    edges.unpersist(blocking = false)
+    graft.CheckpointUtil.releaseCheckpoint(edges)
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters rounds — " +

@@ -200,7 +200,7 @@ object Similarity {
       else corpus.filter(pmod(graft.functions.TextFunctions.polyHash(
         col("vec_id").cast("string")), lit(100)) < samplePct)
     val unit = training.select(
-      array_to_vector(transform(col("v"), x => x / col("nrm")).cast("array<double>"))
+      array_to_vector(NativeExpressions.divArray(col("v"), col("nrm")))
         .as("features"))
     val model = new org.apache.spark.ml.clustering.KMeans()
       .setK(nCentroids).setMaxIter(maxIter).setSeed(seed)
@@ -237,7 +237,7 @@ object Similarity {
       .filter(pmod(graft.functions.TextFunctions.polyHash(
         col("vec_id").cast("string")), lit(100)) < samplePct)
       .select(col("vec_id"),
-        transform(col("v"), x => x / col("nrm")).as("u"))
+        NativeExpressions.divArray(col("v"), col("nrm")).as("u"))
       .orderBy(col("vec_id")).limit(maxSample)
       .collect()
       .map(_.getSeq[Double](1).toArray)
@@ -634,12 +634,17 @@ object Similarity {
     * integer dot is exact arithmetic — fully deterministic, so unlike most
     * ANN shortcuts this tier is oracle-checkable end to end. */
   def quantize(corpus: DataFrame): DataFrame =
+    // fused kernels (r17): the interpreted array_max(transform(abs)) +
+    // round-and-cast transform HOFs dominated this pass per row —
+    // MaxAbs/ScaleRoundInt8 compute the identical values (same abs/max,
+    // same HALF_UP round, same tinyint cast; NativeExpressionsSpec pins it)
+    // inside whole-stage codegen
     corpus
-      .withColumn("qm", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("qm", NativeExpressions.maxAbs(col("v")))
       .withColumn("qscale",
         when(col("qm") === 0.0, lit(0.0)).otherwise(lit(127.0) / col("qm")))
       .withColumn("qv",
-        transform(col("v"), x => round(x * col("qscale")).cast("tinyint")))
+        NativeExpressions.scaleRoundInt8(col("v"), col("qscale")))
       .drop("qm")
 
   /** Quantized top-k: coarse-rank by the int8·int8 dot (dequantized by the

@@ -200,7 +200,8 @@ object SimilarityQueries {
   private type MaxsimArtifact = (String, Seq[(Long, Seq[Double], Double)])
   private val maxsimCache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, MaxsimArtifact]]())
+      java.util.concurrent.ConcurrentHashMap[String,
+        java.util.concurrent.CompletableFuture[MaxsimArtifact]]]())
 
   /** The memoized (tbl, centSeq) maxsim chunk-serving artifact for `dir`'s
     * corpus — the [[ivfPqServing]] lifecycle for the late-interaction
@@ -222,11 +223,31 @@ object SimilarityQueries {
         (tbl, centSeq)
       } finally graft.CheckpointUtil.releasePersist(ch)
     }
+    // memoize a FUTURE, not the artifact (ADVICE r16): computeIfAbsent
+    // holds the map bin for the mapping function's whole duration, and
+    // build() runs Spark jobs — a concurrent caller for another dir hashing
+    // to the same bin would block behind the build. Registering the future
+    // is O(1) under the lock; the build runs outside it, and concurrent
+    // callers for the SAME dir await one build. The stale-table recheck is
+    // a compute() replace, so invalidation can't race a fresh rebuild: the
+    // thread that observes the dropped table swaps the entry atomically
+    // (only if unchanged) and everyone converges on one rebuild future.
+    type FutureArtifact = java.util.concurrent.CompletableFuture[MaxsimArtifact]
     val memo = maxsimCache.computeIfAbsent(s,
-      _ => new java.util.concurrent.ConcurrentHashMap[String, MaxsimArtifact]())
-    val got = memo.computeIfAbsent(dir, _ => build())
+      _ => new java.util.concurrent.ConcurrentHashMap[String, FutureArtifact]())
+    def run(f: FutureArtifact): MaxsimArtifact =
+      try { val a = build(); f.complete(a); a }
+      catch { case e: Throwable => f.completeExceptionally(e); memo.remove(dir); throw e }
+    val mine = new FutureArtifact()
+    val existing = memo.putIfAbsent(dir, mine)
+    val got = if (existing == null) run(mine) else existing.join()
     if (s.catalog.tableExists(got._1)) got
-    else { memo.remove(dir); memo.computeIfAbsent(dir, _ => build()) }
+    else {
+      val fresh = new FutureArtifact()
+      val winner = memo.compute(dir,
+        (_, cur) => if (cur == null || cur.isDone) fresh else cur)
+      if (winner eq fresh) run(fresh) else winner.join()
+    }
   }
 
   /** The chunk-grain coarse quantizer: first chunk of the first
@@ -438,7 +459,7 @@ object SimilarityQueries {
     val emb = Similarity.prepare(Tables.embeddings(s, dir))
     val pool = fused
       .join(emb.select(col("vec_id").as("doc_id"),
-        transform(col("v"), x => x / col("nrm")).as("u")), Seq("doc_id"))
+        graft.functions.NativeExpressions.divArray(col("v"), col("nrm")).as("u")), Seq("doc_id"))
     pool.groupBy(lit(1L).as("g"))
       .agg(MmrAgg.column(2 * HybridK, MmrK, MmrLambda,
         col("rrf"), col("doc_id"), col("u")).as("sel"))
@@ -600,10 +621,16 @@ object SimilarityQueries {
     // which is exactly why the full-rebuild oracle applies verbatim) and
     // appended into the same bucket layout. Probe == full rebuild.
     "src_maxsim_append" -> ((s, dir) => {
-      // registry-tracked: the probe below consumes ch lazily, so the
-      // persist outlives this builder — the between-queries sweep frees it
-      val ch = graft.CheckpointUtil.trackPersist(chunkVecs(
-        Spread.ifNarrow(Tables.documents(s, dir), col("doc_id"))).persist())
+      // registry-tracked; eager localCheckpoint, NOT persist (r17): the two
+      // bucketed WRITE passes below are saveAsTable commands, and profiling
+      // showed them re-running the whole chunk+embed pipeline from parquet
+      // instead of reading the persisted frame (8.5 s + 17 s executor CPU
+      // re-embedding) — a checkpoint's lineage is a materialized leaf, so
+      // nothing can recompute it. The probe consumes ch lazily, so the
+      // checkpoint outlives this builder — the between-queries sweep frees it
+      val ch = graft.CheckpointUtil.track(chunkVecs(
+        Spread.ifNarrow(Tables.documents(s, dir), col("doc_id")))
+        .localCheckpoint(true))
       val base = ch.filter(col("doc_id") < MaxsimSplit)
       // base-slice centroids == full-corpus centroids BY CONTAINMENT:
       // the quantizer window (doc_id < NCentroids) sits inside the base
@@ -661,8 +688,11 @@ object SimilarityQueries {
     // compacted table must be row-identical to the in-flight index —
     // the shared full-rebuild oracle proves it.
     "src_maxsim_compact" -> ((s, dir) => {
-      val ch = graft.CheckpointUtil.trackPersist(chunkVecs(
-        Spread.ifNarrow(Tables.documents(s, dir), col("doc_id"))).persist())
+      // eager localCheckpoint for the same reason as src_maxsim_append: the
+      // write passes re-ran the chunk+embed pipeline past the persist
+      val ch = graft.CheckpointUtil.track(chunkVecs(
+        Spread.ifNarrow(Tables.documents(s, dir), col("doc_id")))
+        .localCheckpoint(true))
       val base = ch.filter(col("doc_id") < MaxsimSplit)
       val centSeq = maxsimCentroids(base)
       val tbl = scratchTable(s, "graft_maxsim_precompact")
@@ -720,7 +750,7 @@ object SimilarityQueries {
         .select(col("query_id"), col("vec_id").as("doc_id"), col("cos"))
       val pool = topn.join(
         corpus.select(col("vec_id").as("doc_id"),
-          transform(col("v"), x => x / col("nrm")).as("u")), Seq("doc_id"))
+          graft.functions.NativeExpressions.divArray(col("v"), col("nrm")).as("u")), Seq("doc_id"))
       pool.groupBy(col("query_id"))
         .agg(MmrAgg.column(MmrN, MmrK, MmrLambda,
           col("cos"), col("doc_id"), col("u")).as("sel"))
@@ -940,7 +970,7 @@ object SimilarityQueries {
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id"),
           Dedup.cosine(col("qv"), col("v"), col("qnrm"), col("nrm")).as("rel"),
-          transform(col("v"), x => x / col("nrm")).as("u"))
+          graft.functions.NativeExpressions.divArray(col("v"), col("nrm")).as("u"))
         .groupBy("query_id")
         .agg(MmrAgg.column(MmrN, MmrK, MmrLambda,
           col("rel"), col("vec_id"), col("u")).as("sel"))

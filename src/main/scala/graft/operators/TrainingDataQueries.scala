@@ -489,19 +489,21 @@ object TrainingDataQueries {
     val ratio = Array.fill(DsirBuckets)(1.0)
     counts.foreach { r => ratio(r.getLong(0).toInt) =
       (r.getLong(1) + 1).toDouble / (r.getLong(2) + 1).toDouble }
-    val ratioLit = array(ratio.toSeq.map(lit): _*)
     // bigram features from the fused positional-shingle kernel (the
     // per-position aggregate(slice) HOF it replaced is interpreted and
-    // was this model's dominant cost); pmod == % here — both operands
-    // non-negative
-    val fb = transform(
-      TextFunctions.positionalShingleHashes(col("text"), 2),
-      sh => pmod(sh, lit(DsirBuckets.toLong)))
+    // was this model's dominant cost). The bucket fold is fused too (r17):
+    // the transform(pmod) + aggregate(element_at) chain around the kernel
+    // was still interpreted per row — DsirScore computes the identical
+    // ascending Σ ratios[sh mod buckets] inside codegen (pmod == floorMod,
+    // spec-pinned). coalesce restores the pre-kernel never-null contract
+    // (null text → the empty-feature row, ADVICE r16): the kernel
+    // null-propagates where the old when/otherwise arm emitted array().
+    val sh = TextFunctions.positionalShingleHashes(col("text"), 2)
     val scored = docsSpread(s, dir).filter(col("source") =!= "src19")
-      .select(col("doc_id"), fb.as("fb"))
-      .select(col("doc_id"), size(col("fb")).cast(LongType).as("n_feats"),
-        aggregate(col("fb"), lit(0.0),
-          (a, b) => a + element_at(ratioLit, (b + 1).cast("int"))).as("score"))
+      .select(col("doc_id"),
+        coalesce(size(sh), lit(0)).cast(LongType).as("n_feats"),
+        coalesce(graft.functions.NativeExpressions.dsirScore(
+          sh, ratio.toSeq, DsirBuckets.toLong), lit(0.0)).as("score"))
     val total = scored.count()
     graft.pu.PU.globalRankByScore(scored, "score", col("doc_id"), "dsir_rank")
       .withColumn("keep", col("dsir_rank") * 4 <= lit(total))
@@ -1459,11 +1461,18 @@ object TrainingDataQueries {
         .agg(countDistinct(col("doc_id")).cast(DoubleType).as("df_score"))
       val ranked = graft.pu.PU.globalRankByScore(vocab, "df_score", col("tok"))
         .filter(col("rank") <= VocabSize)
-      val vmap = ranked.agg(map_from_entries(
-        array_sort(collect_list(struct(col("tok"), col("rank"))))).as("vmap"))
-      base.crossJoin(broadcast(vmap))
-        .withColumn("ids", transform(col("toks"),
-          t => coalesce(element_at(col("vmap"), t), lit(0L))))
+      // sorted (keys, vals) arrays + fused lookup kernel instead of a map
+      // literal: element_at on a map is a per-token LINEAR vocabulary scan
+      // inside an interpreted transform — SortedLookupLongs binary-searches
+      // the same sorted entries in one codegen pass (identical ids incl.
+      // the OOV-0 rule; NativeExpressionsSpec pins it)
+      val varr = ranked.agg(array_sort(
+          collect_list(struct(col("tok"), col("rank")))).as("ents"))
+        .select(transform(col("ents"), e => e.getField("tok")).as("vk"),
+          transform(col("ents"), e => e.getField("rank")).as("vv"))
+      base.crossJoin(broadcast(varr))
+        .withColumn("ids",
+          NativeExpressions.sortedLookupLongs(col("toks"), col("vk"), col("vv")))
         .select(col("doc_id"),
           size(col("toks")).cast(LongType).as("n_tokens"),
           size(filter(col("ids"), _ === lit(0L))).cast(LongType).as("n_oov"),

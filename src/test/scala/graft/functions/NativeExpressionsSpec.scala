@@ -295,6 +295,102 @@ class NativeExpressionsSpec extends SparkSuite {
         lit(null).cast("array<double>"), col("w"), lit(0.5))).head.isNullAt(0))
   }
 
+  test("LmScoreStats == transform/element_at + aggregate + array_min chain") {
+    import spark.implicits._
+    // the exact lmScored formulation it replaces, over corpus + edge docs
+    val docs = Tables.documents(spark, sf0001).select(col("text"))
+      .unionAll(Seq("", "   ", "one", "unseen tokens only zz")
+        .toDF("text"))
+      .select(graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+    val counts = docs.select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val parr = counts.crossJoin(broadcast(counts.agg(sum(col("cnt")).as("total"))))
+      .select(col("tok"),
+        (col("cnt").cast("double") / col("total").cast("double")).as("p"))
+      .agg(array_sort(collect_list(struct(col("tok"), col("p")))).as("ents"))
+      .select(transform(col("ents"), e => e.getField("tok")).as("pk"),
+        transform(col("ents"), e => e.getField("p")).as("pv"),
+        map_from_entries(col("ents")).as("pmap"))
+    val joined = docs.crossJoin(broadcast(parr))
+    val ps = transform(col("toks"), t => coalesce(element_at(col("pmap"), t), lit(0.0)))
+    val diff = joined
+      .withColumn("st", NativeExpressions.lmScoreStats(col("toks"), col("pk"), col("pv")))
+      .withColumn("ps", ps)
+      .filter(size(col("toks")) > 0)
+      .filter(element_at(col("st"), 1) =!=
+          aggregate(col("ps"), lit(0.0), (a, x) => a + x) ||
+        element_at(col("st"), 2) =!= array_min(col("ps")))
+      .count()
+    assert(diff == 0)
+  }
+
+  test("SortedLookupLongs == transform/element_at with OOV 0 on corpus + edges") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001).select(col("text"))
+      .unionAll(Seq("", "unseen zz", "a b a").toDF("text"))
+      .select(graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+    val vocab = docs.select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(50)
+      .select(col("tok"), row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("tok"))).cast("long").as("rank"))
+    val varr = vocab.agg(array_sort(collect_list(struct(col("tok"), col("rank")))).as("ents"))
+      .select(transform(col("ents"), e => e.getField("tok")).as("vk"),
+        transform(col("ents"), e => e.getField("rank")).as("vv"),
+        map_from_entries(col("ents")).as("vmap"))
+    val diff = docs.crossJoin(broadcast(varr))
+      .select(
+        NativeExpressions.sortedLookupLongs(col("toks"), col("vk"), col("vv")).as("native"),
+        transform(col("toks"), t => coalesce(element_at(col("vmap"), t), lit(0L))).as("hof"))
+      .filter(not(col("native") === col("hof"))).count()
+    assert(diff == 0)
+  }
+
+  test("MaxAbs / ScaleRoundInt8 / DivArray == their HOF formulations") {
+    // the exact quantize()/normalize formulations they replace, over the
+    // embedding corpus plus sign/zero edges
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("embedding").cast("array<double>").as("v"))
+      .unionAll(spark.sql(
+        "SELECT CAST(array(-1.5, 0.0, 2.5, -0.49999, 126.5) AS array<double>) v"))
+      .unionAll(spark.sql("SELECT CAST(array() AS array<double>) v"))
+    val qmHof = array_max(transform(col("v"), x => abs(x)))
+    val withScale = e
+      .withColumn("qm", NativeExpressions.maxAbs(col("v")))
+      .withColumn("qmh", qmHof)
+      .withColumn("qscale",
+        when(col("qmh") === 0.0, lit(0.0)).otherwise(lit(127.0) / col("qmh")))
+      .withColumn("nrm", sqrt(NativeExpressions.dot(col("v"), col("v"))))
+    val diff = withScale
+      .filter(!(col("qm") <=> col("qmh")) ||
+        (size(col("v")) > 0 && (
+          not(NativeExpressions.scaleRoundInt8(col("v"), col("qscale")) ===
+            transform(col("v"), x => round(x * col("qscale")).cast("tinyint"))) ||
+          (col("nrm") > 0.0 &&
+            not(NativeExpressions.divArray(col("v"), col("nrm")) ===
+              transform(col("v"), x => x / col("nrm")))))))
+      .count()
+    assert(diff == 0)
+  }
+
+  test("DsirScore == transform(pmod) + aggregate(element_at) fold") {
+    import spark.implicits._
+    val buckets = 64
+    val ratios = (0 until buckets).map(j => math.cos(j) + 1.5)
+    val ratioLit = array(ratios.map(lit): _*)
+    val docs = Tables.documents(spark, sf0001).select(col("text"))
+      .unionAll(Seq("", "one", "a b", "a b c d").toDF("text"))
+    val sh = NativeExpressions.positionalShingleHashes(col("text"), 2)
+    val fb = transform(sh, x => pmod(x, lit(buckets.toLong)))
+    val diff = docs.select(
+      NativeExpressions.dsirScore(sh, ratios, buckets.toLong).as("native"),
+      aggregate(fb, lit(0.0),
+        (a, b) => a + element_at(ratioLit, (b + 1).cast("int"))).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(diff == 0)
+  }
+
   test("toDoubleArray cast == transform(_, cast) on embeddings (incl. null)") {
     val e = Tables.embeddings(spark, sf0001).select(col("embedding"))
       .unionAll(spark.sql("SELECT CAST(NULL AS array<float>) AS embedding"))
